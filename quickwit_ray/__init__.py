@@ -1,0 +1,30 @@
+"""quickwit_ray — a Ray-Data-native inverted-index build + BM25 query engine.
+
+A from-scratch rebuild of the query / data-processing capabilities of
+quickwit-inc/quickwit (reference at /root/reference), expressed as
+``ray.data.Dataset`` pipelines: ``map_batches`` over zero-copy Arrow
+batches, actor pools for stateful stages (segment writers, split
+search), and explicit partitioning for the wide steps.
+
+Layout:
+  functions/   pure vectorized kernels (tokenizers, BM25 math, sketches,
+               text statistics, hashing) — no Ray dependency
+  index/       split artifact format, index build pipeline, merge pipeline
+  search/      query AST + parsers, per-split scorer, distributed search,
+               aggregations
+  state/       manifest (split metadata), checkpoints, atomic commits
+  stages/      Ray Data actor-pool stage classes
+  sources/     input readers / fixtures
+  pipelines/   training-data pipelines (dedup, ANN, text analysis,
+               multimodal plumbing)
+"""
+
+__version__ = "0.1.0"
+
+from quickwit_ray.config import (  # noqa: F401
+    DocMapping,
+    FieldMapping,
+    IndexConfig,
+    IndexSettings,
+    MergePolicyConfig,
+)

@@ -1,0 +1,188 @@
+"""Index configuration: doc mapping, indexing settings, merge policy.
+
+Re-expresses the reference's schema system
+(`quickwit/quickwit-doc-mapper/src/doc_mapping.rs:97-162`,
+`field_mapping_entry.rs:435-483`) and indexing settings defaults
+(`quickwit/quickwit-config/src/index_config/mod.rs:130-140`,
+`merge_policy_config.rs:70-117`) as plain dataclasses. No Ray imports —
+configs are shipped to workers inside closures / actor constructors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+# Field types supported (reference: field_mapping_type.rs:28-51).
+FIELD_TYPES = {"text", "i64", "u64", "f64", "bool", "datetime", "bytes", "ip", "json"}
+
+# record options for text fields (field_mapping_entry.rs:435-462):
+#   basic    -> doc ids only (tf treated as 1 when scoring)
+#   freq     -> + term frequencies
+#   position -> + token positions (needed for phrase queries)
+RECORD_OPTIONS = ("basic", "freq", "position")
+
+
+@dataclass(frozen=True)
+class FieldMapping:
+    """One entry of ``doc_mapping.field_mappings``."""
+
+    name: str
+    type: str = "text"
+    # text options
+    tokenizer: str = "default"
+    record: str = "basic"
+    fieldnorms: bool = False  # reference default is false (field_mapping_entry.rs)
+    # shared options
+    indexed: bool = True
+    stored: bool = True
+    fast: bool = False
+    # tag fields participate in split pruning (doc_mapping.rs tag_fields)
+    tag: bool = False
+
+    def __post_init__(self) -> None:
+        if self.type not in FIELD_TYPES:
+            raise ValueError(f"unknown field type {self.type!r}")
+        if self.record not in RECORD_OPTIONS:
+            raise ValueError(f"unknown record option {self.record!r}")
+
+
+@dataclass(frozen=True)
+class DocMapping:
+    """Schema for one index (reference doc_mapping.rs:97-162)."""
+
+    field_mappings: tuple[FieldMapping, ...]
+    mode: str = "strict"  # strict | lenient | dynamic
+    timestamp_field: Optional[str] = None
+    tag_fields: tuple[str, ...] = ()
+    # partition routing (routing_expression/mod.rs:107-180); None = single partition
+    partition_key: Optional[str] = None
+    max_num_partitions: int = 200
+    # doc id column of the source table used as the stable external id
+    doc_id_field: str = "url"
+    default_search_fields: tuple[str, ...] = ()
+
+    def field(self, name: str) -> FieldMapping:
+        for fm in self.field_mappings:
+            if fm.name == name:
+                return fm
+        raise KeyError(name)
+
+    @property
+    def text_fields(self) -> list[FieldMapping]:
+        return [f for f in self.field_mappings if f.type == "text" and f.indexed]
+
+    @property
+    def fast_fields(self) -> list[FieldMapping]:
+        return [f for f in self.field_mappings if f.fast]
+
+    @property
+    def stored_fields(self) -> list[FieldMapping]:
+        return [f for f in self.field_mappings if f.stored]
+
+
+@dataclass(frozen=True)
+class MergePolicyConfig:
+    """StableLogMergePolicy defaults (merge_policy_config.rs:70-117)."""
+
+    kind: str = "stable_log"  # stable_log | const_write_amplification | none
+    merge_factor: int = 10
+    max_merge_factor: int = 12
+    min_level_num_docs: int = 100_000
+    maturation_period_secs: int = 48 * 3600
+    # const_write_amplification only:
+    max_merge_ops: int = 4
+
+
+@dataclass(frozen=True)
+class IndexSettings:
+    """Indexing/resource settings (index_config/mod.rs:130-140)."""
+
+    split_num_docs_target: int = 10_000_000
+    # flush a split early when the accumulated uncompressed doc bytes pass this
+    heap_size_bytes: int = 2 * 1024**3
+    merge_policy: MergePolicyConfig = field(default_factory=MergePolicyConfig)
+    # bench/scale knobs for the Ray pipeline
+    batch_size: int = 8192
+    # store the raw html/bytes column in the docstore (wide records; off by default)
+    store_binary_columns: bool = True
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    index_id: str
+    doc_mapping: DocMapping
+    settings: IndexSettings = field(default_factory=IndexSettings)
+
+    def to_json(self) -> dict[str, Any]:
+        from dataclasses import asdict
+
+        return asdict(self)
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "IndexConfig":
+        dm = obj["doc_mapping"]
+        mapping = DocMapping(
+            field_mappings=tuple(FieldMapping(**f) for f in dm["field_mappings"]),
+            mode=dm.get("mode", "strict"),
+            timestamp_field=dm.get("timestamp_field"),
+            tag_fields=tuple(dm.get("tag_fields", ())),
+            partition_key=dm.get("partition_key"),
+            max_num_partitions=dm.get("max_num_partitions", 200),
+            doc_id_field=dm.get("doc_id_field", "url"),
+            default_search_fields=tuple(dm.get("default_search_fields", ())),
+        )
+        st = obj.get("settings", {})
+        mp = st.get("merge_policy", {})
+        settings = IndexSettings(
+            split_num_docs_target=st.get("split_num_docs_target", 10_000_000),
+            heap_size_bytes=st.get("heap_size_bytes", 2 * 1024**3),
+            merge_policy=MergePolicyConfig(**mp) if mp else MergePolicyConfig(),
+            batch_size=st.get("batch_size", 8192),
+            store_binary_columns=st.get("store_binary_columns", True),
+        )
+        return IndexConfig(index_id=obj["index_id"], doc_mapping=mapping, settings=settings)
+
+
+def pages_doc_mapping() -> DocMapping:
+    """Doc mapping for the canonical Common-Crawl-style ``pages`` table
+    (BASELINE.json input_hint): (url, warc_ts, html, text, lang)."""
+    return DocMapping(
+        field_mappings=(
+            FieldMapping(name="text", type="text", tokenizer="default", record="position",
+                         fieldnorms=True, stored=True),
+            FieldMapping(name="url", type="text", tokenizer="raw", record="basic",
+                         stored=True, fast=True),
+            FieldMapping(name="lang", type="text", tokenizer="raw", record="basic",
+                         stored=True, fast=True, tag=True),
+            FieldMapping(name="warc_ts", type="datetime", stored=True, fast=True),
+            FieldMapping(name="html", type="bytes", indexed=False, stored=True),
+        ),
+        mode="strict",
+        timestamp_field="warc_ts",
+        tag_fields=("lang",),
+        doc_id_field="url",
+        default_search_fields=("text",),
+    )
+
+
+def documents_doc_mapping() -> DocMapping:
+    """Doc mapping for the driver-provided ``documents`` table
+    (doc_id, text, lang, source, n_chars)."""
+    return DocMapping(
+        field_mappings=(
+            FieldMapping(name="text", type="text", tokenizer="default", record="position",
+                         fieldnorms=True, stored=True),
+            FieldMapping(name="lang", type="text", tokenizer="raw", record="basic",
+                         stored=True, fast=True, tag=True),
+            FieldMapping(name="source", type="text", tokenizer="raw", record="basic",
+                         stored=True, fast=True, tag=True),
+            FieldMapping(name="n_chars", type="i64", stored=True, fast=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True),
+        ),
+        mode="strict",
+        timestamp_field=None,
+        tag_fields=("lang", "source"),
+        doc_id_field="doc_id",
+        default_search_fields=("text",),
+    )

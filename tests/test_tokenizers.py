@@ -1,0 +1,102 @@
+"""Tokenizer goldens from the reference test suite
+(`quickwit/quickwit-query/src/tokenizers/mod.rs:126-189`,
+`code_tokenizer.rs` tests)."""
+
+import numpy as np
+import pytest
+
+from quickwit_ray.functions.tokenizers import (
+    porter_stem,
+    tokenize,
+    tokenize_batch,
+)
+
+HAIKU = """
+        white sandy beach
+        a strong wind is coming
+        sand in my face
+        """
+LONG_TEXT = ("a text, that is just too long, no one will type it, no one will like "
+             "it, no one shall find it. I just need some more chars, now you may "
+             "not pass.")
+
+
+def test_raw_tokenizer_one_token():
+    # reference: haiku -> exactly one token under `raw`
+    assert tokenize(HAIKU, "raw") == [HAIKU]
+    assert tokenize(LONG_TEXT, "raw") == [LONG_TEXT]
+
+
+def test_raw_drops_over_255_bytes():
+    long = "x" * 255
+    assert tokenize(long, "raw") == []
+    assert tokenize("x" * 254, "raw") == ["x" * 254]
+
+
+def test_raw_lowercase():
+    toks = tokenize(LONG_TEXT, "raw_lowercase")
+    assert len(toks) == 1
+    assert len(toks[0]) == len(LONG_TEXT)
+    assert not any(c.isupper() for c in toks[0])
+
+
+def test_default_tokenizer():
+    assert tokenize("Hello, World! 42", "default") == ["hello", "world", "42"]
+    # underscores split (Rust is_alphanumeric excludes '_')
+    assert tokenize("foo_bar", "default") == ["foo", "bar"]
+    # long tokens dropped
+    assert tokenize("ok " + "y" * 300 + " fine", "default") == ["ok", "fine"]
+
+
+def test_code_tokenizer_golden():
+    # reference golden: "PigCaféFactory2" -> ["pig", "cafe", "factory", "2"]
+    assert tokenize("PigCaféFactory2", "source_code_default") == ["pig", "cafe", "factory", "2"]
+
+
+def test_code_tokenizer_caps_runs():
+    assert tokenize("HTTPServer", "source_code_default") == ["http", "server"]
+    assert tokenize("snake_case_id3", "source_code_default") == ["snake", "case", "id", "3"]
+
+
+def test_chinese_compatible():
+    toks = tokenize("张华考上了北京大学 abc", "chinese_compatible")
+    assert "abc" in toks
+    # each CJK char its own token
+    assert "张" in toks and "华" in toks
+    assert len([t for t in toks if len(t) == 1 and ord(t[0]) > 0x3000]) == 9
+
+
+def test_whitespace():
+    assert tokenize("Hello,  World!", "whitespace") == ["Hello,", "World!"]
+
+
+def test_porter_stem_classics():
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("ponies") == "poni"
+    assert porter_stem("running") == "run"
+    assert porter_stem("relational") == "relat"
+
+
+@pytest.mark.parametrize("tok", ["default", "whitespace", "chinese_compatible", "en_stem"])
+def test_batch_matches_exact(tok):
+    texts = ["Hello, World! 42", "", "foo_bar baz", HAIKU, "张华考上了 University",
+             "ok " + "y" * 300 + " end", None, "UPPER lower MiXeD"]
+    doc_idx, tokens, positions = tokenize_batch(texts, tok)
+    per_row = [[] for _ in texts]
+    for i, t in zip(doc_idx, tokens):
+        per_row[i].append(t)
+    expected = [tokenize(t or "", tok) for t in texts]
+    assert per_row == expected
+    # positions are per-row ordinals
+    for i in np.unique(doc_idx):
+        got = positions[doc_idx == i]
+        assert list(got) == list(range(len(got)))
+
+
+def test_batch_raw():
+    texts = ["A", "", "b c"]
+    doc_idx, tokens, _ = tokenize_batch(texts, "raw")
+    assert list(doc_idx) == [0, 2]
+    assert list(tokens) == ["A", "b c"]
+    doc_idx, tokens, _ = tokenize_batch(texts, "raw_lowercase")
+    assert list(tokens) == ["a", "b c"]
