@@ -1,0 +1,260 @@
+"""Index build pipeline — Ray-Data-native re-expression of the reference
+indexing pipeline (`quickwit-indexing/src/actors/indexing_pipeline.rs`
+Source → DocProcessor → Indexer → IndexSerializer → Packager → Uploader →
+Sequencer → Publisher).
+
+Shape: one input Parquet file = one source partition = one unit of
+lineage (the reference's per-source-partition checkpoint,
+`checkpoint.rs:170-188`). The pipeline is
+
+    from_items(pending_partitions)
+      -> map_batches(IndexPartitionTask, batch_size=1)   # fan-out, no shuffle
+      -> driver streams manifest rows, committing each partition atomically
+
+Each task STREAMS its file through a SplitBuilder workbench
+(pyarrow iter_batches, bounded memory), flushing immutable split dirs at
+`split_num_docs_target` / heap thresholds, and returns one manifest row
+per split. Indexing therefore needs NO shuffle at all: partitioning
+comes from the input layout, and ≥4× more input partitions than cores
+keeps every core busy (scaling-efficiency design, SURVEY.md §4).
+
+Doc-routing partitioning (doc_mapping.partition_key,
+`routing_expression/mod.rs:107-180`) is applied inside the task: rows of
+a batch are routed to per-partition workbenches capped at
+max_num_partitions with an OTHER overflow partition (indexer.rs:142-179).
+
+Resumability: the driver skips partitions already in the manifest
+checkpoint table; a killed run leaves at most per-partition garbage
+(.staged dirs / unreferenced splits) that `garbage_collect()` removes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Iterable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from quickwit_ray.config import IndexConfig
+from quickwit_ray.index.writer import SplitBuilder
+from quickwit_ray.state.manifest import Manifest, SplitMetadata
+
+OTHER_PARTITION = -1  # overflow partition id (indexer.rs:154-176)
+
+
+@dataclass
+class BuildStats:
+    num_docs: int = 0
+    num_splits: int = 0
+    num_partitions: int = 0
+    elapsed_sec: float = 0.0
+    input_bytes: int = 0
+
+    @property
+    def docs_per_sec(self) -> float:
+        return self.num_docs / self.elapsed_sec if self.elapsed_sec else 0.0
+
+    @property
+    def mb_per_sec(self) -> float:
+        return self.input_bytes / 1e6 / self.elapsed_sec if self.elapsed_sec else 0.0
+
+
+def _route_partition(batch: pa.Table, key: str, cap: int) -> np.ndarray:
+    """Routing expr analog: partition = hash(key value) % cap, overflow ->
+    OTHER. (Reference uses SipHash on the routing expr; any stable hash
+    preserves the semantics — documented divergence: hash function.)"""
+    import pandas as pd
+
+    vals = batch[key].to_pandas().astype(str)
+    h = pd.util.hash_array(vals.to_numpy(dtype=object)).astype(np.int64)
+    return np.abs(h) % np.int64(cap)
+
+
+class IndexPartitionTask:
+    """Ray Data stage: one call indexes one source partition (file).
+
+    Used via map_batches(batch_size=1) over {partition_id, path} items;
+    returns the manifest rows (one per flushed split) as an Arrow-friendly
+    dict so the driver can commit them.
+    """
+
+    def __init__(self, config_json: dict[str, Any], index_dir: str,
+                 read_batch_size: int = 8192):
+        self.config = IndexConfig.from_json(config_json)
+        self.index_dir = index_dir
+        self.read_batch_size = read_batch_size
+
+    def __call__(self, item_batch: dict[str, np.ndarray]) -> dict[str, list]:
+        out_rows: list[SplitMetadata] = []
+        for path in [str(p) for p in item_batch["path"]]:
+            out_rows.extend(self._index_one(path))
+        return {
+            "split_json": [_sm_to_json_str(s) for s in out_rows],
+            "source_partition_id": [s.source_partition_id for s in out_rows],
+        }
+
+    def _index_one(self, path: str) -> list[SplitMetadata]:
+        mapping = self.config.doc_mapping
+        source_partition_id = path
+        needed = {f.name for f in mapping.field_mappings}
+        pf = pq.ParquetFile(path)
+        cols = [c for c in pf.schema_arrow.names if c in needed]
+        splits: list[SplitMetadata] = []
+        # workbench: routing partition -> (builder, seq counter)
+        bench: dict[int, SplitBuilder] = {}
+        seqs: dict[int, int] = {}
+
+        def get_builder(pid: int) -> SplitBuilder:
+            b = bench.get(pid)
+            if b is None:
+                seqs[pid] = seqs.get(pid, 0)
+                b = SplitBuilder(self.config, self.index_dir, source_partition_id,
+                                 seqs[pid], partition_id=pid)
+                bench[pid] = b
+            return b
+
+        def roll(pid: int) -> None:
+            b = bench.pop(pid)
+            sm = b.flush()
+            if sm is not None:
+                splits.append(sm)
+            seqs[pid] += 1
+
+        for rb in pf.iter_batches(batch_size=self.read_batch_size, columns=cols):
+            batch = pa.Table.from_batches([rb])
+            if mapping.partition_key:
+                pids = _route_partition(batch, mapping.partition_key,
+                                        mapping.max_num_partitions)
+                for pid in np.unique(pids):
+                    sub = batch.filter(pa.array(pids == pid))
+                    b = get_builder(int(pid))
+                    b.add_batch(sub)
+                    if b.should_flush():
+                        roll(int(pid))
+            else:
+                b = get_builder(0)
+                # split a too-large batch across split boundaries
+                offset = 0
+                while offset < batch.num_rows:
+                    room = self.config.settings.split_num_docs_target - b.num_docs
+                    sub = batch.slice(offset, room)
+                    b.add_batch(sub)
+                    offset += sub.num_rows
+                    if b.should_flush():
+                        roll(0)
+                        b = get_builder(0)
+        for pid in list(bench):
+            roll(pid)
+        return splits
+
+
+def _sm_to_json_str(sm: SplitMetadata) -> str:
+    import json
+
+    return json.dumps(sm.to_json())
+
+
+def resolve_input(inputs: str | list[str]) -> list[str]:
+    if isinstance(inputs, str):
+        if os.path.isdir(inputs):
+            return sorted(glob.glob(os.path.join(inputs, "*.parquet")))
+        return sorted(glob.glob(inputs)) or [inputs]
+    return list(inputs)
+
+
+def build_index(inputs: str | list[str], index_dir: str, config: IndexConfig,
+                *, concurrency: Optional[int] = None,
+                read_batch_size: int = 8192,
+                execution: str = "ray") -> BuildStats:
+    """Build (or resume building) an index over Parquet inputs.
+
+    Driver-side: manifest bookkeeping + streaming commit loop only; all
+    doc work happens in Ray tasks (`execution="local"` runs the same task
+    code in-process for tests / tiny inputs).
+    """
+    import json as _json
+
+    t0 = time.time()
+    paths = resolve_input(inputs)
+    manifest = Manifest(index_dir)
+    if manifest.index_config_json is None:
+        manifest.create(config.to_json())
+    pending = [p for p in paths if not manifest.is_partition_committed(p)]
+    stats = BuildStats(num_partitions=len(pending))
+
+    def commit_batch(split_jsons: list[str]) -> None:
+        by_partition: dict[str, list[SplitMetadata]] = {}
+        for sj in split_jsons:
+            sm = SplitMetadata.from_json(_json.loads(sj))
+            by_partition.setdefault(sm.source_partition_id, []).append(sm)
+        # a task returns all splits of its partition in one output batch,
+        # so every partition seen here is complete -> publish it now
+        for pid, sms in by_partition.items():
+            manifest.publish(sms, checkpoint_partition=pid)
+            stats.num_docs += sum(s.num_docs for s in sms)
+            stats.num_splits += len(sms)
+
+    if pending and execution == "local":
+        task = IndexPartitionTask(config.to_json(), index_dir, read_batch_size)
+        for p in pending:
+            out = task({"path": np.asarray([p], object)})
+            commit_batch(out["split_json"])
+    elif pending:
+        import ray
+        import ray.data
+
+        conc = concurrency or max(
+            1, min(len(pending), int(ray.cluster_resources().get("CPU", 8))))
+        ds = ray.data.from_items([{"path": p} for p in pending])
+        out = ds.map_batches(
+            IndexPartitionTask,
+            fn_constructor_kwargs=dict(config_json=config.to_json(),
+                                       index_dir=index_dir,
+                                       read_batch_size=read_batch_size),
+            batch_size=1, num_cpus=1, concurrency=conc)
+        # stream results; commit each source partition atomically as it lands
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+            commit_batch(b["split_json"].to_pylist())
+    if pending:
+        # partitions that produced zero splits (empty files) still checkpoint
+        for p in pending:
+            if not manifest.is_partition_committed(p):
+                manifest.publish([], checkpoint_partition=p)
+    stats.input_bytes = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    stats.elapsed_sec = time.time() - t0
+    return stats
+
+
+def garbage_collect(index_dir: str, grace_period_secs: float = 0.0) -> list[str]:
+    """Remove split dirs not referenced by the manifest as published, plus
+    leftover .staged dirs (reference GC semantics,
+    `garbage_collection.rs:106-220`)."""
+    manifest = Manifest(index_dir)
+    keep = {s.split_id for s in manifest.published_splits()}
+    removed = []
+    split_root = os.path.join(index_dir, "splits")
+    if not os.path.isdir(split_root):
+        return removed
+    now = time.time()
+    for name in os.listdir(split_root):
+        p = os.path.join(split_root, name)
+        sid = name.removesuffix(".staged")
+        if sid in keep and not name.endswith(".staged"):
+            continue
+        if now - os.path.getmtime(p) >= grace_period_secs:
+            import shutil
+
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(name)
+    # drop marked_for_deletion manifest rows whose files are gone
+    dead = [s.split_id for s in manifest.splits.values()
+            if s.split_state == "marked_for_deletion"
+            and not os.path.exists(os.path.join(split_root, s.split_id))]
+    if dead:
+        manifest.delete_splits(dead)
+    return removed

@@ -1,0 +1,270 @@
+"""Split artifact format — the Arrow-native analog of the reference's
+self-contained split file (`docs/internals/split-format.md`, tantivy
+inverted-index semantics re-expressed columnar):
+
+    {index_dir}/splits/{split_id}/
+        postings.parquet    term dictionary + posting lists, sorted by
+                            (field, term). Row groups of TERMS_PER_ROW_GROUP
+                            rows so a query reads only the row groups that
+                            contain its terms (hotcache analog: the small
+                            dictionary columns are loaded+cached, the heavy
+                            posting columns are fetched per row group).
+        fieldnorms.parquet  one row per doc: norm_{field} uint8 columns
+                            (1-byte Lucene-quantized doc lengths)
+        fastfields.parquet  columnar copies of fast fields (sort/range/agg)
+        docstore.parquet    stored fields, row index == local doc id
+        footer.json         split-level metadata: num_docs, per-field BM25
+                            stats, time range, tags, file sizes
+
+Posting-list encoding per term row:
+    doc_ids       binary  int32 little-endian DELTA-encoded doc ids
+                          (first absolute), blocks of BLOCK_SIZE docs
+    tfs           binary  uint32 term frequencies ('' for record=basic -> tf=1)
+    block_last    binary  int32 last doc id of each 128-block (skip data)
+    block_max_tf  binary  int32 max tf within each block (block-max metadata
+                          for Block-Max-WAND-style pruning)
+    positions     binary  int32 token positions, concatenated per posting
+    pos_lens      binary  int32 number of positions per posting
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BLOCK_SIZE = 128            # docs per posting block (reference: 128-doc blocks)
+TERMS_PER_ROW_GROUP = 2048  # dictionary rows per parquet row group
+
+POSTINGS_FILE = "postings.parquet"
+FIELDNORMS_FILE = "fieldnorms.parquet"
+FASTFIELDS_FILE = "fastfields.parquet"
+DOCSTORE_FILE = "docstore.parquet"
+FOOTER_FILE = "footer.json"
+
+
+def delta_encode(doc_ids: np.ndarray) -> bytes:
+    d = np.asarray(doc_ids, np.int32)
+    out = np.empty_like(d)
+    if len(d):
+        out[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=out[1:])
+    return out.tobytes()
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    d = np.frombuffer(buf, np.int32).copy()
+    np.cumsum(d, out=d)
+    return d
+
+
+def block_meta(doc_ids: np.ndarray, tfs: Optional[np.ndarray]) -> tuple[bytes, bytes]:
+    n = len(doc_ids)
+    if n == 0:
+        return b"", b""
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    pad = nblocks * BLOCK_SIZE - n
+    last = np.asarray(doc_ids, np.int32)
+    last_padded = np.pad(last, (0, pad), mode="edge").reshape(nblocks, BLOCK_SIZE)
+    block_last = last_padded[:, -1].astype(np.int32)
+    if tfs is None or len(tfs) == 0:
+        block_max = np.ones(nblocks, np.int32)
+    else:
+        t = np.pad(np.asarray(tfs, np.int64), (0, pad)).reshape(nblocks, BLOCK_SIZE)
+        block_max = t.max(axis=1).astype(np.int32)
+    return block_last.tobytes(), block_max.tobytes()
+
+
+POSTINGS_SCHEMA = pa.schema([
+    ("field", pa.string()),
+    ("term", pa.string()),
+    ("df", pa.int32()),
+    ("max_tf", pa.int32()),
+    ("doc_ids", pa.binary()),
+    ("tfs", pa.binary()),
+    ("block_last", pa.binary()),
+    ("block_max_tf", pa.binary()),
+    ("positions", pa.binary()),
+    ("pos_lens", pa.binary()),
+])
+
+# columns that constitute the (small, cacheable) term dictionary
+DICT_COLUMNS = ["field", "term", "df", "max_tf"]
+
+
+def write_postings_file(path: str, rows: dict[str, list]) -> None:
+    table = pa.table({k: rows[k] for k in POSTINGS_SCHEMA.names}, schema=POSTINGS_SCHEMA)
+    pq.write_table(table, path, row_group_size=TERMS_PER_ROW_GROUP,
+                   compression="zstd", compression_level=3)
+
+
+def write_footer(split_dir: str, footer: dict) -> None:
+    files = {}
+    for fn in (POSTINGS_FILE, FIELDNORMS_FILE, FASTFIELDS_FILE, DOCSTORE_FILE):
+        p = os.path.join(split_dir, fn)
+        if os.path.exists(p):
+            files[fn] = os.path.getsize(p)
+    footer = dict(footer, files=files, format_version=1)
+    with open(os.path.join(split_dir, FOOTER_FILE), "w") as f:
+        json.dump(footer, f, separators=(",", ":"))
+
+
+class SplitReader:
+    """Open one split for search. The term dictionary (4 small columns) is
+    loaded once and kept; heavy posting columns are read per row group on
+    demand — the analog of the reference's hotcache + warmup byte-range
+    reads (`quickwit-search/src/leaf.rs:207-409`)."""
+
+    def __init__(self, split_dir: str):
+        self.split_dir = split_dir
+        with open(os.path.join(split_dir, FOOTER_FILE)) as f:
+            self.footer = json.load(f)
+        self.num_docs: int = self.footer["num_docs"]
+        self.field_stats: dict = self.footer.get("field_stats", {})
+        self._pf = pq.ParquetFile(os.path.join(split_dir, POSTINGS_FILE))
+        dict_tbl = self._pf.read(columns=DICT_COLUMNS)
+        self._dict_field = np.asarray(dict_tbl["field"])
+        self._dict_term = np.asarray(dict_tbl["term"])
+        self.df = np.asarray(dict_tbl["df"], np.int64)
+        self.max_tf = np.asarray(dict_tbl["max_tf"], np.int64)
+        # rows are sorted by (field, term): binary-search per field segment
+        self._field_bounds: dict[str, tuple[int, int]] = {}
+        if len(self._dict_field):
+            fields, starts = np.unique(self._dict_field, return_index=True)
+            order = np.argsort(starts)
+            starts_sorted = starts[order]
+            for i, fi in enumerate(order):
+                end = starts_sorted[i + 1] if i + 1 < len(starts_sorted) else len(self._dict_field)
+                self._field_bounds[str(fields[fi])] = (int(starts_sorted[i]), int(end))
+        self._fieldnorms: Optional[pa.Table] = None
+        self._fastfields: Optional[pa.Table] = None
+        self._postings_cache: dict[int, dict] = {}
+
+    # -- term dictionary ----------------------------------------------------
+
+    def term_rows(self, field: str, terms: Sequence[str]) -> np.ndarray:
+        """Dictionary row indices for the given terms; -1 when absent."""
+        lo, hi = self._field_bounds.get(field, (0, 0))
+        if hi == lo:
+            return np.full(len(terms), -1, np.int64)
+        seg = self._dict_term[lo:hi]
+        idx = np.searchsorted(seg, np.asarray(terms, object))
+        out = np.full(len(terms), -1, np.int64)
+        ok = idx < len(seg)
+        ok_idx = idx[ok]
+        match = seg[ok_idx] == np.asarray(terms, object)[ok]
+        res = np.where(match, ok_idx + lo, -1)
+        out[np.nonzero(ok)[0]] = res
+        return out
+
+    def term_range_rows(self, field: str, lower: Optional[str], upper: Optional[str],
+                        prefix: Optional[str] = None, regex: Optional[str] = None,
+                        limit: Optional[int] = None) -> np.ndarray:
+        """Row indices of terms in [lower, upper) / with prefix / matching
+        regex — the term-dictionary automaton scan (wildcard/regex/prefix
+        queries, list_terms)."""
+        lo, hi = self._field_bounds.get(field, (0, 0))
+        if hi == lo:
+            return np.empty(0, np.int64)
+        seg = self._dict_term[lo:hi]
+        if prefix is not None:
+            start = lo + np.searchsorted(seg, prefix)
+            end = lo + np.searchsorted(seg, prefix + chr(0x10FFFF))
+            rows = np.arange(start, end, dtype=np.int64)
+        else:
+            start = lo if lower is None else lo + np.searchsorted(seg, lower)
+            end = hi if upper is None else lo + np.searchsorted(seg, upper)
+            rows = np.arange(start, end, dtype=np.int64)
+        if regex is not None and len(rows):
+            import re as _re
+
+            pat = _re.compile(regex)
+            mask = np.fromiter((pat.fullmatch(t) is not None
+                                for t in self._dict_term[rows]), bool, count=len(rows))
+            rows = rows[mask]
+        if limit is not None:
+            rows = rows[:limit]
+        return rows
+
+    def term_at(self, row: int) -> tuple[str, str]:
+        return str(self._dict_field[row]), str(self._dict_term[row])
+
+    # -- postings -----------------------------------------------------------
+
+    def read_postings(self, rows: Iterable[int], with_positions: bool = False
+                      ) -> dict[int, dict]:
+        """Fetch decoded postings for dictionary rows. Reads only the parquet
+        row groups that contain the requested rows."""
+        rows = [int(r) for r in rows if r >= 0]
+        need = [r for r in rows if r not in self._postings_cache
+                or (with_positions and "positions" not in self._postings_cache[r])]
+        if need:
+            by_rg: dict[int, list[int]] = {}
+            for r in need:
+                by_rg.setdefault(r // TERMS_PER_ROW_GROUP, []).append(r)
+            cols = ["doc_ids", "tfs", "block_last", "block_max_tf"]
+            if with_positions:
+                cols += ["positions", "pos_lens"]
+            for rg, rlist in by_rg.items():
+                tbl = self._pf.read_row_group(rg, columns=cols)
+                base = rg * TERMS_PER_ROW_GROUP
+                for r in rlist:
+                    i = r - base
+                    doc_ids = delta_decode(tbl["doc_ids"][i].as_py() or b"")
+                    tf_buf = tbl["tfs"][i].as_py() or b""
+                    tfs = (np.frombuffer(tf_buf, np.uint32).astype(np.int64)
+                           if tf_buf else np.ones(len(doc_ids), np.int64))
+                    ent = self._postings_cache.get(r, {})
+                    ent.update(doc_ids=doc_ids, tfs=tfs,
+                               block_last=np.frombuffer(tbl["block_last"][i].as_py() or b"", np.int32),
+                               block_max_tf=np.frombuffer(tbl["block_max_tf"][i].as_py() or b"", np.int32))
+                    if with_positions:
+                        pl = tbl["pos_lens"][i].as_py() or b""
+                        po = tbl["positions"][i].as_py() or b""
+                        ent["pos_lens"] = np.frombuffer(pl, np.int32)
+                        ent["positions"] = np.frombuffer(po, np.int32)
+                    self._postings_cache[r] = ent
+        return {r: self._postings_cache[r] for r in rows}
+
+    # -- per-doc columns ----------------------------------------------------
+
+    def fieldnorm_ids(self, field: str) -> np.ndarray:
+        if self._fieldnorms is None:
+            p = os.path.join(self.split_dir, FIELDNORMS_FILE)
+            self._fieldnorms = pq.read_table(p) if os.path.exists(p) else pa.table({})
+        col = f"norm_{field}"
+        if col not in self._fieldnorms.column_names:
+            return np.zeros(self.num_docs, np.uint8)
+        return np.asarray(self._fieldnorms[col], np.uint8)
+
+    def fast_field(self, name: str) -> np.ndarray:
+        if self._fastfields is None:
+            p = os.path.join(self.split_dir, FASTFIELDS_FILE)
+            self._fastfields = pq.read_table(p) if os.path.exists(p) else pa.table({})
+        if name not in self._fastfields.column_names:
+            raise KeyError(f"no fast field {name!r} in split")
+        col = self._fastfields[name].combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        try:
+            return col.to_numpy(zero_copy_only=True)
+        except pa.ArrowInvalid:
+            return col.to_numpy(zero_copy_only=False)
+
+    def fast_field_valid(self, name: str) -> Optional[np.ndarray]:
+        """Validity (non-null) mask of a fast field, or None if absent."""
+        if self._fastfields is None:
+            p = os.path.join(self.split_dir, FASTFIELDS_FILE)
+            self._fastfields = pq.read_table(p) if os.path.exists(p) else pa.table({})
+        if name not in self._fastfields.column_names:
+            return None
+        return np.asarray(self._fastfields[name].combine_chunks().is_valid())
+
+    def fetch_docs(self, doc_ids: np.ndarray, columns: Optional[list[str]] = None) -> pa.Table:
+        """Doc-store point lookups for hit rendering (fetch_docs.rs:41-267)."""
+        tbl = pq.read_table(os.path.join(self.split_dir, DOCSTORE_FILE), columns=columns)
+        return tbl.take(pa.array(np.asarray(doc_ids, np.int64)))

@@ -1,0 +1,307 @@
+"""SplitBuilder — the segment-writer workbench.
+
+Re-expresses the reference Indexer/IndexSerializer/Packager chain
+(`quickwit-indexing/src/actors/indexer.rs:104-340` routing + commit
+triggers, `index_serializer.rs`, `packager.rs:83-330` tag extraction) as
+an in-memory accumulator fed Arrow batches, flushing immutable split
+directories when `split_num_docs_target` or the heap budget is hit.
+
+Everything is vectorized: tokenization is one regex pass per batch
+(functions/tokenizers.py), term-id assignment is a dict lookup per
+*batch vocabulary* (Zipf: small), posting assembly at flush is one
+lexsort over the accumulated (term, doc, pos) arrays. Doc ids within a
+split are assigned in arrival order (deterministic per input
+partition), which pins tie-break behavior.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from quickwit_ray.config import IndexConfig
+from quickwit_ray.functions.bm25 import fieldnorm_to_id
+from quickwit_ray.functions.tokenizers import tokenize_batch
+from quickwit_ray.index.format import (
+    DOCSTORE_FILE,
+    FASTFIELDS_FILE,
+    FIELDNORMS_FILE,
+    POSTINGS_FILE,
+    block_meta,
+    delta_encode,
+    write_footer,
+    write_postings_file,
+)
+from quickwit_ray.state.manifest import SplitMetadata
+
+MAX_VALUES_PER_TAG_FIELD = 1000  # packager.rs:39-44
+
+
+def deterministic_split_id(source_partition_id: str, seq: int) -> str:
+    """Content-addressed, deterministic split id: identical re-runs of a
+    source partition produce identical split ids (idempotent publish)."""
+    h = hashlib.sha1(source_partition_id.encode()).hexdigest()[:12]
+    return f"{h}-{seq:05d}"
+
+
+class _FieldAcc:
+    """Per-text-field posting accumulator."""
+
+    __slots__ = ("vocab", "term_ids", "doc_ids", "positions", "doc_lens")
+
+    def __init__(self) -> None:
+        self.vocab: dict[str, int] = {}
+        self.term_ids: list[np.ndarray] = []
+        self.doc_ids: list[np.ndarray] = []
+        self.positions: list[np.ndarray] = []
+        self.doc_lens: list[np.ndarray] = []
+
+
+class SplitBuilder:
+    """Accumulates docs for ONE split, then flushes the artifact dir."""
+
+    def __init__(self, config: IndexConfig, index_dir: str,
+                 source_partition_id: str, seq: int, partition_id: int = 0):
+        self.config = config
+        self.mapping = config.doc_mapping
+        self.index_dir = index_dir
+        self.source_partition_id = source_partition_id
+        self.partition_id = partition_id
+        self.split_id = deterministic_split_id(
+            f"{source_partition_id}#p{partition_id}", seq)
+        self.split_dir = os.path.join(index_dir, "splits", self.split_id)
+        self._tmp_dir = self.split_dir + ".staged"
+        self.num_docs = 0
+        self.est_bytes = 0
+        self._accs: dict[str, _FieldAcc] = {f.name: _FieldAcc()
+                                            for f in self.mapping.text_fields}
+        self._docstore_writer: Optional[pq.ParquetWriter] = None
+        self._fast_chunks: list[pa.Table] = []
+        self._ts_min: Optional[int] = None
+        self._ts_max: Optional[int] = None
+        self._tags: dict[str, set] = {t: set() for t in self.mapping.tag_fields}
+        self._tag_overflow: set[str] = set()
+
+    # ------------------------------------------------------------------
+
+    def add_batch(self, batch: pa.Table) -> None:
+        n = batch.num_rows
+        if n == 0:
+            return
+        base = self.num_docs
+        # 1. inverted fields
+        for fm in self.mapping.text_fields:
+            if fm.name not in batch.column_names:
+                if self.mapping.mode == "strict":
+                    raise KeyError(f"strict mapping: missing field {fm.name}")
+                continue
+            col = batch[fm.name]
+            texts = col.to_pylist()
+            doc_idx, tokens, positions = tokenize_batch(texts, fm.tokenizer)
+            acc = self._accs[fm.name]
+            # doc lengths (for fieldnorms) = token count per doc
+            acc.doc_lens.append(np.bincount(doc_idx, minlength=n).astype(np.int32))
+            if len(tokens) == 0:
+                continue
+            # batch-local vocab -> builder vocab ids (loop over unique terms only)
+            uniq, inv = np.unique(tokens, return_inverse=True)
+            vocab = acc.vocab
+            lut = np.empty(len(uniq), np.int32)
+            for j, t in enumerate(uniq):
+                tid = vocab.get(t)
+                if tid is None:
+                    tid = len(vocab)
+                    vocab[t] = tid
+                lut[j] = tid
+            acc.term_ids.append(lut[inv])
+            acc.doc_ids.append(doc_idx.astype(np.int32) + np.int32(base))
+            acc.positions.append(positions)
+            self.est_bytes += len(tokens) * 12
+
+        # 2. fast fields + docstore + timestamp/tag tracking
+        fast_cols = {}
+        for fm in self.mapping.fast_fields:
+            if fm.name in batch.column_names:
+                fast_cols[fm.name] = batch[fm.name]
+        if fast_cols:
+            self._fast_chunks.append(pa.table(fast_cols))
+
+        if self.mapping.timestamp_field and self.mapping.timestamp_field in batch.column_names:
+            ts = batch[self.mapping.timestamp_field]
+            tsi = np.asarray(ts.cast(pa.timestamp("us")).cast(pa.int64()).combine_chunks())
+            if len(tsi):
+                lo, hi = int(tsi.min()), int(tsi.max())
+                self._ts_min = lo if self._ts_min is None else min(self._ts_min, lo)
+                self._ts_max = hi if self._ts_max is None else max(self._ts_max, hi)
+
+        for tag in self.mapping.tag_fields:
+            if tag in self._tag_overflow or tag not in batch.column_names:
+                continue
+            vals = self._tags[tag]
+            vals.update(batch[tag].unique().to_pylist())
+            if len(vals) > MAX_VALUES_PER_TAG_FIELD:
+                # cardinality too high -> field yields no pruning info
+                self._tag_overflow.add(tag)
+                vals.clear()
+
+        stored_names = [f.name for f in self.mapping.stored_fields
+                        if f.name in batch.column_names
+                        and (self.config.settings.store_binary_columns or f.type != "bytes")]
+        store_tbl = batch.select(stored_names)
+        if self._docstore_writer is None:
+            os.makedirs(self._tmp_dir, exist_ok=True)
+            self._docstore_writer = pq.ParquetWriter(
+                os.path.join(self._tmp_dir, DOCSTORE_FILE), store_tbl.schema,
+                compression="zstd", compression_level=3)
+            self._docstore_schema = store_tbl.schema
+        self._docstore_writer.write_table(store_tbl.cast(self._docstore_schema),
+                                          row_group_size=100_000)
+        self.est_bytes += store_tbl.nbytes
+        self.num_docs += n
+
+    # ------------------------------------------------------------------
+
+    def should_flush(self) -> bool:
+        s = self.config.settings
+        return (self.num_docs >= s.split_num_docs_target
+                or self.est_bytes >= s.heap_size_bytes)
+
+    def flush(self) -> Optional[SplitMetadata]:
+        if self.num_docs == 0:
+            if self._docstore_writer is not None:
+                self._docstore_writer.close()
+                shutil.rmtree(self._tmp_dir, ignore_errors=True)
+            return None
+        assert self._docstore_writer is not None
+        self._docstore_writer.close()
+
+        field_order = sorted(self._accs)  # postings sorted by (field, term)
+        rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
+                                "block_last", "block_max_tf", "positions", "pos_lens")}
+        field_stats: dict[str, dict[str, float]] = {}
+        norm_cols: dict[str, np.ndarray] = {}
+
+        for fname in field_order:
+            fm = self.mapping.field(fname)
+            acc = self._accs[fname]
+            doc_lens = (np.concatenate(acc.doc_lens) if acc.doc_lens
+                        else np.zeros(self.num_docs, np.int32))
+            if len(doc_lens) < self.num_docs:
+                doc_lens = np.pad(doc_lens, (0, self.num_docs - len(doc_lens)))
+            total_tokens = int(doc_lens.sum())
+            field_stats[fname] = {
+                "total_tokens": total_tokens,
+                "num_docs": int(self.num_docs),
+                # f32 division like the reference scorer
+                "avgdl": float(np.float32(total_tokens) / np.float32(max(self.num_docs, 1))),
+            }
+            if fm.fieldnorms:
+                norm_cols[f"norm_{fname}"] = fieldnorm_to_id(doc_lens)
+            if not acc.term_ids:
+                continue
+            term_ids = np.concatenate(acc.term_ids)
+            doc_ids = np.concatenate(acc.doc_ids)
+            positions = np.concatenate(acc.positions)
+            # vocab id -> term string, then sort terms lexicographically
+            terms = np.empty(len(acc.vocab), object)
+            for t, tid in acc.vocab.items():
+                terms[tid] = t
+            sort_of_term = np.argsort(terms, kind="stable")
+            rank = np.empty_like(sort_of_term)
+            rank[sort_of_term] = np.arange(len(sort_of_term))
+            term_rank = rank[term_ids]
+            # one lexsort orders the whole token stream by (term, doc, pos)
+            order = np.lexsort((positions, doc_ids, term_rank))
+            term_rank = term_rank[order]
+            doc_ids_s = doc_ids[order]
+            positions_s = positions[order]
+            # collapse to (term, doc) postings with tf
+            pair_change = np.empty(len(term_rank), bool)
+            pair_change[0] = True
+            np.logical_or(term_rank[1:] != term_rank[:-1],
+                          doc_ids_s[1:] != doc_ids_s[:-1], out=pair_change[1:])
+            pair_starts = np.nonzero(pair_change)[0]
+            tfs_all = np.diff(np.append(pair_starts, len(term_rank))).astype(np.int64)
+            p_term = term_rank[pair_starts]
+            p_doc = doc_ids_s[pair_starts]
+            # per-term segments over the pair arrays
+            term_change = np.empty(len(p_term), bool)
+            term_change[0] = True
+            term_change[1:] = p_term[1:] != p_term[:-1]
+            term_starts = np.nonzero(term_change)[0]
+            term_ends = np.append(term_starts[1:], len(p_term))
+            sorted_terms = terms[sort_of_term]
+            record_pos = fm.record == "position"
+            record_freq = fm.record in ("freq", "position")
+            for s, e in zip(term_starts, term_ends):
+                tr = int(p_term[s])
+                docs = p_doc[s:e]
+                tfs = tfs_all[s:e]
+                bl, bm = block_meta(docs, tfs if record_freq else None)
+                rows["field"].append(fname)
+                rows["term"].append(sorted_terms[tr])
+                rows["df"].append(int(e - s))
+                rows["max_tf"].append(int(tfs.max()) if record_freq else 1)
+                rows["doc_ids"].append(delta_encode(docs))
+                rows["tfs"].append(tfs.astype(np.uint32).tobytes() if record_freq else b"")
+                rows["block_last"].append(bl)
+                rows["block_max_tf"].append(bm)
+                if record_pos:
+                    # positions_s within [pair_start..] already grouped per pair
+                    seg = slice(pair_starts[s], pair_starts[e] if e < len(pair_starts)
+                                else len(positions_s))
+                    rows["positions"].append(positions_s[seg].astype(np.int32).tobytes())
+                    rows["pos_lens"].append(tfs.astype(np.int32).tobytes())
+                else:
+                    rows["positions"].append(b"")
+                    rows["pos_lens"].append(b"")
+            # free accumulators early
+            acc.term_ids.clear(); acc.doc_ids.clear(); acc.positions.clear()
+
+        write_postings_file(os.path.join(self._tmp_dir, POSTINGS_FILE), rows)
+        if norm_cols:
+            pq.write_table(pa.table({k: pa.array(v, pa.uint8())
+                                     for k, v in norm_cols.items()}),
+                           os.path.join(self._tmp_dir, FIELDNORMS_FILE),
+                           compression="zstd")
+        if self._fast_chunks:
+            fast = pa.concat_tables(self._fast_chunks, promote_options="default")
+            pq.write_table(fast, os.path.join(self._tmp_dir, FASTFIELDS_FILE),
+                           compression="zstd")
+
+        tags = {t: sorted(str(v) for v in vals)
+                for t, vals in self._tags.items()
+                if t not in self._tag_overflow and vals}
+        write_footer(self._tmp_dir, {
+            "split_id": self.split_id,
+            "index_id": self.config.index_id,
+            "num_docs": int(self.num_docs),
+            "field_stats": field_stats,
+            "time_range": [self._ts_min, self._ts_max],
+            "tags": tags,
+        })
+        # atomic publish of the artifact dir
+        if os.path.exists(self.split_dir):
+            shutil.rmtree(self.split_dir)
+        os.replace(self._tmp_dir, self.split_dir)
+
+        return SplitMetadata(
+            split_id=self.split_id,
+            index_id=self.config.index_id,
+            num_docs=int(self.num_docs),
+            uncompressed_docs_size_in_bytes=int(self.est_bytes),
+            source_partition_id=self.source_partition_id,
+            partition_id=self.partition_id,
+            time_range_start=self._ts_min,
+            time_range_end=self._ts_max,
+            create_timestamp=time.time(),
+            tags=tags,
+            field_stats=field_stats,
+        )

@@ -1,0 +1,259 @@
+"""Aggregations — ES-compatible JSON DSL subset, executed as per-split
+partial states merged on the driver (the reference's collector fan-out /
+intermediate-merge design, `quickwit-search/src/collector.rs:598-716`,
+DSL documented in `docs/reference/aggregation.md`).
+
+Supported:
+  bucket:  terms, histogram, date_histogram, range  (with nested `aggs`)
+  metric:  avg, sum, min, max, value_count, count, stats, extended_stats
+  approx:  cardinality (HyperLogLog), percentiles (quantile sketch)
+
+Limits mirror the reference defaults: max 65_000 buckets per request
+(`node_config/mod.rs:269-270`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+MAX_BUCKETS = 65_000
+
+_METRICS = {"avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
+            "percentiles", "cardinality"}
+_BUCKETS = {"terms", "histogram", "date_histogram", "range"}
+
+_INTERVALS_MS = {
+    "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000,
+}
+
+
+def parse_fixed_interval(s: str) -> int:
+    """'30s' / '1d' / '5m' -> microseconds."""
+    import re
+
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", s)
+    if not m:
+        raise ValueError(f"bad fixed_interval {s!r}")
+    return int(m.group(1)) * _INTERVALS_MS[m.group(2)] * 1000
+
+
+def _field_values(searcher, field: str, mask: np.ndarray) -> np.ndarray:
+    vals = searcher._fast_values(field)
+    return vals[mask[: len(vals)]] if len(vals) else vals
+
+
+def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
+    """One split's partial agg state for a (possibly nested) agg request."""
+    out: dict[str, Any] = {}
+    for name, spec in aggs.items():
+        kind = next(k for k in spec if k != "aggs")
+        body = spec[kind]
+        sub = spec.get("aggs")
+        if kind in ("avg", "sum", "min", "max", "value_count", "stats", "extended_stats"):
+            v = _field_values(searcher, body["field"], mask).astype(np.float64)
+            v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+            out[name] = {
+                "count": int(len(v)),
+                "sum": float(v.sum()) if len(v) else 0.0,
+                "min": float(v.min()) if len(v) else None,
+                "max": float(v.max()) if len(v) else None,
+                "sum_sq": float((v * v).sum()) if len(v) else 0.0,
+            }
+        elif kind == "cardinality":
+            from quickwit_ray.functions.sketches import HyperLogLog
+
+            hll = HyperLogLog()
+            vals = _field_values(searcher, body["field"], mask)
+            hll.add(vals)
+            out[name] = {"hll": hll.to_bytes()}
+        elif kind == "percentiles":
+            from quickwit_ray.functions.sketches import QuantileSketch
+
+            qs = QuantileSketch()
+            qs.add(_field_values(searcher, body["field"], mask).astype(np.float64))
+            vb, wb = qs.state()
+            out[name] = {"qs_values": vb, "qs_weights": wb,
+                         "percents": body.get("percents", [1, 5, 25, 50, 75, 95, 99])}
+        elif kind == "terms":
+            vals = _field_values(searcher, body["field"], mask)
+            uniq, counts = np.unique(vals.astype(str), return_counts=True)
+            buckets = {}
+            _ = counts
+            for u, c, idxs in _bucket_members(vals.astype(str), uniq):
+                b = {"doc_count": int(c)}
+                if sub:
+                    b["aggs"] = _sub_partial(sub, searcher, mask, idxs)
+                buckets[str(u)] = b
+            out[name] = {"buckets": buckets, "size": int(body.get("size", 10))}
+        elif kind in ("histogram", "date_histogram"):
+            field = body["field"]
+            vals = _field_values(searcher, field, mask).astype(np.float64)
+            if kind == "date_histogram":
+                interval = parse_fixed_interval(body.get("fixed_interval", "1d"))
+            else:
+                interval = float(body["interval"])
+            offset = float(body.get("offset", 0))
+            keys = np.floor((vals - offset) / interval) * interval + offset
+            uniq, counts = np.unique(keys, return_counts=True)
+            if len(uniq) > MAX_BUCKETS:
+                raise ValueError(f"too many buckets ({len(uniq)}) in {name}")
+            buckets = {}
+            for u, c, idxs in _bucket_members(keys, uniq):
+                b = {"doc_count": int(c)}
+                if sub:
+                    b["aggs"] = _sub_partial(sub, searcher, mask, idxs)
+                buckets[float(u)] = b
+            out[name] = {"buckets": buckets, "interval": interval}
+        elif kind == "range":
+            field = body["field"]
+            vals = _field_values(searcher, field, mask).astype(np.float64)
+            buckets = {}
+            for r in body["ranges"]:
+                lo = r.get("from")
+                hi = r.get("to")
+                m = np.ones(len(vals), bool)
+                if lo is not None:
+                    m &= vals >= lo
+                if hi is not None:
+                    m &= vals < hi
+                key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+                b = {"doc_count": int(m.sum()), "from": lo, "to": hi}
+                if sub:
+                    doc_sel = np.nonzero(mask)[0][m]
+                    b["aggs"] = _sub_partial(sub, searcher, mask, doc_sel, absolute=True)
+                buckets[key] = b
+            out[name] = {"buckets": buckets}
+        else:
+            raise ValueError(f"unsupported aggregation kind {kind!r}")
+    return out
+
+
+def _bucket_members(keys: np.ndarray, uniq: np.ndarray):
+    """Yield (key, count, member-row-positions) per unique key, vectorized."""
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    starts = np.searchsorted(sorted_keys, uniq, side="left")
+    ends = np.searchsorted(sorted_keys, uniq, side="right")
+    for u, s, e in zip(uniq, starts, ends):
+        yield u, e - s, order[s:e]
+
+
+def _sub_partial(sub: dict, searcher, mask: np.ndarray, member_pos: np.ndarray,
+                 absolute: bool = False) -> dict:
+    sub_mask = np.zeros(len(mask), bool)
+    if absolute:
+        sub_mask[member_pos] = True
+    else:
+        doc_ids = np.nonzero(mask)[0]
+        sub_mask[doc_ids[member_pos]] = True
+    return compute_partial_aggs(sub, searcher, sub_mask)
+
+
+# ---------------------------------------------------------------------------
+# driver-side merge + final rendering
+# ---------------------------------------------------------------------------
+
+def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
+    out: dict[str, Any] = {}
+    for name, spec in aggs.items():
+        kind = next(k for k in spec if k != "aggs")
+        body = spec[kind]
+        sub = spec.get("aggs")
+        states = [p[name] for p in partials if p and name in p]
+        if kind in ("avg", "sum", "min", "max", "value_count"):
+            st = _merge_metric(states)
+            if kind == "avg":
+                out[name] = {"value": st["sum"] / st["count"] if st["count"] else None}
+            elif kind == "value_count":
+                out[name] = {"value": st["count"]}
+            else:
+                out[name] = {"value": st[kind]}
+        elif kind in ("stats", "extended_stats"):
+            st = _merge_metric(states)
+            res = {"count": st["count"], "sum": st["sum"], "min": st["min"],
+                   "max": st["max"],
+                   "avg": st["sum"] / st["count"] if st["count"] else None}
+            if kind == "extended_stats" and st["count"]:
+                var = max(st["sum_sq"] / st["count"] - (st["sum"] / st["count"]) ** 2, 0.0)
+                res.update(sum_of_squares=st["sum_sq"], variance=var,
+                           std_deviation=float(np.sqrt(var)))
+            out[name] = res
+        elif kind == "cardinality":
+            from quickwit_ray.functions.sketches import HyperLogLog
+
+            hll = HyperLogLog()
+            for s in states:
+                hll = hll.merge(HyperLogLog.from_bytes(s["hll"]))
+            out[name] = {"value": float(hll.estimate())}
+        elif kind == "percentiles":
+            from quickwit_ray.functions.sketches import QuantileSketch
+
+            qs = QuantileSketch()
+            percents = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+            for s in states:
+                qs = qs.merge(QuantileSketch.from_state(s["qs_values"], s["qs_weights"]))
+            out[name] = {"values": {str(p): qs.percentile(p) for p in percents}}
+        elif kind == "terms":
+            merged: dict[str, dict] = {}
+            for s in states:
+                for key, b in s["buckets"].items():
+                    tgt = merged.setdefault(key, {"doc_count": 0, "partials": []})
+                    tgt["doc_count"] += b["doc_count"]
+                    if "aggs" in b:
+                        tgt["partials"].append(b["aggs"])
+            size = int(body.get("size", 10))
+            ordered = sorted(merged.items(), key=lambda kv: (-kv[1]["doc_count"], kv[0]))
+            buckets = []
+            for key, b in ordered[:size]:
+                eb = {"key": key, "doc_count": b["doc_count"]}
+                if sub and b["partials"]:
+                    eb.update(merge_partial_aggs(sub, b["partials"]))
+                buckets.append(eb)
+            out[name] = {"buckets": buckets}
+        elif kind in ("histogram", "date_histogram"):
+            merged = {}
+            for s in states:
+                for key, b in s["buckets"].items():
+                    tgt = merged.setdefault(float(key), {"doc_count": 0, "partials": []})
+                    tgt["doc_count"] += b["doc_count"]
+                    if "aggs" in b:
+                        tgt["partials"].append(b["aggs"])
+            buckets = []
+            for key in sorted(merged):
+                b = merged[key]
+                eb = {"key": key, "doc_count": b["doc_count"]}
+                if sub and b["partials"]:
+                    eb.update(merge_partial_aggs(sub, b["partials"]))
+                buckets.append(eb)
+            out[name] = {"buckets": buckets}
+        elif kind == "range":
+            merged = {}
+            for s in states:
+                for key, b in s["buckets"].items():
+                    tgt = merged.setdefault(key, {"doc_count": 0, "partials": [],
+                                                  "from": b.get("from"), "to": b.get("to")})
+                    tgt["doc_count"] += b["doc_count"]
+                    if "aggs" in b:
+                        tgt["partials"].append(b["aggs"])
+            buckets = []
+            for key, b in merged.items():
+                eb = {"key": key, "from": b["from"], "to": b["to"],
+                      "doc_count": b["doc_count"]}
+                if sub and b["partials"]:
+                    eb.update(merge_partial_aggs(sub, b["partials"]))
+                buckets.append(eb)
+            out[name] = {"buckets": buckets}
+    return out
+
+
+def _merge_metric(states: list[dict]) -> dict:
+    count = sum(s["count"] for s in states)
+    total = sum(s["sum"] for s in states)
+    sum_sq = sum(s.get("sum_sq", 0.0) for s in states)
+    mins = [s["min"] for s in states if s["min"] is not None]
+    maxs = [s["max"] for s in states if s["max"] is not None]
+    return {"count": count, "sum": total, "sum_sq": sum_sq,
+            "min": min(mins) if mins else None,
+            "max": max(maxs) if maxs else None}

@@ -1,0 +1,323 @@
+"""Root search — driver-side orchestration
+(`quickwit-search/src/root.rs` re-expressed Ray-Data-first):
+
+  1. prune the split manifest by time range + tags (driver-side semi-join,
+     root.rs:1108-1154)
+  2. count-only fast path answered from manifest num_docs sums
+     (root.rs:638-695)
+  3. fan out per-split leaf search: `from_items(split_jobs)` ->
+     `map_batches(SearchSplitStage actor pool)` -> per-split top-k partial
+     hits (an actor holds an LRU of open SplitReaders — the searcher's
+     split/footer cache, node_config/mod.rs:206-278). A local in-process
+     executor covers low-latency / test paths.
+  4. driver merges partial hits with the reference comparator (sort keys
+     in sort direction, trailing (split_id, doc_id) tie-break compared in
+     the same direction, `collector.rs:834-991`)
+  5. fetch-docs phase: group hits by split, point-lookup the doc store
+     rows (fetch_docs.rs:41-267), optional snippets.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from quickwit_ray.config import DocMapping, IndexConfig
+from quickwit_ray.index.format import SplitReader
+from quickwit_ray.search.ast import (
+    MatchAll,
+    SearchRequest,
+    SortField,
+    extract_tags,
+    extract_timestamp_bounds,
+)
+from quickwit_ray.search.parser import parse_query
+from quickwit_ray.search.split_search import SplitSearcher
+from quickwit_ray.state.manifest import Manifest
+
+
+@dataclass
+class SearchResponse:
+    num_hits: int
+    hits: pd.DataFrame  # columns: split_id, doc_id, sort_key0, sort_key1, _score? + stored fields
+    elapsed_sec: float = 0.0
+    aggs: Optional[dict] = None
+    failed_splits: list = dc_field(default_factory=list)
+
+    @property
+    def scroll_cursor(self) -> Optional[tuple]:
+        """search_after cursor = last hit's sort tuple (root.rs:342-441)."""
+        if self.hits is None or not len(self.hits):
+            return None
+        last = self.hits.iloc[-1]
+        return (float(last["sort_key0"]), float(last["sort_key1"]), float(last["_doc_id"]))
+
+
+class _ReaderCache:
+    """LRU of open SplitReaders (per process / per actor)."""
+
+    def __init__(self, capacity: int = 64):
+        self.capacity = capacity
+        self._cache: OrderedDict[str, SplitReader] = OrderedDict()
+
+    def get(self, split_dir: str) -> SplitReader:
+        r = self._cache.get(split_dir)
+        if r is None:
+            r = SplitReader(split_dir)
+            self._cache[split_dir] = r
+            if len(self._cache) > self.capacity:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(split_dir)
+        return r
+
+
+_GLOBAL_READER_CACHE = _ReaderCache()
+
+
+def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
+                    cache: Optional[_ReaderCache] = None) -> dict:
+    """Leaf search over one split -> partial result dict."""
+    reader = (cache or _GLOBAL_READER_CACHE).get(split_dir)
+    searcher = SplitSearcher(reader, mapping)
+    scoring = any(sf.field == "_score" for sf in request.sort_fields)
+    mask, scores = searcher.eval(request.query, scoring)
+    num_hits = int(mask.sum())
+    out: dict[str, Any] = {"num_hits": num_hits, "split_dir": split_dir}
+    k = request.start_offset + request.max_hits
+    if k > 0 and num_hits:
+        docs, k0, k1 = searcher.collect_top_k(mask, scores, request.sort_fields, k,
+                                              request.search_after)
+        out["doc_ids"] = docs.astype(np.int64)
+        out["sort_key0"] = k0
+        out["sort_key1"] = k1
+    else:
+        out["doc_ids"] = np.empty(0, np.int64)
+        out["sort_key0"] = np.empty(0)
+        out["sort_key1"] = np.empty(0)
+    if request.aggs:
+        from quickwit_ray.search.aggs import compute_partial_aggs
+
+        out["agg_partial"] = compute_partial_aggs(request.aggs, searcher, mask)
+    return out
+
+
+class SearchSplitStage:
+    """Ray Data actor-pool stage: one call = leaf searches for a batch of
+    split work items. Holds the split reader LRU across batches."""
+
+    def __init__(self, mapping_json: dict, request: SearchRequest, cache_size: int = 64):
+        from quickwit_ray.config import IndexConfig as _IC
+
+        self.mapping = _IC.from_json(
+            {"index_id": "x", "doc_mapping": mapping_json}).doc_mapping
+        self.request = request
+        self.cache = _ReaderCache(cache_size)
+
+    def __call__(self, batch: dict[str, np.ndarray]) -> dict[str, list]:
+        import pickle
+
+        results = []
+        for split_dir in [str(p) for p in batch["split_dir"]]:
+            results.append(pickle.dumps(
+                leaf_search_one(split_dir, self.mapping, self.request, self.cache)))
+        return {"partial": results}
+
+
+def merge_partial_hits(partials: list[dict], request: SearchRequest,
+                       split_ids: dict[str, str]) -> pd.DataFrame:
+    """Merge per-split top-k lists with the reference comparator
+    (collector.rs:1086-1184): compare sort keys in sort direction, then
+    GlobalDocAddress (split_id, doc_id) in the SAME direction."""
+    frames = []
+    for p in partials:
+        if len(p["doc_ids"]) == 0:
+            continue
+        frames.append(pd.DataFrame({
+            "_split_id": split_ids[p["split_dir"]],
+            "_split_dir": p["split_dir"],
+            "_doc_id": p["doc_ids"],
+            "sort_key0": p["sort_key0"],
+            "sort_key1": p["sort_key1"],
+        }))
+    if not frames:
+        return pd.DataFrame(columns=["_split_id", "_split_dir", "_doc_id",
+                                     "sort_key0", "sort_key1"])
+    df = pd.concat(frames, ignore_index=True)
+    sfs = (list(request.sort_fields) or [SortField("_doc", "desc")])[:2]
+    orders = [sf.order for sf in sfs]
+    by = ["sort_key0"] + (["sort_key1"] if len(sfs) > 1 else [])
+    asc = [o == "asc" for o in orders]
+    # tie-break split_id then doc_id, both in the primary sort direction
+    by += ["_split_id", "_doc_id"]
+    asc += [orders[0] == "asc", orders[0] == "asc"]
+    df = df.sort_values(by=by, ascending=asc, kind="mergesort").reset_index(drop=True)
+    lo = request.start_offset
+    return df.iloc[lo: lo + request.max_hits].reset_index(drop=True)
+
+
+class IndexSearcher:
+    """User-facing search entry for one index directory."""
+
+    def __init__(self, index_dir: str, execution: str = "local",
+                 concurrency: Optional[int] = None):
+        self.index_dir = index_dir
+        self.manifest = Manifest(index_dir)
+        if self.manifest.index_config_json is None:
+            raise FileNotFoundError(f"no index at {index_dir}")
+        self.config = IndexConfig.from_json(self.manifest.index_config_json)
+        self.mapping = self.config.doc_mapping
+        self.execution = execution
+        self.concurrency = concurrency
+
+    # ------------------------------------------------------------------
+
+    def _resolve_query(self, query: Any) -> Any:
+        if isinstance(query, str):
+            return parse_query(query, self.mapping.default_search_fields)
+        return query
+
+    def search(self, query: Any = None, *, max_hits: int = 10, start_offset: int = 0,
+               sort_by: Any = None, aggs: Optional[dict] = None,
+               start_timestamp: Optional[int] = None,
+               end_timestamp: Optional[int] = None,
+               search_after: Optional[tuple] = None,
+               fetch_fields: Optional[list[str]] = None,
+               snippet_fields: tuple = ()) -> SearchResponse:
+        import time as _time
+
+        t0 = _time.time()
+        node = self._resolve_query(query if query is not None else MatchAll())
+        sort_fields = _normalize_sort(sort_by)
+        request = SearchRequest(query=node, max_hits=max_hits,
+                                start_offset=start_offset,
+                                sort_fields=tuple(sort_fields), aggs=aggs,
+                                search_after=search_after,
+                                snippet_fields=tuple(snippet_fields))
+
+        # ---- split pruning (time range from args AND query AST, + tags)
+        ts_field = self.mapping.timestamp_field
+        lo, hi = start_timestamp, end_timestamp
+        if ts_field:
+            qlo, qhi = extract_timestamp_bounds(node, ts_field)
+            if qlo is not None:
+                lo = qlo if lo is None else max(lo, qlo)
+            if qhi is not None:
+                hi = qhi if hi is None else min(hi, qhi)
+        tags = extract_tags(node, self.mapping.tag_fields)
+        splits = self.manifest.list_splits(lo, hi, tags)
+
+        # ---- count-only fast path: match-all + no aggs answered from metadata
+        if max_hits == 0 and aggs is None and isinstance(node, MatchAll) \
+                and lo is None and hi is None:
+            total = sum(s.num_docs for s in splits)
+            return SearchResponse(num_hits=total, hits=_empty_hits(),
+                                  elapsed_sec=_time.time() - t0)
+
+        split_dirs = [os.path.join(self.index_dir, "splits", s.split_id) for s in splits]
+        split_ids = dict(zip(split_dirs, [s.split_id for s in splits]))
+        # longest-first: order work items by descending num_docs (stragglers)
+        order = np.argsort([-s.num_docs for s in splits], kind="stable")
+        split_dirs = [split_dirs[i] for i in order]
+
+        partials = self._execute(split_dirs, request)
+
+        num_hits = sum(p["num_hits"] for p in partials)
+        hits = merge_partial_hits(partials, request, split_ids)
+        merged_aggs = None
+        if aggs:
+            from quickwit_ray.search.aggs import merge_partial_aggs
+
+            merged_aggs = merge_partial_aggs(aggs, [p["agg_partial"] for p in partials])
+        if len(hits) and (fetch_fields is None or fetch_fields):
+            hits = self._fetch_docs(hits, fetch_fields, request)
+        return SearchResponse(num_hits=num_hits, hits=hits, aggs=merged_aggs,
+                              elapsed_sec=_time.time() - t0)
+
+    # ------------------------------------------------------------------
+
+    def _execute(self, split_dirs: list[str], request: SearchRequest) -> list[dict]:
+        if not split_dirs:
+            return []
+        if self.execution == "ray" and len(split_dirs) > 1:
+            return self._execute_ray(split_dirs, request)
+        return [leaf_search_one(d, self.mapping, request) for d in split_dirs]
+
+    def _execute_ray(self, split_dirs: list[str], request: SearchRequest) -> list[dict]:
+        import pickle
+
+        import ray
+        import ray.data
+
+        mapping_json = self.config.to_json()["doc_mapping"]
+        conc = self.concurrency or max(
+            1, min(len(split_dirs), int(ray.cluster_resources().get("CPU", 8))))
+        ds = ray.data.from_items([{"split_dir": d} for d in split_dirs])
+        out = ds.map_batches(
+            SearchSplitStage,
+            fn_constructor_kwargs=dict(mapping_json=mapping_json, request=request),
+            batch_size=max(1, len(split_dirs) // conc),
+            concurrency=conc, num_cpus=1)
+        partials = []
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for blob in b["partial"].to_pylist():
+                partials.append(pickle.loads(blob))
+        return partials
+
+    # ------------------------------------------------------------------
+
+    def _fetch_docs(self, hits: pd.DataFrame, fetch_fields: Optional[list[str]],
+                    request: SearchRequest) -> pd.DataFrame:
+        """fetch_docs phase: group top hits by split, point-lookup doc-store
+        rows, keep the merged order."""
+        if fetch_fields is None:
+            fetch_fields = [f.name for f in self.mapping.stored_fields
+                            if f.type != "bytes"]
+        pieces = []
+        for split_dir, grp in hits.groupby("_split_dir", sort=False):
+            reader = _GLOBAL_READER_CACHE.get(str(split_dir))
+            cols = [c for c in fetch_fields]
+            tbl = reader.fetch_docs(grp["_doc_id"].to_numpy(), columns=cols)
+            sub = tbl.to_pandas()
+            sub.index = grp.index
+            pieces.append(sub)
+        if pieces:
+            docs = pd.concat(pieces).sort_index()
+            hits = pd.concat([hits, docs], axis=1)
+        if request.snippet_fields:
+            from quickwit_ray.search.snippets import generate_snippets
+
+            hits = generate_snippets(hits, request, self.mapping)
+        return hits
+
+
+def _normalize_sort(sort_by: Any) -> list[SortField]:
+    if sort_by is None:
+        return []
+    if isinstance(sort_by, str):
+        sort_by = [sort_by]
+    out = []
+    for s in sort_by:
+        if isinstance(s, SortField):
+            out.append(s)
+            continue
+        s = s.strip()
+        if s.startswith("-"):
+            out.append(SortField(s[1:], "desc"))
+        elif s.startswith("+"):
+            out.append(SortField(s[1:], "asc"))
+        else:
+            # reference default order for explicit sort fields is desc
+            out.append(SortField(s, "desc"))
+    return out
+
+
+def _empty_hits() -> pd.DataFrame:
+    return pd.DataFrame(columns=["_split_id", "_split_dir", "_doc_id",
+                                 "sort_key0", "sort_key1"])

@@ -1,0 +1,446 @@
+"""Per-split query evaluation — the leaf search
+(`quickwit-search/src/leaf.rs` + collector semantics re-expressed as
+dense numpy set algebra over decoded posting lists).
+
+Every operator returns a boolean match mask over the split's docs plus an
+optional f32 score vector; bool combinations are vectorized mask algebra;
+BM25 uses per-split statistics (N, df, avgdl from the split footer) per
+the reference's scoring model (docs/overview/concepts/querying.md:107).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from quickwit_ray.config import DocMapping
+from quickwit_ray.functions.bm25 import bm25_scores
+from quickwit_ray.functions.tokenizers import tokenize
+from quickwit_ray.index.format import SplitReader
+from quickwit_ray.search.ast import (
+    BoolQuery,
+    BoostQuery,
+    ExistsQuery,
+    FullTextQuery,
+    MatchAll,
+    MatchNone,
+    PhrasePrefixQuery,
+    RangeQuery,
+    RegexQuery,
+    SortField,
+    TermQuery,
+    TermSetQuery,
+    WildcardQuery,
+)
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
+class SplitSearcher:
+    """Evaluates a query AST against one open split."""
+
+    def __init__(self, reader: SplitReader, mapping: DocMapping):
+        self.reader = reader
+        self.mapping = mapping
+        self.n = reader.num_docs
+
+    # ------------------------------------------------------------------
+
+    def _field_stats(self, field: str) -> tuple[float, float]:
+        st = self.reader.field_stats.get(field, {})
+        return float(st.get("num_docs", self.n) or self.n), float(st.get("avgdl", 1.0) or 1.0)
+
+    def _term_postings_score(self, field: str, rows: np.ndarray, scoring: bool,
+                             const_score: bool = False):
+        """OR of postings for dictionary rows; BM25-scored unless const."""
+        mask = np.zeros(self.n, bool)
+        scores = np.zeros(self.n, np.float32) if scoring else None
+        if len(rows) == 0:
+            return mask, scores
+        postings = self.reader.read_postings(rows)
+        fm = self.mapping.field(field) if _has_field(self.mapping, field) else None
+        num_docs, avgdl = self._field_stats(field)
+        norms = self.reader.fieldnorm_ids(field) if (scoring and not const_score) else None
+        for r in rows:
+            if r < 0:
+                continue
+            p = postings[int(r)]
+            docs = p["doc_ids"]
+            if len(docs) == 0:
+                continue
+            mask[docs] = True
+            if scores is None:
+                continue
+            if const_score:
+                scores[docs] = np.float32(1.0)
+            else:
+                tfs = p["tfs"]
+                if fm is not None and fm.record == "basic":
+                    tfs = np.ones(len(docs), np.int64)
+                s = bm25_scores(tfs, norms[docs], df=float(len(docs)),
+                                num_docs=num_docs, avgdl=avgdl)
+                scores[docs] += s
+        return mask, scores
+
+    # ------------------------------------------------------------------
+
+    def eval(self, node: Any, scoring: bool = False):
+        """Returns (mask: bool[n], scores: f32[n] | None)."""
+        meth = getattr(self, f"_eval_{type(node).__name__}", None)
+        if meth is None:
+            raise TypeError(f"unsupported query node {type(node).__name__}")
+        return meth(node, scoring)
+
+    def _eval_MatchAll(self, node: MatchAll, scoring: bool):
+        return np.ones(self.n, bool), (np.ones(self.n, np.float32) if scoring else None)
+
+    def _eval_MatchNone(self, node: MatchNone, scoring: bool):
+        return np.zeros(self.n, bool), (np.zeros(self.n, np.float32) if scoring else None)
+
+    def _eval_BoostQuery(self, node: BoostQuery, scoring: bool):
+        mask, scores = self.eval(node.query, scoring)
+        if scores is not None:
+            scores = (scores * np.float32(node.boost)).astype(np.float32)
+        return mask, scores
+
+    def _eval_TermQuery(self, node: TermQuery, scoring: bool):
+        value = node.value
+        if _has_field(self.mapping, node.field):
+            fm = self.mapping.field(node.field)
+            if fm.type == "text" and fm.tokenizer in ("raw_lowercase", "lowercase"):
+                value = value.lower()
+        rows = self.reader.term_rows(node.field, [value])
+        return self._term_postings_score(node.field, rows[rows >= 0], scoring)
+
+    def _eval_TermSetQuery(self, node: TermSetQuery, scoring: bool):
+        rows = self.reader.term_rows(node.field, list(node.values))
+        # TermSet is a filter-shaped disjunction: constant score
+        return self._term_postings_score(node.field, rows[rows >= 0], scoring,
+                                         const_score=True)
+
+    def _eval_FullTextQuery(self, node: FullTextQuery, scoring: bool):
+        fm = self.mapping.field(node.field)
+        terms = tokenize(node.text, fm.tokenizer)
+        if not terms:
+            if node.zero_terms_match_all:
+                return self._eval_MatchAll(MatchAll(), scoring)
+            return self._eval_MatchNone(MatchNone(), scoring)
+        if node.mode == "phrase" and len(terms) > 1:
+            return self._eval_phrase(node.field, terms, node.slop, scoring)
+        rows = self.reader.term_rows(node.field, terms)
+        if node.mode == "and":
+            if (rows < 0).any():
+                return self._eval_MatchNone(MatchNone(), scoring)
+            mask = np.ones(self.n, bool)
+            scores = np.zeros(self.n, np.float32) if scoring else None
+            for r in rows:
+                m, s = self._term_postings_score(node.field, np.array([r]), scoring)
+                mask &= m
+                if scores is not None:
+                    scores += s
+            if scores is not None:
+                scores = np.where(mask, scores, np.float32(0.0)).astype(np.float32)
+            return mask, scores
+        # OR (default) / bool_prefix (last term as prefix)
+        if node.mode == "bool_prefix":
+            exact, prefix = rows[:-1], terms[-1]
+            mask, scores = self._term_postings_score(node.field, exact[exact >= 0], scoring)
+            prows = self.reader.term_range_rows(node.field, None, None, prefix=prefix)
+            m2, s2 = self._term_postings_score(node.field, prows, scoring, const_score=True)
+            mask |= m2
+            if scores is not None:
+                scores += s2
+            return mask, scores
+        return self._term_postings_score(node.field, rows[rows >= 0], scoring)
+
+    # -- phrase ---------------------------------------------------------
+
+    def _phrase_positions(self, field: str, rows: np.ndarray):
+        postings = self.reader.read_postings(rows, with_positions=True)
+        out = []
+        for r in rows:
+            p = postings[int(r)]
+            docs_rep = np.repeat(p["doc_ids"], p["pos_lens"]) if len(p["doc_ids"]) else np.empty(0, np.int32)
+            out.append((p, docs_rep, p.get("positions", np.empty(0, np.int32))))
+        return out
+
+    def _eval_phrase(self, field: str, terms: list[str], slop: int, scoring: bool,
+                     last_term_rows: Optional[np.ndarray] = None):
+        """Positional phrase evaluation. slop=0 is fully vectorized via the
+        (doc, pos - i) distinct-term-count trick; slop>0 falls back to an
+        ordered-near per-candidate check (documented divergence from
+        tantivy's move-based slop for exotic cases)."""
+        rows = self.reader.term_rows(field, terms[:-1] if last_term_rows is not None else terms)
+        if (rows < 0).any():
+            return self._eval_MatchNone(MatchNone(), scoring)
+        nterms = len(terms)
+        term_rows = [np.array([r]) for r in rows]
+        if last_term_rows is not None:
+            term_rows.append(last_term_rows)
+        all_doc, all_adj, piece_term = [], [], []
+        for i, trs in enumerate(term_rows):
+            for (p, docs_rep, poss) in self._phrase_positions(field, trs[trs >= 0]):
+                all_doc.append(docs_rep)
+                all_adj.append(poss.astype(np.int64) - i)
+                piece_term.append(np.full(len(docs_rep), i, np.int8))
+        if not all_doc:
+            return self._eval_MatchNone(MatchNone(), scoring)
+        doc = np.concatenate(all_doc)
+        adj = np.concatenate(all_adj)
+        tix = np.concatenate(piece_term)
+        mask = np.zeros(self.n, bool)
+        scores = np.zeros(self.n, np.float32) if scoring else None
+        if len(doc) == 0:
+            return mask, scores
+        if slop == 0:
+            adjoff = adj + nterms  # adj >= -(nterms-1) -> adjoff >= 1
+            key = doc.astype(np.int64) * (int(adjoff.max()) + 1) + adjoff
+            order = np.argsort(key, kind="stable")
+            k = key[order]
+            run_start = np.empty(len(k), bool)
+            run_start[0] = True
+            run_start[1:] = k[1:] != k[:-1]
+            run_ids = np.cumsum(run_start) - 1
+            # distinct terms per run == nterms -> a phrase occurrence
+            cnt = np.zeros(run_ids[-1] + 1, np.int32)
+            # positions are unique per (term, doc), so each (run, term) pair
+            # appears at most once; a plain bincount counts distinct terms
+            np.add.at(cnt, run_ids, 1)
+            ok_runs = cnt == nterms
+            occ_doc = doc[order][run_start][ok_runs]
+            if len(occ_doc) == 0:
+                return mask, scores
+            phrase_doc, phrase_tf = np.unique(occ_doc, return_counts=True)
+        else:
+            phrase_doc, phrase_tf = self._sloppy_phrase(doc, adj, tix, nterms, slop)
+            if len(phrase_doc) == 0:
+                return mask, scores
+        mask[phrase_doc] = True
+        if scores is not None:
+            fm = self.mapping.field(field)
+            num_docs, avgdl = self._field_stats(field)
+            norms = self.reader.fieldnorm_ids(field)
+            # df of the phrase = number of docs containing it (per-split)
+            s = bm25_scores(phrase_tf, norms[phrase_doc], df=float(len(phrase_doc)),
+                            num_docs=num_docs, avgdl=avgdl)
+            scores[phrase_doc] = s
+            _ = fm
+        return mask, scores
+
+    def _sloppy_phrase(self, doc, adj, tix, nterms, slop):
+        """Ordered near-match: for each occurrence of term 0 at adjusted
+        position p, every term i must appear with adjusted position within
+        [p - slop, p + slop]."""
+        order = np.lexsort((adj, tix, doc))
+        doc, adj, tix = doc[order], adj[order], tix[order]
+        out_docs, out_tfs = [], []
+        # iterate candidate docs (those containing all terms)
+        uniq_docs = np.unique(doc)
+        for d in uniq_docs:
+            sel = doc == d
+            td, ad = tix[sel], adj[sel]
+            if len(np.unique(td)) < nterms:
+                continue
+            base = ad[td == 0]
+            tf = 0
+            for p in base:
+                if all(np.any(np.abs(ad[td == i] - p) <= slop) for i in range(1, nterms)):
+                    tf += 1
+            if tf:
+                out_docs.append(d)
+                out_tfs.append(tf)
+        return np.asarray(out_docs, np.int64), np.asarray(out_tfs, np.int64)
+
+    def _eval_PhrasePrefixQuery(self, node: PhrasePrefixQuery, scoring: bool):
+        fm = self.mapping.field(node.field)
+        terms = tokenize(node.text, fm.tokenizer)
+        if not terms:
+            return self._eval_MatchNone(MatchNone(), scoring)
+        prows = self.reader.term_range_rows(node.field, None, None, prefix=terms[-1],
+                                            limit=node.max_expansions)
+        if len(terms) == 1:
+            return self._term_postings_score(node.field, prows, scoring, const_score=True)
+        return self._eval_phrase(node.field, terms, 0, scoring, last_term_rows=prows)
+
+    # -- fast-field operators ------------------------------------------
+
+    def _fast_values(self, field: str):
+        vals = self.reader.fast_field(field)
+        return vals
+
+    def _eval_RangeQuery(self, node: RangeQuery, scoring: bool):
+        import pandas as pd
+
+        fm = self.mapping.field(node.field) if _has_field(self.mapping, node.field) else None
+        vals = self._fast_values(node.field)
+
+        def coerce(v):
+            if fm is not None and fm.type == "datetime" and not isinstance(v, (int, np.integer)):
+                return np.int64(pd.Timestamp(v).value // 1000)
+            if vals.dtype.kind in "iuf" and not isinstance(v, (int, float, np.number)):
+                return float(v)
+            return v
+
+        mask = np.ones(self.n, bool)
+        if node.gte is not None:
+            mask &= vals >= coerce(node.gte)
+        if node.gt is not None:
+            mask &= vals > coerce(node.gt)
+        if node.lte is not None:
+            mask &= vals <= coerce(node.lte)
+        if node.lt is not None:
+            mask &= vals < coerce(node.lt)
+        scores = None
+        if scoring:
+            scores = np.where(mask, np.float32(1.0), np.float32(0.0)).astype(np.float32)
+        return mask, scores
+
+    def _eval_ExistsQuery(self, node: ExistsQuery, scoring: bool):
+        mask = self.reader.fast_field_valid(node.field)
+        if mask is None:
+            # text field presence = a non-empty token stream: fieldnorm > 0
+            # when norms exist, else an OR over the field's whole dictionary
+            norms = self.reader.fieldnorm_ids(node.field)
+            if norms.any():
+                mask = norms > 0
+            else:
+                rows = self.reader.term_range_rows(node.field, None, None)
+                mask, _ = self._term_postings_score(node.field, rows, False)
+        scores = None
+        if scoring:
+            scores = np.where(mask, np.float32(1.0), np.float32(0.0)).astype(np.float32)
+        return mask, scores
+
+    def _eval_WildcardQuery(self, node: WildcardQuery, scoring: bool):
+        rx = _wildcard_to_regex(node.pattern.lower())
+        # prefix optimization: literal head narrows the dictionary scan
+        lit = []
+        for ch in node.pattern:
+            if ch in "*?":
+                break
+            lit.append(ch)
+        prefix = "".join(lit).lower() or None
+        rows = self.reader.term_range_rows(node.field, None, None, prefix=prefix, regex=rx)
+        return self._term_postings_score(node.field, rows, scoring, const_score=True)
+
+    def _eval_RegexQuery(self, node: RegexQuery, scoring: bool):
+        rows = self.reader.term_range_rows(node.field, None, None, regex=node.regex)
+        return self._term_postings_score(node.field, rows, scoring, const_score=True)
+
+    # -- bool -----------------------------------------------------------
+
+    def _eval_BoolQuery(self, node: BoolQuery, scoring: bool):
+        mask = None
+        scores = np.zeros(self.n, np.float32) if scoring else None
+        for sub in node.must:
+            m, s = self.eval(sub, scoring)
+            mask = m if mask is None else (mask & m)
+            if scores is not None and s is not None:
+                scores += s
+        for sub in node.filter:
+            m, _ = self.eval(sub, False)
+            mask = m if mask is None else (mask & m)
+        should_masks = []
+        for sub in node.should:
+            m, s = self.eval(sub, scoring)
+            should_masks.append(m)
+            if scores is not None and s is not None:
+                scores += np.where(m, s, np.float32(0.0)).astype(np.float32)
+        if should_masks:
+            msm = node.minimum_should_match
+            if msm is None:
+                msm = 0 if mask is not None else 1
+            if msm > 0:
+                cnt = np.zeros(self.n, np.int16)
+                for m in should_masks:
+                    cnt += m
+                sm = cnt >= msm
+                mask = sm if mask is None else (mask & sm)
+            elif mask is None:
+                mask = np.zeros(self.n, bool)
+                for m in should_masks:
+                    mask |= m
+        if mask is None:
+            mask = np.ones(self.n, bool)
+        for sub in node.must_not:
+            m, _ = self.eval(sub, False)
+            mask &= ~m
+        if scores is not None:
+            scores = np.where(mask, scores, np.float32(0.0)).astype(np.float32)
+        return mask, scores
+
+    # ------------------------------------------------------------------
+    # top-k collection (collector.rs:476-596 semantics)
+    # ------------------------------------------------------------------
+
+    def collect_top_k(self, mask: np.ndarray, scores: Optional[np.ndarray],
+                      sort_fields: tuple, k: int,
+                      search_after: Optional[tuple] = None):
+        """Return (doc_ids, sort_key_0, sort_key_1) of the split's k best
+        hits under ≤2 sort keys with the reference tie-break: trailing key
+        is doc id compared IN the sort direction of the first key; default
+        sort (no fields) = descending doc id (sorting.md:8-25)."""
+        docs = np.nonzero(mask)[0]
+        if len(docs) == 0:
+            return docs, np.empty(0), np.empty(0)
+        sfs = (list(sort_fields) or [SortField("_doc", "desc")])[:2]
+        keys, orders = [], []
+        for sf in sfs:
+            if sf.field == "_score":
+                v = (scores[docs] if scores is not None
+                     else np.zeros(len(docs), np.float32)).astype(np.float64)
+            elif sf.field == "_doc":
+                v = docs.astype(np.float64)
+            else:
+                v = self._fast_values(sf.field)[docs].astype(np.float64)
+            keys.append(v)
+            orders.append(sf.order)
+        # trailing tie-break: doc id compared in the primary sort direction
+        if sfs[-1].field != "_doc":
+            keys.append(docs.astype(np.float64))
+            orders.append(orders[0])
+        # lexsort: last key = primary; negate for descending
+        order = np.lexsort([(-v if o == "desc" else v)
+                            for v, o in zip(reversed(keys), reversed(orders))])
+        docs_sorted = docs[order]
+        key0 = keys[0][order]
+        key1 = keys[1][order] if len(sfs) > 1 else np.zeros(len(order))
+        if search_after is not None:
+            tie = docs_sorted.astype(np.float64)
+            cursor = list(search_after)
+            cols = [key0] + ([key1] if len(sfs) > 1 else []) + [tie]
+            dirs = orders[: len(sfs)] + [orders[0]]
+            if len(cursor) < len(cols):  # cursor without explicit doc id
+                cursor = cursor + [float("-inf") if dirs[-1] == "desc" else float("inf")]
+
+            def after(vals, cur, desc):
+                return (vals < cur) if desc else (vals > cur)
+
+            m = np.zeros(len(docs_sorted), bool)
+            eq = np.ones(len(docs_sorted), bool)
+            for vals, cur, o in zip(cols, cursor, dirs):
+                m |= eq & after(vals, float(cur), o == "desc")
+                eq = eq & (vals == float(cur))
+            docs_sorted, key0, key1 = docs_sorted[m], key0[m], key1[m]
+        return docs_sorted[:k], key0[:k], key1[:k]
+
+
+def _has_field(mapping: DocMapping, name: str) -> bool:
+    try:
+        mapping.field(name)
+        return True
+    except KeyError:
+        return False

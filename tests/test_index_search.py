@@ -1,0 +1,245 @@
+"""End-to-end: build splits, search them, reproduce the reference's
+golden BM25 top-k (tests.rs:616-706) through the WHOLE engine."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quickwit_ray.config import DocMapping, FieldMapping, IndexConfig, IndexSettings
+from quickwit_ray.index.build import build_index, garbage_collect
+from quickwit_ray.search.engine import IndexSearcher
+
+
+@pytest.fixture()
+def golden_index(tmp_path):
+    """The reference's 3-doc corpus: title/nofreq fields."""
+    docs = pa.table({
+        "doc": pa.array([0, 1, 2], pa.int64()),
+        "title": ["one pad", "one", "one one"],
+        "nofreq": ["two pad", "two", "two two"],
+    })
+    inp = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="title", type="text", tokenizer="default",
+                         record="freq", fieldnorms=True),
+            FieldMapping(name="nofreq", type="text", tokenizer="default",
+                         record="basic", fieldnorms=True),
+            FieldMapping(name="doc", type="i64", fast=True),
+        ),
+        doc_id_field="doc",
+        default_search_fields=("title", "nofreq"),
+    )
+    config = IndexConfig(index_id="golden", doc_mapping=mapping)
+    index_dir = str(tmp_path / "index")
+    build_index(inp, index_dir, config, execution="local")
+    return index_dir
+
+
+def _score_hits(searcher, q):
+    resp = searcher.search(q, max_hits=1000, sort_by="_score")
+    return [(np.float32(s), int(d)) for s, d in
+            zip(resp.hits["sort_key0"], resp.hits["_doc_id"])]
+
+
+def test_golden_bm25_title(golden_index):
+    s = IndexSearcher(golden_index)
+    hits = _score_hits(s, "title:one")
+    assert hits == [(np.float32(0.1738279), 2),
+                    (np.float32(0.15965714), 1),
+                    (np.float32(0.12343242), 0)]
+
+
+def test_golden_bm25_basic_record(golden_index):
+    s = IndexSearcher(golden_index)
+    hits = _score_hits(s, "nofreq:two")
+    # equal scores tie-break on doc id DESC (default desc direction)
+    assert hits == [(np.float32(0.15965714), 1),
+                    (np.float32(0.12343242), 2),
+                    (np.float32(0.12343242), 0)]
+
+
+def test_golden_bm25_two_clauses(golden_index):
+    s = IndexSearcher(golden_index)
+    hits = _score_hits(s, "title:one nofreq:two")
+    assert hits == [(np.float32(0.31931427), 1),
+                    (np.float32(0.2972603), 2),
+                    (np.float32(0.24686484), 0)]
+
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_index(tmp_path_factory):
+    from quickwit_ray.config import documents_doc_mapping
+
+    tmp = tmp_path_factory.mktemp("docsidx")
+    config = IndexConfig(
+        index_id="documents",
+        doc_mapping=documents_doc_mapping(),
+        settings=IndexSettings(split_num_docs_target=200, batch_size=128),
+    )
+    index_dir = str(tmp / "index")
+    build_index(DOCS, index_dir, config, execution="local", read_batch_size=128)
+    return index_dir
+
+
+def _truth_texts():
+    t = pq.read_table(DOCS, columns=["doc_id", "text", "lang"]).to_pandas()
+    return t
+
+
+def test_docs_index_splits(docs_index):
+    s = IndexSearcher(docs_index)
+    splits = s.manifest.published_splits()
+    assert len(splits) == 3  # 500 docs, target 200 -> 200/200/100
+    assert sum(sp.num_docs for sp in splits) == 500
+
+
+def test_term_search_counts_match_python_truth(docs_index):
+    from quickwit_ray.functions.tokenizers import tokenize
+
+    s = IndexSearcher(docs_index)
+    truth = _truth_texts()
+    for term in ["scan", "merge", "the", "zzzznotaterm"]:
+        expected = sum(term in tokenize(t, "default") for t in truth["text"])
+        resp = s.search(f"text:{term}", max_hits=0)
+        assert resp.num_hits == expected, term
+
+
+def test_and_or_not(docs_index):
+    from quickwit_ray.functions.tokenizers import tokenize
+
+    s = IndexSearcher(docs_index)
+    truth = _truth_texts()
+    toks = [set(tokenize(t, "default")) for t in truth["text"]]
+    n_and = sum(1 for t in toks if "scan" in t and "merge" in t)
+    n_or = sum(1 for t in toks if "scan" in t or "merge" in t)
+    n_not = sum(1 for t in toks if "scan" in t and "merge" not in t)
+    assert s.search("+text:scan +text:merge", max_hits=0).num_hits == n_and
+    assert s.search("text:scan OR text:merge", max_hits=0).num_hits == n_or
+    assert s.search("text:scan -text:merge", max_hits=0).num_hits == n_not
+
+
+def test_docstore_roundtrip_byte_identical(docs_index):
+    """Per-row invariant: text byte-identical through the docstore."""
+    s = IndexSearcher(docs_index)
+    truth = _truth_texts().set_index("doc_id")
+    resp = s.search("text:scan", max_hits=20, sort_by="_score")
+    assert len(resp.hits) == 20
+    for _, row in resp.hits.iterrows():
+        assert row["text"] == truth.loc[row["doc_id"], "text"]
+
+
+def test_phrase_search(docs_index):
+    import re
+
+    s = IndexSearcher(docs_index)
+    truth = _truth_texts()
+    # pick a two-word sequence present in the corpus
+    first = truth["text"].iloc[0].split()[:2]
+    phrase = " ".join(w.lower() for w in first)
+    pat = re.compile(r"(^|[^a-z0-9])" + re.escape(first[0].lower())
+                     + r"[^a-z0-9]+" + re.escape(first[1].lower())
+                     + r"([^a-z0-9]|$)")
+    expected = sum(bool(pat.search(t.lower())) for t in truth["text"])
+    got = s.search(f'text:"{phrase}"', max_hits=0).num_hits
+    assert got == expected and got >= 1
+
+
+def test_termset_and_tag_pruning(docs_index):
+    s = IndexSearcher(docs_index)
+    truth = _truth_texts()
+    expected = int(truth["lang"].isin(["de", "fr"]).sum())
+    assert s.search("lang: IN [de fr]", max_hits=0).num_hits == expected
+
+
+def test_range_query_on_fast_field(docs_index):
+    s = IndexSearcher(docs_index)
+    t = pq.read_table(DOCS, columns=["n_chars"]).to_pandas()
+    expected = int(((t["n_chars"] >= 500) & (t["n_chars"] < 900)).sum())
+    assert s.search("n_chars:[500 TO 900}", max_hits=0).num_hits == expected
+
+
+def test_sort_by_fast_field(docs_index):
+    s = IndexSearcher(docs_index)
+    truth = _truth_texts()
+    resp = s.search("*", max_hits=5, sort_by="n_chars")
+    t = pq.read_table(DOCS, columns=["doc_id", "n_chars"]).to_pandas()
+    top = t.sort_values(["n_chars", "doc_id"], ascending=False).head(5)
+    assert list(resp.hits["doc_id"]) == list(top["doc_id"])
+    _ = truth
+
+
+def test_match_all_count_fast_path(docs_index):
+    s = IndexSearcher(docs_index)
+    assert s.search("*", max_hits=0).num_hits == 500
+
+
+def test_exists_and_wildcard(docs_index):
+    s = IndexSearcher(docs_index)
+    assert s.search("n_chars:*", max_hits=0).num_hits == 500
+    from quickwit_ray.functions.tokenizers import tokenize
+
+    truth = _truth_texts()
+    expected = sum(any(tok.startswith("mer") for tok in tokenize(t, "default"))
+                   for t in truth["text"])
+    assert s.search("text:mer*", max_hits=0).num_hits == expected
+
+
+def test_search_after_pagination(docs_index):
+    s = IndexSearcher(docs_index)
+    all_hits = s.search("text:scan", max_hits=20, sort_by="_score",
+                        fetch_fields=[]).hits
+    page1 = s.search("text:scan", max_hits=10, sort_by="_score",
+                     fetch_fields=[]).hits
+    r1 = s.search("text:scan", max_hits=10, sort_by="_score", fetch_fields=[])
+    page2 = s.search("text:scan", max_hits=10, sort_by="_score",
+                     search_after=r1.scroll_cursor, fetch_fields=[]).hits
+    got = list(zip(page1["_split_id"], page1["_doc_id"])) + list(zip(page2["_split_id"], page2["_doc_id"]))
+    assert got == list(zip(all_hits["_split_id"], all_hits["_doc_id"]))
+
+
+def test_aggregations(docs_index):
+    s = IndexSearcher(docs_index)
+    truth = _truth_texts()
+    resp = s.search("*", max_hits=0, aggs={
+        "langs": {"terms": {"field": "lang", "size": 20}},
+        "chars": {"stats": {"field": "n_chars"}},
+        "card": {"cardinality": {"field": "lang"}},
+    })
+    t = pq.read_table(DOCS, columns=["lang", "n_chars"]).to_pandas()
+    vc = t["lang"].value_counts()
+    got = {b["key"]: b["doc_count"] for b in resp.aggs["langs"]["buckets"]}
+    assert got == vc.to_dict()
+    assert resp.aggs["chars"]["count"] == 500
+    assert resp.aggs["chars"]["sum"] == pytest.approx(t["n_chars"].sum())
+    assert resp.aggs["card"]["value"] == pytest.approx(t["lang"].nunique(), rel=0.05)
+    _ = truth
+
+
+def test_resume_idempotent(tmp_path, docs_index):
+    """Re-running build over the same input is a no-op (checkpoints)."""
+    from quickwit_ray.config import documents_doc_mapping
+
+    config = IndexConfig(index_id="documents", doc_mapping=documents_doc_mapping(),
+                         settings=IndexSettings(split_num_docs_target=200))
+    before = sorted(os.listdir(os.path.join(docs_index, "splits")))
+    stats = build_index(DOCS, docs_index, config, execution="local")
+    assert stats.num_docs == 0  # nothing pending
+    after = sorted(os.listdir(os.path.join(docs_index, "splits")))
+    assert before == after
+
+
+def test_gc_removes_orphans(docs_index):
+    orphan = os.path.join(docs_index, "splits", "deadbeef-00000.staged")
+    os.makedirs(orphan, exist_ok=True)
+    removed = garbage_collect(docs_index)
+    assert "deadbeef-00000.staged" in removed
+    assert not os.path.exists(orphan)
