@@ -99,6 +99,10 @@ class IndexSettings:
     """Indexing/resource settings (index_config/mod.rs:130-140)."""
 
     split_num_docs_target: int = 10_000_000
+    # seal a split early at this many docs (models the reference's
+    # commit_timeout_secs producing sub-target splits that merges compact);
+    # None = seal at split_num_docs_target
+    commit_docs_threshold: Optional[int] = None
     # flush a split early when the accumulated uncompressed doc bytes pass this
     heap_size_bytes: int = 2 * 1024**3
     merge_policy: MergePolicyConfig = field(default_factory=MergePolicyConfig)
@@ -136,6 +140,7 @@ class IndexConfig:
         mp = st.get("merge_policy", {})
         settings = IndexSettings(
             split_num_docs_target=st.get("split_num_docs_target", 10_000_000),
+            commit_docs_threshold=st.get("commit_docs_threshold"),
             heap_size_bytes=st.get("heap_size_bytes", 2 * 1024**3),
             merge_policy=MergePolicyConfig(**mp) if mp else MergePolicyConfig(),
             batch_size=st.get("batch_size", 8192),

@@ -140,8 +140,10 @@ class IndexPartitionTask:
                 b = get_builder(0)
                 # split a too-large batch across split boundaries
                 offset = 0
+                seal_docs = (self.config.settings.commit_docs_threshold
+                             or self.config.settings.split_num_docs_target)
                 while offset < batch.num_rows:
-                    room = self.config.settings.split_num_docs_target - b.num_docs
+                    room = seal_docs - b.num_docs
                     sub = batch.slice(offset, room)
                     b.add_batch(sub)
                     offset += sub.num_rows

@@ -1,0 +1,344 @@
+"""Merge pipeline — policy + executor
+(`quickwit-indexing/src/merge_policy/stable_log_merge_policy.rs:181-300`
+for the level/candidate algorithm, `actors/merge_executor.rs:299-570` for
+execution semantics, `actors/merge_planner.rs` for the driver loop).
+
+Policy is pure driver-side Python over manifest rows. Execution is a
+stateless task per merge op (fan-in <= max_merge_factor): read N split
+artifacts, remap doc ids by cumulative offsets, merge posting lists per
+(field, term) (doc-id order is preserved because split doc ranges are
+disjoint and increasing), concatenate fieldnorms/fastfields/docstore,
+union time ranges and tags, sum per-field stats — then one atomic
+publish replaces the N inputs with the merged split.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from quickwit_ray.config import IndexConfig, MergePolicyConfig
+from quickwit_ray.index.format import (
+    DOCSTORE_FILE,
+    FASTFIELDS_FILE,
+    FIELDNORMS_FILE,
+    POSTINGS_FILE,
+    block_meta,
+    delta_decode,
+    delta_encode,
+    write_footer,
+    write_postings_file,
+)
+from quickwit_ray.index.writer import MAX_VALUES_PER_TAG_FIELD, deterministic_split_id
+from quickwit_ray.state.manifest import Manifest, SplitMetadata
+
+
+@dataclass
+class MergeOperation:
+    splits: list[SplitMetadata]
+
+    @property
+    def num_docs(self) -> int:
+        return sum(s.num_docs for s in self.splits)
+
+
+def _is_mature(split: SplitMetadata, cfg: MergePolicyConfig,
+               split_num_docs_target: int, now: float) -> bool:
+    """split_maturity (stable_log_merge_policy.rs:108-124): mature when at
+    target size, or past the maturation period since creation."""
+    if split.num_docs >= split_num_docs_target:
+        return True
+    return split.create_timestamp + cfg.maturation_period_secs <= now
+
+
+def _cmp_key(split: SplitMetadata):
+    """cmp_splits_by_reverse_time_end (stable_log_merge_policy.rs:170-178):
+    descending time_range end (None last), then num_docs asc, split_id asc."""
+    end = split.time_range_end
+    return (0 if end is not None else 1,
+            -(end if end is not None else 0),
+            split.num_docs, split.split_id)
+
+
+class StableLogMergePolicy:
+    """Default policy: level by size (level cap = 3x first-split docs,
+    floored at min_level_num_docs), take merge_factor..max_merge_factor
+    adjacent-by-recency splits per level."""
+
+    def __init__(self, config: MergePolicyConfig = MergePolicyConfig(),
+                 split_num_docs_target: int = 10_000_000):
+        self.config = config
+        self.split_num_docs_target = split_num_docs_target
+
+    def operations(self, splits: list[SplitMetadata],
+                   now: Optional[float] = None) -> list[MergeOperation]:
+        now = time.time() if now is None else now
+        if len(splits) < 2:
+            return []
+        young = [s for s in splits
+                 if not _is_mature(s, self.config, self.split_num_docs_target, now)]
+        young.sort(key=_cmp_key)
+        ops: list[MergeOperation] = []
+        levels = self._build_split_levels(young)
+        taken: set[str] = set()
+        for lo, hi in reversed(levels):
+            rng = self._merge_candidate_from_level(young, lo, hi)
+            if rng is None:
+                continue
+            cand = young[rng[0]: rng[1]]
+            ops.append(MergeOperation(splits=cand))
+            taken.update(s.split_id for s in cand)
+        return ops
+
+    def _build_split_levels(self, splits: list[SplitMetadata]) -> list[tuple[int, int]]:
+        if not splits:
+            return []
+        levels: list[tuple[int, int]] = []
+        start = 0
+        level_max = max(splits[0].num_docs * 3, self.config.min_level_num_docs)
+        for i, s in enumerate(splits):
+            if s.num_docs >= level_max:
+                levels.append((start, i))
+                start = i
+                level_max = 3 * s.num_docs
+        levels.append((start, len(splits)))
+        return levels
+
+    def _merge_candidate_from_level(self, splits, lo, hi) -> Optional[tuple[int, int]]:
+        end = hi
+        start = end
+        for i in range(hi - 1, lo - 1, -1):
+            if self._candidate_size(splits, start, end) == "too_big":
+                break
+            start = i
+        if self._candidate_size(splits, start, end) == "too_small":
+            return None
+        return (start, end)
+
+    def _candidate_size(self, splits, start, end) -> str:
+        n = end - start
+        if n <= 1:
+            return "too_small"
+        if n >= self.config.max_merge_factor:
+            return "too_big"
+        if sum(s.num_docs for s in splits[start:end]) >= self.split_num_docs_target:
+            return "too_big"
+        if n < self.config.merge_factor:
+            return "too_small"
+        return "valid"
+
+
+class ConstWriteAmplificationMergePolicy:
+    """Alternative policy (const_write_amplification.rs): group young
+    splits by num_merge_ops level; merge merge_factor adjacent splits per
+    level; a split merges at most max_merge_ops times."""
+
+    def __init__(self, config: MergePolicyConfig = MergePolicyConfig(kind="const_write_amplification"),
+                 split_num_docs_target: int = 10_000_000):
+        self.config = config
+        self.split_num_docs_target = split_num_docs_target
+
+    def operations(self, splits: list[SplitMetadata],
+                   now: Optional[float] = None) -> list[MergeOperation]:
+        now = time.time() if now is None else now
+        young = [s for s in splits
+                 if s.num_merge_ops < self.config.max_merge_ops
+                 and not _is_mature(s, self.config, self.split_num_docs_target, now)]
+        by_level: dict[int, list[SplitMetadata]] = {}
+        for s in young:
+            by_level.setdefault(s.num_merge_ops, []).append(s)
+        ops = []
+        for level in sorted(by_level):
+            group = sorted(by_level[level], key=_cmp_key)
+            while len(group) >= self.config.merge_factor:
+                cand = group[: self.config.merge_factor]
+                group = group[self.config.merge_factor:]
+                ops.append(MergeOperation(splits=cand))
+        return ops
+
+
+def make_policy(config: MergePolicyConfig, split_num_docs_target: int):
+    if config.kind == "stable_log":
+        return StableLogMergePolicy(config, split_num_docs_target)
+    if config.kind == "const_write_amplification":
+        return ConstWriteAmplificationMergePolicy(config, split_num_docs_target)
+    if config.kind == "none":
+        return None
+    raise ValueError(f"unknown merge policy {config.kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# merge execution
+# ---------------------------------------------------------------------------
+
+def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
+                  num_merge_ops: int) -> SplitMetadata:
+    """Merge N split artifact dirs into one new split dir (stateless; safe
+    to retry — output is written staged then atomically renamed)."""
+    import json
+
+    split_dirs = [os.path.join(index_dir, "splits", sid) for sid in split_ids]
+    new_id = deterministic_split_id("merge:" + ",".join(split_ids), num_merge_ops)
+    out_dir = os.path.join(index_dir, "splits", new_id)
+    tmp_dir = out_dir + ".staged"
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    footers = []
+    for d in split_dirs:
+        with open(os.path.join(d, "footer.json")) as f:
+            footers.append(json.load(f))
+    counts = [f["num_docs"] for f in footers]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    total_docs = int(sum(counts))
+
+    # ---- postings: per (field, term) concat with doc-id offset remap
+    merged: dict[tuple[str, str], dict] = {}
+    for d, off in zip(split_dirs, offsets):
+        tbl = pq.read_table(os.path.join(d, POSTINGS_FILE))
+        fields = tbl["field"].to_pylist()
+        terms = tbl["term"].to_pylist()
+        doc_b = tbl["doc_ids"].to_pylist()
+        tf_b = tbl["tfs"].to_pylist()
+        pos_b = tbl["positions"].to_pylist()
+        pl_b = tbl["pos_lens"].to_pylist()
+        for i in range(len(fields)):
+            key = (fields[i], terms[i])
+            ent = merged.setdefault(key, {"docs": [], "tfs": [], "pos": [], "pls": []})
+            docs = delta_decode(doc_b[i]) + np.int32(off)
+            ent["docs"].append(docs)
+            ent["tfs"].append(np.frombuffer(tf_b[i], np.uint32) if tf_b[i]
+                              else np.ones(len(docs), np.uint32))
+            ent["pos"].append(pos_b[i] or b"")
+            ent["pls"].append(pl_b[i] or b"")
+
+    rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
+                            "block_last", "block_max_tf", "positions", "pos_lens")}
+    has_positions = {}
+    for (field, term) in sorted(merged):
+        ent = merged[(field, term)]
+        docs = np.concatenate(ent["docs"])
+        tfs = np.concatenate(ent["tfs"]).astype(np.int64)
+        bl, bm = block_meta(docs, tfs)
+        rows["field"].append(field)
+        rows["term"].append(term)
+        rows["df"].append(int(len(docs)))
+        rows["max_tf"].append(int(tfs.max()) if len(tfs) else 1)
+        rows["doc_ids"].append(delta_encode(docs))
+        rows["tfs"].append(tfs.astype(np.uint32).tobytes())
+        rows["block_last"].append(bl)
+        rows["block_max_tf"].append(bm)
+        pos = b"".join(ent["pos"])
+        rows["positions"].append(pos)
+        rows["pos_lens"].append(b"".join(ent["pls"]))
+        has_positions[field] = has_positions.get(field, False) or bool(pos)
+    write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE), rows)
+
+    # ---- per-doc tables: plain concatenation in split order
+    for fname in (FIELDNORMS_FILE, FASTFIELDS_FILE, DOCSTORE_FILE):
+        parts = [pq.read_table(os.path.join(d, fname)) for d in split_dirs
+                 if os.path.exists(os.path.join(d, fname))]
+        if parts:
+            pq.write_table(pa.concat_tables(parts, promote_options="default"),
+                           os.path.join(tmp_dir, fname),
+                           compression="zstd", compression_level=3)
+
+    # ---- footer: union of stats
+    field_stats: dict[str, dict[str, float]] = {}
+    for f in footers:
+        for fld, st in f.get("field_stats", {}).items():
+            tgt = field_stats.setdefault(fld, {"total_tokens": 0, "num_docs": 0})
+            tgt["total_tokens"] += st.get("total_tokens", 0)
+            tgt["num_docs"] += st.get("num_docs", 0)
+    for st in field_stats.values():
+        st["avgdl"] = float(np.float32(st["total_tokens"])
+                            / np.float32(max(st["num_docs"], 1)))
+    t_starts = [f["time_range"][0] for f in footers if f.get("time_range", [None])[0] is not None]
+    t_ends = [f["time_range"][1] for f in footers if f.get("time_range", [None, None])[1] is not None]
+    tags: dict[str, list[str]] = {}
+    tag_fields = set.intersection(*[set(f.get("tags", {})) for f in footers]) if footers else set()
+    for tf_ in tag_fields:
+        vals = set()
+        for f in footers:
+            vals.update(f["tags"][tf_])
+        if len(vals) <= MAX_VALUES_PER_TAG_FIELD:
+            tags[tf_] = sorted(vals)
+    write_footer(tmp_dir, {
+        "split_id": new_id,
+        "index_id": index_id,
+        "num_docs": total_docs,
+        "field_stats": field_stats,
+        "time_range": [min(t_starts) if t_starts else None,
+                       max(t_ends) if t_ends else None],
+        "tags": tags,
+    })
+    if os.path.exists(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
+    os.replace(tmp_dir, out_dir)
+    return SplitMetadata(
+        split_id=new_id,
+        index_id=index_id,
+        num_docs=total_docs,
+        uncompressed_docs_size_in_bytes=sum(
+            f.get("uncompressed_bytes", 0) for f in footers),
+        source_partition_id="merge",
+        time_range_start=min(t_starts) if t_starts else None,
+        time_range_end=max(t_ends) if t_ends else None,
+        create_timestamp=time.time(),
+        tags=tags,
+        num_merge_ops=num_merge_ops,
+        field_stats=field_stats,
+    )
+
+
+def run_merge_pipeline(index_dir: str, *, execution: str = "local",
+                       max_concurrency: Optional[int] = None,
+                       max_rounds: int = 16) -> int:
+    """Driver merge loop (MergePlanner analog): compute ops from the
+    policy over published splits, execute them (smallest-first, bounded
+    concurrency — merge_scheduler_service.rs:81-113), publish replacements,
+    repeat until stable. Returns number of merges executed."""
+    manifest = Manifest(index_dir)
+    config = IndexConfig.from_json(manifest.index_config_json)
+    policy = make_policy(config.settings.merge_policy,
+                         config.settings.split_num_docs_target)
+    if policy is None:
+        return 0
+    total = 0
+    for _ in range(max_rounds):
+        splits = manifest.published_splits()
+        ops = policy.operations(splits)
+        if not ops:
+            break
+        ops.sort(key=lambda op: op.num_docs)  # smallest-merge-first
+        if execution == "ray" and len(ops) > 1:
+            import ray
+
+            @ray.remote(num_cpus=1)
+            def _do(ids, n_ops):
+                return execute_merge(index_dir, ids, config.index_id, n_ops)
+
+            futs = [_do.remote([s.split_id for s in op.splits],
+                               max(s.num_merge_ops for s in op.splits) + 1)
+                    for op in ops]
+            if max_concurrency:
+                results = ray.get(futs)  # bounded by cluster CPUs
+            else:
+                results = ray.get(futs)
+        else:
+            results = [execute_merge(index_dir, [s.split_id for s in op.splits],
+                                     config.index_id,
+                                     max(s.num_merge_ops for s in op.splits) + 1)
+                       for op in ops]
+        for op, new_sm in zip(ops, results):
+            manifest.publish([new_sm],
+                             replaced_split_ids=[s.split_id for s in op.splits])
+        total += len(ops)
+    return total

@@ -170,8 +170,8 @@ class SplitBuilder:
 
     def should_flush(self) -> bool:
         s = self.config.settings
-        return (self.num_docs >= s.split_num_docs_target
-                or self.est_bytes >= s.heap_size_bytes)
+        seal_docs = s.commit_docs_threshold or s.split_num_docs_target
+        return self.num_docs >= seal_docs or self.est_bytes >= s.heap_size_bytes
 
     def flush(self) -> Optional[SplitMetadata]:
         if self.num_docs == 0:

@@ -1,0 +1,170 @@
+"""Merge policy + executor tests, incl. the hypothesis analog of the
+reference's merge-policy proptest (`merge_policy/mod.rs:222-340`):
+every emitted op respects factor bounds, mature splits untouched,
+repeated application converges; plus end-to-end merge correctness
+(search results identical before/after merging)."""
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quickwit_ray.config import (
+    IndexConfig,
+    IndexSettings,
+    MergePolicyConfig,
+    documents_doc_mapping,
+)
+from quickwit_ray.index.build import build_index, garbage_collect
+from quickwit_ray.index.merge import (
+    ConstWriteAmplificationMergePolicy,
+    StableLogMergePolicy,
+    run_merge_pipeline,
+)
+from quickwit_ray.search.engine import IndexSearcher
+from quickwit_ray.state.manifest import SplitMetadata
+
+TARGET = 10_000_000
+
+
+def _mk_split(i: int, num_docs: int, merge_ops: int = 0) -> SplitMetadata:
+    return SplitMetadata(split_id=f"s{i:04d}", index_id="x", num_docs=num_docs,
+                         uncompressed_docs_size_in_bytes=num_docs * 100,
+                         create_timestamp=time.time(), num_merge_ops=merge_ops)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=TARGET - 1),
+                min_size=0, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_stable_log_policy_invariants(doc_counts):
+    policy = StableLogMergePolicy(MergePolicyConfig(merge_factor=3, max_merge_factor=5,
+                                                    min_level_num_docs=1000), TARGET)
+    splits = [_mk_split(i, n) for i, n in enumerate(doc_counts)]
+    ops = policy.operations(splits, now=time.time())
+    seen = set()
+    for op in ops:
+        # factor bounds
+        assert 2 <= len(op.splits) <= 5
+        # no split in two ops
+        for s in op.splits:
+            assert s.split_id not in seen
+            seen.add(s.split_id)
+        # merged split below target (or single op exceeding is impossible)
+        assert all(s.num_docs < TARGET for s in op.splits)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=200_000),
+                min_size=0, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_stable_log_policy_converges(doc_counts):
+    """Repeatedly applying ops (simulating merges) reaches a stable state."""
+    policy = StableLogMergePolicy(MergePolicyConfig(merge_factor=3, max_merge_factor=4,
+                                                    min_level_num_docs=1000), TARGET)
+    splits = [_mk_split(i, n) for i, n in enumerate(doc_counts)]
+    nxt = 10_000
+    for _ in range(64):
+        ops = policy.operations(splits, now=time.time())
+        if not ops:
+            break
+        merged_away = {s.split_id for op in ops for s in op.splits}
+        splits = [s for s in splits if s.split_id not in merged_away]
+        for op in ops:
+            splits.append(_mk_split(nxt, sum(s.num_docs for s in op.splits),
+                                    max(s.num_merge_ops for s in op.splits) + 1))
+            nxt += 1
+    else:
+        pytest.fail("policy did not converge")
+
+
+def test_mature_splits_untouched():
+    policy = StableLogMergePolicy(MergePolicyConfig(merge_factor=2, max_merge_factor=3,
+                                                    min_level_num_docs=100), TARGET)
+    mature = _mk_split(0, TARGET)  # at target -> mature
+    young = [_mk_split(i + 1, 50) for i in range(4)]
+    ops = policy.operations([mature] + young, now=time.time())
+    for op in ops:
+        assert all(s.split_id != mature.split_id for s in op.splits)
+
+
+def test_const_write_amplification_respects_max_ops():
+    policy = ConstWriteAmplificationMergePolicy(
+        MergePolicyConfig(kind="const_write_amplification", merge_factor=3,
+                          max_merge_factor=3, max_merge_ops=2), TARGET)
+    splits = [_mk_split(i, 100, merge_ops=2) for i in range(9)]
+    assert policy.operations(splits, now=time.time()) == []
+    splits = [_mk_split(i, 100, merge_ops=1) for i in range(9)]
+    ops = policy.operations(splits, now=time.time())
+    assert len(ops) == 3 and all(len(op.splits) == 3 for op in ops)
+
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_merge_preserves_search_results(tmp_path):
+    """Build many small splits, merge them down, assert query results and
+    counts are identical (modulo per-split BM25 statistics which legally
+    change when split boundaries change — so compare a non-scored sort)."""
+    config = IndexConfig(
+        index_id="documents", doc_mapping=documents_doc_mapping(),
+        settings=IndexSettings(
+            split_num_docs_target=10_000, commit_docs_threshold=100,
+            merge_policy=MergePolicyConfig(merge_factor=3, max_merge_factor=4,
+                                           min_level_num_docs=1000)))
+    index_dir = str(tmp_path / "idx")
+    build_index(DOCS, index_dir, config, execution="local", read_batch_size=100)
+    s = IndexSearcher(index_dir)
+    n_before = len(s.manifest.published_splits())
+    assert n_before == 5
+    before_ids = list(s.search("text:scan", max_hits=50, sort_by="doc_id",
+                               fetch_fields=["doc_id"]).hits["doc_id"])
+    before_count = s.search("text:scan", max_hits=0).num_hits
+    before_aggs = s.search("*", max_hits=0, aggs={
+        "langs": {"terms": {"field": "lang", "size": 20}}}).aggs
+
+    merges = run_merge_pipeline(index_dir, execution="local")
+    assert merges >= 1
+    s2 = IndexSearcher(index_dir)
+    n_after = len(s2.manifest.published_splits())
+    assert n_after < n_before
+    assert sum(sp.num_docs for sp in s2.manifest.published_splits()) == 500
+    after_ids = list(s2.search("text:scan", max_hits=50, sort_by="doc_id",
+                               fetch_fields=["doc_id"]).hits["doc_id"])
+    assert after_ids == before_ids
+    assert s2.search("text:scan", max_hits=0).num_hits == before_count
+    after_aggs = s2.search("*", max_hits=0, aggs={
+        "langs": {"terms": {"field": "lang", "size": 20}}}).aggs
+    assert after_aggs == before_aggs
+    # replaced splits GC away, merged stays
+    removed = garbage_collect(index_dir)
+    assert len(removed) >= 3
+    s3 = IndexSearcher(index_dir)
+    assert s3.search("text:scan", max_hits=0).num_hits == before_count
+
+
+def test_merge_preserves_phrase_and_positions(tmp_path):
+    config = IndexConfig(
+        index_id="documents", doc_mapping=documents_doc_mapping(),
+        settings=IndexSettings(
+            split_num_docs_target=10_000, commit_docs_threshold=100,
+            merge_policy=MergePolicyConfig(merge_factor=5, max_merge_factor=5,
+                                           min_level_num_docs=1000)))
+    index_dir = str(tmp_path / "idx")
+    build_index(DOCS, index_dir, config, execution="local", read_batch_size=100)
+    s = IndexSearcher(index_dir)
+    t = pq.read_table(DOCS, columns=["text"]).to_pandas()
+    w = t["text"].iloc[0].split()[:2]
+    phrase = f'text:"{w[0].lower()} {w[1].lower()}"'
+    before = s.search(phrase, max_hits=0).num_hits
+    run_merge_pipeline(index_dir, execution="local")
+    s2 = IndexSearcher(index_dir)
+    assert len(s2.manifest.published_splits()) == 1
+    assert s2.search(phrase, max_hits=0).num_hits == before
+    # byte-identical text through merged docstore
+    truth = pq.read_table(DOCS, columns=["doc_id", "text"]).to_pandas().set_index("doc_id")
+    hits = s2.search("text:scan", max_hits=10, sort_by="_score").hits
+    for _, row in hits.iterrows():
+        assert row["text"] == truth.loc[row["doc_id"], "text"]
