@@ -1,44 +1,457 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+`entry()` runs the flagship pipeline (index build + BM25 search over the
+sf0.001 documents table). `queries()` exposes one callable per
+implemented operator/pipeline (SURVEY.md §2 + training-data ops);
+`oracle_sql()` gives the DuckDB-equivalent SQL for everything
+SQL-expressible. Ray is initialised by the driver BEFORE import — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# index cache: build once per (sf_dir, table) into /tmp, resumable
+# ---------------------------------------------------------------------------
+
+_SCRATCH = "/tmp/quickwit_ray_entry"
+
+
+def _index_dir_for(sf_dir: str, table: str) -> str:
+    h = hashlib.sha1(f"{sf_dir}:{table}:v1".encode()).hexdigest()[:10]
+    return os.path.join(_SCRATCH, f"{table}-{h}")
+
+
+def _documents_index(sf_dir: str) -> str:
+    from quickwit_ray.config import IndexConfig, IndexSettings, documents_doc_mapping
+    from quickwit_ray.index.build import build_index
+
+    idx = _index_dir_for(sf_dir, "documents")
+    config = IndexConfig(
+        index_id="documents", doc_mapping=documents_doc_mapping(),
+        settings=IndexSettings(split_num_docs_target=1_000_000,
+                               commit_docs_threshold=200))
+    build_index(os.path.join(sf_dir, "documents.parquet"), idx, config,
+                execution="local")
+    return idx
+
+
+def _events_index(sf_dir: str) -> str:
+    from quickwit_ray.config import DocMapping, FieldMapping, IndexConfig, IndexSettings
+    from quickwit_ray.index.build import build_index
+
+    idx = _index_dir_for(sf_dir, "events")
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="event_type", type="text", tokenizer="raw",
+                         record="basic", stored=True, fast=True, tag=True),
+            FieldMapping(name="props", type="text", tokenizer="default",
+                         record="freq", fieldnorms=True, stored=True),
+            FieldMapping(name="ts", type="datetime", stored=True, fast=True),
+            FieldMapping(name="event_id", type="i64", stored=True, fast=True),
+            FieldMapping(name="user_id", type="i64", stored=True, fast=True),
+            FieldMapping(name="value", type="f64", stored=True, fast=True),
+        ),
+        mode="strict", timestamp_field="ts", tag_fields=("event_type",),
+        doc_id_field="event_id", default_search_fields=("props",))
+    config = IndexConfig(
+        index_id="events", doc_mapping=mapping,
+        settings=IndexSettings(split_num_docs_target=1_000_000,
+                               commit_docs_threshold=2500))
+    build_index(os.path.join(sf_dir, "events.parquet"), idx, config,
+                execution="local")
+    return idx
+
+
+def _searcher(sf_dir: str, table: str = "documents"):
+    from quickwit_ray.search.engine import IndexSearcher
+
+    idx = _documents_index(sf_dir) if table == "documents" else _events_index(sf_dir)
+    return IndexSearcher(idx)
+
+
+def _docs_ds(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _ids_df(resp_or_ids) -> pd.DataFrame:
+    ids = sorted(int(x) for x in resp_or_ids)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def _matching_ids(sf_dir: str, query: str, table: str = "documents") -> pd.DataFrame:
+    s = _searcher(sf_dir, table)
+    id_field = s.mapping.doc_id_field
+    resp = s.search(query, max_hits=1_000_000, fetch_fields=[id_field])
+    col = resp.hits[id_field] if len(resp.hits) else []
+    out = pd.DataFrame({id_field: pd.Series(sorted(int(x) for x in col),
+                                            dtype="int64")})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents (Ray
+    pipeline), run a scored BM25 search, return the hits."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = _searcher(sf_dir, "documents")
+    resp = s.search("text:scan AND text:merge", max_hits=20, sort_by="_score")
+    hits = resp.hits.copy()
+    hits["bm25"] = hits["sort_key0"]
+    return hits[["doc_id", "bm25", "text", "lang"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- full-text search operators (index-backed) --------------------
+    q["search_term"] = lambda sf: _matching_ids(sf, "text:scan")
+    q["search_and"] = lambda sf: _matching_ids(sf, "+text:scan +text:merge")
+    q["search_or"] = lambda sf: _matching_ids(sf, "text:scan OR text:merge")
+    q["search_not"] = lambda sf: _matching_ids(sf, "+text:scan -text:merge")
+    q["search_phrase"] = lambda sf: _matching_ids(sf, 'text:"table scan"')
+    q["search_prefix"] = lambda sf: _matching_ids(sf, "text:mer*")
+    q["search_termset"] = lambda sf: _matching_ids(sf, "lang: IN [de fr]")
+    q["search_exists"] = lambda sf: _matching_ids(sf, "n_chars:*")
+
+    def search_count(sf):
+        s = _searcher(sf, "documents")
+        return pd.DataFrame({"n": pd.Series([s.search("text:scan", max_hits=0).num_hits],
+                                            dtype="int64")})
+    q["search_count"] = search_count
+
+    def search_range(sf):
+        return _matching_ids(sf, "+n_chars:[500 TO 900} +text:scan")
+    q["search_range"] = search_range
+
+    def search_topk_sort(sf):
+        s = _searcher(sf, "documents")
+        resp = s.search("*", max_hits=10, sort_by=["n_chars", "doc_id"],
+                        fetch_fields=["doc_id", "n_chars"])
+        out = resp.hits[["doc_id", "n_chars"]].reset_index(drop=True)
+        return out.astype({"doc_id": "int64", "n_chars": "int64"})
+    q["search_topk_sort"] = search_topk_sort
+
+    def search_bm25_topk(sf):  # rows-only (BM25 not SQL-expressible)
+        s = _searcher(sf, "documents")
+        resp = s.search("text:scan OR text:merge", max_hits=10, sort_by="_score",
+                        fetch_fields=["doc_id"])
+        out = resp.hits[["doc_id"]].copy()
+        out["bm25"] = resp.hits["sort_key0"]
+        return out.reset_index(drop=True)
+    q["search_bm25_topk"] = search_bm25_topk
+
+    # ---- events index: time pruning, term+range, streaming export -----
+    def events_time_range(sf):
+        s = _searcher(sf, "events")
+        n = s.search(
+            '+event_type:click +ts:[2024-01-05T00:00:00Z TO 2024-01-12T00:00:00Z}',
+            max_hits=0).num_hits
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64")})
+    q["events_time_range"] = events_time_range
+
+    def events_stream_export(sf):
+        from quickwit_ray.pipelines.search_stream import search_stream_index
+
+        df = search_stream_index(_events_index(sf), "event_type:click",
+                                 ["user_id", "value"])
+        return (df.sort_values(["user_id", "value"]).reset_index(drop=True)
+                .astype({"user_id": "int64", "value": "float64"}))
+    q["events_stream_export"] = events_stream_export
+
+    # ---- aggregations --------------------------------------------------
+    def agg_terms_lang(sf):
+        s = _searcher(sf, "documents")
+        resp = s.search("*", max_hits=0, aggs={
+            "langs": {"terms": {"field": "lang", "size": 1000}}})
+        b = resp.aggs["langs"]["buckets"]
+        return pd.DataFrame({"lang": [x["key"] for x in b],
+                             "doc_count": pd.Series([x["doc_count"] for x in b],
+                                                    dtype="int64")})
+    q["agg_terms_lang"] = agg_terms_lang
+
+    def agg_stats_nchars(sf):
+        s = _searcher(sf, "documents")
+        resp = s.search("*", max_hits=0, aggs={
+            "st": {"stats": {"field": "n_chars"}}})
+        st = resp.aggs["st"]
+        return pd.DataFrame({"cnt": pd.Series([st["count"]], dtype="int64"),
+                             "sum_n": [float(st["sum"])],
+                             "min_n": [float(st["min"])],
+                             "max_n": [float(st["max"])],
+                             "avg_n": [float(st["avg"])]})
+    q["agg_stats_nchars"] = agg_stats_nchars
+
+    def agg_date_histogram(sf):
+        s = _searcher(sf, "events")
+        resp = s.search("*", max_hits=0, aggs={
+            "days": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}})
+        b = resp.aggs["days"]["buckets"]
+        return pd.DataFrame({"key": pd.Series([int(x["key"]) for x in b], dtype="int64"),
+                             "doc_count": pd.Series([x["doc_count"] for x in b],
+                                                    dtype="int64")})
+    q["agg_date_histogram"] = agg_date_histogram
+
+    def agg_histogram_value(sf):
+        s = _searcher(sf, "events")
+        resp = s.search("*", max_hits=0, aggs={
+            "v": {"histogram": {"field": "value", "interval": 10.0}}})
+        b = resp.aggs["v"]["buckets"]
+        return pd.DataFrame({"key": [float(x["key"]) for x in b],
+                             "doc_count": pd.Series([x["doc_count"] for x in b],
+                                                    dtype="int64")})
+    q["agg_histogram_value"] = agg_histogram_value
+
+    def agg_terms_subagg(sf):
+        s = _searcher(sf, "events")
+        resp = s.search("*", max_hits=0, aggs={
+            "types": {"terms": {"field": "event_type", "size": 100},
+                      "aggs": {"v": {"stats": {"field": "value"}}}}})
+        b = resp.aggs["types"]["buckets"]
+        return pd.DataFrame({
+            "event_type": [x["key"] for x in b],
+            "doc_count": pd.Series([x["doc_count"] for x in b], dtype="int64"),
+            "sum_value": [float(x["v"]["sum"]) for x in b],
+        })
+    q["agg_terms_subagg"] = agg_terms_subagg
+
+    def agg_percentiles(sf):  # approx -> rows-only
+        s = _searcher(sf, "events")
+        resp = s.search("*", max_hits=0, aggs={
+            "p": {"percentiles": {"field": "value", "percents": [50, 95]}}})
+        v = resp.aggs["p"]["values"]
+        return pd.DataFrame({"p50": [v["50"]], "p95": [v["95"]]})
+    q["agg_percentiles"] = agg_percentiles
+
+    def agg_cardinality(sf):  # approx HLL -> rows-only
+        s = _searcher(sf, "events")
+        resp = s.search("*", max_hits=0, aggs={
+            "c": {"cardinality": {"field": "user_id"}}})
+        return pd.DataFrame({"approx_distinct": [float(resp.aggs["c"]["value"])]})
+    q["agg_cardinality"] = agg_cardinality
+
+    # ---- training-data pipelines ---------------------------------------
+    def dedup_exact(sf):
+        from quickwit_ray.pipelines.dedup import exact_dedup
+
+        ds = _docs_ds(sf, "documents", ["doc_id", "text"])
+        kept = exact_dedup(ds, "text", "doc_id").to_pandas()
+        return _ids_df(kept["doc_id"])
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash(sf):  # rows-only (approx candidate generation)
+        from quickwit_ray.pipelines.dedup import minhash_dedup
+
+        ds = _docs_ds(sf, "documents", ["doc_id", "text"])
+        kept, clusters = minhash_dedup(ds, "text", "doc_id", threshold=0.8)
+        return _ids_df(kept.to_pandas()["doc_id"])
+    q["dedup_minhash"] = dedup_minhash
+
+    def dedup_simhash(sf):  # rows-only
+        from quickwit_ray.pipelines.dedup import simhash_dedup
+
+        ds = _docs_ds(sf, "documents", ["doc_id", "text"])
+        kept, _ = simhash_dedup(ds, "text", "doc_id", max_hamming=2)
+        return _ids_df(kept.to_pandas()["doc_id"])
+    q["dedup_simhash"] = dedup_simhash
+
+    def dedup_embedding(sf):  # rows-only
+        from quickwit_ray.pipelines.dedup import embedding_dedup
+
+        ds = _docs_ds(sf, "embeddings", ["vec_id", "embedding"])
+        kept, _ = embedding_dedup(ds, "embedding", "vec_id", threshold=0.98)
+        return pd.DataFrame({"vec_id": pd.Series(
+            sorted(kept.to_pandas()["vec_id"]), dtype="int64")})
+    q["dedup_embedding"] = dedup_embedding
+
+    def token_count_by_lang(sf):
+        import pyarrow as pa
+
+        from quickwit_ray.functions.tokenizers import tokenize_batch
+
+        ds = _docs_ds(sf, "documents", ["lang", "text"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            doc_idx, toks, _ = tokenize_batch(batch["text"].to_pylist(), "default")
+            counts = np.bincount(doc_idx, minlength=batch.num_rows)
+            df = pd.DataFrame({"lang": batch["lang"].to_pylist(),
+                               "n": counts.astype(np.int64)})
+            g = df.groupby("lang", as_index=False)["n"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        import ray.data
+
+        out = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("lang").sum("n"))
+        pdf = out.to_pandas().rename(columns={"sum(n)": "n_tokens"})
+        return (pdf.sort_values("lang").reset_index(drop=True)
+                .astype({"n_tokens": "int64"}))
+    q["token_count_by_lang"] = token_count_by_lang
+
+    def text_quality(sf):  # heuristic -> rows-only
+        from quickwit_ray.pipelines.textstats import analyze_text
+
+        ds = _docs_ds(sf, "documents", ["doc_id", "text"])
+        out = analyze_text(ds, "text", features=("quality", "langid"),
+                           concurrency=2).to_pandas()
+        return pd.DataFrame({
+            "n_docs": pd.Series([len(out)], dtype="int64"),
+            "mean_quality": [float(out["quality_score"].mean())],
+            "n_en_pred": pd.Series([int((out["lang_pred"] == "en").sum())],
+                                   dtype="int64")})
+    q["text_quality"] = text_quality
+
+    def ann_cosine_topk(sf):
+        import pyarrow.parquet as pq
+
+        from quickwit_ray.pipelines.ann import brute_force_topk
+
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet")) \
+                .slice(0, 3)["embedding"].to_pylist()
+        ds = _docs_ds(sf, "embeddings", ["vec_id", "embedding"])
+        out = brute_force_topk(ds, np.asarray(emb, np.float64), k=10,
+                               vec_col="embedding", id_col="vec_id")
+        return (out[["query_id", "rank", "id"]]
+                .astype({"query_id": "int64", "rank": "int64", "id": "int64"})
+                .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    def ann_ivf_topk(sf):  # approx -> rows-only
+        import pyarrow.parquet as pq
+
+        from quickwit_ray.pipelines.ann import ivf_topk
+
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet")) \
+                .slice(0, 2)["embedding"].to_pylist()
+        ds = _docs_ds(sf, "embeddings", ["vec_id", "embedding"])
+        out = ivf_topk(ds, np.asarray(emb, np.float64), k=5, nprobe=8)
+        return (out[["query_id", "rank", "id"]]
+                .astype({"query_id": "int64", "rank": "int64", "id": "int64"})
+                .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    q["ann_ivf_topk"] = ann_ivf_topk
+
+    # ---- general aggregation breadth over the star schema --------------
+    def lineitem_pricing_summary(sf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"])
+
+        def ext(batch: pa.Table) -> pa.Table:
+            disc = pc.multiply(batch["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+            return batch.append_column("disc_price", disc)
+
+        out = (ds.map_batches(ext, batch_format="pyarrow")
+               .groupby(["l_returnflag", "l_linestatus"])
+               .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                          Sum("disc_price", alias_name="sum_disc_price"),
+                          Count(alias_name="count_order")))
+        pdf = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]) \
+                 .reset_index(drop=True)
+        pdf = pdf.astype({"sum_qty": "float64", "sum_disc_price": "float64",
+                          "count_order": "int64"})
+        # round the float sum so distributed summation order cannot flip the
+        # value hash vs the oracle (diff ~1e-6 absolute at 5e8 magnitude)
+        pdf["sum_disc_price"] = pdf["sum_disc_price"].round(0)
+        return pdf
+    q["lineitem_pricing_summary"] = lineitem_pricing_summary
+
+    def top_users_by_value(sf):
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["user_id", "value"])
+        out = ds.groupby("user_id").aggregate(Sum("value", alias_name="total"))
+        pdf = out.to_pandas()
+        pdf = pdf.sort_values(["total", "user_id"], ascending=[False, False]) \
+                 .head(10).reset_index(drop=True)
+        return pdf.astype({"user_id": "int64", "total": "float64"})
+    q["top_users_by_value"] = top_users_by_value
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+    def has_token(t: str) -> str:
+        return f"list_contains({TOKENS}, '{t}')"
+
+    phrase_regex = r"(^|[^a-z0-9])table[^a-z0-9]+scan([^a-z0-9]|$)"
+    return {
+        "search_term": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "search_and": f"SELECT doc_id FROM documents WHERE {has_token('scan')} AND {has_token('merge')} ORDER BY doc_id",
+        "search_or": f"SELECT doc_id FROM documents WHERE {has_token('scan')} OR {has_token('merge')} ORDER BY doc_id",
+        "search_not": f"SELECT doc_id FROM documents WHERE {has_token('scan')} AND NOT {has_token('merge')} ORDER BY doc_id",
+        "search_phrase": f"SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '{phrase_regex}') ORDER BY doc_id",
+        "search_prefix": f"SELECT doc_id FROM documents WHERE len(list_filter({TOKENS}, x -> x LIKE 'mer%')) > 0 ORDER BY doc_id",
+        "search_termset": "SELECT doc_id FROM documents WHERE lang IN ('de','fr') ORDER BY doc_id",
+        "search_exists": "SELECT doc_id FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id",
+        "search_count": f"SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE {has_token('scan')}",
+        "search_range": f"SELECT doc_id FROM documents WHERE n_chars >= 500 AND n_chars < 900 AND {has_token('scan')} ORDER BY doc_id",
+        "search_topk_sort": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id DESC LIMIT 10",
+        "events_time_range": ("SELECT CAST(count(*) AS BIGINT) AS n FROM events "
+                              "WHERE event_type = 'click' "
+                              "AND ts >= TIMESTAMP '2024-01-05 00:00:00' "
+                              "AND ts < TIMESTAMP '2024-01-12 00:00:00'"),
+        "events_stream_export": ("SELECT user_id, value FROM events WHERE event_type = 'click' "
+                                 "ORDER BY user_id, value"),
+        "agg_terms_lang": "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count FROM documents GROUP BY lang",
+        "agg_stats_nchars": ("SELECT CAST(count(*) AS BIGINT) AS cnt, "
+                             "CAST(sum(n_chars) AS DOUBLE) AS sum_n, "
+                             "CAST(min(n_chars) AS DOUBLE) AS min_n, "
+                             "CAST(max(n_chars) AS DOUBLE) AS max_n, "
+                             "avg(n_chars) AS avg_n FROM documents"),
+        "agg_date_histogram": ("SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS key, "
+                               "CAST(count(*) AS BIGINT) AS doc_count "
+                               "FROM events GROUP BY 1 ORDER BY 1"),
+        "agg_histogram_value": ("SELECT floor(value / 10.0) * 10.0 AS key, "
+                                "CAST(count(*) AS BIGINT) AS doc_count "
+                                "FROM events GROUP BY 1 ORDER BY 1"),
+        "agg_terms_subagg": ("SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count, "
+                             "sum(value) AS sum_value FROM events GROUP BY event_type"),
+        "dedup_exact": ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
+                        "(PARTITION BY text ORDER BY doc_id) AS rn FROM documents) "
+                        "WHERE rn = 1 ORDER BY doc_id"),
+        "token_count_by_lang": (f"SELECT lang, CAST(sum(len({TOKENS})) AS BIGINT) AS n_tokens "
+                                "FROM documents GROUP BY lang ORDER BY lang"),
+        "ann_cosine_topk": ("WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3), "
+                            "scored AS (SELECT q.query_id, e.vec_id AS id, "
+                            "list_cosine_similarity(e.embedding, q.embedding) AS s "
+                            "FROM embeddings e CROSS JOIN q), "
+                            "ranked AS (SELECT query_id, id, "
+                            "row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id) - 1 AS rank "
+                            "FROM scored) "
+                            "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, "
+                            "CAST(id AS BIGINT) AS id FROM ranked WHERE rank < 10 "
+                            "ORDER BY query_id, rank"),
+        "lineitem_pricing_summary": ("SELECT l_returnflag, l_linestatus, "
+                                     "CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, "
+                                     "round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price, "
+                                     "CAST(count(*) AS BIGINT) AS count_order "
+                                     "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+                                     "ORDER BY l_returnflag, l_linestatus"),
+        "top_users_by_value": ("SELECT user_id, sum(value) AS total FROM events "
+                               "GROUP BY user_id ORDER BY total DESC, user_id DESC LIMIT 10"),
+    }

@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+  * brute_force_topk: the exactness baseline — broadcast the (tiny) query
+    matrix once via ray.put, every batch does one numpy matmul against it
+    and emits its LOCAL top-k rows; the driver merges the per-batch
+    top-k lists (small). No shuffle.
+  * ivf_topk: the scale path — coarse k-means centroids trained on a
+    sample (driver-side, tiny), every vector assigned to its nearest
+    centroid inside map_batches; queries probe only the nprobe nearest
+    centroid lists. Still no all-to-all; assignment is a narrow map.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     metric: str = "cosine") -> pd.DataFrame:
+    """Exact top-k per query. Returns DataFrame(query_id, rank, id, score),
+    deterministic tie-break on ascending id."""
+    import ray
+    import pyarrow as pa
+
+    q = np.asarray(queries, np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    if metric == "cosine":
+        q = _normalize(q)
+    q_ref = ray.put(q)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vecs = np.asarray(batch[vec_col].to_pylist(), np.float64)
+        ids = np.asarray(batch[id_col].to_pylist())
+        if metric == "cosine":
+            vecs = _normalize(vecs)
+        sims = vecs @ qm.T  # (n, nq)
+        out_q, out_id, out_score = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(qm.shape[0]):
+            s = sims[:, qi]
+            # top-k with ascending-id tie-break: argsort on (-score, id)
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            order = part[np.lexsort((ids[part], -s[part]))]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_score.extend(s[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int32()),
+                         "id": pa.array(out_id),
+                         "score": pa.array(out_score, pa.float64())})
+
+    partial = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in partial.groupby("query_id"):
+        g = g.sort_values(["score", "id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g))
+        out.append(g)
+    return (pd.concat(out, ignore_index=True)[["query_id", "rank", "id", "score"]]
+            if out else pd.DataFrame(columns=["query_id", "rank", "id", "score"]))
+
+
+def train_centroids(ds, vec_col: str, num_centroids: int = 64,
+                    sample_rows: int = 10_000, iters: int = 10,
+                    seed: int = 5) -> np.ndarray:
+    """Coarse k-means on a driver-side sample (IVF coarse quantizer)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    x = _normalize(np.asarray(sample[vec_col].tolist(), np.float64))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    c = x[rng.choice(len(x), min(num_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, vec_col: str = "embedding",
+             id_col: str = "vec_id", centroids: Optional[np.ndarray] = None,
+             nprobe: int = 8, num_centroids: int = 64) -> pd.DataFrame:
+    """IVF-style ANN: probe only vectors whose coarse centroid is among the
+    query's nprobe nearest. Approximate; recall grows with nprobe."""
+    import ray
+    import pyarrow as pa
+
+    if centroids is None:
+        centroids = train_centroids(ds, vec_col, num_centroids)
+    q = _normalize(np.atleast_2d(np.asarray(queries, np.float64)))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((q, centroids, probe))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm, cents, prb = ray.get(ref)
+        vecs = _normalize(np.asarray(batch[vec_col].to_pylist(), np.float64))
+        ids = np.asarray(batch[id_col].to_pylist())
+        assign = np.argmax(vecs @ cents.T, axis=1)
+        out_q, out_id, out_score = [], [], []
+        for qi in range(qm.shape[0]):
+            m = np.isin(assign, prb[qi])
+            if not m.any():
+                continue
+            s = vecs[m] @ qm[qi]
+            sel_ids = ids[m]
+            kk = min(k, len(s))
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            order = part[np.lexsort((sel_ids[part], -s[part]))]
+            out_q.extend([qi] * len(order))
+            out_id.extend(sel_ids[order].tolist())
+            out_score.extend(s[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int32()),
+                         "id": pa.array(out_id),
+                         "score": pa.array(out_score, pa.float64())})
+
+    partial = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in partial.groupby("query_id"):
+        g = g.sort_values(["score", "id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g))
+        out.append(g)
+    return (pd.concat(out, ignore_index=True)[["query_id", "rank", "id", "score"]]
+            if out else pd.DataFrame(columns=["query_id", "rank", "id", "score"]))
