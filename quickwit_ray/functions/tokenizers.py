@@ -344,41 +344,52 @@ def tokenize_batch(texts, tokenizer: str = "default"):
         return (np.asarray(idxs, np.int32), np.asarray(toks, object),
                 np.asarray(poss, np.int32))
 
+    from itertools import chain
+
     parts = [(t if isinstance(t, str) else ("" if t is None else str(t))) for t in texts]
     joined = sep.join(parts)
     if lower:
         joined = joined.lower()
-    # row boundary start offsets in the joined string
-    lens = np.fromiter((len(p) for p in parts), np.int64, count=n)
-    starts_of_rows = np.zeros(n + 1, np.int64)
-    np.cumsum(lens + 1, out=starts_of_rows[1:])  # +1 for the separator
+        parts = joined.split(sep)  # lower once in C, re-split on separator
 
-    spans = [(m.start(), m.group()) for m in pattern.finditer(joined)]
-    if not spans:
+    # one C findall per row: no per-match Python objects
+    fa = pattern.findall
+    lists = [fa(p) for p in parts]
+    counts = np.fromiter(map(len, lists), np.int64, count=n)
+    total = int(counts.sum())
+    if total == 0:
         return (np.empty(0, np.int32), np.empty(0, object), np.empty(0, np.int32))
-    tok_starts = np.fromiter((s for s, _ in spans), np.int64, count=len(spans))
-    tokens = np.array([g for _, g in spans], object)
-    doc_idx = (np.searchsorted(starts_of_rows, tok_starts, side="right") - 1).astype(np.int32)
+    tokens = np.fromiter(chain.from_iterable(lists), object, count=total)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int32), counts)
+    offsets = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    positions = (np.arange(total, dtype=np.int64) - offsets).astype(np.int32)
 
-    # drop over-long tokens (255-byte cut). Cheap check: len(str) >= 255/4
-    # guarantees the byte length *might* exceed; only then encode.
-    tok_chars = np.fromiter((len(t) for t in tokens), np.int64, count=len(tokens))
-    maybe_long = tok_chars >= (MAX_TOKEN_BYTES // 4)
-    if maybe_long.any():
-        keep = np.ones(len(tokens), bool)
-        for j in np.nonzero(maybe_long)[0]:
-            if len(tokens[j].encode("utf-8", "ignore")) >= MAX_TOKEN_BYTES:
+    # 255-byte cut: numpy byte-run prescan (a token's UTF-8 byte length is
+    # bounded by its run of non-separator bytes); the per-token check runs
+    # only when some run reaches the limit
+    maybe_long = False
+    bts = np.frombuffer(joined.encode("utf-8", "ignore"), np.uint8)
+    if len(bts) >= MAX_TOKEN_BYTES:
+        sep_pos = np.nonzero((bts == 0) | (bts == 32) | (bts == 9)
+                             | (bts == 10) | (bts == 13))[0]
+        runs = np.diff(np.concatenate([[-1], sep_pos, [len(bts)]])) - 1
+        maybe_long = bool(runs.max() >= MAX_TOKEN_BYTES)
+    if maybe_long:
+        keep = np.ones(total, bool)
+        for j, t in enumerate(tokens):
+            if len(t) >= MAX_TOKEN_BYTES // 4 \
+                    and len(t.encode("utf-8", "ignore")) >= MAX_TOKEN_BYTES:
                 keep[j] = False
-        doc_idx, tokens = doc_idx[keep], tokens[keep]
-
-    # positions: ordinal within each row (rows are contiguous in doc_idx)
-    if len(doc_idx):
-        row_change = np.empty(len(doc_idx), bool)
-        row_change[0] = True
-        row_change[1:] = doc_idx[1:] != doc_idx[:-1]
-        seg_starts = np.nonzero(row_change)[0]
-        positions = (np.arange(len(doc_idx), dtype=np.int32)
-                     - np.repeat(seg_starts, np.diff(np.append(seg_starts, len(doc_idx)))).astype(np.int32))
-    else:
-        positions = np.empty(0, np.int32)
+        if not keep.all():
+            doc_idx, tokens = doc_idx[keep], tokens[keep]
+            # recompute per-row ordinals after the drop
+            row_change = np.empty(len(doc_idx), bool)
+            row_change[0] = True
+            row_change[1:] = doc_idx[1:] != doc_idx[:-1]
+            seg_starts = np.nonzero(row_change)[0]
+            seg_lens = np.diff(np.append(seg_starts, len(doc_idx)))
+            positions = (np.arange(len(doc_idx), dtype=np.int64)
+                         - np.repeat(seg_starts, seg_lens)).astype(np.int32)
+        else:
+            positions = positions
     return doc_idx, tokens, positions

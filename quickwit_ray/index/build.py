@@ -101,7 +101,18 @@ class IndexPartitionTask:
     def _index_one(self, path: str) -> list[SplitMetadata]:
         mapping = self.config.doc_mapping
         source_partition_id = path
-        needed = {f.name for f in mapping.field_mappings}
+        # prune at the read: only columns that are indexed, stored (and not
+        # excluded binaries), fast, or needed for routing/timestamp/tags
+        store_bin = self.config.settings.store_binary_columns
+        needed = set()
+        for f in mapping.field_mappings:
+            stored = f.stored and (store_bin or f.type != "bytes")
+            if f.indexed and f.type == "text" or stored or f.fast or f.tag:
+                needed.add(f.name)
+        if mapping.timestamp_field:
+            needed.add(mapping.timestamp_field)
+        if mapping.partition_key:
+            needed.add(mapping.partition_key)
         pf = pq.ParquetFile(path)
         cols = [c for c in pf.schema_arrow.names if c in needed]
         splits: list[SplitMetadata] = []
@@ -155,6 +166,15 @@ class IndexPartitionTask:
         return splits
 
 
+def index_partition_fn(item_batch: dict[str, np.ndarray], *, config_json: dict,
+                       index_dir: str, read_batch_size: int = 8192) -> dict[str, list]:
+    """Stateless-task form of IndexPartitionTask (used with
+    map_batches(fn, fn_kwargs=...)): tasks reuse Ray's warm worker pool, so
+    repeated builds skip actor cold-start entirely."""
+    task = IndexPartitionTask(config_json, index_dir, read_batch_size)
+    return task(item_batch)
+
+
 def _sm_to_json_str(sm: SplitMetadata) -> str:
     import json
 
@@ -189,17 +209,22 @@ def build_index(inputs: str | list[str], index_dir: str, config: IndexConfig,
     pending = [p for p in paths if not manifest.is_partition_committed(p)]
     stats = BuildStats(num_partitions=len(pending))
 
-    def commit_batch(split_jsons: list[str]) -> None:
-        by_partition: dict[str, list[SplitMetadata]] = {}
+    pending_commits: dict[str, list[SplitMetadata]] = {}
+
+    def commit_batch(split_jsons: list[str], flush: bool = False) -> None:
+        # a task returns all splits of its partition in one output batch,
+        # so every partition seen here is complete; buffer a handful of
+        # completed partitions per atomic manifest write (fewer fsyncs,
+        # still exactly-once per partition)
         for sj in split_jsons:
             sm = SplitMetadata.from_json(_json.loads(sj))
-            by_partition.setdefault(sm.source_partition_id, []).append(sm)
-        # a task returns all splits of its partition in one output batch,
-        # so every partition seen here is complete -> publish it now
-        for pid, sms in by_partition.items():
-            manifest.publish(sms, checkpoint_partition=pid)
-            stats.num_docs += sum(s.num_docs for s in sms)
-            stats.num_splits += len(sms)
+            pending_commits.setdefault(sm.source_partition_id, []).append(sm)
+        if len(pending_commits) >= 8 or (flush and pending_commits):
+            for sms in pending_commits.values():
+                stats.num_docs += sum(s.num_docs for s in sms)
+                stats.num_splits += len(sms)
+            manifest.publish_many(pending_commits)
+            pending_commits.clear()
 
     if pending and execution == "local":
         task = IndexPartitionTask(config.to_json(), index_dir, read_batch_size)
@@ -210,23 +235,31 @@ def build_index(inputs: str | list[str], index_dir: str, config: IndexConfig,
         import ray
         import ray.data
 
-        conc = concurrency or max(
-            1, min(len(pending), int(ray.cluster_resources().get("CPU", 8))))
         ds = ray.data.from_items([{"path": p} for p in pending])
-        out = ds.map_batches(
-            IndexPartitionTask,
-            fn_constructor_kwargs=dict(config_json=config.to_json(),
-                                       index_dir=index_dir,
-                                       read_batch_size=read_batch_size),
-            batch_size=1, num_cpus=1, concurrency=conc)
-        # stream results; commit each source partition atomically as it lands
+        kwargs = dict(config_json=config.to_json(), index_dir=index_dir,
+                      read_batch_size=read_batch_size)
+        if execution == "ray_actors":
+            conc = concurrency or max(
+                1, min(len(pending), int(ray.cluster_resources().get("CPU", 8))))
+            out = ds.map_batches(IndexPartitionTask, fn_constructor_kwargs=kwargs,
+                                 batch_size=1, num_cpus=1, concurrency=conc)
+        else:
+            # stateless tasks: elastic, reuse warm worker processes (no
+            # per-dataset actor cold start); the tokenizer state they need
+            # is module-level compiled regexes
+            out = ds.map_batches(index_partition_fn, fn_kwargs=kwargs,
+                                 batch_size=1, num_cpus=1,
+                                 concurrency=concurrency)
+        # stream results; commit completed source partitions as they land
         for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
             commit_batch(b["split_json"].to_pylist())
+        commit_batch([], flush=True)
     if pending:
+        commit_batch([], flush=True)
         # partitions that produced zero splits (empty files) still checkpoint
-        for p in pending:
-            if not manifest.is_partition_committed(p):
-                manifest.publish([], checkpoint_partition=p)
+        leftover = {p: [] for p in pending if not manifest.is_partition_committed(p)}
+        if leftover:
+            manifest.publish_many(leftover)
     stats.input_bytes = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
     stats.elapsed_sec = time.time() - t0
     return stats

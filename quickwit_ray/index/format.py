@@ -66,16 +66,17 @@ def block_meta(doc_ids: np.ndarray, tfs: Optional[np.ndarray]) -> tuple[bytes, b
     n = len(doc_ids)
     if n == 0:
         return b"", b""
-    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    pad = nblocks * BLOCK_SIZE - n
-    last = np.asarray(doc_ids, np.int32)
-    last_padded = np.pad(last, (0, pad), mode="edge").reshape(nblocks, BLOCK_SIZE)
-    block_last = last_padded[:, -1].astype(np.int32)
+    if n <= BLOCK_SIZE:  # fast path: the overwhelmingly common single block
+        last = np.asarray([doc_ids[-1]], np.int32)
+        mx = np.asarray([tfs.max() if tfs is not None and len(tfs) else 1], np.int32)
+        return last.tobytes(), mx.tobytes()
+    starts = np.arange(0, n, BLOCK_SIZE)
+    ends = np.minimum(starts + BLOCK_SIZE, n) - 1
+    block_last = np.asarray(doc_ids, np.int32)[ends]
     if tfs is None or len(tfs) == 0:
-        block_max = np.ones(nblocks, np.int32)
+        block_max = np.ones(len(starts), np.int32)
     else:
-        t = np.pad(np.asarray(tfs, np.int64), (0, pad)).reshape(nblocks, BLOCK_SIZE)
-        block_max = t.max(axis=1).astype(np.int32)
+        block_max = np.maximum.reduceat(np.asarray(tfs, np.int64), starts).astype(np.int32)
     return block_last.tobytes(), block_max.tobytes()
 
 

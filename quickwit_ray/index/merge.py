@@ -86,14 +86,18 @@ class StableLogMergePolicy:
         young.sort(key=_cmp_key)
         ops: list[MergeOperation] = []
         levels = self._build_split_levels(young)
-        taken: set[str] = set()
         for lo, hi in reversed(levels):
-            rng = self._merge_candidate_from_level(young, lo, hi)
-            if rng is None:
-                continue
-            cand = young[rng[0]: rng[1]]
-            ops.append(MergeOperation(splits=cand))
-            taken.update(s.split_id for s in cand)
+            # drain every candidate from the level (the reference emits one
+            # per planner wake-up and re-plans after each publish; draining
+            # here yields the same compaction steps but lets the driver run
+            # them CONCURRENTLY — merge_scheduler_service.rs semantics)
+            end = hi
+            while True:
+                rng = self._merge_candidate_from_level(young, lo, end)
+                if rng is None:
+                    break
+                ops.append(MergeOperation(splits=young[rng[0]: rng[1]]))
+                end = rng[0]
         return ops
 
     def _build_split_levels(self, splits: list[SplitMetadata]) -> list[tuple[int, int]]:
@@ -197,46 +201,82 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     total_docs = int(sum(counts))
 
-    # ---- postings: per (field, term) concat with doc-id offset remap
+    # ---- postings: per (field, term) byte-level concatenation.
+    # Delta encoding is invariant under a constant doc-id offset except for
+    # the FIRST delta of each piece, and the last global doc id of a piece
+    # is recoverable from its block metadata — so merging posting lists is
+    # pure byte concatenation with a 4-byte patch per piece, no decode.
+    # Block layout after merge = concatenated piece blocks (blocks are
+    # <= BLOCK_SIZE, not exactly BLOCK_SIZE — the reader treats them as
+    # contiguous (last_doc, max_tf) ranges).
     merged: dict[tuple[str, str], dict] = {}
-    for d, off in zip(split_dirs, offsets):
+    for ord_, (d, off) in enumerate(zip(split_dirs, offsets)):
         tbl = pq.read_table(os.path.join(d, POSTINGS_FILE))
         fields = tbl["field"].to_pylist()
         terms = tbl["term"].to_pylist()
+        dfs = tbl["df"].to_numpy()
+        mtfs = tbl["max_tf"].to_numpy()
         doc_b = tbl["doc_ids"].to_pylist()
         tf_b = tbl["tfs"].to_pylist()
+        bl_b = tbl["block_last"].to_pylist()
+        bm_b = tbl["block_max_tf"].to_pylist()
         pos_b = tbl["positions"].to_pylist()
         pl_b = tbl["pos_lens"].to_pylist()
+        off32 = np.int32(off)
         for i in range(len(fields)):
             key = (fields[i], terms[i])
-            ent = merged.setdefault(key, {"docs": [], "tfs": [], "pos": [], "pls": []})
-            docs = delta_decode(doc_b[i]) + np.int32(off)
-            ent["docs"].append(docs)
-            ent["tfs"].append(np.frombuffer(tf_b[i], np.uint32) if tf_b[i]
-                              else np.ones(len(docs), np.uint32))
+            ent = merged.get(key)
+            if ent is None:
+                ent = merged[key] = {"df": 0, "max_tf": 0, "docs": [], "tfs": [],
+                                     "bl": [], "bm": [], "pos": [], "pls": [],
+                                     "last": -1, "any_tfs": False}
+            first_local = int(np.frombuffer(doc_b[i][:4], np.int32)[0])
+            # patched first delta = new_first_global - prev_last_global;
+            # for the very first piece it is the absolute doc id
+            if ent["last"] >= 0:
+                patched_first = np.int32(first_local + int(off32) - ent["last"])
+            else:
+                patched_first = np.int32(first_local + int(off32))
+            ent["docs"].append(patched_first.tobytes() + doc_b[i][4:])
+            bl = np.frombuffer(bl_b[i], np.int32) + off32
+            ent["bl"].append(bl.tobytes())
+            ent["bm"].append(bm_b[i])
+            ent["last"] = int(bl[-1])
+            ent["df"] += int(dfs[i])
+            ent["max_tf"] = max(ent["max_tf"], int(mtfs[i]))
+            ent["tfs"].append((tf_b[i], int(dfs[i])))
+            ent["any_tfs"] = ent["any_tfs"] or bool(tf_b[i])
             ent["pos"].append(pos_b[i] or b"")
             ent["pls"].append(pl_b[i] or b"")
 
     rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
                             "block_last", "block_max_tf", "positions", "pos_lens")}
-    has_positions = {}
+    ones_cache: dict[int, bytes] = {}
     for (field, term) in sorted(merged):
         ent = merged[(field, term)]
-        docs = np.concatenate(ent["docs"])
-        tfs = np.concatenate(ent["tfs"]).astype(np.int64)
-        bl, bm = block_meta(docs, tfs)
         rows["field"].append(field)
         rows["term"].append(term)
-        rows["df"].append(int(len(docs)))
-        rows["max_tf"].append(int(tfs.max()) if len(tfs) else 1)
-        rows["doc_ids"].append(delta_encode(docs))
-        rows["tfs"].append(tfs.astype(np.uint32).tobytes())
-        rows["block_last"].append(bl)
-        rows["block_max_tf"].append(bm)
-        pos = b"".join(ent["pos"])
-        rows["positions"].append(pos)
+        rows["df"].append(ent["df"])
+        rows["max_tf"].append(ent["max_tf"])
+        rows["doc_ids"].append(b"".join(ent["docs"]))
+        if ent["any_tfs"]:
+            parts = []
+            for buf, df_i in ent["tfs"]:
+                if buf:
+                    parts.append(buf)
+                else:  # basic-record piece merged with freq pieces
+                    b1 = ones_cache.get(df_i)
+                    if b1 is None:
+                        b1 = ones_cache.setdefault(
+                            df_i, np.ones(df_i, np.uint32).tobytes())
+                    parts.append(b1)
+            rows["tfs"].append(b"".join(parts))
+        else:
+            rows["tfs"].append(b"")
+        rows["block_last"].append(b"".join(ent["bl"]))
+        rows["block_max_tf"].append(b"".join(ent["bm"]))
+        rows["positions"].append(b"".join(ent["pos"]))
         rows["pos_lens"].append(b"".join(ent["pls"]))
-        has_positions[field] = has_positions.get(field, False) or bool(pos)
     write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE), rows)
 
     # ---- per-doc tables: plain concatenation in split order

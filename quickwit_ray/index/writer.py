@@ -110,8 +110,11 @@ class SplitBuilder:
             acc.doc_lens.append(np.bincount(doc_idx, minlength=n).astype(np.int32))
             if len(tokens) == 0:
                 continue
-            # batch-local vocab -> builder vocab ids (loop over unique terms only)
-            uniq, inv = np.unique(tokens, return_inverse=True)
+            # batch-local vocab -> builder vocab ids (loop over unique terms
+            # only; hash-based factorize beats sort-based np.unique here)
+            import pandas as pd
+
+            inv, uniq = pd.factorize(tokens)
             vocab = acc.vocab
             lut = np.empty(len(uniq), np.int32)
             for j, t in enumerate(uniq):
@@ -240,25 +243,42 @@ class SplitBuilder:
             sorted_terms = terms[sort_of_term]
             record_pos = fm.record == "position"
             record_freq = fm.record in ("freq", "position")
-            for s, e in zip(term_starts, term_ends):
-                tr = int(p_term[s])
-                docs = p_doc[s:e]
-                tfs = tfs_all[s:e]
-                bl, bm = block_meta(docs, tfs if record_freq else None)
+            # vectorized bulk encodings; the loop below only slices them
+            deltas = p_doc.astype(np.int32)
+            deltas[1:] -= p_doc[:-1].astype(np.int32)
+            deltas[term_starts] = p_doc[term_starts]  # absolute at term start
+            max_tfs = np.maximum.reduceat(tfs_all, term_starts)
+            tfs32 = tfs_all.astype(np.uint32) if record_freq else None
+            pls32 = tfs_all.astype(np.int32) if record_pos else None
+            pos32 = positions_s.astype(np.int32) if record_pos else None
+            tok_starts_per_term = pair_starts[term_starts]
+            tok_ends_per_term = np.append(tok_starts_per_term[1:], len(positions_s))
+            # single-block (df <= BLOCK_SIZE) metadata precomputed in bulk
+            from quickwit_ray.index.format import BLOCK_SIZE
+
+            last_doc_per_term = p_doc[term_ends - 1].astype(np.int32)
+            bmax_per_term = (max_tfs if record_freq
+                             else np.ones(len(term_starts))).astype(np.int32)
+            dfs = term_ends - term_starts
+            for ti, (s, e) in enumerate(zip(term_starts, term_ends)):
+                if dfs[ti] <= BLOCK_SIZE:
+                    bl = last_doc_per_term[ti].tobytes()
+                    bm = bmax_per_term[ti].tobytes()
+                else:
+                    bl, bm = block_meta(p_doc[s:e],
+                                        tfs_all[s:e] if record_freq else None)
                 rows["field"].append(fname)
-                rows["term"].append(sorted_terms[tr])
-                rows["df"].append(int(e - s))
-                rows["max_tf"].append(int(tfs.max()) if record_freq else 1)
-                rows["doc_ids"].append(delta_encode(docs))
-                rows["tfs"].append(tfs.astype(np.uint32).tobytes() if record_freq else b"")
+                rows["term"].append(sorted_terms[int(p_term[s])])
+                rows["df"].append(int(dfs[ti]))
+                rows["max_tf"].append(int(max_tfs[ti]) if record_freq else 1)
+                rows["doc_ids"].append(deltas[s:e].tobytes())
+                rows["tfs"].append(tfs32[s:e].tobytes() if record_freq else b"")
                 rows["block_last"].append(bl)
                 rows["block_max_tf"].append(bm)
                 if record_pos:
-                    # positions_s within [pair_start..] already grouped per pair
-                    seg = slice(pair_starts[s], pair_starts[e] if e < len(pair_starts)
-                                else len(positions_s))
-                    rows["positions"].append(positions_s[seg].astype(np.int32).tobytes())
-                    rows["pos_lens"].append(tfs.astype(np.int32).tobytes())
+                    rows["positions"].append(
+                        pos32[tok_starts_per_term[ti]: tok_ends_per_term[ti]].tobytes())
+                    rows["pos_lens"].append(pls32[s:e].tobytes())
                 else:
                     rows["positions"].append(b"")
                     rows["pos_lens"].append(b"")

@@ -125,6 +125,22 @@ class Manifest:
             self.checkpoints[checkpoint_partition] = {"committed_at": time.time()}
         self._commit()
 
+    def publish_many(self, by_partition: dict[str, list[SplitMetadata]]) -> None:
+        """Publish several completed source partitions in ONE atomic manifest
+        write (same exactly-once semantics; coarser commit batching so a
+        build doesn't pay one fsync per partition)."""
+        changed = False
+        for pid, sms in by_partition.items():
+            if pid in self.checkpoints:
+                continue
+            for sm in sms:
+                sm.split_state = "published"
+                self.splits[sm.split_id] = sm
+            self.checkpoints[pid] = {"committed_at": time.time()}
+            changed = True
+        if changed:
+            self._commit()
+
     def mark_for_deletion(self, split_ids: Iterable[str]) -> None:
         for sid in split_ids:
             if sid in self.splits:
