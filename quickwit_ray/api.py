@@ -1,0 +1,101 @@
+"""User-facing API — the `quickwit index create/ingest/search/describe`
+surface (`quickwit-cli/src/cli.rs:56-95`) as a Python class."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import pandas as pd
+
+from quickwit_ray.config import DocMapping, IndexConfig, IndexSettings
+from quickwit_ray.index.build import BuildStats, build_index, garbage_collect
+from quickwit_ray.index.deletes import apply_delete_tasks
+from quickwit_ray.index.merge import run_merge_pipeline
+from quickwit_ray.search.engine import IndexSearcher, SearchResponse
+from quickwit_ray.state.manifest import Manifest
+
+
+class Index:
+    """One index rooted at a directory (metastore = manifest.json)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def create(index_dir: str, index_id: str, doc_mapping: DocMapping,
+               settings: Optional[IndexSettings] = None) -> "Index":
+        manifest = Manifest(index_dir)
+        if manifest.index_config_json is not None:
+            raise FileExistsError(f"index already exists at {index_dir}")
+        config = IndexConfig(index_id=index_id, doc_mapping=doc_mapping,
+                             settings=settings or IndexSettings())
+        manifest.create(config.to_json())
+        return Index(index_dir)
+
+    @staticmethod
+    def open(index_dir: str) -> "Index":
+        m = Manifest(index_dir)
+        if m.index_config_json is None:
+            raise FileNotFoundError(f"no index at {index_dir}")
+        return Index(index_dir)
+
+    @property
+    def config(self) -> IndexConfig:
+        return IndexConfig.from_json(Manifest(self.index_dir).index_config_json)
+
+    # ------------------------------------------------------------------
+
+    def ingest(self, inputs: str | list[str], *, execution: str = "ray",
+               transform=None, **kw) -> BuildStats:
+        return build_index(inputs, self.index_dir, self.config,
+                           execution=execution, transform=transform, **kw)
+
+    def search(self, query: Any = None, **kw) -> SearchResponse:
+        return IndexSearcher(self.index_dir).search(query, **kw)
+
+    def es_search(self, body: dict) -> SearchResponse:
+        """ES-compatible `_search` body."""
+        from quickwit_ray.search.es_dsl import es_search_request
+
+        kw = es_search_request(body, self.config.doc_mapping.default_search_fields)
+        return IndexSearcher(self.index_dir).search(**kw)
+
+    def merge(self, execution: str = "local") -> int:
+        return run_merge_pipeline(self.index_dir, execution=execution)
+
+    def gc(self, grace_period_secs: float = 0.0) -> list[str]:
+        return garbage_collect(self.index_dir, grace_period_secs)
+
+    def create_delete_task(self, query: str) -> int:
+        return Manifest(self.index_dir).create_delete_task(query)
+
+    def apply_deletes(self) -> int:
+        return apply_delete_tasks(self.index_dir)
+
+    def describe(self) -> dict:
+        m = Manifest(self.index_dir)
+        splits = m.published_splits()
+        return {
+            "index_id": m.index_config_json["index_id"],
+            "num_published_splits": len(splits),
+            "num_docs": sum(s.num_docs for s in splits),
+            "num_committed_partitions": len(m.checkpoints),
+            "num_delete_tasks": len(m.delete_tasks),
+            "splits": [{"split_id": s.split_id, "num_docs": s.num_docs,
+                        "num_merge_ops": s.num_merge_ops,
+                        "time_range": [s.time_range_start, s.time_range_end]}
+                       for s in sorted(splits, key=lambda x: x.split_id)],
+        }
+
+    def list_terms(self, field: str, **kw) -> pd.DataFrame:
+        from quickwit_ray.search.listers import list_terms
+
+        return list_terms(self.index_dir, field, **kw)
+
+    def list_fields(self) -> pd.DataFrame:
+        from quickwit_ray.search.listers import list_fields
+
+        return list_fields(self.index_dir)

@@ -1,0 +1,110 @@
+"""CLI — `python -m quickwit_ray.cli <cmd>` mirroring the reference's
+`quickwit index ...` / `quickwit tool local-ingest/local-search/merge/gc`
+surface (`quickwit-cli/src/cli.rs:56-95`). Owns its Ray session."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="quickwit_ray")
+    p.add_argument("--num-cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="create an index")
+    c.add_argument("index_dir")
+    c.add_argument("--index-id", required=True)
+    c.add_argument("--mapping", choices=["pages", "documents"], default="pages")
+
+    i = sub.add_parser("ingest", help="index parquet input")
+    i.add_argument("index_dir")
+    i.add_argument("--input", required=True, help="file, glob or directory")
+    i.add_argument("--local", action="store_true", help="run in-process")
+
+    s = sub.add_parser("search", help="run a query")
+    s.add_argument("index_dir")
+    s.add_argument("--query", required=True)
+    s.add_argument("--max-hits", type=int, default=10)
+    s.add_argument("--sort-by", default=None)
+
+    d = sub.add_parser("describe", help="index stats")
+    d.add_argument("index_dir")
+
+    m = sub.add_parser("merge", help="run the merge pipeline")
+    m.add_argument("index_dir")
+
+    g = sub.add_parser("gc", help="garbage-collect orphan artifacts")
+    g.add_argument("index_dir")
+
+    dd = sub.add_parser("delete", help="create + apply a delete task")
+    dd.add_argument("index_dir")
+    dd.add_argument("--query", required=True)
+
+    lt = sub.add_parser("list-terms", help="scan the term dictionary")
+    lt.add_argument("index_dir")
+    lt.add_argument("--field", required=True)
+    lt.add_argument("--prefix", default=None)
+    lt.add_argument("--limit", type=int, default=50)
+
+    args = p.parse_args(argv)
+    from quickwit_ray.api import Index
+
+    if args.cmd == "create":
+        from quickwit_ray.config import documents_doc_mapping, pages_doc_mapping
+
+        mapping = (pages_doc_mapping() if args.mapping == "pages"
+                   else documents_doc_mapping())
+        Index.create(args.index_dir, args.index_id, mapping)
+        print(f"created index {args.index_id} at {args.index_dir}")
+    elif args.cmd == "ingest":
+        idx = Index.open(args.index_dir)
+        if not args.local:
+            _ray_up(args.num_cpus)
+        st = idx.ingest(args.input, execution="local" if args.local else "ray")
+        print(json.dumps({"num_docs": st.num_docs, "num_splits": st.num_splits,
+                          "docs_per_sec": round(st.docs_per_sec),
+                          "mb_per_sec": round(st.mb_per_sec, 2)}))
+    elif args.cmd == "search":
+        idx = Index.open(args.index_dir)
+        resp = idx.search(args.query, max_hits=args.max_hits,
+                          sort_by=args.sort_by)
+        print(json.dumps({"num_hits": resp.num_hits,
+                          "elapsed_sec": round(resp.elapsed_sec, 4)}))
+        cols = [c for c in resp.hits.columns if not str(c).startswith("_split")]
+        print(resp.hits[cols].to_string(max_rows=args.max_hits))
+    elif args.cmd == "describe":
+        print(json.dumps(Index.open(args.index_dir).describe(), indent=2))
+    elif args.cmd == "merge":
+        n = Index.open(args.index_dir).merge()
+        print(f"executed {n} merges")
+    elif args.cmd == "gc":
+        removed = Index.open(args.index_dir).gc()
+        print(f"removed {len(removed)} orphan artifacts")
+    elif args.cmd == "delete":
+        idx = Index.open(args.index_dir)
+        op = idx.create_delete_task(args.query)
+        n = idx.apply_deletes()
+        print(f"delete task opstamp {op}; rewrote {n} splits")
+    elif args.cmd == "list-terms":
+        df = Index.open(args.index_dir).list_terms(
+            args.field, prefix=args.prefix, limit=args.limit)
+        print(df.to_string())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,10 +84,13 @@ class IndexPartitionTask:
     """
 
     def __init__(self, config_json: dict[str, Any], index_dir: str,
-                 read_batch_size: int = 8192):
+                 read_batch_size: int = 8192, transform=None):
         self.config = IndexConfig.from_json(config_json)
         self.index_dir = index_dir
         self.read_batch_size = read_batch_size
+        # VRL-transform analog (actors/vrl_processing.rs): a user-supplied
+        # fn(pa.Table) -> pa.Table applied to every batch before mapping
+        self.transform = transform
 
     def __call__(self, item_batch: dict[str, np.ndarray]) -> dict[str, list]:
         out_rows: list[SplitMetadata] = []
@@ -138,6 +141,8 @@ class IndexPartitionTask:
 
         for rb in pf.iter_batches(batch_size=self.read_batch_size, columns=cols):
             batch = pa.Table.from_batches([rb])
+            if self.transform is not None:
+                batch = self.transform(batch)
             if mapping.partition_key:
                 pids = _route_partition(batch, mapping.partition_key,
                                         mapping.max_num_partitions)
@@ -167,11 +172,12 @@ class IndexPartitionTask:
 
 
 def index_partition_fn(item_batch: dict[str, np.ndarray], *, config_json: dict,
-                       index_dir: str, read_batch_size: int = 8192) -> dict[str, list]:
+                       index_dir: str, read_batch_size: int = 8192,
+                       transform=None) -> dict[str, list]:
     """Stateless-task form of IndexPartitionTask (used with
     map_batches(fn, fn_kwargs=...)): tasks reuse Ray's warm worker pool, so
     repeated builds skip actor cold-start entirely."""
-    task = IndexPartitionTask(config_json, index_dir, read_batch_size)
+    task = IndexPartitionTask(config_json, index_dir, read_batch_size, transform)
     return task(item_batch)
 
 
@@ -192,7 +198,7 @@ def resolve_input(inputs: str | list[str]) -> list[str]:
 def build_index(inputs: str | list[str], index_dir: str, config: IndexConfig,
                 *, concurrency: Optional[int] = None,
                 read_batch_size: int = 8192,
-                execution: str = "ray") -> BuildStats:
+                execution: str = "ray", transform=None) -> BuildStats:
     """Build (or resume building) an index over Parquet inputs.
 
     Driver-side: manifest bookkeeping + streaming commit loop only; all
@@ -227,7 +233,8 @@ def build_index(inputs: str | list[str], index_dir: str, config: IndexConfig,
             pending_commits.clear()
 
     if pending and execution == "local":
-        task = IndexPartitionTask(config.to_json(), index_dir, read_batch_size)
+        task = IndexPartitionTask(config.to_json(), index_dir, read_batch_size,
+                                  transform)
         for p in pending:
             out = task({"path": np.asarray([p], object)})
             commit_batch(out["split_json"])
@@ -237,7 +244,7 @@ def build_index(inputs: str | list[str], index_dir: str, config: IndexConfig,
 
         ds = ray.data.from_items([{"path": p} for p in pending])
         kwargs = dict(config_json=config.to_json(), index_dir=index_dir,
-                      read_batch_size=read_batch_size)
+                      read_batch_size=read_batch_size, transform=transform)
         if execution == "ray_actors":
             conc = concurrency or max(
                 1, min(len(pending), int(ray.cluster_resources().get("CPU", 8))))

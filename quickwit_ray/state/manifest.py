@@ -84,6 +84,10 @@ class Manifest:
         self.splits: dict[str, SplitMetadata] = {}
         # committed source partitions: partition_id -> {"committed_at": ts}
         self.checkpoints: dict[str, dict[str, Any]] = {}
+        # delete tasks (stored queries applied at compaction time,
+        # quickwit-janitor/src/actors/delete_task_planner.rs):
+        # [{"opstamp": int, "query": str}]
+        self.delete_tasks: list[dict[str, Any]] = []
         if os.path.exists(self.path):
             self._load()
 
@@ -93,13 +97,26 @@ class Manifest:
         self.index_config_json = obj.get("index_config")
         self.splits = {s["split_id"]: SplitMetadata.from_json(s) for s in obj["splits"]}
         self.checkpoints = obj.get("checkpoints", {})
+        self.delete_tasks = obj.get("delete_tasks", [])
 
     def _commit(self) -> None:
         _atomic_write_json(self.path, {
             "index_config": self.index_config_json,
             "splits": [s.to_json() for s in self.splits.values()],
             "checkpoints": self.checkpoints,
+            "delete_tasks": self.delete_tasks,
         })
+
+    def create_delete_task(self, query: str) -> int:
+        """Record a stored delete query; returns its opstamp."""
+        opstamp = (max((t["opstamp"] for t in self.delete_tasks), default=0) + 1)
+        self.delete_tasks.append({"opstamp": opstamp, "query": query})
+        self._commit()
+        return opstamp
+
+    @property
+    def last_delete_opstamp(self) -> int:
+        return max((t["opstamp"] for t in self.delete_tasks), default=0)
 
     # -- transactional operations (each = one atomic rename) ----------------
 

@@ -1,0 +1,159 @@
+"""ES DSL adapter, list_terms/list_fields, delete tasks, transform hook,
+Index API + CLI."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from quickwit_ray.api import Index
+from quickwit_ray.config import (
+    IndexConfig,
+    IndexSettings,
+    documents_doc_mapping,
+)
+from quickwit_ray.functions.tokenizers import tokenize
+from quickwit_ray.index.build import build_index
+from quickwit_ray.search.es_dsl import es_query_to_ast, es_search_request
+from quickwit_ray.search.ast import (
+    BoolQuery,
+    FullTextQuery,
+    RangeQuery,
+    TermSetQuery,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("apidx")
+    index_dir = str(tmp / "index")
+    index = Index.create(index_dir, "documents", documents_doc_mapping(),
+                         IndexSettings(split_num_docs_target=10_000,
+                                       commit_docs_threshold=200))
+    index.ingest(DOCS, execution="local", read_batch_size=200)
+    return index
+
+
+def _truth():
+    return pq.read_table(DOCS).to_pandas()
+
+
+def test_es_dsl_shapes():
+    ast = es_query_to_ast({"bool": {
+        "must": [{"match": {"text": {"query": "scan merge", "operator": "and"}}}],
+        "must_not": [{"term": {"lang": {"value": "de"}}}],
+        "filter": [{"range": {"n_chars": {"gte": 100, "lt": 900}}}],
+    }})
+    assert isinstance(ast, BoolQuery)
+    assert isinstance(ast.must[0], FullTextQuery) and ast.must[0].mode == "and"
+    assert isinstance(ast.filter[0], RangeQuery)
+    ast2 = es_query_to_ast({"terms": {"lang": ["de", "fr"]}})
+    assert isinstance(ast2, TermSetQuery)
+
+
+def test_es_search_end_to_end(idx):
+    t = _truth()
+    toks = [set(tokenize(x, "default")) for x in t["text"]]
+    expected = sum(1 for tk, lg in zip(toks, t["lang"])
+                   if "scan" in tk and "merge" in tk and lg != "de")
+    resp = idx.es_search({
+        "query": {"bool": {
+            "must": [{"match": {"text": {"query": "scan merge", "operator": "and"}}}],
+            "must_not": [{"term": {"lang": "de"}}]}},
+        "size": 0})
+    assert resp.num_hits == expected
+
+
+def test_es_match_phrase_and_sort(idx):
+    t = _truth()
+    resp = idx.es_search({"query": {"match_all": {}},
+                          "sort": [{"n_chars": {"order": "desc"}},
+                                   {"doc_id": {"order": "desc"}}],
+                          "size": 5})
+    top = t.sort_values(["n_chars", "doc_id"], ascending=False).head(5)
+    assert list(resp.hits["doc_id"]) == list(top["doc_id"])
+
+
+def test_es_query_string():
+    kw = es_search_request({"query": {"query_string": {
+        "query": "text:scan -text:merge", "fields": ["text"]}}, "from": 5, "size": 7})
+    assert kw["start_offset"] == 5 and kw["max_hits"] == 7
+
+
+def test_list_terms(idx):
+    t = _truth()
+    truth_terms = {}
+    for x in t["text"]:
+        for tok in set(tokenize(x, "default")):
+            if tok.startswith("me"):
+                truth_terms[tok] = truth_terms.get(tok, 0) + 1
+    df = idx.list_terms("text", prefix="me", limit=1000)
+    got = dict(zip(df["term"], df["doc_freq"]))
+    assert got == truth_terms
+
+
+def test_list_fields(idx):
+    df = idx.list_fields()
+    assert "text" in list(df["field"])
+    row = df[df["field"] == "text"].iloc[0]
+    assert row["tokenizer"] == "default" and bool(row["fieldnorms"])
+
+
+def test_delete_task_applies(tmp_path):
+    index_dir = str(tmp_path / "idx")
+    index = Index.create(index_dir, "documents", documents_doc_mapping(),
+                         IndexSettings(split_num_docs_target=10_000,
+                                       commit_docs_threshold=200))
+    index.ingest(DOCS, execution="local", read_batch_size=200)
+    before = index.search("*", max_hits=0).num_hits
+    n_de = index.search("lang:de", max_hits=0).num_hits
+    assert n_de > 0
+    index.create_delete_task("lang:de")
+    rewritten = index.apply_deletes()
+    assert rewritten >= 1
+    assert index.search("lang:de", max_hits=0).num_hits == 0
+    assert index.search("*", max_hits=0).num_hits == before - n_de
+    # docs that remain are intact (byte-identical text)
+    t = _truth().set_index("doc_id")
+    hits = index.search("text:scan", max_hits=5, sort_by="_score").hits
+    for _, row in hits.iterrows():
+        assert row["text"] == t.loc[row["doc_id"], "text"]
+    # idempotent: re-apply is a no-op
+    assert index.apply_deletes() == 0
+
+
+def test_transform_hook(tmp_path):
+    import pyarrow as pa
+
+    def upper_lang(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(batch.column_names.index("lang"), "lang",
+                                pc.utf8_upper(batch["lang"]))
+
+    index_dir = str(tmp_path / "idx")
+    cfg = IndexConfig("documents", documents_doc_mapping(),
+                      IndexSettings(split_num_docs_target=10_000))
+    build_index(DOCS, index_dir, cfg, execution="local", transform=upper_lang)
+    idx2 = Index.open(index_dir)
+    t = _truth()
+    # raw tokenizer keeps case -> terms are upper-cased now
+    n_en = int((t["lang"] == "en").sum())
+    assert idx2.search("lang:EN", max_hits=0).num_hits == n_en
+    assert idx2.search("lang:en", max_hits=0).num_hits == 0
+
+
+def test_cli_smoke(tmp_path, capsys):
+    from quickwit_ray.cli import main
+
+    index_dir = str(tmp_path / "cliidx")
+    assert main(["create", index_dir, "--index-id", "docs",
+                 "--mapping", "documents"]) == 0
+    assert main(["ingest", index_dir, "--input", DOCS, "--local"]) == 0
+    assert main(["search", index_dir, "--query", "text:scan",
+                 "--max-hits", "3", "--sort-by", "_score"]) == 0
+    assert main(["describe", index_dir]) == 0
+    assert main(["list-terms", index_dir, "--field", "lang"]) == 0
+    out = capsys.readouterr().out
+    assert '"num_hits"' in out and "created index docs" in out
