@@ -106,13 +106,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # ---- timed: query set over the built index (warm cache) ------------
     s = IndexSearcher(index_dir)
     qset = (
-        [f"text:aaterm{k}" for k in range(0, 10)]                # head terms
+        [f"text:{chr(97 + k)}aterm{k}" for k in range(0, 10)]    # head terms
         + [f"text:rareterm{k * 1000 + 10}" for k in range(5)]    # rare terms
-        + ["text:aaterm1 OR text:abterm40", "+text:aaterm1 +text:abterm30",
-           "text:aaterm1 -text:abterm30",
+        + ["text:aaterm0 OR text:abterm40", "+text:aaterm0 +text:abterm30",
+           "text:aaterm0 -text:abterm30",
            'text:"intial commit"', 'text:"white sandy beach"',
            "lang: IN [de fr]", "text:ab*",
-           "+text:aaterm2 +warc_ts:[2024-01-10T00:00:00Z TO 2024-02-01T00:00:00Z}"]
+           "+text:caterm2 +warc_ts:[2024-01-10T00:00:00Z TO 2024-02-01T00:00:00Z}"]
     )
     lat = []
     s.search("text:warmup", max_hits=1)  # open readers

@@ -1,0 +1,351 @@
+"""Wide-path index build: groupby-term shuffle with hot-term salting
+(SURVEY.md §7.1 step 3 / §7.3; the north-star "groupby-term shuffle with
+explicit salting for hot-term skew").
+
+When to use which build:
+  * `build_index` (build.py): input partitioning == desired split
+    partitioning. Zero shuffles; each task owns a source partition.
+    This is the default and usually the right choice.
+  * `build_index_shuffle` (here): posting-list assembly must cross input
+    batches — e.g. millions of tiny input files per split, or doc routing
+    that redistributes rows. The token stream is exchanged ONCE, keyed by
+    (shard, field, term[, salt]).
+
+Pipeline:
+  1. per input file (= shard): vectorized tokenize -> PARTIAL postings per
+     batch: one row per (term, batch) holding packed (doc_ids, tfs) —
+     combine-before-shuffle so the exchange carries one row per distinct
+     term per batch, not one per token.
+     Hot terms (batch df > HOT_DF) are salted: their partials are keyed
+     (term, salt = doc_block % NUM_SALTS) so no single reducer group holds
+     a stopword's full posting list during the shuffle.
+  2. groupby(shard, field, term, salt) -> concat partials (doc order is
+     restored by sorting piece-wise on first doc id; pieces are disjoint
+     doc ranges).
+  3. groupby(shard) -> stitch the shard's sorted term table + postings
+     into the standard split artifact (same on-disk format as build.py;
+     readers cannot tell which path built a split).
+  4. a parallel per-shard pass (no shuffle) writes fieldnorms/fastfields/
+     docstore directly from the source rows.
+
+Doc ids within a shard = row index within the input file (deterministic,
+same as the direct path).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from quickwit_ray.config import IndexConfig
+from quickwit_ray.functions.bm25 import fieldnorm_to_id
+from quickwit_ray.functions.tokenizers import tokenize_batch
+from quickwit_ray.index.build import BuildStats, resolve_input
+from quickwit_ray.index.format import (
+    DOCSTORE_FILE,
+    FASTFIELDS_FILE,
+    FIELDNORMS_FILE,
+    POSTINGS_FILE,
+    block_meta,
+    write_footer,
+    write_postings_file,
+)
+from quickwit_ray.index.writer import MAX_VALUES_PER_TAG_FIELD, deterministic_split_id
+from quickwit_ray.state.manifest import Manifest, SplitMetadata
+
+HOT_DF = 4096      # batch-level df above this -> salt the term's partials
+NUM_SALTS = 8
+
+
+def _emit_partials(batch: pa.Table, *, shard: int, base_doc: int,
+                   config_json: dict) -> pa.Table:
+    """Stage-1 map: one output row per (field, term[, salt], batch)."""
+    config = IndexConfig.from_json(config_json)
+    out = {"shard": [], "field": [], "term": [], "salt": [],
+           "doc_ids": [], "tfs": [], "positions": [], "pos_lens": []}
+    for fm in config.doc_mapping.text_fields:
+        if fm.name not in batch.column_names:
+            continue
+        doc_idx, tokens, positions = tokenize_batch(batch[fm.name].to_pylist(),
+                                                    fm.tokenizer)
+        if len(tokens) == 0:
+            continue
+        codes, uniq = pd.factorize(tokens)
+        order = np.lexsort((positions, doc_idx, codes))
+        codes_s, docs_s, pos_s = codes[order], doc_idx[order], positions[order]
+        docs_global = docs_s.astype(np.int64) + base_doc
+        # (term, doc) run-lengths -> tf
+        pc_ = np.empty(len(codes_s), bool)
+        pc_[0] = True
+        np.logical_or(codes_s[1:] != codes_s[:-1], docs_s[1:] != docs_s[:-1],
+                      out=pc_[1:])
+        p_starts = np.nonzero(pc_)[0]
+        tfs = np.diff(np.append(p_starts, len(codes_s))).astype(np.uint32)
+        p_code = codes_s[p_starts]
+        p_doc = docs_global[p_starts].astype(np.int32)
+        # term segments over pairs
+        tc = np.empty(len(p_code), bool)
+        tc[0] = True
+        tc[1:] = p_code[1:] != p_code[:-1]
+        t_starts = np.nonzero(tc)[0]
+        t_ends = np.append(t_starts[1:], len(p_code))
+        record_pos = fm.record == "position"
+        record_freq = fm.record in ("freq", "position")
+        pos32 = pos_s.astype(np.int32)
+        tok_starts = p_starts[t_starts]
+        tok_ends = np.append(tok_starts[1:], len(pos_s))
+        for ti, (s, e) in enumerate(zip(t_starts, t_ends)):
+            term = uniq[p_code[s]]
+            df_here = e - s
+            if df_here > HOT_DF:
+                # salt: slice the term's postings into contiguous doc ranges
+                cuts = np.linspace(s, e, NUM_SALTS + 1).astype(np.int64)
+            else:
+                cuts = np.asarray([s, e], np.int64)
+            for ci in range(len(cuts) - 1):
+                cs, ce = int(cuts[ci]), int(cuts[ci + 1])
+                if cs == ce:
+                    continue
+                out["shard"].append(shard)
+                out["field"].append(fm.name)
+                out["term"].append(term)
+                out["salt"].append(ci)
+                out["doc_ids"].append(p_doc[cs:ce].tobytes())
+                out["tfs"].append(tfs[cs:ce].tobytes() if record_freq else b"")
+                if record_pos:
+                    ps = p_starts[cs]
+                    pe = p_starts[ce] if ce < len(p_starts) else len(pos_s)
+                    out["positions"].append(pos32[ps:pe].tobytes())
+                    out["pos_lens"].append(tfs[cs:ce].astype(np.int32).tobytes())
+                else:
+                    out["positions"].append(b"")
+                    out["pos_lens"].append(b"")
+        _ = tok_starts, tok_ends
+    return pa.table({
+        "shard": pa.array(out["shard"], pa.int32()),
+        "field": pa.array(out["field"], pa.string()),
+        "term": pa.array(out["term"], pa.string()),
+        "salt": pa.array(out["salt"], pa.int32()),
+        "doc_ids": pa.array(out["doc_ids"], pa.binary()),
+        "tfs": pa.array(out["tfs"], pa.binary()),
+        "positions": pa.array(out["positions"], pa.binary()),
+        "pos_lens": pa.array(out["pos_lens"], pa.binary()),
+    })
+
+
+def _partials_for_file(item: dict[str, np.ndarray], *, config_json: dict,
+                       read_batch_size: int) -> pa.Table:
+    tables = []
+    for shard, path in zip(item["shard"], item["path"]):
+        pf = pq.ParquetFile(str(path))
+        config = IndexConfig.from_json(config_json)
+        cols = [f.name for f in config.doc_mapping.text_fields
+                if f.name in pf.schema_arrow.names]
+        base = 0
+        for rb in pf.iter_batches(batch_size=read_batch_size, columns=cols):
+            tbl = pa.Table.from_batches([rb])
+            tables.append(_emit_partials(tbl, shard=int(shard), base_doc=base,
+                                         config_json=config_json))
+            base += tbl.num_rows
+    return (pa.concat_tables(tables) if tables
+            else _emit_partials(pa.table({}), shard=0, base_doc=0,
+                                config_json=config_json))
+
+
+def _reduce_term_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Stage-2 reduce: merge one (shard, field, term, salt) group's
+    partials; pieces hold disjoint, increasing doc ranges — order by first
+    doc id and concatenate."""
+    firsts = [np.frombuffer(b[:4], np.int32)[0] if len(b) else -1
+              for b in g["doc_ids"]]
+    order = np.argsort(firsts, kind="stable")
+    doc_parts = [g["doc_ids"].iloc[i] for i in order]
+    tf_parts = [g["tfs"].iloc[i] for i in order]
+    pos_parts = [g["positions"].iloc[i] for i in order]
+    pl_parts = [g["pos_lens"].iloc[i] for i in order]
+    return pd.DataFrame({
+        "shard": [g["shard"].iloc[0]],
+        "field": [g["field"].iloc[0]],
+        "term": [g["term"].iloc[0]],
+        "salt": [int(g["salt"].iloc[0])],
+        "doc_ids": [b"".join(doc_parts)],
+        "tfs": [b"".join(tf_parts)],
+        "positions": [b"".join(pos_parts)],
+        "pos_lens": [b"".join(pl_parts)],
+    })
+
+
+def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
+                       shard_paths: dict[int, str],
+                       read_batch_size: int) -> pd.DataFrame:
+    """Stage-3: one group = one shard's full term set -> write the split
+    artifact. Also re-reads the source file for fieldnorms/fastfields/
+    docstore (narrow per-shard pass, no shuffle)."""
+    import json as _json
+
+    config = IndexConfig.from_json(config_json)
+    mapping = config.doc_mapping
+    shard = int(g["shard"].iloc[0])
+    path = shard_paths[shard]
+    split_id = deterministic_split_id(f"{path}#p0", 0)
+    split_dir = os.path.join(index_dir, "splits", split_id)
+    tmp_dir = split_dir + ".staged-shuffle"
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    # merge salted sub-lists, sort terms
+    g = g.sort_values(["field", "term", "salt"], kind="mergesort")
+    rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
+                            "block_last", "block_max_tf", "positions", "pos_lens")}
+    for (field, term), sub in g.groupby(["field", "term"], sort=True):
+        doc_b = b"".join(sub["doc_ids"])
+        tf_b = b"".join(sub["tfs"])
+        docs = np.frombuffer(doc_b, np.int32)
+        tfs = (np.frombuffer(tf_b, np.uint32).astype(np.int64) if tf_b
+               else np.ones(len(docs), np.int64))
+        bl, bm = block_meta(docs, tfs)
+        d = docs.astype(np.int64)
+        deltas = np.empty(len(d), np.int32)
+        if len(d):
+            deltas[0] = d[0]
+            deltas[1:] = np.diff(d)
+        rows["field"].append(field)
+        rows["term"].append(term)
+        rows["df"].append(int(len(docs)))
+        rows["max_tf"].append(int(tfs.max()) if len(tfs) else 1)
+        rows["doc_ids"].append(deltas.tobytes())
+        rows["tfs"].append(tf_b)
+        rows["block_last"].append(bl)
+        rows["block_max_tf"].append(bm)
+        rows["positions"].append(b"".join(sub["positions"]))
+        rows["pos_lens"].append(b"".join(sub["pos_lens"]))
+    write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE), rows)
+
+    # per-doc artifacts from the source file (stream, no shuffle)
+    pf = pq.ParquetFile(path)
+    store_bin = config.settings.store_binary_columns
+    stored = [f.name for f in mapping.stored_fields
+              if f.name in pf.schema_arrow.names
+              and (store_bin or f.type != "bytes")]
+    fast = [f.name for f in mapping.fast_fields if f.name in pf.schema_arrow.names]
+    norm_fields = [f for f in mapping.text_fields if f.fieldnorms]
+    norm_acc = {f.name: [] for f in norm_fields}
+    fast_chunks, num_docs = [], 0
+    ts_min = ts_max = None
+    tags: dict[str, set] = {t: set() for t in mapping.tag_fields}
+    writer = None
+    cols = sorted(set(stored) | set(fast) | {f.name for f in norm_fields}
+                  | ({mapping.timestamp_field} if mapping.timestamp_field else set())
+                  | set(mapping.tag_fields))
+    cols = [c for c in cols if c in pf.schema_arrow.names]
+    for rb in pf.iter_batches(batch_size=read_batch_size, columns=cols):
+        tbl = pa.Table.from_batches([rb])
+        for f in norm_fields:
+            didx, toks, _ = tokenize_batch(tbl[f.name].to_pylist(), f.tokenizer)
+            norm_acc[f.name].append(np.bincount(didx, minlength=tbl.num_rows))
+        if fast:
+            fast_chunks.append(tbl.select(fast))
+        if mapping.timestamp_field and mapping.timestamp_field in tbl.column_names:
+            tsi = np.asarray(tbl[mapping.timestamp_field]
+                             .cast(pa.timestamp("us")).cast(pa.int64()).combine_chunks())
+            if len(tsi):
+                ts_min = int(tsi.min()) if ts_min is None else min(ts_min, int(tsi.min()))
+                ts_max = int(tsi.max()) if ts_max is None else max(ts_max, int(tsi.max()))
+        for t in mapping.tag_fields:
+            if t in tbl.column_names and len(tags[t]) <= MAX_VALUES_PER_TAG_FIELD:
+                tags[t].update(tbl[t].unique().to_pylist())
+        st = tbl.select(stored)
+        if writer is None:
+            writer = pq.ParquetWriter(os.path.join(tmp_dir, DOCSTORE_FILE),
+                                      st.schema, compression="zstd",
+                                      compression_level=3)
+        writer.write_table(st)
+        num_docs += tbl.num_rows
+    if writer is not None:
+        writer.close()
+    field_stats = {}
+    norm_cols = {}
+    for f in mapping.text_fields:
+        lens = (np.concatenate(norm_acc[f.name]) if f.name in norm_acc and norm_acc[f.name]
+                else np.zeros(num_docs, np.int64))
+        total = int(lens.sum())
+        field_stats[f.name] = {
+            "total_tokens": total, "num_docs": num_docs,
+            "avgdl": float(np.float32(total) / np.float32(max(num_docs, 1)))}
+        if f.fieldnorms:
+            norm_cols[f"norm_{f.name}"] = fieldnorm_to_id(lens)
+    if norm_cols:
+        pq.write_table(pa.table({k: pa.array(v, pa.uint8())
+                                 for k, v in norm_cols.items()}),
+                       os.path.join(tmp_dir, FIELDNORMS_FILE), compression="zstd")
+    if fast_chunks:
+        pq.write_table(pa.concat_tables(fast_chunks),
+                       os.path.join(tmp_dir, FASTFIELDS_FILE), compression="zstd")
+    tag_out = {t: sorted(map(str, v)) for t, v in tags.items()
+               if v and len(v) <= MAX_VALUES_PER_TAG_FIELD}
+    write_footer(tmp_dir, {
+        "split_id": split_id, "index_id": config.index_id, "num_docs": num_docs,
+        "field_stats": field_stats, "time_range": [ts_min, ts_max], "tags": tag_out})
+    if os.path.exists(split_dir):
+        import shutil
+
+        shutil.rmtree(split_dir)
+    os.replace(tmp_dir, split_dir)
+    sm = SplitMetadata(
+        split_id=split_id, index_id=config.index_id, num_docs=num_docs,
+        uncompressed_docs_size_in_bytes=0, source_partition_id=path,
+        time_range_start=ts_min, time_range_end=ts_max,
+        create_timestamp=time.time(), tags=tag_out, field_stats=field_stats)
+    return pd.DataFrame({"split_json": [_json.dumps(sm.to_json())]})
+
+
+def build_index_shuffle(inputs: str | list[str], index_dir: str,
+                        config: IndexConfig, *,
+                        read_batch_size: int = 8192) -> BuildStats:
+    """Groupby-term shuffle build. Requires a Ray session."""
+    import ray.data
+
+    t0 = time.time()
+    paths = resolve_input(inputs)
+    manifest = Manifest(index_dir)
+    if manifest.index_config_json is None:
+        manifest.create(config.to_json())
+    pending = [p for p in paths if not manifest.is_partition_committed(p)]
+    stats = BuildStats(num_partitions=len(pending))
+    if not pending:
+        stats.elapsed_sec = time.time() - t0
+        return stats
+    shard_paths = {i: p for i, p in enumerate(pending)}
+    items = [{"shard": i, "path": p} for i, p in shard_paths.items()]
+    cfg_json = config.to_json()
+
+    partials = (ray.data.from_items(items)
+                .map_batches(_partials_for_file, batch_size=1,
+                             fn_kwargs=dict(config_json=cfg_json,
+                                            read_batch_size=read_batch_size),
+                             batch_format="default"))
+    reduced = partials.groupby(["shard", "field", "term", "salt"]) \
+                      .map_groups(_reduce_term_group, batch_format="pandas")
+    split_rows = reduced.groupby("shard").map_groups(
+        _write_shard_split, batch_format="pandas",
+        fn_kwargs=dict(config_json=cfg_json, index_dir=index_dir,
+                       shard_paths=shard_paths,
+                       read_batch_size=read_batch_size))
+    import json as _json
+
+    by_partition: dict[str, list[SplitMetadata]] = {}
+    for b in split_rows.iter_batches(batch_size=None, batch_format="pandas"):
+        for sj in b["split_json"]:
+            sm = SplitMetadata.from_json(_json.loads(sj))
+            by_partition.setdefault(sm.source_partition_id, []).append(sm)
+    manifest.publish_many(by_partition)
+    stats.num_docs = sum(s.num_docs for sms in by_partition.values() for s in sms)
+    stats.num_splits = sum(len(s) for s in by_partition.values())
+    stats.input_bytes = sum(os.path.getsize(p) for p in pending)
+    stats.elapsed_sec = time.time() - t0
+    return stats

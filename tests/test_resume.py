@@ -1,0 +1,62 @@
+"""Resume/checkpoint semantics (FIXTURES.md §6): a build interrupted
+after partition j, then re-run, produces the IDENTICAL manifest (same
+split ids, no duplicates) and identical query results as an uninterrupted
+build."""
+
+import json
+import os
+
+from quickwit_ray.config import IndexConfig, IndexSettings, pages_doc_mapping
+from quickwit_ray.index.build import build_index, garbage_collect
+from quickwit_ray.search.engine import IndexSearcher
+from quickwit_ray.sources.fixtures import ensure_pages
+
+
+def _manifest_split_ids(index_dir):
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = json.load(f)
+    return sorted(s["split_id"] for s in m["splits"]
+                  if s["split_state"] == "published")
+
+
+def test_interrupted_build_resumes_identically(tmp_path):
+    paths = ensure_pages(str(tmp_path / "pages"), 2000, 8, filler_bytes=1024)
+    cfg = IndexConfig("pages", pages_doc_mapping(),
+                      IndexSettings(split_num_docs_target=10_000,
+                                    store_binary_columns=False))
+
+    # uninterrupted reference build
+    full_dir = str(tmp_path / "full")
+    build_index(paths, full_dir, cfg, execution="local")
+
+    # "killed" build: only 3 partitions committed, plus a leftover staged
+    # dir simulating an artifact the dying worker didn't finish
+    part_dir = str(tmp_path / "partial")
+    build_index(paths[:3], part_dir, cfg, execution="local")
+    os.makedirs(os.path.join(part_dir, "splits", "junk-00000.staged"))
+    assert len(_manifest_split_ids(part_dir)) == 3
+
+    # resume over the FULL input: only pending partitions are processed
+    st = build_index(paths, part_dir, cfg, execution="local")
+    assert st.num_partitions == 5  # 8 total - 3 committed
+    garbage_collect(part_dir)
+
+    assert _manifest_split_ids(part_dir) == _manifest_split_ids(full_dir)
+    sf, sp = IndexSearcher(full_dir), IndexSearcher(part_dir)
+    for q in ["text:baterm1", 'text:"intial commit"', "lang: IN [de]", "*"]:
+        assert sf.search(q, max_hits=0).num_hits == sp.search(q, max_hits=0).num_hits
+    hf = sf.search("text:baterm1", max_hits=10, sort_by="_score", fetch_fields=["url"]).hits
+    hp = sp.search("text:baterm1", max_hits=10, sort_by="_score", fetch_fields=["url"]).hits
+    assert list(hf["url"]) == list(hp["url"])
+    assert list(hf["sort_key0"]) == list(hp["sort_key0"])
+
+
+def test_rerun_counts_nothing(tmp_path):
+    paths = ensure_pages(str(tmp_path / "pages"), 500, 2, filler_bytes=512)
+    cfg = IndexConfig("pages", pages_doc_mapping(),
+                      IndexSettings(store_binary_columns=False))
+    d = str(tmp_path / "idx")
+    st1 = build_index(paths, d, cfg, execution="local")
+    assert st1.num_docs == 500
+    st2 = build_index(paths, d, cfg, execution="local")
+    assert st2.num_docs == 0 and st2.num_partitions == 0
