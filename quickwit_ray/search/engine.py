@@ -80,14 +80,33 @@ class _ReaderCache:
 
 _GLOBAL_READER_CACHE = _ReaderCache()
 
+# MaxScore pruning for scored disjunctions (set False to force the naive
+# full-scoring path — used by the equivalence tests)
+ENABLE_MAXSCORE = True
+
 
 def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
                     cache: Optional[_ReaderCache] = None) -> dict:
     """Leaf search over one split -> partial result dict."""
+    from quickwit_ray.functions.tokenizers import tokenize
+    from quickwit_ray.search.ast import FullTextQuery
+
     reader = (cache or _GLOBAL_READER_CACHE).get(split_dir)
     searcher = SplitSearcher(reader, mapping)
     scoring = any(sf.field == "_score" for sf in request.sort_fields)
-    mask, scores = searcher.eval(request.query, scoring)
+    k_hint = request.start_offset + request.max_hits
+    node = request.query
+    pruned = None
+    if (ENABLE_MAXSCORE and scoring and k_hint > 0
+            and request.search_after is None
+            and isinstance(node, FullTextQuery) and node.mode == "or"):
+        terms = tokenize(node.text, mapping.field(node.field).tokenizer)
+        if len(terms) > 1:
+            pruned = searcher.eval_or_topk_pruned(node.field, terms, k_hint)
+    if pruned is not None:
+        mask, scores = pruned
+    else:
+        mask, scores = searcher.eval(request.query, scoring)
     num_hits = int(mask.sum())
     out: dict[str, Any] = {"num_hits": num_hits, "split_dir": split_dir}
     k = request.start_offset + request.max_hits

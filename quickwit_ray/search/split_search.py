@@ -383,6 +383,74 @@ class SplitSearcher:
         return mask, scores
 
     # ------------------------------------------------------------------
+    # MaxScore-pruned disjunctive top-k (the Block-Max-WAND family:
+    # per-term score upper bounds from the cached dictionary's max_tf +
+    # df — bm25_max_score — let low-impact terms skip the expensive
+    # per-posting scoring while the match mask stays exact)
+    # ------------------------------------------------------------------
+
+    def eval_or_topk_pruned(self, field: str, terms: list[str], k: int):
+        """Exact top-k for a pure disjunction of terms, scored with BM25.
+
+        Returns (mask, scores) like eval(), with the guarantee that the
+        top-k docs carry their exact full scores and the mask is the exact
+        match set; scores of docs provably outside the top-k may be
+        partial (they are never surfaced). Terms are processed in
+        descending upper-bound order; once the remaining terms' summed
+        upper bound falls below the current kth-best score, later terms
+        only (a) extend the mask and (b) refine docs still able to reach
+        the threshold.
+        """
+        from quickwit_ray.functions.bm25 import bm25_max_score
+
+        rows = self.reader.term_rows(field, terms)
+        rows = rows[rows >= 0]
+        mask = np.zeros(self.n, bool)
+        scores = np.zeros(self.n, np.float32)
+        if len(rows) == 0:
+            return mask, scores
+        num_docs, avgdl = self._field_stats(field)
+        fm = self.mapping.field(field) if _has_field(self.mapping, field) else None
+        basic = fm is not None and fm.record == "basic"
+        ubs = np.asarray([
+            bm25_max_score(1.0 if basic else float(self.reader.max_tf[r]),
+                           float(self.reader.df[r]), num_docs, avgdl)
+            for r in rows])
+        order = np.argsort(-ubs, kind="stable")
+        rows, ubs = rows[order], ubs[order]
+        postings = self.reader.read_postings(rows)
+        norms = self.reader.fieldnorm_ids(field)
+        rem_after = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
+        theta = -np.inf
+        eps = 1e-6
+        for i, r in enumerate(rows):
+            p = postings[int(r)]
+            docs = p["doc_ids"]
+            if len(docs) == 0:
+                continue
+            tfs = np.ones(len(docs), np.int64) if basic else p["tfs"]
+            ub_tot = float(ubs[i] + rem_after[i])
+            if theta == -np.inf:
+                docs_s, tfs_s = docs, tfs
+            else:
+                # a doc (seen or new) can only reach the current kth-best
+                # score if its accumulated score + this-and-remaining terms'
+                # upper bounds clears theta; everything else only needs the
+                # match mask, not the BM25 arithmetic + fieldnorm gathers
+                sel = scores[docs].astype(np.float64) + ub_tot >= theta - eps
+                docs_s, tfs_s = docs[sel], tfs[sel]
+            mask[docs] = True
+            if len(docs_s):
+                s = bm25_scores(tfs_s, norms[docs_s], df=float(len(docs)),
+                                num_docs=num_docs, avgdl=avgdl)
+                scores[docs_s] += s
+            if k > 0:
+                matched = scores[mask]
+                if len(matched) >= k:
+                    theta = float(np.partition(matched, len(matched) - k)[len(matched) - k])
+        return mask, scores
+
+    # ------------------------------------------------------------------
     # top-k collection (collector.rs:476-596 semantics)
     # ------------------------------------------------------------------
 

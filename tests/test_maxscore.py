@@ -1,0 +1,73 @@
+"""MaxScore-pruned disjunctive top-k == naive full scoring, on a Zipf
+corpus with hot terms (the pruning actually fires there)."""
+
+import numpy as np
+import pytest
+
+import quickwit_ray.search.engine as engine_mod
+from quickwit_ray.config import IndexConfig, IndexSettings, pages_doc_mapping
+from quickwit_ray.index.build import build_index
+from quickwit_ray.search.ast import FullTextQuery
+from quickwit_ray.search.engine import IndexSearcher
+from quickwit_ray.sources.fixtures import ensure_pages
+
+
+@pytest.fixture(scope="module")
+def zipf_index(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("msidx")
+    paths = ensure_pages(str(tmp / "pages"), 4000, 4, filler_bytes=256)
+    d = str(tmp / "idx")
+    cfg = IndexConfig("pages", pages_doc_mapping(),
+                      IndexSettings(split_num_docs_target=100_000,
+                                    store_binary_columns=False))
+    build_index(paths, d, cfg, execution="local")
+    return d
+
+
+QUERIES = [
+    "aaterm0 baterm1 caterm2",                  # three hot terms
+    "aaterm0 rareterm10",                       # hot + rare
+    "aaterm0 baterm1 caterm2 daterm3 eaterm4 faterm5 gaterm6 haterm7",
+    "rareterm10 rareterm20 rareterm30",
+    "aaterm0 zzznotaterm",
+]
+
+
+@pytest.mark.parametrize("qtext", QUERIES)
+def test_pruned_equals_naive(zipf_index, qtext):
+    q = FullTextQuery("text", qtext, mode="or")
+    s = IndexSearcher(zipf_index)
+    engine_mod.ENABLE_MAXSCORE = True
+    fast = s.search(q, max_hits=10, sort_by="_score", fetch_fields=[])
+    engine_mod.ENABLE_MAXSCORE = False
+    slow = s.search(q, max_hits=10, sort_by="_score", fetch_fields=[])
+    engine_mod.ENABLE_MAXSCORE = True
+    assert fast.num_hits == slow.num_hits, qtext
+    assert list(fast.hits["_split_id"]) == list(slow.hits["_split_id"])
+    assert list(fast.hits["_doc_id"]) == list(slow.hits["_doc_id"])
+    # f32 accumulation order differs (UB-sorted vs query order) -> last-ulp
+    # wiggle; ranks must still be identical
+    assert np.allclose(fast.hits["sort_key0"], slow.hits["sort_key0"],
+                       rtol=1e-6, atol=1e-9)
+
+
+def test_pruning_actually_skips_scoring(zipf_index):
+    """The hot-term query must leave some matched docs with partial
+    (0-ish) scores — proof the pruning engaged — while counts stay exact."""
+    import os
+
+    from quickwit_ray.search.engine import _GLOBAL_READER_CACHE
+    from quickwit_ray.search.split_search import SplitSearcher
+
+    s = IndexSearcher(zipf_index)
+    sm = s.manifest.published_splits()[0]
+    reader = _GLOBAL_READER_CACHE.get(
+        os.path.join(zipf_index, "splits", sm.split_id))
+    searcher = SplitSearcher(reader, s.mapping)
+    terms = ["aaterm0", "baterm1", "caterm2"]
+    mask_p, scores_p = searcher.eval_or_topk_pruned("text", terms, 10)
+    mask_f, scores_f = searcher.eval(
+        FullTextQuery("text", " ".join(terms), mode="or"), True)
+    assert (mask_p == mask_f).all()
+    # some matched doc was spared full scoring
+    assert (scores_p[mask_p] < scores_f[mask_p] - 1e-9).any()
