@@ -344,6 +344,159 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort_values(["query_id", "rank"]).reset_index(drop=True))
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    # ---- round-trip variants: ES DSL, pagination, delete, merge, shuffle
+    def search_es_dsl(sf):
+        from quickwit_ray.search.es_dsl import es_search_request
+
+        from quickwit_ray.search.engine import IndexSearcher
+
+        s = _searcher(sf, "documents")
+        kw = es_search_request({
+            "query": {"bool": {
+                "must": [{"match": {"text": {"query": "scan merge",
+                                             "operator": "and"}}}],
+                "must_not": [{"term": {"lang": "de"}}]}},
+            "size": 1_000_000})
+        resp = s.search(fetch_fields=["doc_id"], **kw)
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["search_es_dsl"] = search_es_dsl
+
+    def search_min_should_match(sf):
+        from quickwit_ray.search.ast import BoolQuery, FullTextQuery
+
+        s = _searcher(sf, "documents")
+        node = BoolQuery(should=(FullTextQuery("text", "scan"),
+                                 FullTextQuery("text", "merge"),
+                                 FullTextQuery("text", "vector")),
+                         minimum_should_match=2)
+        resp = s.search(node, max_hits=1_000_000, fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["search_min_should_match"] = search_min_should_match
+
+    def search_wildcard_mid(sf):
+        return _matching_ids(sf, "text:s?an")
+    q["search_wildcard_mid"] = search_wildcard_mid
+
+    def search_after_page2(sf):
+        s = _searcher(sf, "documents")
+        p1 = s.search("text:scan", max_hits=10, sort_by=["n_chars", "doc_id"],
+                      fetch_fields=["doc_id", "n_chars"])
+        p2 = s.search("text:scan", max_hits=10, sort_by=["n_chars", "doc_id"],
+                      search_after=p1.scroll_cursor,
+                      fetch_fields=["doc_id", "n_chars"])
+        out = p2.hits[["doc_id", "n_chars"]].reset_index(drop=True)
+        return out.astype({"doc_id": "int64", "n_chars": "int64"})
+    q["search_after_page2"] = search_after_page2
+
+    def list_terms_prefix(sf):
+        from quickwit_ray.search.listers import list_terms
+
+        df = list_terms(_documents_index(sf), "text", prefix="me", limit=10_000)
+        return df.astype({"doc_freq": "int64"})
+    q["list_terms_prefix"] = list_terms_prefix
+
+    def delete_then_count(sf):
+        import shutil
+
+        from quickwit_ray.api import Index
+        from quickwit_ray.config import (IndexConfig, IndexSettings,
+                                         documents_doc_mapping)
+        from quickwit_ray.index.build import build_index
+
+        idx_dir = _index_dir_for(sf, "documents_del")
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        cfg = IndexConfig("docs_del", documents_doc_mapping(),
+                          IndexSettings(split_num_docs_target=1_000_000,
+                                        commit_docs_threshold=200))
+        build_index(os.path.join(sf, "documents.parquet"), idx_dir, cfg,
+                    execution="local")
+        index = Index.open(idx_dir)
+        index.create_delete_task("lang:de")
+        index.apply_deletes()
+        resp = index.search("text:scan", max_hits=1_000_000,
+                            fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["delete_then_count"] = delete_then_count
+
+    def merge_then_search(sf):
+        import shutil
+
+        from quickwit_ray.config import (IndexConfig, IndexSettings,
+                                         MergePolicyConfig,
+                                         documents_doc_mapping)
+        from quickwit_ray.index.build import build_index
+        from quickwit_ray.index.merge import run_merge_pipeline
+        from quickwit_ray.search.engine import IndexSearcher
+
+        idx_dir = _index_dir_for(sf, "documents_merged")
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        cfg = IndexConfig(
+            "docs_m", documents_doc_mapping(),
+            IndexSettings(split_num_docs_target=1_000_000,
+                          commit_docs_threshold=100,
+                          merge_policy=MergePolicyConfig(
+                              merge_factor=3, max_merge_factor=5,
+                              min_level_num_docs=1000)))
+        build_index(os.path.join(sf, "documents.parquet"), idx_dir, cfg,
+                    execution="local", read_batch_size=100)
+        run_merge_pipeline(idx_dir, execution="local")
+        s = IndexSearcher(idx_dir)
+        resp = s.search("text:scan", max_hits=1_000_000, fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["merge_then_search"] = merge_then_search
+
+    def shuffle_build_search(sf):
+        import shutil
+
+        from quickwit_ray.config import (IndexConfig, IndexSettings,
+                                         documents_doc_mapping)
+        from quickwit_ray.index.build_shuffle import build_index_shuffle
+        from quickwit_ray.search.engine import IndexSearcher
+
+        idx_dir = _index_dir_for(sf, "documents_shuffle")
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        cfg = IndexConfig("docs_s", documents_doc_mapping(),
+                          IndexSettings(split_num_docs_target=1_000_000))
+        build_index_shuffle(os.path.join(sf, "documents.parquet"), idx_dir, cfg)
+        s = IndexSearcher(idx_dir)
+        resp = s.search("text:scan", max_hits=1_000_000, fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["shuffle_build_search"] = shuffle_build_search
+
+    def agg_range_value(sf):
+        s = _searcher(sf, "events")
+        resp = s.search("*", max_hits=0, aggs={
+            "r": {"range": {"field": "value",
+                            "ranges": [{"to": 25.0}, {"from": 25.0, "to": 75.0},
+                                       {"from": 75.0}]}}})
+        b = resp.aggs["r"]["buckets"]
+        return pd.DataFrame({"key": [x["key"] for x in b],
+                             "doc_count": pd.Series([x["doc_count"] for x in b],
+                                                    dtype="int64")})
+    q["agg_range_value"] = agg_range_value
+
+    def agg_day_subagg(sf):
+        s = _searcher(sf, "events")
+        resp = s.search("*", max_hits=0, aggs={
+            "days": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
+                     "aggs": {"v": {"stats": {"field": "value"}}}}})
+        b = resp.aggs["days"]["buckets"]
+        return pd.DataFrame({
+            "key": pd.Series([int(x["key"]) for x in b], dtype="int64"),
+            "doc_count": pd.Series([x["doc_count"] for x in b], dtype="int64"),
+            "sum_value": [round(float(x["v"]["sum"]), 6) for x in b]})
+    q["agg_day_subagg"] = agg_day_subagg
+
+    def snippet_highlight(sf):  # rows-only (presentation feature)
+        s = _searcher(sf, "documents")
+        resp = s.search("text:scan", max_hits=5, sort_by="_score",
+                        snippet_fields=("text",))
+        hits = resp.hits
+        return pd.DataFrame({
+            "doc_id": pd.Series(hits["doc_id"], dtype="int64").reset_index(drop=True),
+            "has_highlight": [("<b>" in x) for x in hits["snippet_text"]]})
+    q["snippet_highlight"] = snippet_highlight
+
     # ---- general aggregation breadth over the star schema --------------
     def lineitem_pricing_summary(sf):
         import pyarrow as pa
@@ -431,6 +584,35 @@ def oracle_sql() -> dict[str, str]:
                                 "FROM events GROUP BY 1 ORDER BY 1"),
         "agg_terms_subagg": ("SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count, "
                              "sum(value) AS sum_value FROM events GROUP BY event_type"),
+        "search_es_dsl": (f"SELECT doc_id FROM documents WHERE {has_token('scan')} "
+                          f"AND {has_token('merge')} AND lang <> 'de' ORDER BY doc_id"),
+        "search_min_should_match": (
+            f"SELECT doc_id FROM documents WHERE "
+            f"(CASE WHEN {has_token('scan')} THEN 1 ELSE 0 END "
+            f"+ CASE WHEN {has_token('merge')} THEN 1 ELSE 0 END "
+            f"+ CASE WHEN {has_token('vector')} THEN 1 ELSE 0 END) >= 2 "
+            "ORDER BY doc_id"),
+        "search_wildcard_mid": (f"SELECT doc_id FROM documents WHERE "
+                                f"len(list_filter({TOKENS}, x -> regexp_full_match(x, 's.an'))) > 0 "
+                                "ORDER BY doc_id"),
+        "search_after_page2": (f"SELECT doc_id, n_chars FROM documents WHERE {has_token('scan')} "
+                               "ORDER BY n_chars DESC, doc_id DESC LIMIT 10 OFFSET 10"),
+        "list_terms_prefix": ("SELECT tok AS term, CAST(count(*) AS BIGINT) AS doc_freq "
+                              f"FROM (SELECT doc_id, unnest(list_distinct({TOKENS})) AS tok "
+                              "FROM documents) WHERE tok LIKE 'me%' "
+                              "GROUP BY tok ORDER BY tok"),
+        "delete_then_count": (f"SELECT doc_id FROM documents WHERE {has_token('scan')} "
+                              "AND lang <> 'de' ORDER BY doc_id"),
+        "merge_then_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "shuffle_build_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "agg_range_value": ("SELECT key, CAST(count(*) AS BIGINT) AS doc_count FROM ("
+                            "SELECT CASE WHEN value < 25.0 THEN '*-25.0' "
+                            "WHEN value >= 25.0 AND value < 75.0 THEN '25.0-75.0' "
+                            "ELSE '75.0-*' END AS key FROM events) GROUP BY key"),
+        "agg_day_subagg": ("SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS key, "
+                           "CAST(count(*) AS BIGINT) AS doc_count, "
+                           "round(sum(value), 6) AS sum_value "
+                           "FROM events GROUP BY 1 ORDER BY 1"),
         "dedup_exact": ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
                         "(PARTITION BY text ORDER BY doc_id) AS rn FROM documents) "
                         "WHERE rn = 1 ORDER BY doc_id"),
