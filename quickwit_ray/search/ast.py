@@ -114,9 +114,11 @@ class SearchRequest:
     max_hits: int = 10
     start_offset: int = 0
     sort_fields: tuple = ()  # up to 2 SortField; empty = default (_doc desc)
-    # time-range pruning bounds on the doc mapping's timestamp field (µs)
+    # time-range bounds on the doc mapping's timestamp field (µs): prune
+    # splits AND filter rows within partially-overlapping splits
     start_timestamp: Optional[int] = None
     end_timestamp: Optional[int] = None
+    timestamp_field: Optional[str] = None
     aggs: Optional[dict] = None
     search_after: Optional[tuple] = None
     snippet_fields: tuple = ()

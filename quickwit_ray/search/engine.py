@@ -107,6 +107,15 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
         mask, scores = pruned
     else:
         mask, scores = searcher.eval(request.query, scoring)
+    # apply the request's timestamp window within the split (split pruning
+    # only removes fully-disjoint splits; boundary splits need a row filter)
+    if request.timestamp_field and (request.start_timestamp is not None
+                                    or request.end_timestamp is not None):
+        ts = reader.fast_field(request.timestamp_field)
+        if request.start_timestamp is not None:
+            mask = mask & (ts >= request.start_timestamp)
+        if request.end_timestamp is not None:
+            mask = mask & (ts < request.end_timestamp)
     num_hits = int(mask.sum())
     out: dict[str, Any] = {"num_hits": num_hits, "split_dir": split_dir}
     k = request.start_offset + request.max_hits
@@ -214,12 +223,6 @@ class IndexSearcher:
         t0 = _time.time()
         node = self._resolve_query(query if query is not None else MatchAll())
         sort_fields = _normalize_sort(sort_by)
-        request = SearchRequest(query=node, max_hits=max_hits,
-                                start_offset=start_offset,
-                                sort_fields=tuple(sort_fields), aggs=aggs,
-                                search_after=search_after,
-                                snippet_fields=tuple(snippet_fields))
-
         # ---- split pruning (time range from args AND query AST, + tags)
         ts_field = self.mapping.timestamp_field
         lo, hi = start_timestamp, end_timestamp
@@ -229,6 +232,16 @@ class IndexSearcher:
                 lo = qlo if lo is None else max(lo, qlo)
             if qhi is not None:
                 hi = qhi if hi is None else min(hi, qhi)
+        request = SearchRequest(query=node, max_hits=max_hits,
+                                start_offset=start_offset,
+                                sort_fields=tuple(sort_fields), aggs=aggs,
+                                search_after=search_after,
+                                snippet_fields=tuple(snippet_fields),
+                                start_timestamp=start_timestamp,
+                                end_timestamp=end_timestamp,
+                                timestamp_field=ts_field if (
+                                    start_timestamp is not None
+                                    or end_timestamp is not None) else None)
         tags = extract_tags(node, self.mapping.tag_fields)
         splits = self.manifest.list_splits(lo, hi, tags)
 

@@ -1,0 +1,193 @@
+"""Training-data pipeline tests: dedup variants on corpora with PLANTED
+duplicates, ANN recall, sketches accuracy, multimodal plumbing,
+search-stream export, text analysis."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from quickwit_ray.pipelines.dedup import (
+    UnionFind,
+    exact_dedup,
+    embedding_dedup,
+    jaccard,
+    minhash_dedup,
+    minhash_signatures,
+    simhash64,
+    simhash_dedup,
+)
+
+
+def _docs_with_dups():
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to find some food for the night")
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique document number {i} with "
+                                          f"totally different content {i * 7} "
+                                          f"and filler words galore {i * 13}"})
+    # exact dups
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})
+    # near dup (one word changed)
+    rows.append({"doc_id": 102, "text": base.replace("lazy", "sleepy")})
+    # unrelated long doc
+    rows.append({"doc_id": 103, "text": " ".join(f"w{j}" for j in range(100))})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def dup_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_pandas(_docs_with_dups())
+
+
+def test_exact_dedup(dup_ds):
+    kept = exact_dedup(dup_ds, "text", "doc_id").to_pandas()
+    ids = set(kept["doc_id"])
+    assert 100 in ids and 101 not in ids  # keep-first by min id
+    assert 102 in ids and len(ids) == 43
+
+
+def test_minhash_dedup_catches_near_dup(dup_ds):
+    kept, clusters = minhash_dedup(dup_ds, "text", "doc_id", threshold=0.5)
+    ids = set(kept.to_pandas()["doc_id"])
+    assert 100 in ids
+    assert 101 not in ids and 102 not in ids  # exact + near dup both drop
+    assert 103 in ids
+    assert clusters.get(101) == 100 and clusters.get(102) == 100
+
+
+def test_minhash_signature_similarity():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox jumps over the sleepy dog " * 5
+    c = " ".join(f"z{i}" for i in range(50))
+    sa, sb, sc = minhash_signatures([a, b, c])
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > 0.15 > sim_ac
+    assert abs(sim_ab - jaccard(a, b)) < 0.25
+
+
+def test_simhash_dedup(dup_ds):
+    kept, clusters = simhash_dedup(dup_ds, "text", "doc_id", max_hamming=3)
+    ids = set(kept.to_pandas()["doc_id"])
+    assert 101 not in ids  # exact dup has identical simhash
+    assert 100 in ids
+
+
+def test_simhash_hamming_property():
+    a = simhash64(["the quick brown fox jumps over the lazy dog"] * 2)
+    assert a[0] == a[1]
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    vecs = rng.standard_normal((30, 16)).astype(np.float32)
+    vecs[11] = vecs[10] + 1e-4  # planted near-dup
+    vecs[12] = vecs[10] * 2.0   # same direction -> cosine 1
+    df = pd.DataFrame({"vec_id": range(30), "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df)
+    kept, clusters = embedding_dedup(ds, "embedding", "vec_id", threshold=0.999)
+    ids = set(kept.to_pandas()["vec_id"])
+    assert 10 in ids and 11 not in ids and 12 not in ids
+
+
+def test_union_find_keeps_min():
+    uf = UnionFind()
+    uf.union(5, 3)
+    uf.union(3, 9)
+    assert uf.find(5) == uf.find(9) == 3
+
+
+def test_ann_brute_force_exact(ray_session):
+    import ray.data
+
+    from quickwit_ray.pipelines.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    vecs = rng.standard_normal((200, 8)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df)
+    q = vecs[:2]
+    out = brute_force_topk(ds, q, k=5, vec_col="embedding", id_col="vec_id")
+    # ground truth by plain numpy
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = vn @ qn.T
+    for qi in range(2):
+        truth = np.argsort(-sims[:, qi], kind="stable")[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")["id"].to_numpy()
+        assert list(got) == list(truth)
+        assert got[0] == qi  # self is nearest
+    # ivf with full probe == exact
+    ivf = ivf_topk(ds, q, k=5, nprobe=64, num_centroids=16)
+    for qi in range(2):
+        got = ivf[ivf["query_id"] == qi].sort_values("rank")["id"].to_numpy()
+        assert got[0] == qi
+
+
+def test_hll_accuracy():
+    from quickwit_ray.functions.sketches import HyperLogLog
+
+    h1, h2 = HyperLogLog(), HyperLogLog()
+    h1.add(np.arange(0, 60_000))
+    h2.add(np.arange(40_000, 100_000))
+    merged = h1.merge(h2)
+    assert abs(merged.estimate() - 100_000) / 100_000 < 0.03
+
+
+def test_quantile_sketch_accuracy():
+    from quickwit_ray.functions.sketches import QuantileSketch
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    data = rng.standard_normal(100_000)
+    qs1, qs2 = QuantileSketch(), QuantileSketch()
+    qs1.add(data[:50_000])
+    qs2.add(data[50_000:])
+    qs = qs1.merge(qs2)
+    for p in (25, 50, 95):
+        assert abs(qs.percentile(p) - np.percentile(data, p)) < 0.05
+
+
+def test_multimodal_decode_plumbing(ray_session):
+    import ray.data
+
+    from quickwit_ray.pipelines.multimodal import (
+        DecodeImageStage,
+        decode_images,
+        make_fake_image,
+    )
+
+    rows = [{"img_id": i, "image": make_fake_image(32 + i, 16)} for i in range(6)]
+    rows.append({"img_id": 99, "image": None})
+    ds = ray.data.from_items(rows)
+    out = decode_images(ds, image_col="image", fake=True, resize_to=(8, 8),
+                        concurrency=2, batch_size=4).to_pandas()
+    ok = out[out["img_id"] < 90]
+    assert (ok["width"] == 8).all() and (ok["height"] == 8).all()
+    assert out[out["img_id"] == 99]["width"].isna().all()
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage(fake=False)
+
+
+def test_search_stream_table(ray_session):
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = ds
+    from quickwit_ray.pipelines.search_stream import search_stream_table
+
+    res = search_stream_table(
+        ds, lambda t: pc.equal(t["event_type"], pa.scalar("click")),
+        ["user_id", "value"]).to_pandas()
+    import pyarrow.parquet as pq
+
+    truth = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    assert len(res) == int((truth["event_type"] == "click").sum())
+    _ = out
