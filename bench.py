@@ -115,7 +115,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
            "+text:caterm2 +warc_ts:[2024-01-10T00:00:00Z TO 2024-02-01T00:00:00Z}"]
     )
     lat = []
-    s.search("text:warmup", max_hits=1)  # open readers
+    s.search("text:aaterm0", max_hits=1, sort_by="_score")  # open readers + norms
     for q in qset:
         t0 = time.time()
         s.search(q, max_hits=10, sort_by="_score", fetch_fields=[])

@@ -201,14 +201,15 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
     # merge salted sub-lists, sort terms
     g = g.sort_values(["field", "term", "salt"], kind="mergesort")
     rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
-                            "block_last", "block_max_tf", "positions", "pos_lens")}
+                            "block_last", "block_max_tf", "block_lens",
+                            "positions", "pos_lens")}
     for (field, term), sub in g.groupby(["field", "term"], sort=True):
         doc_b = b"".join(sub["doc_ids"])
         tf_b = b"".join(sub["tfs"])
         docs = np.frombuffer(doc_b, np.int32)
         tfs = (np.frombuffer(tf_b, np.uint32).astype(np.int64) if tf_b
                else np.ones(len(docs), np.int64))
-        bl, bm = block_meta(docs, tfs)
+        bl, bm, blen = block_meta(docs, tfs)
         d = docs.astype(np.int64)
         deltas = np.empty(len(d), np.int32)
         if len(d):
@@ -222,6 +223,7 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
         rows["tfs"].append(tf_b)
         rows["block_last"].append(bl)
         rows["block_max_tf"].append(bm)
+        rows["block_lens"].append(blen)
         rows["positions"].append(b"".join(sub["positions"]))
         rows["pos_lens"].append(b"".join(sub["pos_lens"]))
     write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE), rows)
@@ -263,7 +265,7 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
         if writer is None:
             writer = pq.ParquetWriter(os.path.join(tmp_dir, DOCSTORE_FILE),
                                       st.schema, compression="zstd",
-                                      compression_level=3)
+                                      compression_level=1)
         writer.write_table(st)
         num_docs += tbl.num_rows
     if writer is not None:

@@ -62,22 +62,27 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return d
 
 
-def block_meta(doc_ids: np.ndarray, tfs: Optional[np.ndarray]) -> tuple[bytes, bytes]:
+def block_meta(doc_ids: np.ndarray, tfs: Optional[np.ndarray]
+               ) -> tuple[bytes, bytes, bytes]:
+    """(block_last, block_max_tf, block_lens) for one posting list; blocks
+    of BLOCK_SIZE docs (merged splits may carry shorter blocks — the
+    explicit lens column makes block byte-ranges recoverable there)."""
     n = len(doc_ids)
     if n == 0:
-        return b"", b""
+        return b"", b"", b""
     if n <= BLOCK_SIZE:  # fast path: the overwhelmingly common single block
         last = np.asarray([doc_ids[-1]], np.int32)
         mx = np.asarray([tfs.max() if tfs is not None and len(tfs) else 1], np.int32)
-        return last.tobytes(), mx.tobytes()
+        return last.tobytes(), mx.tobytes(), np.asarray([n], np.int32).tobytes()
     starts = np.arange(0, n, BLOCK_SIZE)
-    ends = np.minimum(starts + BLOCK_SIZE, n) - 1
-    block_last = np.asarray(doc_ids, np.int32)[ends]
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+    block_last = np.asarray(doc_ids, np.int32)[ends - 1]
+    lens = (ends - starts).astype(np.int32)
     if tfs is None or len(tfs) == 0:
         block_max = np.ones(len(starts), np.int32)
     else:
         block_max = np.maximum.reduceat(np.asarray(tfs, np.int64), starts).astype(np.int32)
-    return block_last.tobytes(), block_max.tobytes()
+    return block_last.tobytes(), block_max.tobytes(), lens.tobytes()
 
 
 POSTINGS_SCHEMA = pa.schema([
@@ -89,6 +94,7 @@ POSTINGS_SCHEMA = pa.schema([
     ("tfs", pa.binary()),
     ("block_last", pa.binary()),
     ("block_max_tf", pa.binary()),
+    ("block_lens", pa.binary()),
     ("positions", pa.binary()),
     ("pos_lens", pa.binary()),
 ])
@@ -100,7 +106,7 @@ DICT_COLUMNS = ["field", "term", "df", "max_tf"]
 def write_postings_file(path: str, rows: dict[str, list]) -> None:
     table = pa.table({k: rows[k] for k in POSTINGS_SCHEMA.names}, schema=POSTINGS_SCHEMA)
     pq.write_table(table, path, row_group_size=TERMS_PER_ROW_GROUP,
-                   compression="zstd", compression_level=3)
+                   compression="zstd", compression_level=1)
 
 
 def write_footer(split_dir: str, footer: dict) -> None:
@@ -144,6 +150,7 @@ class SplitReader:
         self._fieldnorms: Optional[pa.Table] = None
         self._fastfields: Optional[pa.Table] = None
         self._postings_cache: dict[int, dict] = {}
+        self._rg_cache: dict = {}
 
     # -- term dictionary ----------------------------------------------------
 
@@ -211,7 +218,7 @@ class SplitReader:
             if with_positions:
                 cols += ["positions", "pos_lens"]
             for rg, rlist in by_rg.items():
-                tbl = self._pf.read_row_group(rg, columns=cols)
+                tbl = self._row_group(rg, with_positions)
                 base = rg * TERMS_PER_ROW_GROUP
                 for r in rlist:
                     i = r - base
@@ -230,6 +237,40 @@ class SplitReader:
                         ent["positions"] = np.frombuffer(po, np.int32)
                     self._postings_cache[r] = ent
         return {r: self._postings_cache[r] for r in rows}
+
+    def _row_group(self, rg: int, with_positions: bool = False) -> "pa.Table":
+        """Small LRU of decompressed posting row groups (the warmup-cache
+        analog): repeated term lookups in the same region avoid re-reading
+        and re-decompressing 2048-term column chunks."""
+        key = (rg, with_positions)
+        tbl = self._rg_cache.get(key)
+        if tbl is None:
+            cols = ["doc_ids", "tfs", "block_last", "block_max_tf"]
+            if "block_lens" in self._pf.schema_arrow.names:
+                cols.append("block_lens")
+            if with_positions:
+                cols += ["positions", "pos_lens"]
+            tbl = self._pf.read_row_group(rg, columns=cols)
+            self._rg_cache[key] = tbl
+            if len(self._rg_cache) > 4:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+        return tbl
+
+    def read_postings_raw(self, row: int) -> dict:
+        """Raw (undecoded) posting buffers for one dictionary row — the
+        block-max path decodes only the blocks it needs."""
+        rg = int(row) // TERMS_PER_ROW_GROUP
+        tbl = self._row_group(rg)
+        if "block_lens" not in tbl.column_names:
+            return {"block_lens": np.empty(0, np.int32)}
+        i = int(row) - rg * TERMS_PER_ROW_GROUP
+        return {
+            "doc_deltas": np.frombuffer(tbl["doc_ids"][i].as_py() or b"", np.int32),
+            "tfs": np.frombuffer(tbl["tfs"][i].as_py() or b"", np.uint32),
+            "block_last": np.frombuffer(tbl["block_last"][i].as_py() or b"", np.int32),
+            "block_max_tf": np.frombuffer(tbl["block_max_tf"][i].as_py() or b"", np.int32),
+            "block_lens": np.frombuffer(tbl["block_lens"][i].as_py() or b"", np.int32),
+        }
 
     # -- per-doc columns ----------------------------------------------------
 

@@ -181,6 +181,152 @@ def make_policy(config: MergePolicyConfig, split_num_docs_target: int):
 # merge execution
 # ---------------------------------------------------------------------------
 
+def _binary_buffers(arr: pa.Array) -> tuple[np.ndarray, pa.Buffer]:
+    """(offsets int32 view incl. trailing, data buffer) of a BinaryArray
+    with offset 0 and no nulls (how our postings columns are written)."""
+    assert arr.offset == 0
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int32, count=len(arr) + 1)
+    return offs, bufs[2]
+
+
+def _collapsed_binary(arr: pa.Array, term_starts: np.ndarray,
+                      data_buf: pa.Buffer | None = None) -> pa.Array:
+    """Re-window a BinaryArray to one row per term: keep the data buffer,
+    subset the offsets at term boundaries (zero-copy concat of each term's
+    consecutive piece rows)."""
+    offs, data = _binary_buffers(arr)
+    ends = np.append(term_starts[1:], len(arr))
+    new_offs = np.empty(len(term_starts) + 1, np.int32)
+    new_offs[:-1] = offs[term_starts]
+    new_offs[-1] = offs[ends[-1]] if len(ends) else 0
+    return pa.Array.from_buffers(
+        pa.binary(), len(term_starts),
+        [None, pa.py_buffer(new_offs.tobytes()), data_buf or data])
+
+
+def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
+                               tmp_dir: str) -> None:
+    import pyarrow.compute as pc
+
+    from quickwit_ray.index.format import POSTINGS_SCHEMA, TERMS_PER_ROW_GROUP
+
+    tables = []
+    for ord_, (d, off) in enumerate(zip(split_dirs, offsets)):
+        t = pq.read_table(os.path.join(d, POSTINGS_FILE))
+        n = t.num_rows
+        t = t.append_column("_off", pa.array(np.full(n, off, np.int32)))
+        t = t.append_column("_ord", pa.array(np.full(n, ord_, np.int32)))
+        tables.append(t)
+    big = pa.concat_tables(tables).combine_chunks()
+    order = pc.sort_indices(big, sort_keys=[("field", "ascending"),
+                                            ("term", "ascending"),
+                                            ("_ord", "ascending")])
+    big = big.take(order).combine_chunks()
+    n = big.num_rows
+    if n == 0:
+        write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE),
+                            {k: [] for k in POSTINGS_SCHEMA.names})
+        return
+    fcodes = np.asarray(pc.dictionary_encode(big["field"].combine_chunks()).indices)
+    tcodes = np.asarray(pc.dictionary_encode(big["term"].combine_chunks()).indices)
+    start = np.empty(n, bool)
+    start[0] = True
+    np.logical_or(fcodes[1:] != fcodes[:-1], tcodes[1:] != tcodes[:-1],
+                  out=start[1:])
+    term_starts = np.nonzero(start)[0]
+    piece_off = np.asarray(big["_off"], np.int64)
+
+    # block_last: += piece offset (one writable copy of the data buffer)
+    bl_arr = big["block_last"].combine_chunks()
+    bl_offs, bl_data = _binary_buffers(bl_arr)
+    bl_i32 = np.frombuffer(bl_data, np.int32,
+                           count=int(bl_offs[-1]) // 4).copy()
+    bl_counts = np.diff(bl_offs) // 4
+    bl_i32 += np.repeat(piece_off, bl_counts).astype(np.int32)
+    # last global doc id of each piece (for first-delta patching)
+    has_blocks = bl_counts > 0
+    last_global = np.zeros(n, np.int64)
+    last_idx = (bl_offs[1:] // 4) - 1
+    last_global[has_blocks] = bl_i32[last_idx[has_blocks]]
+
+    # doc_ids: patch each piece's first delta
+    doc_arr = big["doc_ids"].combine_chunks()
+    doc_offs, doc_data = _binary_buffers(doc_arr)
+    doc_i32 = np.frombuffer(doc_data, np.int32,
+                            count=int(doc_offs[-1]) // 4).copy()
+    nonempty = np.diff(doc_offs) > 0
+    first_idx = doc_offs[:-1] // 4
+    prev_last = np.zeros(n, np.int64)
+    prev_last[1:] = last_global[:-1]
+    prev_last[term_starts] = 0
+    is_start = start
+    base = np.where(is_start, piece_off, piece_off - prev_last + 0)
+    # first_global_delta = first_local + off - prev_last (0 at term start)
+    sel = nonempty
+    patched = (doc_i32[first_idx[sel]].astype(np.int64)
+               + np.where(is_start[sel], piece_off[sel],
+                          piece_off[sel] - prev_last[sel]))
+    doc_i32[first_idx[sel]] = patched.astype(np.int32)
+    _ = base
+
+    # tfs: mixed empty/non-empty pieces within a term need materialization
+    tf_arr = big["tfs"].combine_chunks()
+    tf_offs, tf_data = _binary_buffers(tf_arr)
+    tf_lens = np.diff(tf_offs)
+    term_ends = np.append(term_starts[1:], n)
+    has_tf_per_term = np.add.reduceat(
+        (tf_lens > 0).astype(np.int64), term_starts)
+    pieces_per_term = term_ends - term_starts
+    mixed = (has_tf_per_term > 0) & (has_tf_per_term < pieces_per_term)
+    if mixed.any():
+        # rare (fields changed record option between splits): fill ones
+        tf_bytes = []
+        dfs_piece = np.asarray(big["df"], np.int64)
+        tf_py = tf_arr.to_pylist()
+        for ti in np.nonzero(mixed)[0]:
+            parts = []
+            for i in range(term_starts[ti], term_ends[ti]):
+                parts.append(tf_py[i] if tf_lens[i] else
+                             np.ones(dfs_piece[i], np.uint32).tobytes())
+            tf_bytes.append(b"".join(parts))
+        tfs_col_fixup = dict(zip(np.nonzero(mixed)[0].tolist(), tf_bytes))
+    else:
+        tfs_col_fixup = {}
+
+    out_cols = {
+        "field": big["field"].combine_chunks().take(pa.array(term_starts)),
+        "term": big["term"].combine_chunks().take(pa.array(term_starts)),
+        "df": pa.array(np.add.reduceat(np.asarray(big["df"], np.int64),
+                                       term_starts).astype(np.int32)),
+        "max_tf": pa.array(np.maximum.reduceat(
+            np.asarray(big["max_tf"], np.int64), term_starts).astype(np.int32)),
+        "doc_ids": _collapsed_binary(doc_arr, term_starts,
+                                     pa.py_buffer(doc_i32.tobytes())),
+        "tfs": _collapsed_binary(tf_arr, term_starts),
+        "block_last": _collapsed_binary(bl_arr, term_starts,
+                                        pa.py_buffer(bl_i32.tobytes())),
+        "block_max_tf": _collapsed_binary(big["block_max_tf"].combine_chunks(),
+                                          term_starts),
+        "block_lens": _collapsed_binary(big["block_lens"].combine_chunks(),
+                                        term_starts),
+        "positions": _collapsed_binary(big["positions"].combine_chunks(),
+                                       term_starts),
+        "pos_lens": _collapsed_binary(big["pos_lens"].combine_chunks(),
+                                      term_starts),
+    }
+    table = pa.table(out_cols, schema=POSTINGS_SCHEMA)
+    if tfs_col_fixup:
+        tf_list = table["tfs"].to_pylist()
+        for ti, b in tfs_col_fixup.items():
+            tf_list[ti] = b
+        table = table.set_column(table.column_names.index("tfs"), "tfs",
+                                 pa.array(tf_list, pa.binary()))
+    pq.write_table(table, os.path.join(tmp_dir, POSTINGS_FILE),
+                   row_group_size=TERMS_PER_ROW_GROUP,
+                   compression="zstd", compression_level=1)
+
+
 def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
                   num_merge_ops: int) -> SplitMetadata:
     """Merge N split artifact dirs into one new split dir (stateless; safe
@@ -201,83 +347,18 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     total_docs = int(sum(counts))
 
-    # ---- postings: per (field, term) byte-level concatenation.
-    # Delta encoding is invariant under a constant doc-id offset except for
-    # the FIRST delta of each piece, and the last global doc id of a piece
-    # is recoverable from its block metadata — so merging posting lists is
-    # pure byte concatenation with a 4-byte patch per piece, no decode.
-    # Block layout after merge = concatenated piece blocks (blocks are
-    # <= BLOCK_SIZE, not exactly BLOCK_SIZE — the reader treats them as
-    # contiguous (last_doc, max_tf) ranges).
-    merged: dict[tuple[str, str], dict] = {}
-    for ord_, (d, off) in enumerate(zip(split_dirs, offsets)):
-        tbl = pq.read_table(os.path.join(d, POSTINGS_FILE))
-        fields = tbl["field"].to_pylist()
-        terms = tbl["term"].to_pylist()
-        dfs = tbl["df"].to_numpy()
-        mtfs = tbl["max_tf"].to_numpy()
-        doc_b = tbl["doc_ids"].to_pylist()
-        tf_b = tbl["tfs"].to_pylist()
-        bl_b = tbl["block_last"].to_pylist()
-        bm_b = tbl["block_max_tf"].to_pylist()
-        pos_b = tbl["positions"].to_pylist()
-        pl_b = tbl["pos_lens"].to_pylist()
-        off32 = np.int32(off)
-        for i in range(len(fields)):
-            key = (fields[i], terms[i])
-            ent = merged.get(key)
-            if ent is None:
-                ent = merged[key] = {"df": 0, "max_tf": 0, "docs": [], "tfs": [],
-                                     "bl": [], "bm": [], "pos": [], "pls": [],
-                                     "last": -1, "any_tfs": False}
-            first_local = int(np.frombuffer(doc_b[i][:4], np.int32)[0])
-            # patched first delta = new_first_global - prev_last_global;
-            # for the very first piece it is the absolute doc id
-            if ent["last"] >= 0:
-                patched_first = np.int32(first_local + int(off32) - ent["last"])
-            else:
-                patched_first = np.int32(first_local + int(off32))
-            ent["docs"].append(patched_first.tobytes() + doc_b[i][4:])
-            bl = np.frombuffer(bl_b[i], np.int32) + off32
-            ent["bl"].append(bl.tobytes())
-            ent["bm"].append(bm_b[i])
-            ent["last"] = int(bl[-1])
-            ent["df"] += int(dfs[i])
-            ent["max_tf"] = max(ent["max_tf"], int(mtfs[i]))
-            ent["tfs"].append((tf_b[i], int(dfs[i])))
-            ent["any_tfs"] = ent["any_tfs"] or bool(tf_b[i])
-            ent["pos"].append(pos_b[i] or b"")
-            ent["pls"].append(pl_b[i] or b"")
-
-    rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
-                            "block_last", "block_max_tf", "positions", "pos_lens")}
-    ones_cache: dict[int, bytes] = {}
-    for (field, term) in sorted(merged):
-        ent = merged[(field, term)]
-        rows["field"].append(field)
-        rows["term"].append(term)
-        rows["df"].append(ent["df"])
-        rows["max_tf"].append(ent["max_tf"])
-        rows["doc_ids"].append(b"".join(ent["docs"]))
-        if ent["any_tfs"]:
-            parts = []
-            for buf, df_i in ent["tfs"]:
-                if buf:
-                    parts.append(buf)
-                else:  # basic-record piece merged with freq pieces
-                    b1 = ones_cache.get(df_i)
-                    if b1 is None:
-                        b1 = ones_cache.setdefault(
-                            df_i, np.ones(df_i, np.uint32).tobytes())
-                    parts.append(b1)
-            rows["tfs"].append(b"".join(parts))
-        else:
-            rows["tfs"].append(b"")
-        rows["block_last"].append(b"".join(ent["bl"]))
-        rows["block_max_tf"].append(b"".join(ent["bm"]))
-        rows["positions"].append(b"".join(ent["pos"]))
-        rows["pos_lens"].append(b"".join(ent["pls"]))
-    write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE), rows)
+    # ---- postings: fully-vectorized byte-level concatenation.
+    # Key facts exploited:
+    #   * delta encoding is invariant under a constant doc-id offset except
+    #     the FIRST delta of each piece (patched from block metadata — the
+    #     last global doc id of a piece is its last block_last + offset);
+    #   * merged row order = input rows sorted by (field, term, split_ord),
+    #     so every output binary column is the TAKEN input column with
+    #     intra-term offsets collapsed — zero-copy except two int32 buffer
+    #     patch passes (piece first-deltas, block_last += offset).
+    # Block layout after merge = concatenated piece blocks (<= BLOCK_SIZE
+    # each; the reader treats them as contiguous (last_doc, max_tf) ranges).
+    _merge_postings_vectorized(split_dirs, offsets, tmp_dir)
 
     # ---- per-doc tables: plain concatenation in split order
     for fname in (FIELDNORMS_FILE, FASTFIELDS_FILE, DOCSTORE_FILE):
@@ -286,7 +367,7 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
         if parts:
             pq.write_table(pa.concat_tables(parts, promote_options="default"),
                            os.path.join(tmp_dir, fname),
-                           compression="zstd", compression_level=3)
+                           compression="zstd", compression_level=1)
 
     # ---- footer: union of stats
     field_stats: dict[str, dict[str, float]] = {}

@@ -162,7 +162,7 @@ class SplitBuilder:
             os.makedirs(self._tmp_dir, exist_ok=True)
             self._docstore_writer = pq.ParquetWriter(
                 os.path.join(self._tmp_dir, DOCSTORE_FILE), store_tbl.schema,
-                compression="zstd", compression_level=3)
+                compression="zstd", compression_level=1)
             self._docstore_schema = store_tbl.schema
         self._docstore_writer.write_table(store_tbl.cast(self._docstore_schema),
                                           row_group_size=100_000)
@@ -187,7 +187,8 @@ class SplitBuilder:
 
         field_order = sorted(self._accs)  # postings sorted by (field, term)
         rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
-                                "block_last", "block_max_tf", "positions", "pos_lens")}
+                                "block_last", "block_max_tf", "block_lens",
+                                "positions", "pos_lens")}
         field_stats: dict[str, dict[str, float]] = {}
         norm_cols: dict[str, np.ndarray] = {}
 
@@ -260,13 +261,15 @@ class SplitBuilder:
             bmax_per_term = (max_tfs if record_freq
                              else np.ones(len(term_starts))).astype(np.int32)
             dfs = term_ends - term_starts
+            dfs32 = dfs.astype(np.int32)
             for ti, (s, e) in enumerate(zip(term_starts, term_ends)):
                 if dfs[ti] <= BLOCK_SIZE:
                     bl = last_doc_per_term[ti].tobytes()
                     bm = bmax_per_term[ti].tobytes()
+                    blen = dfs32[ti].tobytes()
                 else:
-                    bl, bm = block_meta(p_doc[s:e],
-                                        tfs_all[s:e] if record_freq else None)
+                    bl, bm, blen = block_meta(p_doc[s:e],
+                                              tfs_all[s:e] if record_freq else None)
                 rows["field"].append(fname)
                 rows["term"].append(sorted_terms[int(p_term[s])])
                 rows["df"].append(int(dfs[ti]))
@@ -275,6 +278,7 @@ class SplitBuilder:
                 rows["tfs"].append(tfs32[s:e].tobytes() if record_freq else b"")
                 rows["block_last"].append(bl)
                 rows["block_max_tf"].append(bm)
+                rows["block_lens"].append(blen)
                 if record_pos:
                     rows["positions"].append(
                         pos32[tok_starts_per_term[ti]: tok_ends_per_term[ti]].tobytes())

@@ -96,6 +96,37 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
     scoring = any(sf.field == "_score" for sf in request.sort_fields)
     k_hint = request.start_offset + request.max_hits
     node = request.query
+
+    # Block-Max fast path: single scored term, plain desc-_score sort, no
+    # aggs / timestamp filter / cursor -> decode only the posting blocks
+    # whose block_max_tf upper bound can reach the top-k
+    if (ENABLE_MAXSCORE and scoring and k_hint > 0 and request.aggs is None
+            and request.search_after is None and request.timestamp_field is None
+            and len(request.sort_fields) == 1
+            and request.sort_fields[0].order == "desc"):
+        single = None
+        if isinstance(node, FullTextQuery) and node.mode in ("or", "and"):
+            ts = tokenize(node.text, mapping.field(node.field).tokenizer)
+            if len(ts) == 1:
+                single = (node.field, ts[0])
+        if single is not None:
+            res = searcher.term_topk_blockmax(single[0], single[1], k_hint)
+            if res is not None:
+                docs, scores_sub, df = res
+                if len(docs) > 4 * k_hint + 64:
+                    # preselect by score, keeping all boundary ties for the
+                    # exact doc-id tie-break
+                    kth = np.partition(-scores_sub, k_hint - 1)[k_hint - 1]
+                    keep = -scores_sub <= kth
+                    docs, scores_sub = docs[keep], scores_sub[keep]
+                order = np.lexsort((-docs, -scores_sub))[:k_hint]
+                return {
+                    "num_hits": int(df), "split_dir": split_dir,
+                    "doc_ids": docs[order].astype(np.int64),
+                    "sort_key0": scores_sub[order].astype(np.float64),
+                    "sort_key1": np.zeros(len(order)),
+                }
+
     pruned = None
     if (ENABLE_MAXSCORE and scoring and k_hint > 0
             and request.search_after is None

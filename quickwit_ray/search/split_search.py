@@ -450,6 +450,89 @@ class SplitSearcher:
                     theta = float(np.partition(matched, len(matched) - k)[len(matched) - k])
         return mask, scores
 
+    def term_topk_blockmax(self, field: str, term: str, k: int):
+        """Block-Max top-k for a SINGLE scored term: per-block score upper
+        bounds from the stored block_max_tf prune whole 128-doc blocks —
+        only blocks whose bound clears the running kth-best score are
+        decoded and scored. Returns (doc_ids, scores) of the exact top-k
+        plus the term's df (exact num_hits), or None when the dictionary
+        misses the term."""
+        from quickwit_ray.functions.bm25 import K1, B, idf as idf_fn
+
+        rows = self.reader.term_rows(field, [term])
+        if rows[0] < 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32), 0
+        row = int(rows[0])
+        raw = self.reader.read_postings_raw(row)
+        lens = raw["block_lens"].astype(np.int64)
+        if len(lens) == 0 or lens.sum() != self.reader.df[row]:
+            # legacy split without block_lens: fall back to full scoring
+            return None
+        num_docs, avgdl = self._field_stats(field)
+        fm = self.mapping.field(field) if _has_field(self.mapping, field) else None
+        basic = fm is not None and fm.record == "basic"
+        df = float(self.reader.df[row])
+        bmax = (np.ones(len(lens)) if basic or len(raw["tfs"]) == 0
+                else raw["block_max_tf"].astype(np.float64))
+        w = float(idf_fn(df, num_docs)) * (1.0 + K1)
+        ub = w * bmax / (bmax + K1 * (1.0 - B)) * (1.0 + 1e-6)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        norms = self.reader.fieldnorm_ids(field)
+        deltas = raw["doc_deltas"]
+        tfs_all = raw["tfs"]
+        bl = raw["block_last"].astype(np.int64)
+
+        def decode_blocks(sel: np.ndarray):
+            """Segmented vectorized decode of an arbitrary block subset."""
+            sel = np.sort(sel)
+            ls = lens[sel]
+            ss = starts[sel]
+            total = int(ls.sum())
+            seg_off = np.concatenate([[0], np.cumsum(ls)[:-1]])
+            big_idx = np.repeat(ss - seg_off, ls) + np.arange(total)
+            d = deltas[big_idx].astype(np.int64)
+            cs = np.cumsum(d)
+            seg_base = cs[seg_off] - d[seg_off]
+            abs_prev = np.where(sel > 0, bl[sel - 1], 0)
+            docs = cs - np.repeat(seg_base, ls) + np.repeat(abs_prev, ls)
+            tfs = (np.ones(total, np.int64) if basic or len(tfs_all) == 0
+                   else tfs_all[big_idx].astype(np.int64))
+            return docs, tfs
+
+        order = np.argsort(-ub, kind="stable")
+        # round 1: best-bound blocks covering a few k docs -> threshold
+        covered = np.cumsum(lens[order])
+        n1 = int(np.searchsorted(covered, max(4 * k, 1024))) + 1
+        sel1 = order[:n1]
+        docs1, tfs1 = decode_blocks(sel1)
+        scores1 = bm25_scores(tfs1, norms[docs1], df=df, num_docs=num_docs,
+                              avgdl=avgdl)
+        if len(scores1) >= k:
+            theta = float(np.partition(scores1, len(scores1) - k)[len(scores1) - k])
+        else:
+            theta = -np.inf
+        # round 2: every remaining block whose bound clears the threshold
+        rest = order[n1:]
+        rest = rest[ub[rest] >= theta]
+        if len(rest) > 0.8 * max(len(lens) - n1, 1):
+            # bound prunes almost nothing (flat tf distribution): one plain
+            # contiguous decode beats the segmented gather
+            docs = np.cumsum(deltas.astype(np.int64))
+            tfs = (np.ones(len(docs), np.int64) if basic or len(tfs_all) == 0
+                   else tfs_all.astype(np.int64))
+            scores = bm25_scores(tfs, norms[docs], df=df, num_docs=num_docs,
+                                 avgdl=avgdl)
+            return docs, scores, int(df)
+        if len(rest):
+            docs2, tfs2 = decode_blocks(rest)
+            scores2 = bm25_scores(tfs2, norms[docs2], df=df, num_docs=num_docs,
+                                  avgdl=avgdl)
+            docs = np.concatenate([docs1, docs2])
+            scores = np.concatenate([scores1, scores2])
+        else:
+            docs, scores = docs1, scores1
+        return docs, scores, int(df)
+
     # ------------------------------------------------------------------
     # top-k collection (collector.rs:476-596 semantics)
     # ------------------------------------------------------------------
@@ -476,6 +559,16 @@ class SplitSearcher:
                 v = self._fast_values(sf.field)[docs].astype(np.float64)
             keys.append(v)
             orders.append(sf.order)
+        # top-k preselection: when the match set is much larger than k,
+        # argpartition on the primary key (keeping ALL boundary ties so the
+        # doc-id tie-break stays exact) before the exact lexsort
+        if search_after is None and len(docs) > max(4 * k, 1024) and k > 0:
+            primary = keys[0] if orders[0] == "asc" else -keys[0]
+            kth = np.partition(primary, k - 1)[k - 1]
+            keep = primary <= kth
+            if keep.sum() <= max(8 * k, 2048):
+                docs = docs[keep]
+                keys = [v[keep] for v in keys]
         # trailing tie-break: doc id compared in the primary sort direction
         if sfs[-1].field != "_doc":
             keys.append(docs.astype(np.float64))

@@ -243,3 +243,33 @@ def test_gc_removes_orphans(docs_index):
     removed = garbage_collect(docs_index)
     assert "deadbeef-00000.staged" in removed
     assert not os.path.exists(orphan)
+
+
+def test_partition_routing(tmp_path):
+    """Doc routing via partition_key: rows hash-route to per-partition
+    workbenches; splits carry partition_id; counts preserved."""
+    from quickwit_ray.config import DocMapping, FieldMapping
+
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="text", type="text", tokenizer="default",
+                         record="freq", fieldnorms=True),
+            FieldMapping(name="lang", type="text", tokenizer="raw",
+                         record="basic", fast=True),
+            FieldMapping(name="doc_id", type="i64", fast=True),
+        ),
+        partition_key="lang", max_num_partitions=8,
+        doc_id_field="doc_id", default_search_fields=("text",))
+    cfg = IndexConfig("routed", mapping)
+    d = str(tmp_path / "idx")
+    build_index(DOCS, d, cfg, execution="local", read_batch_size=100)
+    s = IndexSearcher(d)
+    splits = s.manifest.published_splits()
+    pids = {sp.partition_id for sp in splits}
+    assert len(pids) > 1  # several routing partitions materialized
+    assert sum(sp.num_docs for sp in splits) == 500
+    truth = _truth_texts()
+    # per-language docs land wholly in one partition
+    for lang in truth["lang"].unique():
+        n = s.search(f"lang:{lang}", max_hits=0).num_hits
+        assert n == int((truth["lang"] == lang).sum())

@@ -71,3 +71,49 @@ def test_pruning_actually_skips_scoring(zipf_index):
     assert (mask_p == mask_f).all()
     # some matched doc was spared full scoring
     assert (scores_p[mask_p] < scores_f[mask_p] - 1e-9).any()
+
+
+@pytest.mark.parametrize("term", ["aaterm0", "baterm1", "rareterm10"])
+def test_blockmax_single_term_equals_naive(zipf_index, term):
+    s = IndexSearcher(zipf_index)
+    engine_mod.ENABLE_MAXSCORE = True
+    fast = s.search(f"text:{term}", max_hits=10, sort_by="_score", fetch_fields=[])
+    engine_mod.ENABLE_MAXSCORE = False
+    slow = s.search(f"text:{term}", max_hits=10, sort_by="_score", fetch_fields=[])
+    engine_mod.ENABLE_MAXSCORE = True
+    assert fast.num_hits == slow.num_hits
+    assert list(fast.hits["_split_id"]) == list(slow.hits["_split_id"])
+    assert list(fast.hits["_doc_id"]) == list(slow.hits["_doc_id"])
+    assert np.allclose(fast.hits["sort_key0"], slow.hits["sort_key0"],
+                       rtol=0, atol=0)
+
+
+def test_blockmax_on_merged_split(tmp_path):
+    """Variable-length blocks (merged splits) still give exact top-k."""
+    from quickwit_ray.config import (IndexSettings, MergePolicyConfig)
+    from quickwit_ray.index.build import build_index
+    from quickwit_ray.index.merge import run_merge_pipeline
+
+    paths = ensure_pages(str(tmp_path / "p"), 3000, 6, filler_bytes=256)
+    d = str(tmp_path / "idx")
+    cfg = IndexConfig("pages", pages_doc_mapping(),
+                      IndexSettings(split_num_docs_target=100_000,
+                                    commit_docs_threshold=500,
+                                    store_binary_columns=False,
+                                    merge_policy=MergePolicyConfig(
+                                        merge_factor=3, max_merge_factor=6,
+                                        min_level_num_docs=1000)))
+    build_index(paths, d, cfg, execution="local")
+    run_merge_pipeline(d, execution="local")
+    s = IndexSearcher(d)
+    assert len(s.manifest.published_splits()) < 6
+    for term in ["aaterm0", "baterm1"]:
+        engine_mod.ENABLE_MAXSCORE = True
+        fast = s.search(f"text:{term}", max_hits=10, sort_by="_score", fetch_fields=[])
+        engine_mod.ENABLE_MAXSCORE = False
+        slow = s.search(f"text:{term}", max_hits=10, sort_by="_score", fetch_fields=[])
+        engine_mod.ENABLE_MAXSCORE = True
+        assert fast.num_hits == slow.num_hits
+        assert list(fast.hits["_doc_id"]) == list(slow.hits["_doc_id"])
+        assert np.allclose(fast.hits["sort_key0"], slow.hits["sort_key0"],
+                           rtol=0, atol=0)
