@@ -529,6 +529,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf
     q["lineitem_pricing_summary"] = lineitem_pricing_summary
 
+    def find_trace_ids(sf):
+        from quickwit_ray.pipelines.trace import top_n_distinct_by_max
+
+        ds = _docs_ds(sf, "events", ["user_id", "ts"])
+        out = top_n_distinct_by_max(ds, "user_id", "ts", n=10)
+        out["max_ts"] = out["max_ts"].astype("datetime64[us]").astype("int64")
+        return out.astype({"user_id": "int64", "max_ts": "int64"})
+    q["find_trace_ids"] = find_trace_ids
+
     def top_users_by_value(sf):
         import ray.data
         from ray.data.aggregate import Sum
@@ -634,6 +643,9 @@ def oracle_sql() -> dict[str, str]:
                                      "CAST(count(*) AS BIGINT) AS count_order "
                                      "FROM lineitem GROUP BY l_returnflag, l_linestatus "
                                      "ORDER BY l_returnflag, l_linestatus"),
+        "find_trace_ids": ("SELECT user_id, CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts "
+                           "FROM events GROUP BY user_id "
+                           "ORDER BY max(ts) DESC, user_id DESC LIMIT 10"),
         "top_users_by_value": ("SELECT user_id, sum(value) AS total FROM events "
                                "GROUP BY user_id ORDER BY total DESC, user_id DESC LIMIT 10"),
     }

@@ -39,6 +39,9 @@ class FieldMapping:
     fast: bool = False
     # tag fields participate in split pruning (doc_mapping.rs tag_fields)
     tag: bool = False
+    # Concatenate field (field_mapping_entry.rs:672-700): indexes tokens
+    # from these source columns into THIS inverted field (never stored)
+    sources: tuple = ()
 
     def __post_init__(self) -> None:
         if self.type not in FIELD_TYPES:
@@ -67,6 +70,18 @@ class DocMapping:
             if fm.name == name:
                 return fm
         raise KeyError(name)
+
+    def resolve_field(self, name: str) -> FieldMapping:
+        """Explicit mapping, or (dynamic mode) the implicit `_dynamic`-style
+        mapping applied to unmapped columns (doc_mapping.rs:26-47,
+        query_builder.rs:84-141: mapped fields first, then dynamic)."""
+        try:
+            return self.field(name)
+        except KeyError:
+            if self.mode == "dynamic":
+                return FieldMapping(name=name, type="text", tokenizer="default",
+                                    record="freq", fieldnorms=True, stored=True)
+            raise
 
     @property
     def text_fields(self) -> list[FieldMapping]:
@@ -126,6 +141,9 @@ class IndexConfig:
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "IndexConfig":
         dm = obj["doc_mapping"]
+        for f in dm["field_mappings"]:
+            if isinstance(f.get("sources"), list):
+                f["sources"] = tuple(f["sources"])
         mapping = DocMapping(
             field_mappings=tuple(FieldMapping(**f) for f in dm["field_mappings"]),
             mode=dm.get("mode", "strict"),

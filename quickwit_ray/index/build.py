@@ -112,12 +112,16 @@ class IndexPartitionTask:
             stored = f.stored and (store_bin or f.type != "bytes")
             if f.indexed and f.type == "text" or stored or f.fast or f.tag:
                 needed.add(f.name)
+            needed.update(f.sources)
         if mapping.timestamp_field:
             needed.add(mapping.timestamp_field)
         if mapping.partition_key:
             needed.add(mapping.partition_key)
         pf = pq.ParquetFile(path)
-        cols = [c for c in pf.schema_arrow.names if c in needed]
+        if mapping.mode == "dynamic":
+            cols = list(pf.schema_arrow.names)  # catch-all: read everything
+        else:
+            cols = [c for c in pf.schema_arrow.names if c in needed]
         splits: list[SplitMetadata] = []
         # workbench: routing partition -> (builder, seq counter)
         bench: dict[int, SplitBuilder] = {}

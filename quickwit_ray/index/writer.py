@@ -91,21 +91,53 @@ class SplitBuilder:
 
     # ------------------------------------------------------------------
 
+    def _effective_text_fields(self, batch: pa.Table):
+        """Explicit text fields + (dynamic mode) implicit mappings for
+        unmapped string columns (the `_dynamic` catch-all path)."""
+        out = list(self.mapping.text_fields)
+        if self.mapping.mode == "dynamic":
+            mapped = {f.name for f in self.mapping.field_mappings}
+            for i, col in enumerate(batch.column_names):
+                if col not in mapped and pa.types.is_string(batch.schema.types[i]):
+                    out.append(self.mapping.resolve_field(col))
+        return out
+
     def add_batch(self, batch: pa.Table) -> None:
         n = batch.num_rows
         if n == 0:
             return
         base = self.num_docs
         # 1. inverted fields
-        for fm in self.mapping.text_fields:
-            if fm.name not in batch.column_names:
+        for fm in self._effective_text_fields(batch):
+            if fm.sources:
+                # Concatenate field: token streams of several source
+                # columns merged under one inverted field; positions are
+                # offset per source so phrases never match across sources
+                parts = []
+                for si, src in enumerate(fm.sources):
+                    if src not in batch.column_names:
+                        continue
+                    di, tk, ps = tokenize_batch(batch[src].to_pylist(),
+                                                fm.tokenizer)
+                    parts.append((di, tk, ps + np.int32(si * 1_000_000)))
+                if parts:
+                    doc_idx = np.concatenate([p[0] for p in parts])
+                    tokens = np.concatenate([p[1] for p in parts])
+                    positions = np.concatenate([p[2] for p in parts])
+                else:
+                    doc_idx = np.empty(0, np.int32)
+                    tokens = np.empty(0, object)
+                    positions = np.empty(0, np.int32)
+            elif fm.name not in batch.column_names:
                 if self.mapping.mode == "strict":
                     raise KeyError(f"strict mapping: missing field {fm.name}")
                 continue
-            col = batch[fm.name]
-            texts = col.to_pylist()
-            doc_idx, tokens, positions = tokenize_batch(texts, fm.tokenizer)
-            acc = self._accs[fm.name]
+            else:
+                doc_idx, tokens, positions = tokenize_batch(
+                    batch[fm.name].to_pylist(), fm.tokenizer)
+            acc = self._accs.get(fm.name)
+            if acc is None:
+                acc = self._accs[fm.name] = _FieldAcc()
             # doc lengths (for fieldnorms) = token count per doc
             acc.doc_lens.append(np.bincount(doc_idx, minlength=n).astype(np.int32))
             if len(tokens) == 0:
@@ -157,6 +189,9 @@ class SplitBuilder:
         stored_names = [f.name for f in self.mapping.stored_fields
                         if f.name in batch.column_names
                         and (self.config.settings.store_binary_columns or f.type != "bytes")]
+        if self.mapping.mode == "dynamic":
+            mapped = {f.name for f in self.mapping.field_mappings}
+            stored_names += [c for c in batch.column_names if c not in mapped]
         store_tbl = batch.select(stored_names)
         if self._docstore_writer is None:
             os.makedirs(self._tmp_dir, exist_ok=True)
@@ -193,7 +228,7 @@ class SplitBuilder:
         norm_cols: dict[str, np.ndarray] = {}
 
         for fname in field_order:
-            fm = self.mapping.field(fname)
+            fm = self.mapping.resolve_field(fname)
             acc = self._accs[fname]
             doc_lens = (np.concatenate(acc.doc_lens) if acc.doc_lens
                         else np.zeros(self.num_docs, np.int32))

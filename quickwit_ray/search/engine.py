@@ -106,7 +106,7 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
             and request.sort_fields[0].order == "desc"):
         single = None
         if isinstance(node, FullTextQuery) and node.mode in ("or", "and"):
-            ts = tokenize(node.text, mapping.field(node.field).tokenizer)
+            ts = tokenize(node.text, mapping.resolve_field(node.field).tokenizer)
             if len(ts) == 1:
                 single = (node.field, ts[0])
         if single is not None:
@@ -131,7 +131,7 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
     if (ENABLE_MAXSCORE and scoring and k_hint > 0
             and request.search_after is None
             and isinstance(node, FullTextQuery) and node.mode == "or"):
-        terms = tokenize(node.text, mapping.field(node.field).tokenizer)
+        terms = tokenize(node.text, mapping.resolve_field(node.field).tokenizer)
         if len(terms) > 1:
             pruned = searcher.eval_or_topk_pruned(node.field, terms, k_hint)
     if pruned is not None:

@@ -21,7 +21,7 @@ def _query_terms_per_field(node: Any, mapping: DocMapping) -> dict[str, set[str]
     if isinstance(node, TermQuery):
         out.setdefault(node.field, set()).add(node.value)
     elif isinstance(node, FullTextQuery):
-        fm = mapping.field(node.field)
+        fm = mapping.resolve_field(node.field)
         out.setdefault(node.field, set()).update(tokenize(node.text, fm.tokenizer))
     for attr in ("must", "should", "filter"):
         for sub in getattr(node, attr, ()):

@@ -71,7 +71,7 @@ class SplitSearcher:
         if len(rows) == 0:
             return mask, scores
         postings = self.reader.read_postings(rows)
-        fm = self.mapping.field(field) if _has_field(self.mapping, field) else None
+        fm = self.mapping.resolve_field(field) if _has_field(self.mapping, field) else None
         num_docs, avgdl = self._field_stats(field)
         norms = self.reader.fieldnorm_ids(field) if (scoring and not const_score) else None
         for r in rows:
@@ -119,7 +119,7 @@ class SplitSearcher:
     def _eval_TermQuery(self, node: TermQuery, scoring: bool):
         value = node.value
         if _has_field(self.mapping, node.field):
-            fm = self.mapping.field(node.field)
+            fm = self.mapping.resolve_field(node.field)
             if fm.type == "text" and fm.tokenizer in ("raw_lowercase", "lowercase"):
                 value = value.lower()
         rows = self.reader.term_rows(node.field, [value])
@@ -132,7 +132,7 @@ class SplitSearcher:
                                          const_score=True)
 
     def _eval_FullTextQuery(self, node: FullTextQuery, scoring: bool):
-        fm = self.mapping.field(node.field)
+        fm = self.mapping.resolve_field(node.field)
         terms = tokenize(node.text, fm.tokenizer)
         if not terms:
             if node.zero_terms_match_all:
@@ -230,7 +230,7 @@ class SplitSearcher:
                 return mask, scores
         mask[phrase_doc] = True
         if scores is not None:
-            fm = self.mapping.field(field)
+            fm = self.mapping.resolve_field(field)
             num_docs, avgdl = self._field_stats(field)
             norms = self.reader.fieldnorm_ids(field)
             # df of the phrase = number of docs containing it (per-split)
@@ -265,7 +265,7 @@ class SplitSearcher:
         return np.asarray(out_docs, np.int64), np.asarray(out_tfs, np.int64)
 
     def _eval_PhrasePrefixQuery(self, node: PhrasePrefixQuery, scoring: bool):
-        fm = self.mapping.field(node.field)
+        fm = self.mapping.resolve_field(node.field)
         terms = tokenize(node.text, fm.tokenizer)
         if not terms:
             return self._eval_MatchNone(MatchNone(), scoring)
@@ -284,7 +284,7 @@ class SplitSearcher:
     def _eval_RangeQuery(self, node: RangeQuery, scoring: bool):
         import pandas as pd
 
-        fm = self.mapping.field(node.field) if _has_field(self.mapping, node.field) else None
+        fm = self.mapping.resolve_field(node.field) if _has_field(self.mapping, node.field) else None
         vals = self._fast_values(node.field)
 
         def coerce(v):
@@ -410,7 +410,7 @@ class SplitSearcher:
         if len(rows) == 0:
             return mask, scores
         num_docs, avgdl = self._field_stats(field)
-        fm = self.mapping.field(field) if _has_field(self.mapping, field) else None
+        fm = self.mapping.resolve_field(field) if _has_field(self.mapping, field) else None
         basic = fm is not None and fm.record == "basic"
         ubs = np.asarray([
             bm25_max_score(1.0 if basic else float(self.reader.max_tf[r]),
@@ -469,7 +469,7 @@ class SplitSearcher:
             # legacy split without block_lens: fall back to full scoring
             return None
         num_docs, avgdl = self._field_stats(field)
-        fm = self.mapping.field(field) if _has_field(self.mapping, field) else None
+        fm = self.mapping.resolve_field(field) if _has_field(self.mapping, field) else None
         basic = fm is not None and fm.record == "basic"
         df = float(self.reader.df[row])
         bmax = (np.ones(len(lens)) if basic or len(raw["tfs"]) == 0

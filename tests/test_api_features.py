@@ -157,3 +157,65 @@ def test_cli_smoke(tmp_path, capsys):
     assert main(["list-terms", index_dir, "--field", "lang"]) == 0
     out = capsys.readouterr().out
     assert '"num_hits"' in out and "created index docs" in out
+
+
+def test_concatenate_field(tmp_path):
+    """Concatenate field: tokens from several source columns indexed under
+    one inverted field (field_mapping_entry.rs:672-700 semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.search.engine import IndexSearcher
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "title": ["alpha bravo", "charlie", "delta"],
+        "body": ["echo foxtrot", "alpha golf", "hotel"],
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="title", type="text", record="freq", fieldnorms=True),
+            FieldMapping(name="body", type="text", record="freq", fieldnorms=True),
+            FieldMapping(name="all", type="text", record="position",
+                         fieldnorms=True, stored=False,
+                         sources=("title", "body")),
+            FieldMapping(name="doc_id", type="i64", fast=True),
+        ),
+        doc_id_field="doc_id", default_search_fields=("all",))
+    cfg = IndexConfig("concat", mapping)
+    d = str(tmp_path / "idx")
+    build_index(inp, d, cfg, execution="local")
+    s = IndexSearcher(d)
+    assert s.search("all:alpha", max_hits=0).num_hits == 2  # title of 0, body of 1
+    assert s.search("all:echo", max_hits=0).num_hits == 1
+    # phrase must NOT match across source fields ("bravo echo" spans title|body)
+    assert s.search('all:"bravo echo"', max_hits=0).num_hits == 0
+    assert s.search('all:"echo foxtrot"', max_hits=0).num_hits == 1
+
+
+def test_dynamic_mapping_mode(tmp_path):
+    """Dynamic mode: unmapped string columns are indexed + stored and
+    queryable by name (the `_dynamic` catch-all analog)."""
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.search.engine import IndexSearcher
+
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="text", type="text", record="freq", fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", fast=True),
+        ),
+        mode="dynamic", doc_id_field="doc_id", default_search_fields=("text",))
+    cfg = IndexConfig("dyn", mapping)
+    d = str(tmp_path / "idx")
+    build_index(DOCS, d, cfg, execution="local")
+    s = IndexSearcher(d)
+    t = _truth()
+    # lang and source are NOT mapped -> dynamic text fields
+    assert s.search("lang:de", max_hits=0).num_hits == int((t["lang"] == "de").sum())
+    n_src = int((t["source"] == "src3").sum())
+    assert s.search("source:src3", max_hits=0).num_hits == n_src
+    hits = s.search("source:src3", max_hits=3, fetch_fields=["doc_id", "source"]).hits
+    assert set(hits["source"]) == {"src3"}
