@@ -304,3 +304,18 @@ def garbage_collect(index_dir: str, grace_period_secs: float = 0.0) -> list[str]
     if dead:
         manifest.delete_splits(dead)
     return removed
+
+
+def apply_retention(index_dir: str, retention_secs: float,
+                    now: Optional[float] = None) -> list[str]:
+    """Retention policy (quickwit-janitor/src/retention_policy_execution.rs:
+    39-100): mark splits whose time_range end predates now - retention for
+    deletion. Returns the marked split ids; GC removes the artifacts."""
+    manifest = Manifest(index_dir)
+    now = time.time() if now is None else now
+    cutoff_us = int((now - retention_secs) * 1_000_000)
+    stale = [s.split_id for s in manifest.published_splits()
+             if s.time_range_end is not None and s.time_range_end < cutoff_us]
+    if stale:
+        manifest.mark_for_deletion(stale)
+    return stale

@@ -307,6 +307,28 @@ class SplitReader:
         return np.asarray(self._fastfields[name].combine_chunks().is_valid())
 
     def fetch_docs(self, doc_ids: np.ndarray, columns: Optional[list[str]] = None) -> pa.Table:
-        """Doc-store point lookups for hit rendering (fetch_docs.rs:41-267)."""
-        tbl = pq.read_table(os.path.join(self.split_dir, DOCSTORE_FILE), columns=columns)
-        return tbl.take(pa.array(np.asarray(doc_ids, np.int64)))
+        """Doc-store point lookups for hit rendering (fetch_docs.rs:41-267).
+        Reads only the parquet row groups containing the requested rows
+        (doc id == row index), so a top-k fetch touches a few compressed
+        blocks, not the whole store."""
+        ids = np.asarray(doc_ids, np.int64)
+        pf = pq.ParquetFile(os.path.join(self.split_dir, DOCSTORE_FILE))
+        md = pf.metadata
+        rg_sizes = np.asarray([md.row_group(i).num_rows
+                               for i in range(md.num_row_groups)], np.int64)
+        rg_starts = np.concatenate([[0], np.cumsum(rg_sizes)[:-1]])
+        rg_of = np.searchsorted(rg_starts, ids, side="right") - 1
+        out_parts = []
+        for rg in np.unique(rg_of):
+            sel = rg_of == rg
+            tbl = pf.read_row_group(int(rg), columns=columns)
+            local = ids[sel] - rg_starts[rg]
+            out_parts.append((np.nonzero(sel)[0], tbl.take(pa.array(local))))
+        if len(out_parts) == 1:
+            return out_parts[0][1]
+        # reassemble in the original request order
+        combined = pa.concat_tables([t for _, t in out_parts])
+        pos = np.concatenate([idxs for idxs, _ in out_parts])
+        back = np.empty(len(pos), np.int64)
+        back[pos] = np.arange(len(pos))
+        return combined.take(pa.array(back))

@@ -273,3 +273,19 @@ def test_partition_routing(tmp_path):
     for lang in truth["lang"].unique():
         n = s.search(f"lang:{lang}", max_hits=0).num_hits
         assert n == int((truth["lang"] == lang).sum())
+
+
+def test_distributed_ray_search(docs_index, ray_session):
+    """The Ray actor-pool search path returns the same results as local."""
+    s_local = IndexSearcher(docs_index, execution="local")
+    s_ray = IndexSearcher(docs_index, execution="ray")
+    for q in ["text:scan", "text:scan OR text:merge", "*"]:
+        rl = s_local.search(q, max_hits=15, sort_by="_score", fetch_fields=[])
+        rr = s_ray.search(q, max_hits=15, sort_by="_score", fetch_fields=[])
+        assert rl.num_hits == rr.num_hits, q
+        assert list(rl.hits["_doc_id"]) == list(rr.hits["_doc_id"]), q
+    ra = s_ray.search("*", max_hits=0, aggs={
+        "langs": {"terms": {"field": "lang", "size": 10}}})
+    la = s_local.search("*", max_hits=0, aggs={
+        "langs": {"terms": {"field": "lang", "size": 10}}})
+    assert ra.aggs == la.aggs

@@ -60,3 +60,28 @@ def test_rerun_counts_nothing(tmp_path):
     assert st1.num_docs == 500
     st2 = build_index(paths, d, cfg, execution="local")
     assert st2.num_docs == 0 and st2.num_partitions == 0
+
+
+def test_retention_policy(tmp_path):
+    import time as _time
+
+    from quickwit_ray.index.build import apply_retention
+    from quickwit_ray.search.engine import IndexSearcher
+
+    paths = ensure_pages(str(tmp_path / "pages"), 1000, 4, filler_bytes=512)
+    cfg = IndexConfig("pages", pages_doc_mapping(),
+                      IndexSettings(store_binary_columns=False))
+    d = str(tmp_path / "idx")
+    build_index(paths, d, cfg, execution="local")
+    s = IndexSearcher(d)
+    splits = sorted(s.manifest.published_splits(), key=lambda x: x.time_range_end)
+    # cutoff chosen between split 1 and 2 end times (warc_ts is synthetic
+    # 2024 time, so "now" is simulated relative to the data)
+    cutoff_end = splits[1].time_range_end
+    retention = 3600.0
+    now = cutoff_end / 1e6 + retention + 1
+    marked = apply_retention(d, retention, now=now)
+    assert set(marked) == {splits[0].split_id, splits[1].split_id}
+    s2 = IndexSearcher(d)
+    remaining = sum(sp.num_docs for sp in s2.manifest.published_splits())
+    assert remaining == 1000 - splits[0].num_docs - splits[1].num_docs
