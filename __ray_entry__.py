@@ -26,7 +26,7 @@ _SCRATCH = "/tmp/quickwit_ray_entry"
 
 
 def _index_dir_for(sf_dir: str, table: str) -> str:
-    h = hashlib.sha1(f"{sf_dir}:{table}:v1".encode()).hexdigest()[:10]
+    h = hashlib.sha1(f"{sf_dir}:{table}:v2".encode()).hexdigest()[:10]
     return os.path.join(_SCRATCH, f"{table}-{h}")
 
 
@@ -529,6 +529,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf
     q["lineitem_pricing_summary"] = lineitem_pricing_summary
 
+    def search_dynamic_field(sf):
+        import shutil
+
+        from quickwit_ray.config import DocMapping, FieldMapping, IndexConfig, IndexSettings
+        from quickwit_ray.index.build import build_index
+        from quickwit_ray.search.engine import IndexSearcher
+
+        idx_dir = _index_dir_for(sf, "documents_dynamic")
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            mapping = DocMapping(
+                field_mappings=(
+                    FieldMapping(name="text", type="text", record="freq",
+                                 fieldnorms=True),
+                    FieldMapping(name="doc_id", type="i64", fast=True),
+                ),
+                mode="dynamic", doc_id_field="doc_id",
+                default_search_fields=("text",))
+            build_index(os.path.join(sf, "documents.parquet"), idx_dir,
+                        IndexConfig("docs_dyn", mapping), execution="local")
+        s_ = IndexSearcher(idx_dir)
+        resp = s_.search("+source:src3 +text:scan", max_hits=1_000_000,
+                         fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["search_dynamic_field"] = search_dynamic_field
+
     def find_trace_ids(sf):
         from quickwit_ray.pipelines.trace import top_n_distinct_by_max
 
@@ -643,6 +669,8 @@ def oracle_sql() -> dict[str, str]:
                                      "CAST(count(*) AS BIGINT) AS count_order "
                                      "FROM lineitem GROUP BY l_returnflag, l_linestatus "
                                      "ORDER BY l_returnflag, l_linestatus"),
+        "search_dynamic_field": (f"SELECT doc_id FROM documents WHERE source = 'src3' "
+                                 f"AND {has_token('scan')} ORDER BY doc_id"),
         "find_trace_ids": ("SELECT user_id, CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts "
                            "FROM events GROUP BY user_id "
                            "ORDER BY max(ts) DESC, user_id DESC LIMIT 10"),

@@ -42,6 +42,10 @@ class FieldMapping:
     # Concatenate field (field_mapping_entry.rs:672-700): indexes tokens
     # from these source columns into THIS inverted field (never stored)
     sources: tuple = ()
+    # datetime input formats (date_time_format.rs:29-36) used when the
+    # source column is a string/number instead of a native timestamp;
+    # () -> rfc3339 then unix_timestamp
+    input_formats: tuple = ()
 
     def __post_init__(self) -> None:
         if self.type not in FIELD_TYPES:
@@ -144,6 +148,8 @@ class IndexConfig:
         for f in dm["field_mappings"]:
             if isinstance(f.get("sources"), list):
                 f["sources"] = tuple(f["sources"])
+            if isinstance(f.get("input_formats"), list):
+                f["input_formats"] = tuple(f["input_formats"])
         mapping = DocMapping(
             field_mappings=tuple(FieldMapping(**f) for f in dm["field_mappings"]),
             mode=dm.get("mode", "strict"),

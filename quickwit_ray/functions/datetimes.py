@@ -1,0 +1,72 @@
+"""Multi-format datetime parsing — the `quickwit-datetime` crate analog
+(`date_time_format.rs:29-36`): input formats `iso8601 | rfc2822 |
+rfc3339 (default) | strptime(...) | unix_timestamp` parsed to epoch
+MICROseconds (the engine's internal timestamp unit; the reference stores
+nanos — µs keeps Arrow timestamp[us] zero-copy).
+
+unix_timestamp auto-detects the unit by magnitude the way the reference
+does for its `unix_timestamp` input format (secs/millis/micros/nanos).
+"""
+
+from __future__ import annotations
+
+from email.utils import parsedate_to_datetime
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+
+
+def _unix_to_us(vals: pd.Series) -> np.ndarray:
+    v = pd.to_numeric(vals, errors="coerce").astype("float64")
+    out = np.full(len(v), np.nan)
+    a = np.abs(v)
+    secs = a < 1e11
+    millis = (a >= 1e11) & (a < 1e14)
+    micros = (a >= 1e14) & (a < 1e17)
+    nanos = a >= 1e17
+    out[secs] = v[secs] * 1e6
+    out[millis] = v[millis] * 1e3
+    out[micros] = v[micros]
+    out[nanos] = v[nanos] / 1e3
+    return out
+
+
+def parse_datetimes(values: Iterable, input_formats: Sequence[str] = ("rfc3339",)
+                    ) -> np.ndarray:
+    """Parse a column of datetime-ish values to epoch µs (float64 with NaN
+    for unparseable). Formats are tried in order per the reference."""
+    s = pd.Series(list(values))
+    out = np.full(len(s), np.nan)
+    remaining = np.ones(len(s), bool)
+    for fmt in input_formats:
+        if not remaining.any():
+            break
+        sub = s[remaining]
+        if fmt in ("rfc3339", "iso8601"):
+            parsed = pd.to_datetime(sub, errors="coerce", utc=True,
+                                    format="ISO8601")
+            vals = parsed.view("int64") / 1000.0
+            ok = parsed.notna().to_numpy()
+        elif fmt == "rfc2822":
+            def _p(x):
+                try:
+                    return parsedate_to_datetime(str(x)).timestamp() * 1e6
+                except (TypeError, ValueError):
+                    return np.nan
+            vals = np.asarray([_p(x) for x in sub])
+            ok = ~np.isnan(vals)
+        elif fmt == "unix_timestamp":
+            vals = _unix_to_us(sub)
+            ok = ~np.isnan(vals)
+        elif fmt.startswith("strptime:"):
+            pat = fmt.split(":", 1)[1]
+            parsed = pd.to_datetime(sub, errors="coerce", utc=True, format=pat)
+            vals = parsed.view("int64") / 1000.0
+            ok = parsed.notna().to_numpy()
+        else:
+            raise ValueError(f"unknown datetime input format {fmt!r}")
+        idx = np.nonzero(remaining)[0]
+        out[idx[ok]] = np.asarray(vals)[ok]
+        remaining[idx[ok]] = False
+    return out

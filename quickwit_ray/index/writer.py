@@ -44,6 +44,20 @@ from quickwit_ray.state.manifest import SplitMetadata
 MAX_VALUES_PER_TAG_FIELD = 1000  # packager.rs:39-44
 
 
+def _coerce_datetime(col, fm) -> pa.ChunkedArray:
+    """Parse a non-timestamp datetime column (string / unix number) to
+    timestamp[us] using the mapping's input_formats (multi-format parsing,
+    quickwit-datetime analog)."""
+    from quickwit_ray.functions.datetimes import parse_datetimes
+
+    formats = fm.input_formats or ("rfc3339", "unix_timestamp")
+    us = parse_datetimes(col.to_pylist(), formats)
+    mask = np.isnan(us)
+    vals = np.where(mask, 0, us).astype(np.int64)
+    return pa.chunked_array([pa.array(vals, pa.int64(), mask=mask)
+                             .cast(pa.timestamp("us"))])
+
+
 def deterministic_split_id(source_partition_id: str, seq: int) -> str:
     """Content-addressed, deterministic split id: identical re-runs of a
     source partition produce identical split ids (idempotent publish)."""
@@ -164,12 +178,20 @@ class SplitBuilder:
         fast_cols = {}
         for fm in self.mapping.fast_fields:
             if fm.name in batch.column_names:
-                fast_cols[fm.name] = batch[fm.name]
+                col = batch[fm.name]
+                if fm.type == "datetime" and not pa.types.is_timestamp(
+                        col.type if not isinstance(col, pa.ChunkedArray)
+                        else col.type):
+                    col = _coerce_datetime(col, fm)
+                fast_cols[fm.name] = col
         if fast_cols:
             self._fast_chunks.append(pa.table(fast_cols))
 
         if self.mapping.timestamp_field and self.mapping.timestamp_field in batch.column_names:
             ts = batch[self.mapping.timestamp_field]
+            if not pa.types.is_timestamp(ts.type):
+                ts = _coerce_datetime(ts, self.mapping.resolve_field(
+                    self.mapping.timestamp_field))
             tsi = np.asarray(ts.cast(pa.timestamp("us")).cast(pa.int64()).combine_chunks())
             if len(tsi):
                 lo, hi = int(tsi.min()), int(tsi.max())

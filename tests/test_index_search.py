@@ -289,3 +289,39 @@ def test_distributed_ray_search(docs_index, ray_session):
     la = s_local.search("*", max_hits=0, aggs={
         "langs": {"terms": {"field": "lang", "size": 10}}})
     assert ra.aggs == la.aggs
+
+
+def test_datetime_string_parsing(tmp_path):
+    """String timestamp columns parse via the multi-format chain
+    (rfc3339 / unix_timestamp / strptime) into fast timestamp fields."""
+    from quickwit_ray.config import DocMapping, FieldMapping
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "msg": ["alpha", "bravo", "charlie", "delta"],
+        "ts": ["2024-03-01T12:00:00Z", "2024-03-02T12:00:00Z",
+               "1709463600", "02/03/2024 09:30"],
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="msg", type="text", record="freq", fieldnorms=True),
+            FieldMapping(name="ts", type="datetime", fast=True, stored=True,
+                         input_formats=("rfc3339", "unix_timestamp",
+                                        "strptime:%d/%m/%Y %H:%M")),
+            FieldMapping(name="doc_id", type="i64", fast=True),
+        ),
+        timestamp_field="ts", doc_id_field="doc_id",
+        default_search_fields=("msg",))
+    cfg = IndexConfig("dt", mapping)
+    d = str(tmp_path / "idx")
+    build_index(inp, d, cfg, execution="local")
+    s = IndexSearcher(d)
+    n = s.search('ts:[2024-03-02T00:00:00Z TO 2024-03-04T00:00:00Z}',
+                 max_hits=0).num_hits
+    # rows 1 (03-02), 2 (unix 1709463600 = 2024-03-03T11:00Z), 3 (03/03 strptime)
+    assert n == 3
+    n2 = s.search('ts:[2024-03-01T00:00:00Z TO 2024-03-02T00:00:00Z}',
+                  max_hits=0).num_hits
+    assert n2 == 1
