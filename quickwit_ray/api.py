@@ -3,7 +3,6 @@ surface (`quickwit-cli/src/cli.rs:56-95`) as a Python class."""
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional
 
 import pandas as pd

@@ -34,7 +34,7 @@ import glob
 import os
 import time
 from dataclasses import dataclass
-from typing import Any, Iterable, Optional
+from typing import Any, Optional
 
 import numpy as np
 import pyarrow as pa

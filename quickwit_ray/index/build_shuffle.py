@@ -36,8 +36,6 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -12,8 +12,6 @@ delete_opstamp bumped (no rewrite)."""
 from __future__ import annotations
 
 import os
-import shutil
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa

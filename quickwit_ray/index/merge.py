@@ -29,9 +29,6 @@ from quickwit_ray.index.format import (
     FASTFIELDS_FILE,
     FIELDNORMS_FILE,
     POSTINGS_FILE,
-    block_meta,
-    delta_decode,
-    delta_encode,
     write_footer,
     write_postings_file,
 )

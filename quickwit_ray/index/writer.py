@@ -35,7 +35,6 @@ from quickwit_ray.index.format import (
     FIELDNORMS_FILE,
     POSTINGS_FILE,
     block_meta,
-    delta_encode,
     write_footer,
     write_postings_file,
 )

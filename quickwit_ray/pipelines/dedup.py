@@ -19,8 +19,6 @@ driver for the union-find.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
-
 import numpy as np
 import pandas as pd
 
@@ -151,7 +149,6 @@ def _ensure_pair_cols(pair_df: pd.DataFrame) -> pd.DataFrame:
 def exact_dedup(ds, text_col: str, id_col: str):
     """Keep the min-id row per exact text value. One hash-keyed shuffle."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = content_hashes(batch[text_col].to_pylist())

@@ -16,7 +16,6 @@ import hashlib
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 IMAGE_META_SCHEMA = pa.schema([

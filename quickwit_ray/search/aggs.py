@@ -14,7 +14,7 @@ Limits mirror the reference defaults: max 65_000 buckets per request
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 

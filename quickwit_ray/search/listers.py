@@ -6,7 +6,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import numpy as np
 import pandas as pd
 
 from quickwit_ray.search.engine import IndexSearcher, _GLOBAL_READER_CACHE

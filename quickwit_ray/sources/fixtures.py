@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq

@@ -325,3 +325,19 @@ def test_datetime_string_parsing(tmp_path):
     n2 = s.search('ts:[2024-03-01T00:00:00Z TO 2024-03-02T00:00:00Z}',
                   max_hits=0).num_hits
     assert n2 == 1
+
+
+def test_heap_size_flush(tmp_path):
+    """The workbench seals a split when the heap estimate crosses
+    heap_size_bytes (indexer.rs:604-611 memory commit trigger)."""
+    cfg = IndexConfig(
+        "documents", documents_doc_mapping(),
+        IndexSettings(split_num_docs_target=1_000_000,
+                      heap_size_bytes=200_000))
+    d = str(tmp_path / "idx")
+    build_index(DOCS, d, cfg, execution="local", read_batch_size=64)
+    s = IndexSearcher(d)
+    splits = s.manifest.published_splits()
+    assert len(splits) > 1  # memory trigger forced multiple splits
+    assert sum(sp.num_docs for sp in splits) == 500
+    assert s.search("text:scan", max_hits=0).num_hits > 0
