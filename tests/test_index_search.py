@@ -9,7 +9,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from quickwit_ray.config import DocMapping, FieldMapping, IndexConfig, IndexSettings
+from quickwit_ray.config import (
+    DocMapping,
+    FieldMapping,
+    IndexConfig,
+    IndexSettings,
+    documents_doc_mapping,
+)
 from quickwit_ray.index.build import build_index, garbage_collect
 from quickwit_ray.search.engine import IndexSearcher
 
