@@ -307,7 +307,7 @@ def tokenize_batch(texts, tokenizer: str = "default"):
         toks, idxs = [], []
         lower = tokenizer != "raw"
         for i, t in enumerate(texts):
-            if t is not None and t != "" and len(t) < MAX_TOKEN_BYTES:
+            if t is not None and t != "" and _len_ok(t):
                 toks.append(t.lower() if lower else t)
                 idxs.append(i)
         doc_idx = np.asarray(idxs, np.int32)

@@ -251,11 +251,13 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
         if fast:
             fast_chunks.append(tbl.select(fast))
         if mapping.timestamp_field and mapping.timestamp_field in tbl.column_names:
-            tsi = np.asarray(tbl[mapping.timestamp_field]
-                             .cast(pa.timestamp("us")).cast(pa.int64()).combine_chunks())
-            if len(tsi):
-                ts_min = int(tsi.min()) if ts_min is None else min(ts_min, int(tsi.min()))
-                ts_max = int(tsi.max()) if ts_max is None else max(ts_max, int(tsi.max()))
+            tsi = (tbl[mapping.timestamp_field].cast(pa.timestamp("us"))
+                   .cast(pa.int64()).combine_chunks()
+                   .to_numpy(zero_copy_only=False).astype("float64"))
+            if (~np.isnan(tsi)).any():
+                lo, hi = int(np.nanmin(tsi)), int(np.nanmax(tsi))
+                ts_min = lo if ts_min is None else min(ts_min, lo)
+                ts_max = hi if ts_max is None else max(ts_max, hi)
         for t in mapping.tag_fields:
             if t in tbl.column_names and len(tags[t]) <= MAX_VALUES_PER_TAG_FIELD:
                 tags[t].update(tbl[t].unique().to_pylist())

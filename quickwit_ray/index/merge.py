@@ -443,13 +443,18 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
             def _do(ids, n_ops):
                 return execute_merge(index_dir, ids, config.index_id, n_ops)
 
-            futs = [_do.remote([s.split_id for s in op.splits],
-                               max(s.num_merge_ops for s in op.splits) + 1)
-                    for op in ops]
-            if max_concurrency:
-                results = ray.get(futs)  # bounded by cluster CPUs
-            else:
-                results = ray.get(futs)
+            # bounded merge concurrency (merge_scheduler_service.rs default
+            # num_cpus * 2/3): submit in windows so merges never starve the
+            # rest of the node
+            limit = max_concurrency or max(
+                1, int(ray.cluster_resources().get("CPU", 3) * 2 // 3))
+            results = []
+            for i in range(0, len(ops), limit):
+                window = ops[i: i + limit]
+                futs = [_do.remote([s.split_id for s in op.splits],
+                                   max(s.num_merge_ops for s in op.splits) + 1)
+                        for op in window]
+                results.extend(ray.get(futs))
         else:
             results = [execute_merge(index_dir, [s.split_id for s in op.splits],
                                      config.index_id,

@@ -67,7 +67,8 @@ def deterministic_split_id(source_partition_id: str, seq: int) -> str:
 class _FieldAcc:
     """Per-text-field posting accumulator."""
 
-    __slots__ = ("vocab", "term_ids", "doc_ids", "positions", "doc_lens")
+    __slots__ = ("vocab", "term_ids", "doc_ids", "positions", "doc_lens",
+                 "covered")
 
     def __init__(self) -> None:
         self.vocab: dict[str, int] = {}
@@ -75,6 +76,7 @@ class _FieldAcc:
         self.doc_ids: list[np.ndarray] = []
         self.positions: list[np.ndarray] = []
         self.doc_lens: list[np.ndarray] = []
+        self.covered = 0  # docs whose lengths are recorded so far
 
 
 class SplitBuilder:
@@ -151,8 +153,13 @@ class SplitBuilder:
             acc = self._accs.get(fm.name)
             if acc is None:
                 acc = self._accs[fm.name] = _FieldAcc()
-            # doc lengths (for fieldnorms) = token count per doc
+            # doc lengths (for fieldnorms) = token count per doc; pad any
+            # gap first so a field absent from earlier batches (dynamic /
+            # lenient modes) still aligns norms to the right doc ids
+            if acc.covered < base:
+                acc.doc_lens.append(np.zeros(base - acc.covered, np.int32))
             acc.doc_lens.append(np.bincount(doc_idx, minlength=n).astype(np.int32))
+            acc.covered = base + n
             if len(tokens) == 0:
                 continue
             # batch-local vocab -> builder vocab ids (loop over unique terms
@@ -191,9 +198,11 @@ class SplitBuilder:
             if not pa.types.is_timestamp(ts.type):
                 ts = _coerce_datetime(ts, self.mapping.resolve_field(
                     self.mapping.timestamp_field))
-            tsi = np.asarray(ts.cast(pa.timestamp("us")).cast(pa.int64()).combine_chunks())
-            if len(tsi):
-                lo, hi = int(tsi.min()), int(tsi.max())
+            arr = ts.cast(pa.timestamp("us")).cast(pa.int64()).combine_chunks()
+            tsi = arr.to_numpy(zero_copy_only=False).astype("float64")
+            valid = ~np.isnan(tsi)
+            if valid.any():
+                lo, hi = int(np.nanmin(tsi)), int(np.nanmax(tsi))
                 self._ts_min = lo if self._ts_min is None else min(self._ts_min, lo)
                 self._ts_max = hi if self._ts_max is None else max(self._ts_max, hi)
 

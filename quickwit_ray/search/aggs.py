@@ -78,6 +78,7 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
                          "percents": body.get("percents", [1, 5, 25, 50, 75, 95, 99])}
         elif kind == "terms":
             vals = _field_values(searcher, body["field"], mask)
+            vals = _drop_missing(vals)
             uniq, counts = np.unique(vals.astype(str), return_counts=True)
             buckets = {}
             _ = counts
@@ -90,6 +91,7 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
         elif kind in ("histogram", "date_histogram"):
             field = body["field"]
             vals = _field_values(searcher, field, mask).astype(np.float64)
+            vals = vals[~np.isnan(vals)]
             if kind == "date_histogram":
                 interval = parse_fixed_interval(body.get("fixed_interval", "1d"))
             else:
@@ -128,6 +130,17 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
         else:
             raise ValueError(f"unsupported aggregation kind {kind!r}")
     return out
+
+
+def _drop_missing(vals: np.ndarray) -> np.ndarray:
+    """ES semantics: missing values don't form buckets."""
+    if vals.dtype.kind == "f":
+        return vals[~np.isnan(vals)]
+    if vals.dtype == object:
+        import pandas as pd
+
+        return vals[pd.notna(vals)]
+    return vals
 
 
 def _bucket_members(keys: np.ndarray, uniq: np.ndarray):

@@ -56,7 +56,8 @@ class SearchResponse:
         if self.hits is None or not len(self.hits):
             return None
         last = self.hits.iloc[-1]
-        return (float(last["sort_key0"]), float(last["sort_key1"]), float(last["_doc_id"]))
+        return (float(last["sort_key0"]), float(last["sort_key1"]),
+                str(last["_split_id"]), int(last["_doc_id"]))
 
 
 class _ReaderCache:
@@ -129,7 +130,9 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
 
     pruned = None
     if (ENABLE_MAXSCORE and scoring and k_hint > 0
-            and request.search_after is None
+            and request.search_after is None and len(request.sort_fields) == 1
+            and request.sort_fields[0].field == "_score"
+            and request.sort_fields[0].order == "desc"
             and isinstance(node, FullTextQuery) and node.mode == "or"):
         terms = tokenize(node.text, mapping.resolve_field(node.field).tokenizer)
         if len(terms) > 1:
@@ -151,8 +154,9 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
     out: dict[str, Any] = {"num_hits": num_hits, "split_dir": split_dir}
     k = request.start_offset + request.max_hits
     if k > 0 and num_hits:
-        docs, k0, k1 = searcher.collect_top_k(mask, scores, request.sort_fields, k,
-                                              request.search_after)
+        docs, k0, k1 = searcher.collect_top_k(
+            mask, scores, request.sort_fields, k, request.search_after,
+            split_id=os.path.basename(split_dir))
         out["doc_ids"] = docs.astype(np.int64)
         out["sort_key0"] = k0
         out["sort_key1"] = k1

@@ -153,10 +153,15 @@ def es_search_request(body: dict, default_fields: Sequence[str] = ()) -> dict:
         out = []
         for s in sort if isinstance(sort, list) else [sort]:
             if isinstance(s, str):
-                out.append(s)
+                # ES default: asc for fields, desc for _score — applied to
+                # BOTH spellings so {"sort": ["price"]} == [{"price": {}}]
+                default = "desc" if s == "_score" else "asc"
+                out.append(("-" if default == "desc" else "+") + s)
             else:
                 f, params = _one_entry(s)
-                order = params.get("order", "asc") if isinstance(params, dict) else params
+                default = "desc" if f == "_score" else "asc"
+                order = (params.get("order", default)
+                         if isinstance(params, dict) else params)
                 out.append(("-" if order == "desc" else "+") + f)
         kwargs["sort_by"] = out
     if body.get("aggs") or body.get("aggregations"):

@@ -173,10 +173,17 @@ def _parse_term_expr(tok: str, toks: _Tokens, dfields) -> Any:
             return TermSetQuery(field_name, tuple(vals))
         if value in ("[", "{"):
             lower_inclusive = value == "["
-            lo = toks.next()
+
+            def bound() -> str:
+                t = toks.next()
+                if t in ("+", "-"):  # signed numeric bound tokenizes apart
+                    return t + toks.next()
+                return t
+
+            lo = bound()
             if toks.next() != "TO":
                 raise ValueError("expected TO in range")
-            hi = toks.next()
+            hi = bound()
             close = toks.next()
             if close not in ("]", "}"):
                 raise ValueError("expected range close")

@@ -116,11 +116,31 @@ class SplitSearcher:
             scores = (scores * np.float32(node.boost)).astype(np.float32)
         return mask, scores
 
+    def _value_equality(self, field: str, value, scoring: bool):
+        """Exact match on a non-text indexed field = fast-field equality
+        filter (numeric/bool/datetime terms have no postings)."""
+        import pandas as pd
+
+        vals = self._fast_values(field)
+        fm = self.mapping.resolve_field(field)
+        if fm.type == "datetime" and not isinstance(value, (int, float)):
+            value = np.int64(pd.Timestamp(value).value // 1000)
+        elif vals.dtype.kind in "iuf":
+            value = float(value)
+        elif vals.dtype.kind == "b":
+            value = str(value).lower() in ("true", "1", "yes")
+        mask = vals == value
+        scores = (np.where(mask, np.float32(1.0), np.float32(0.0))
+                  .astype(np.float32) if scoring else None)
+        return mask, scores
+
     def _eval_TermQuery(self, node: TermQuery, scoring: bool):
         value = node.value
         if _has_field(self.mapping, node.field):
             fm = self.mapping.resolve_field(node.field)
-            if fm.type == "text" and fm.tokenizer in ("raw_lowercase", "lowercase"):
+            if fm.type != "text":
+                return self._value_equality(node.field, value, scoring)
+            if fm.tokenizer in ("raw_lowercase", "lowercase"):
                 value = value.lower()
         rows = self.reader.term_rows(node.field, [value])
         return self._term_postings_score(node.field, rows[rows >= 0], scoring)
@@ -133,6 +153,9 @@ class SplitSearcher:
 
     def _eval_FullTextQuery(self, node: FullTextQuery, scoring: bool):
         fm = self.mapping.resolve_field(node.field)
+        if fm.type != "text":
+            # `field:123` on a numeric/datetime field -> equality filter
+            return self._value_equality(node.field, node.text, scoring)
         terms = tokenize(node.text, fm.tokenizer)
         if not terms:
             if node.zero_terms_match_all:
@@ -539,11 +562,17 @@ class SplitSearcher:
 
     def collect_top_k(self, mask: np.ndarray, scores: Optional[np.ndarray],
                       sort_fields: tuple, k: int,
-                      search_after: Optional[tuple] = None):
+                      search_after: Optional[tuple] = None,
+                      split_id: str = ""):
         """Return (doc_ids, sort_key_0, sort_key_1) of the split's k best
         hits under ≤2 sort keys with the reference tie-break: trailing key
         is doc id compared IN the sort direction of the first key; default
-        sort (no fields) = descending doc id (sorting.md:8-25)."""
+        sort (no fields) = descending doc id (sorting.md:8-25).
+
+        `search_after` is the canonical 4-tuple cursor
+        (sort_key0, sort_key1, split_id, doc_id) — the GlobalDocAddress
+        analog — or a keys-only 2-tuple (strictly-after semantics, ties
+        excluded)."""
         docs = np.nonzero(mask)[0]
         if len(docs) == 0:
             return docs, np.empty(0), np.empty(0)
@@ -580,21 +609,33 @@ class SplitSearcher:
         key0 = keys[0][order]
         key1 = keys[1][order] if len(sfs) > 1 else np.zeros(len(order))
         if search_after is not None:
-            tie = docs_sorted.astype(np.float64)
-            cursor = list(search_after)
-            cols = [key0] + ([key1] if len(sfs) > 1 else []) + [tie]
-            dirs = orders[: len(sfs)] + [orders[0]]
-            if len(cursor) < len(cols):  # cursor without explicit doc id
-                cursor = cursor + [float("-inf") if dirs[-1] == "desc" else float("inf")]
+            primary_desc = orders[0] == "desc"
 
             def after(vals, cur, desc):
                 return (vals < cur) if desc else (vals > cur)
 
-            m = np.zeros(len(docs_sorted), bool)
-            eq = np.ones(len(docs_sorted), bool)
-            for vals, cur, o in zip(cols, cursor, dirs):
-                m |= eq & after(vals, float(cur), o == "desc")
-                eq = eq & (vals == float(cur))
+            cursor = tuple(search_after)
+            c_k0 = float(cursor[0])
+            c_k1 = float(cursor[1]) if len(cursor) > 1 else 0.0
+            eq0 = key0 == c_k0
+            m = after(key0, c_k0, orders[0] == "desc")
+            if len(sfs) > 1:
+                m |= eq0 & after(key1, c_k1, orders[1] == "desc")
+                eqk = eq0 & (key1 == c_k1)
+            else:
+                eqk = eq0
+            if len(cursor) >= 4:
+                # address tie-break mirrors merge_partial_hits: split_id
+                # then doc_id, both compared in the primary sort direction
+                c_split, c_doc = str(cursor[2]), float(cursor[3])
+                if split_id != c_split:
+                    split_after = ((split_id < c_split) if primary_desc
+                                   else (split_id > c_split))
+                    if split_after:
+                        m |= eqk
+                else:
+                    tie = docs_sorted.astype(np.float64)
+                    m |= eqk & after(tie, c_doc, primary_desc)
             docs_sorted, key0, key1 = docs_sorted[m], key0[m], key1[m]
         return docs_sorted[:k], key0[:k], key1[:k]
 

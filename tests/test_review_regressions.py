@@ -1,0 +1,177 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quickwit_ray.config import (
+    DocMapping,
+    FieldMapping,
+    IndexConfig,
+    IndexSettings,
+    documents_doc_mapping,
+)
+from quickwit_ray.index.build import build_index
+from quickwit_ray.search.engine import IndexSearcher
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_idx(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("regr")
+    d = str(tmp / "idx")
+    cfg = IndexConfig("documents", documents_doc_mapping(),
+                      IndexSettings(split_num_docs_target=10_000,
+                                    commit_docs_threshold=150))
+    build_index(DOCS, d, cfg, execution="local", read_batch_size=150)
+    return d
+
+
+def test_search_after_with_tied_sort_values(docs_idx):
+    """Pagination through a sort with MANY ties (lang has 5 values over
+    500 docs) must neither drop nor duplicate hits — the cursor carries
+    the (split_id, doc_id) address like the reference GlobalDocAddress."""
+    s = IndexSearcher(docs_idx)
+    # sort by a low-cardinality fast field -> ties everywhere
+    pages = []
+    cursor = None
+    while True:
+        r = s.search("text:scan", max_hits=25, sort_by="n_chars",
+                     search_after=cursor, fetch_fields=[])
+        if not len(r.hits):
+            break
+        pages.append(r.hits)
+        cursor = r.scroll_cursor
+        if len(pages) > 30:
+            pytest.fail("pagination did not terminate")
+    got = pd.concat(pages, ignore_index=True)
+    full = s.search("text:scan", max_hits=10_000, sort_by="n_chars",
+                    fetch_fields=[]).hits
+    assert len(got) == len(full)
+    assert list(zip(got["_split_id"], got["_doc_id"])) == \
+        list(zip(full["_split_id"], full["_doc_id"]))
+
+
+def test_search_after_single_key_desc_score(docs_idx):
+    s = IndexSearcher(docs_idx)
+    full = s.search("text:scan OR text:merge", max_hits=40, sort_by="_score",
+                    fetch_fields=[]).hits
+    p1 = s.search("text:scan OR text:merge", max_hits=20, sort_by="_score",
+                  fetch_fields=[])
+    p2 = s.search("text:scan OR text:merge", max_hits=20, sort_by="_score",
+                  search_after=p1.scroll_cursor, fetch_fields=[]).hits
+    got = list(zip(p1.hits["_split_id"], p1.hits["_doc_id"])) + \
+        list(zip(p2["_split_id"], p2["_doc_id"]))
+    assert got == list(zip(full["_split_id"], full["_doc_id"]))
+
+
+def test_asc_score_sort_not_corrupted_by_pruning(docs_idx):
+    """Ascending-_score sort must NOT use MaxScore partial scores."""
+    import quickwit_ray.search.engine as em
+
+    s = IndexSearcher(docs_idx)
+    em.ENABLE_MAXSCORE = True
+    fast = s.search("text:scan OR text:merge", max_hits=10,
+                    sort_by=["+_score"], fetch_fields=[])
+    em.ENABLE_MAXSCORE = False
+    slow = s.search("text:scan OR text:merge", max_hits=10,
+                    sort_by=["+_score"], fetch_fields=[])
+    em.ENABLE_MAXSCORE = True
+    assert list(fast.hits["_doc_id"]) == list(slow.hits["_doc_id"])
+    assert np.allclose(fast.hits["sort_key0"], slow.hits["sort_key0"],
+                       rtol=0, atol=0)
+
+
+def test_null_timestamp_rows_do_not_crash(tmp_path):
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "msg": ["a b", "c d", "e f"],
+        "ts": pa.array([1_700_000_000_000_000, None, 1_700_000_100_000_000],
+                       pa.timestamp("us")),
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="msg", type="text", record="freq", fieldnorms=True),
+            FieldMapping(name="ts", type="datetime", fast=True),
+            FieldMapping(name="doc_id", type="i64", fast=True)),
+        timestamp_field="ts", doc_id_field="doc_id",
+        default_search_fields=("msg",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("nt", mapping), execution="local")
+    s = IndexSearcher(d)
+    assert s.search("msg:a", max_hits=0).num_hits == 1
+    sm = s.manifest.published_splits()[0]
+    assert sm.time_range_start == 1_700_000_000_000_000
+
+
+def test_negative_range_bounds(docs_idx):
+    from quickwit_ray.search.parser import parse_query
+    from quickwit_ray.search.ast import RangeQuery
+
+    node = parse_query("n_chars:[-5 TO 900}")
+    assert isinstance(node, RangeQuery)
+    assert node.gte == "-5" and node.lt == "900"
+    s = IndexSearcher(docs_idx)
+    t = pq.read_table(DOCS, columns=["n_chars"]).to_pandas()
+    expected = int(((t["n_chars"] >= -5) & (t["n_chars"] < 900)).sum())
+    assert s.search("n_chars:[-5 TO 900}", max_hits=0).num_hits == expected
+
+
+def test_numeric_term_query_equality(docs_idx):
+    """`field:123` on an indexed numeric field matches via the fast field
+    instead of silently returning nothing."""
+    s = IndexSearcher(docs_idx)
+    t = pq.read_table(DOCS, columns=["n_chars"]).to_pandas()
+    some = int(t["n_chars"].iloc[0])
+    expected = int((t["n_chars"] == some).sum())
+    assert s.search(f"n_chars:{some}", max_hits=0).num_hits == expected
+
+
+def test_es_sort_defaults_consistent(docs_idx):
+    from quickwit_ray.search.es_dsl import es_search_request
+
+    kw1 = es_search_request({"query": {"match_all": {}}, "sort": ["n_chars"]})
+    kw2 = es_search_request({"query": {"match_all": {}},
+                             "sort": [{"n_chars": {}}]})
+    assert kw1["sort_by"] == kw2["sort_by"] == ["+n_chars"]
+    kw3 = es_search_request({"query": {"match_all": {}}, "sort": ["_score"]})
+    assert kw3["sort_by"] == ["-_score"]
+
+
+def test_raw_tokenizer_multibyte_length_cut():
+    """255-BYTE cut applies to the batch path for multibyte text too."""
+    from quickwit_ray.functions.tokenizers import tokenize, tokenize_batch
+
+    val = "中" * 100  # 100 chars, 300 utf-8 bytes
+    assert tokenize(val, "raw") == []
+    di, toks, _ = tokenize_batch([val, "ok"], "raw")
+    assert list(toks) == ["ok"]
+
+
+def test_dynamic_field_appearing_mid_stream(tmp_path):
+    """A dynamic column that is all-null in early batches still aligns its
+    fieldnorms/postings to the right doc ids."""
+    rows = {"doc_id": list(range(400)), "text": [f"base w{i}" for i in range(400)],
+            "extra": [None] * 200 + [f"tail{i}" for i in range(200)]}
+    tbl = pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                    "text": pa.array(rows["text"], pa.string()),
+                    "extra": pa.array(rows["extra"], pa.string())})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="text", type="text", record="freq", fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", fast=True)),
+        mode="dynamic", doc_id_field="doc_id", default_search_fields=("text",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("dynmid", mapping), execution="local",
+                read_batch_size=100)
+    s = IndexSearcher(d)
+    # "tail50" lives at absolute doc 250 (third read batch)
+    r = s.search("extra:tail50", max_hits=2, fetch_fields=["doc_id"])
+    assert r.num_hits == 1 and int(r.hits["doc_id"].iloc[0]) == 250
