@@ -269,6 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ids_df(kept.to_pandas()["doc_id"])
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_ngram(sf):  # rows-only (candidate sampling is approximate)
+        from quickwit_ray.pipelines.dedup import ngram_jaccard_dedup
+
+        ds = _docs_ds(sf, "documents", ["doc_id", "text"])
+        kept, _ = ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.8)
+        return _ids_df(kept.to_pandas()["doc_id"])
+    q["dedup_ngram"] = dedup_ngram
+
     def dedup_embedding(sf):  # rows-only
         from quickwit_ray.pipelines.dedup import embedding_dedup
 

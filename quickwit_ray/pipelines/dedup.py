@@ -284,6 +284,62 @@ def simhash_dedup(ds, text_col: str, id_col: str, max_hamming: int = 3):
     return ds.map_batches(drop_dups, batch_format="pandas"), clusters
 
 
+def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8,
+                        k: int = 5, sample_mod: int = 8):
+    """Exact n-gram-Jaccard near-dup detection WITHOUT minhash: candidate
+    pairs come from sharing any SAMPLED shingle (hash % sample_mod == 0 —
+    a 1/sample_mod document-independent shingle sample, so near-dups share
+    many sampled shingles with high probability), then pairs verify with
+    the exact Jaccard over full shingle sets. Returns (keep_ds, clusters)."""
+    import pyarrow as pa
+
+    def sampled_shingles(batch: pa.Table) -> pa.Table:
+        ids_out, sh_out = [], []
+        for rid, text in zip(batch[id_col].to_pylist(),
+                             batch[text_col].to_pylist()):
+            h = word_shingles(text, k)
+            sel = h[h % np.uint64(sample_mod) == 0]
+            ids_out.extend([rid] * len(sel))
+            sh_out.extend(sel.tolist())
+        return pa.table({id_col: pa.array(ids_out),
+                         "sh": pa.array(sh_out, pa.uint64())})
+
+    exploded = ds.map_batches(sampled_shingles, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        pairs = _candidate_pairs_from_buckets(g, id_col)
+        if not pairs:
+            return pd.DataFrame({"a": [], "b": []})
+        a, b = zip(*pairs)
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    pair_df = _ensure_pair_cols(
+        exploded.groupby("sh").map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()).drop_duplicates()
+    cand_ids = set(pair_df["a"]) | set(pair_df["b"])
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[id_col].isin(cand_ids)][[id_col, text_col]]
+
+    texts_df = (ds.map_batches(pick, batch_format="pandas").to_pandas()
+                if cand_ids else pd.DataFrame({id_col: [], text_col: []}))
+    texts_map = dict(zip(texts_df[id_col], texts_df[text_col]))
+    uf = UnionFind()
+    for a, b in zip(pair_df["a"], pair_df["b"]):
+        if a in texts_map and b in texts_map \
+                and jaccard(texts_map[a], texts_map[b], k) >= threshold:
+            uf.union(a, b)
+    clusters = {x: uf.find(x) for x in list(uf.parent)}
+    dups = {x for x, root in clusters.items() if x != root}
+
+    def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[~batch[id_col].isin(dups)]
+
+    return ds.map_batches(drop_dups, batch_format="pandas"), clusters
+
+
 def embedding_dedup(ds, vec_col: str, id_col: str, threshold: float = 0.95,
                     num_planes: int = 16, seed: int = 11):
     """Embedding near-dup: random-hyperplane LSH bucket -> within-bucket

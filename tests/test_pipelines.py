@@ -191,3 +191,14 @@ def test_search_stream_table(ray_session):
     truth = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
     assert len(res) == int((truth["event_type"] == "click").sum())
     _ = out
+
+
+def test_ngram_jaccard_dedup(dup_ds):
+    from quickwit_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    kept, clusters = ngram_jaccard_dedup(dup_ds, "text", "doc_id",
+                                         threshold=0.5, sample_mod=2)
+    ids = set(kept.to_pandas()["doc_id"])
+    assert 100 in ids and 101 not in ids  # exact dup dropped, keep-first
+    assert 102 not in ids                 # near dup dropped
+    assert clusters.get(101) == 100
