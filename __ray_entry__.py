@@ -229,6 +229,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
     q["agg_terms_subagg"] = agg_terms_subagg
 
+    def agg_filtered_terms(sf):
+        s = _searcher(sf, "documents")
+        resp = s.search("text:scan", max_hits=0, aggs={
+            "langs": {"terms": {"field": "lang", "size": 100}}})
+        b = resp.aggs["langs"]["buckets"]
+        return pd.DataFrame({"lang": [x["key"] for x in b],
+                             "doc_count": pd.Series([x["doc_count"] for x in b],
+                                                    dtype="int64")})
+    q["agg_filtered_terms"] = agg_filtered_terms
+
     def agg_percentiles(sf):  # approx -> rows-only
         s = _searcher(sf, "events")
         resp = s.search("*", max_hits=0, aggs={
@@ -614,6 +624,8 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_export": ("SELECT user_id, value FROM events WHERE event_type = 'click' "
                                  "ORDER BY user_id, value"),
         "agg_terms_lang": "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count FROM documents GROUP BY lang",
+        "agg_filtered_terms": (f"SELECT lang, CAST(count(*) AS BIGINT) AS doc_count "
+                               f"FROM documents WHERE {has_token('scan')} GROUP BY lang"),
         "agg_stats_nchars": ("SELECT CAST(count(*) AS BIGINT) AS cnt, "
                              "CAST(sum(n_chars) AS DOUBLE) AS sum_n, "
                              "CAST(min(n_chars) AS DOUBLE) AS min_n, "
