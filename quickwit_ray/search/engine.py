@@ -173,7 +173,8 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
 
 class SearchSplitStage:
     """Ray Data actor-pool stage: one call = leaf searches for a batch of
-    split work items. Holds the split reader LRU across batches."""
+    split work items. Holds the split reader LRU across batches. Used for
+    BATCH search jobs (one-shot fan-outs over many splits)."""
 
     def __init__(self, mapping_json: dict, request: SearchRequest, cache_size: int = 64):
         from quickwit_ray.config import IndexConfig as _IC
@@ -191,6 +192,58 @@ class SearchSplitStage:
             results.append(pickle.dumps(
                 leaf_search_one(split_dir, self.mapping, self.request, self.cache)))
         return {"partial": results}
+
+
+class _SearchActorPool:
+    """Persistent leaf-search actor pool — the reference's long-lived
+    searcher processes with split-affinity routing (rendezvous hashing of
+    split -> searcher so each split's footer/posting caches live on one
+    actor, search_job_placer.rs semantics). Queries reuse the pool; only
+    the first search pays actor spin-up."""
+
+    def __init__(self, mapping_json: dict, size: int):
+        import ray
+
+        @ray.remote(num_cpus=1)
+        class _SearchActor:
+            def __init__(self, mapping_json: dict):
+                from quickwit_ray.config import IndexConfig as _IC
+
+                self.mapping = _IC.from_json(
+                    {"index_id": "x", "doc_mapping": mapping_json}).doc_mapping
+                self.cache = _ReaderCache(64)
+
+            def leaf(self, split_dir: str, request_blob: bytes) -> bytes:
+                import pickle
+
+                request = pickle.loads(request_blob)
+                return pickle.dumps(leaf_search_one(split_dir, self.mapping,
+                                                    request, self.cache))
+
+        self.actors = [_SearchActor.remote(mapping_json) for _ in range(size)]
+
+    def _route(self, split_dir: str) -> int:
+        import hashlib
+
+        h = int(hashlib.md5(os.path.basename(split_dir).encode()).hexdigest()[:8], 16)
+        return h % len(self.actors)
+
+    def search(self, split_dirs: list[str], request: SearchRequest) -> list[dict]:
+        import pickle
+
+        import ray
+
+        blob = pickle.dumps(request)
+        futs = [self.actors[self._route(d)].leaf.remote(d, blob)
+                for d in split_dirs]
+        return [pickle.loads(b) for b in ray.get(futs)]
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a, no_restart=True)
+        self.actors = []
 
 
 def merge_partial_hits(partials: list[dict], request: SearchRequest,
@@ -238,6 +291,7 @@ class IndexSearcher:
         self.mapping = self.config.doc_mapping
         self.execution = execution
         self.concurrency = concurrency
+        self._actor_pool: Optional[_SearchActorPool] = None
 
     # ------------------------------------------------------------------
 
@@ -317,25 +371,15 @@ class IndexSearcher:
         return [leaf_search_one(d, self.mapping, request) for d in split_dirs]
 
     def _execute_ray(self, split_dirs: list[str], request: SearchRequest) -> list[dict]:
-        import pickle
-
         import ray
-        import ray.data
 
-        mapping_json = self.config.to_json()["doc_mapping"]
-        conc = self.concurrency or max(
-            1, min(len(split_dirs), int(ray.cluster_resources().get("CPU", 8))))
-        ds = ray.data.from_items([{"split_dir": d} for d in split_dirs])
-        out = ds.map_batches(
-            SearchSplitStage,
-            fn_constructor_kwargs=dict(mapping_json=mapping_json, request=request),
-            batch_size=max(1, len(split_dirs) // conc),
-            concurrency=conc, num_cpus=1)
-        partials = []
-        for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
-            for blob in b["partial"].to_pylist():
-                partials.append(pickle.loads(blob))
-        return partials
+        if self._actor_pool is None:
+            conc = self.concurrency or max(
+                1, min(len(split_dirs),
+                       int(ray.cluster_resources().get("CPU", 8))))
+            self._actor_pool = _SearchActorPool(
+                self.config.to_json()["doc_mapping"], conc)
+        return self._actor_pool.search(split_dirs, request)
 
     # ------------------------------------------------------------------
 
