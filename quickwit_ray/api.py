@@ -62,6 +62,23 @@ class Index:
         kw = es_search_request(body, self.config.doc_mapping.default_search_fields)
         return IndexSearcher(self.index_dir).search(**kw)
 
+    def es_count(self, body: Optional[dict] = None) -> int:
+        """ES-compatible `_count` (rest_handler.rs handler list)."""
+        from quickwit_ray.search.es_dsl import es_query_to_ast
+
+        node = es_query_to_ast((body or {}).get("query", {}),
+                               self.config.doc_mapping.default_search_fields)
+        return IndexSearcher(self.index_dir).search(node, max_hits=0).num_hits
+
+    def es_msearch(self, bodies: list[dict]) -> list[SearchResponse]:
+        """ES-compatible `_msearch`: a batch of independent searches
+        sharing the searcher's split caches."""
+        from quickwit_ray.search.es_dsl import es_search_request
+
+        searcher = IndexSearcher(self.index_dir)
+        dflt = self.config.doc_mapping.default_search_fields
+        return [searcher.search(**es_search_request(b, dflt)) for b in bodies]
+
     def merge(self, execution: str = "local") -> int:
         return run_merge_pipeline(self.index_dir, execution=execution)
 

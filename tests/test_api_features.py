@@ -219,3 +219,19 @@ def test_dynamic_mapping_mode(tmp_path):
     assert s.search("source:src3", max_hits=0).num_hits == n_src
     hits = s.search("source:src3", max_hits=3, fetch_fields=["doc_id", "source"]).hits
     assert set(hits["source"]) == {"src3"}
+
+
+def test_es_count_and_msearch(idx):
+    t = _truth()
+    n = idx.es_count({"query": {"term": {"lang": "de"}}})
+    assert n == int((t["lang"] == "de").sum())
+    assert idx.es_count() == len(t)
+    rs = idx.es_msearch([
+        {"query": {"match": {"text": "scan"}}, "size": 0},
+        {"query": {"term": {"lang": "fr"}}, "size": 0},
+    ])
+    from quickwit_ray.functions.tokenizers import tokenize
+
+    exp0 = sum("scan" in tokenize(x, "default") for x in t["text"])
+    assert rs[0].num_hits == exp0
+    assert rs[1].num_hits == int((t["lang"] == "fr").sum())
