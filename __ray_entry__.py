@@ -26,7 +26,7 @@ _SCRATCH = "/tmp/quickwit_ray_entry"
 
 
 def _index_dir_for(sf_dir: str, table: str) -> str:
-    h = hashlib.sha1(f"{sf_dir}:{table}:v2".encode()).hexdigest()[:10]
+    h = hashlib.sha1(f"{sf_dir}:{table}:v3".encode()).hexdigest()[:10]
     return os.path.join(_SCRATCH, f"{table}-{h}")
 
 
@@ -53,7 +53,7 @@ def _events_index(sf_dir: str) -> str:
         field_mappings=(
             FieldMapping(name="event_type", type="text", tokenizer="raw",
                          record="basic", stored=True, fast=True, tag=True),
-            FieldMapping(name="props", type="text", tokenizer="default",
+            FieldMapping(name="props", type="json", tokenizer="default",
                          record="freq", fieldnorms=True, stored=True),
             FieldMapping(name="ts", type="datetime", stored=True, fast=True),
             FieldMapping(name="event_id", type="i64", stored=True, fast=True),
@@ -228,6 +228,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_value": [float(x["v"]["sum"]) for x in b],
         })
     q["agg_terms_subagg"] = agg_terms_subagg
+
+    def search_json_path(sf):
+        s = _searcher(sf, "events")
+        resp = s.search("props.k:69", max_hits=1_000_000,
+                        fetch_fields=["event_id"])
+        ids = sorted(int(x) for x in (resp.hits["event_id"] if len(resp.hits) else []))
+        return pd.DataFrame({"event_id": pd.Series(ids, dtype="int64")})
+    q["search_json_path"] = search_json_path
 
     def agg_filtered_terms(sf):
         s = _searcher(sf, "documents")
@@ -624,6 +632,8 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_export": ("SELECT user_id, value FROM events WHERE event_type = 'click' "
                                  "ORDER BY user_id, value"),
         "agg_terms_lang": "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count FROM documents GROUP BY lang",
+        "search_json_path": ("SELECT event_id FROM events "
+                             "WHERE json_extract(props, '$.k') = '69' ORDER BY event_id"),
         "agg_filtered_terms": (f"SELECT lang, CAST(count(*) AS BIGINT) AS doc_count "
                                f"FROM documents WHERE {has_token('scan')} GROUP BY lang"),
         "agg_stats_nchars": ("SELECT CAST(count(*) AS BIGINT) AS cnt, "

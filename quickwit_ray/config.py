@@ -75,6 +75,15 @@ class DocMapping:
                 return fm
         raise KeyError(name)
 
+    def resolve_json_path(self, name: str):
+        """`props.k` -> (json FieldMapping 'props', path 'k') when a json
+        field prefixes the queried name (expand_dots resolution,
+        field_mapping_entry.rs:578)."""
+        for fm in self.field_mappings:
+            if fm.type == "json" and name.startswith(fm.name + "."):
+                return fm, name[len(fm.name) + 1:]
+        return None
+
     def resolve_field(self, name: str) -> FieldMapping:
         """Explicit mapping, or (dynamic mode) the implicit `_dynamic`-style
         mapping applied to unmapped columns (doc_mapping.rs:26-47,

@@ -41,6 +41,57 @@ from quickwit_ray.index.format import (
 from quickwit_ray.state.manifest import SplitMetadata
 
 MAX_VALUES_PER_TAG_FIELD = 1000  # packager.rs:39-44
+JSON_PATH_SEP = "\x01"  # joins (json path, token) into one dictionary term
+
+
+def json_field_tokens(texts, tokenizer: str):
+    """Tokenize a column of JSON strings into path-prefixed terms:
+    {"a": {"b": "x y"}, "n": 3} -> a.b\x01x, a.b\x01y, n\x013.
+    Returns (doc_idx, tokens, positions) like tokenize_batch."""
+    import json as _json
+
+    from quickwit_ray.functions.tokenizers import tokenize as _tok
+
+    idxs, toks = [], []
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        try:
+            obj = _json.loads(t) if isinstance(t, str) else t
+        except (ValueError, TypeError):
+            continue
+        stack = [("", obj)]
+        while stack:
+            path, val = stack.pop()
+            if isinstance(val, dict):
+                for k, v in val.items():
+                    stack.append((f"{path}.{k}" if path else str(k), v))
+            elif isinstance(val, list):
+                for v in val:
+                    stack.append((path, v))
+            elif isinstance(val, bool):
+                idxs.append(i)
+                toks.append(path + JSON_PATH_SEP + ("true" if val else "false"))
+            elif isinstance(val, (int, float)):
+                out = _json.dumps(val)
+                idxs.append(i)
+                toks.append(path + JSON_PATH_SEP + out)
+            elif val is not None:
+                for tk in _tok(str(val), tokenizer):
+                    idxs.append(i)
+                    toks.append(path + JSON_PATH_SEP + tk)
+    doc_idx = np.asarray(idxs, np.int32)
+    tokens = np.asarray(toks, object)
+    # per-row ordinals
+    positions = np.zeros(len(doc_idx), np.int32)
+    if len(doc_idx):
+        change = np.empty(len(doc_idx), bool)
+        change[0] = True
+        change[1:] = doc_idx[1:] != doc_idx[:-1]
+        seg = np.nonzero(change)[0]
+        seg_lens = np.diff(np.append(seg, len(doc_idx)))
+        positions = (np.arange(len(doc_idx)) - np.repeat(seg, seg_lens)).astype(np.int32)
+    return doc_idx, tokens, positions
 
 
 def _coerce_datetime(col, fm) -> pa.ChunkedArray:
@@ -107,9 +158,11 @@ class SplitBuilder:
     # ------------------------------------------------------------------
 
     def _effective_text_fields(self, batch: pa.Table):
-        """Explicit text fields + (dynamic mode) implicit mappings for
-        unmapped string columns (the `_dynamic` catch-all path)."""
+        """Explicit text + json fields + (dynamic mode) implicit mappings
+        for unmapped string columns (the `_dynamic` catch-all path)."""
         out = list(self.mapping.text_fields)
+        out += [f for f in self.mapping.field_mappings
+                if f.type == "json" and f.indexed]
         if self.mapping.mode == "dynamic":
             mapped = {f.name for f in self.mapping.field_mappings}
             for i, col in enumerate(batch.column_names):
@@ -147,6 +200,9 @@ class SplitBuilder:
                 if self.mapping.mode == "strict":
                     raise KeyError(f"strict mapping: missing field {fm.name}")
                 continue
+            elif fm.type == "json":
+                doc_idx, tokens, positions = json_field_tokens(
+                    batch[fm.name].to_pylist(), fm.tokenizer)
             else:
                 doc_idx, tokens, positions = tokenize_batch(
                     batch[fm.name].to_pylist(), fm.tokenizer)

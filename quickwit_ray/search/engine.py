@@ -106,10 +106,16 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
             and len(request.sort_fields) == 1
             and request.sort_fields[0].order == "desc"):
         single = None
-        if isinstance(node, FullTextQuery) and node.mode in ("or", "and"):
-            ts = tokenize(node.text, mapping.resolve_field(node.field).tokenizer)
-            if len(ts) == 1:
-                single = (node.field, ts[0])
+        if isinstance(node, FullTextQuery) and node.mode in ("or", "and") \
+                and mapping.resolve_json_path(node.field) is None:
+            try:
+                fm = mapping.resolve_field(node.field)
+            except KeyError:
+                fm = None
+            if fm is not None and fm.type == "text":
+                ts = tokenize(node.text, fm.tokenizer)
+                if len(ts) == 1:
+                    single = (node.field, ts[0])
         if single is not None:
             res = searcher.term_topk_blockmax(single[0], single[1], k_hint)
             if res is not None:
@@ -133,10 +139,16 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
             and request.search_after is None and len(request.sort_fields) == 1
             and request.sort_fields[0].field == "_score"
             and request.sort_fields[0].order == "desc"
-            and isinstance(node, FullTextQuery) and node.mode == "or"):
-        terms = tokenize(node.text, mapping.resolve_field(node.field).tokenizer)
-        if len(terms) > 1:
-            pruned = searcher.eval_or_topk_pruned(node.field, terms, k_hint)
+            and isinstance(node, FullTextQuery) and node.mode == "or"
+            and mapping.resolve_json_path(node.field) is None):
+        try:
+            fm = mapping.resolve_field(node.field)
+        except KeyError:
+            fm = None
+        if fm is not None and fm.type == "text":
+            terms = tokenize(node.text, fm.tokenizer)
+            if len(terms) > 1:
+                pruned = searcher.eval_or_topk_pruned(node.field, terms, k_hint)
     if pruned is not None:
         mask, scores = pruned
     else:

@@ -134,8 +134,23 @@ class SplitSearcher:
                   .astype(np.float32) if scoring else None)
         return mask, scores
 
+    def _json_term_rows(self, json_fm, path: str, text: str):
+        """Terms of a json-field query: path\x01token per query token
+        (numbers match their JSON rendering, strings their tokens)."""
+        from quickwit_ray.index.writer import JSON_PATH_SEP
+
+        toks = tokenize(text, json_fm.tokenizer)
+        cands = [path + JSON_PATH_SEP + t for t in toks]
+        cands.append(path + JSON_PATH_SEP + text)  # numeric/bool literal
+        rows = self.reader.term_rows(json_fm.name, sorted(set(cands)))
+        return rows[rows >= 0]
+
     def _eval_TermQuery(self, node: TermQuery, scoring: bool):
         value = node.value
+        jf = self.mapping.resolve_json_path(node.field)
+        if jf is not None:
+            rows = self._json_term_rows(jf[0], jf[1], value)
+            return self._term_postings_score(jf[0].name, rows, scoring)
         if _has_field(self.mapping, node.field):
             fm = self.mapping.resolve_field(node.field)
             if fm.type != "text":
@@ -152,7 +167,15 @@ class SplitSearcher:
                                          const_score=True)
 
     def _eval_FullTextQuery(self, node: FullTextQuery, scoring: bool):
+        jf = self.mapping.resolve_json_path(node.field)
+        if jf is not None:
+            rows = self._json_term_rows(jf[0], jf[1], node.text)
+            return self._term_postings_score(jf[0].name, rows, scoring)
         fm = self.mapping.resolve_field(node.field)
+        if fm.type == "json":
+            # bare query on the json root: tokens anywhere in the subtree
+            # are not addressable without a path; match nothing
+            return self._eval_MatchNone(MatchNone(), scoring)
         if fm.type != "text":
             # `field:123` on a numeric/datetime field -> equality filter
             return self._value_equality(node.field, node.text, scoring)

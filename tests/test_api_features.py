@@ -235,3 +235,38 @@ def test_es_count_and_msearch(idx):
     exp0 = sum("scan" in tokenize(x, "default") for x in t["text"])
     assert rs[0].num_hits == exp0
     assert rs[1].num_hits == int((t["lang"] == "fr").sum())
+
+
+def test_json_field_type(tmp_path):
+    """json field (field_mapping_type Json): path-addressed terms,
+    queryable as `props.key:value` (expand_dots semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.search.engine import IndexSearcher
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "props": ['{"k": 69, "tag": "red blue"}',
+                  '{"k": 70, "nested": {"deep": "value"}}',
+                  '{"k": 69, "flag": true}',
+                  None],
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="props", type="json", tokenizer="default",
+                         record="freq", fieldnorms=True, stored=True),
+            FieldMapping(name="doc_id", type="i64", fast=True)),
+        doc_id_field="doc_id", default_search_fields=())
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("js", mapping), execution="local")
+    s = IndexSearcher(d)
+    assert s.search("props.k:69", max_hits=0).num_hits == 2
+    assert s.search("props.k:70", max_hits=0).num_hits == 1
+    assert s.search("props.tag:blue", max_hits=0).num_hits == 1
+    assert s.search("props.nested.deep:value", max_hits=0).num_hits == 1
+    assert s.search("props.flag:true", max_hits=0).num_hits == 1
+    assert s.search("props.k:9999", max_hits=0).num_hits == 0
