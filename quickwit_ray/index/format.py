@@ -39,8 +39,12 @@ import pyarrow.parquet as pq
 
 BLOCK_SIZE = 128            # docs per posting block (reference: 128-doc blocks)
 TERMS_PER_ROW_GROUP = 2048  # dictionary rows per parquet row group
+# positions live in their own file with SMALL row groups: a phrase query
+# touching 2 terms decompresses ~256 terms' positions, not 2048 terms'
+POS_TERMS_PER_ROW_GROUP = 256
 
 POSTINGS_FILE = "postings.parquet"
+POSITIONS_FILE = "positions.parquet"
 FIELDNORMS_FILE = "fieldnorms.parquet"
 FASTFIELDS_FILE = "fastfields.parquet"
 DOCSTORE_FILE = "docstore.parquet"
@@ -95,6 +99,9 @@ POSTINGS_SCHEMA = pa.schema([
     ("block_last", pa.binary()),
     ("block_max_tf", pa.binary()),
     ("block_lens", pa.binary()),
+])
+
+POSITIONS_SCHEMA = pa.schema([
     ("positions", pa.binary()),
     ("pos_lens", pa.binary()),
 ])
@@ -104,14 +111,26 @@ DICT_COLUMNS = ["field", "term", "df", "max_tf"]
 
 
 def write_postings_file(path: str, rows: dict[str, list]) -> None:
-    table = pa.table({k: rows[k] for k in POSTINGS_SCHEMA.names}, schema=POSTINGS_SCHEMA)
+    """Write the postings file and (when any positional data exists) the
+    row-aligned positions sidecar file next to it."""
+    table = pa.table({k: rows[k] for k in POSTINGS_SCHEMA.names},
+                     schema=POSTINGS_SCHEMA)
     pq.write_table(table, path, row_group_size=TERMS_PER_ROW_GROUP,
                    compression="zstd", compression_level=1)
+    pos = rows.get("positions")
+    if pos is not None and any(len(b) for b in pos):
+        ptable = pa.table({"positions": pos, "pos_lens": rows["pos_lens"]},
+                          schema=POSITIONS_SCHEMA)
+        pq.write_table(ptable,
+                       os.path.join(os.path.dirname(path), POSITIONS_FILE),
+                       row_group_size=POS_TERMS_PER_ROW_GROUP,
+                       compression="zstd", compression_level=1)
 
 
 def write_footer(split_dir: str, footer: dict) -> None:
     files = {}
-    for fn in (POSTINGS_FILE, FIELDNORMS_FILE, FASTFIELDS_FILE, DOCSTORE_FILE):
+    for fn in (POSTINGS_FILE, POSITIONS_FILE, FIELDNORMS_FILE, FASTFIELDS_FILE,
+               DOCSTORE_FILE):
         p = os.path.join(split_dir, fn)
         if os.path.exists(p):
             files[fn] = os.path.getsize(p)
@@ -151,6 +170,8 @@ class SplitReader:
         self._fastfields: Optional[pa.Table] = None
         self._postings_cache: dict[int, dict] = {}
         self._rg_cache: dict = {}
+        self._pos_pf: Optional[pq.ParquetFile] = None
+        self._legacy_positions = "positions" in self._pf.schema_arrow.names
 
     # -- term dictionary ----------------------------------------------------
 
@@ -231,8 +252,11 @@ class SplitReader:
                                block_last=np.frombuffer(tbl["block_last"][i].as_py() or b"", np.int32),
                                block_max_tf=np.frombuffer(tbl["block_max_tf"][i].as_py() or b"", np.int32))
                     if with_positions:
-                        pl = tbl["pos_lens"][i].as_py() or b""
-                        po = tbl["positions"][i].as_py() or b""
+                        if self._legacy_positions:
+                            pl = tbl["pos_lens"][i].as_py() or b""
+                            po = tbl["positions"][i].as_py() or b""
+                        else:
+                            po, pl = self._positions_row(r)
                         ent["pos_lens"] = np.frombuffer(pl, np.int32)
                         ent["positions"] = np.frombuffer(po, np.int32)
                     self._postings_cache[r] = ent
@@ -242,19 +266,41 @@ class SplitReader:
         """Small LRU of decompressed posting row groups (the warmup-cache
         analog): repeated term lookups in the same region avoid re-reading
         and re-decompressing 2048-term column chunks."""
-        key = (rg, with_positions)
+        key = (rg, with_positions and self._legacy_positions)
         tbl = self._rg_cache.get(key)
         if tbl is None:
             cols = ["doc_ids", "tfs", "block_last", "block_max_tf"]
             if "block_lens" in self._pf.schema_arrow.names:
                 cols.append("block_lens")
-            if with_positions:
+            if with_positions and self._legacy_positions:
                 cols += ["positions", "pos_lens"]
             tbl = self._pf.read_row_group(rg, columns=cols)
             self._rg_cache[key] = tbl
             if len(self._rg_cache) > 4:
                 self._rg_cache.pop(next(iter(self._rg_cache)))
         return tbl
+
+    def _positions_row(self, row: int) -> tuple[bytes, bytes]:
+        """(positions, pos_lens) buffers for one dictionary row from the
+        sidecar file (small row groups + LRU); b'' when absent."""
+        from quickwit_ray.index.format import POS_TERMS_PER_ROW_GROUP
+
+        if self._pos_pf is None:
+            p = os.path.join(self.split_dir, POSITIONS_FILE)
+            if not os.path.exists(p):
+                return b"", b""
+            self._pos_pf = pq.ParquetFile(p)
+        prg = row // POS_TERMS_PER_ROW_GROUP
+        key = ("pos", prg)
+        tbl = self._rg_cache.get(key)
+        if tbl is None:
+            tbl = self._pos_pf.read_row_group(prg)
+            self._rg_cache[key] = tbl
+            if len(self._rg_cache) > 8:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+        i = row - prg * POS_TERMS_PER_ROW_GROUP
+        return (tbl["positions"][i].as_py() or b"",
+                tbl["pos_lens"][i].as_py() or b"")
 
     def read_postings_raw(self, row: int) -> dict:
         """Raw (undecoded) posting buffers for one dictionary row — the

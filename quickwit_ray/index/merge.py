@@ -206,20 +206,41 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
                                tmp_dir: str) -> None:
     import pyarrow.compute as pc
 
-    from quickwit_ray.index.format import POSTINGS_SCHEMA, TERMS_PER_ROW_GROUP
+    from quickwit_ray.index.format import (
+        POS_TERMS_PER_ROW_GROUP,
+        POSITIONS_FILE,
+        POSITIONS_SCHEMA,
+        POSTINGS_SCHEMA,
+        TERMS_PER_ROW_GROUP,
+    )
 
     tables = []
+    pos_tables = []
     for ord_, (d, off) in enumerate(zip(split_dirs, offsets)):
         t = pq.read_table(os.path.join(d, POSTINGS_FILE))
         n = t.num_rows
+        # positions sidecar (or legacy in-postings columns, or none)
+        pp = os.path.join(d, POSITIONS_FILE)
+        if os.path.exists(pp):
+            pt = pq.read_table(pp)
+        elif "positions" in t.column_names:
+            pt = t.select(["positions", "pos_lens"])
+        else:
+            empty = pa.array([b""] * n, pa.binary())
+            pt = pa.table({"positions": empty, "pos_lens": empty})
+        if "positions" in t.column_names:
+            t = t.drop_columns(["positions", "pos_lens"])
+        pos_tables.append(pt)
         t = t.append_column("_off", pa.array(np.full(n, off, np.int32)))
         t = t.append_column("_ord", pa.array(np.full(n, ord_, np.int32)))
         tables.append(t)
     big = pa.concat_tables(tables).combine_chunks()
+    big_pos = pa.concat_tables(pos_tables).combine_chunks()
     order = pc.sort_indices(big, sort_keys=[("field", "ascending"),
                                             ("term", "ascending"),
                                             ("_ord", "ascending")])
     big = big.take(order).combine_chunks()
+    big_pos = big_pos.take(order).combine_chunks()
     n = big.num_rows
     if n == 0:
         write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE),
@@ -307,10 +328,6 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
                                           term_starts),
         "block_lens": _collapsed_binary(big["block_lens"].combine_chunks(),
                                         term_starts),
-        "positions": _collapsed_binary(big["positions"].combine_chunks(),
-                                       term_starts),
-        "pos_lens": _collapsed_binary(big["pos_lens"].combine_chunks(),
-                                      term_starts),
     }
     table = pa.table(out_cols, schema=POSTINGS_SCHEMA)
     if tfs_col_fixup:
@@ -322,6 +339,16 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
     pq.write_table(table, os.path.join(tmp_dir, POSTINGS_FILE),
                    row_group_size=TERMS_PER_ROW_GROUP,
                    compression="zstd", compression_level=1)
+    pos_col = _collapsed_binary(big_pos["positions"].combine_chunks(), term_starts)
+    if pa.compute.max(pa.compute.binary_length(pos_col)).as_py() or 0:
+        ptable = pa.table(
+            {"positions": pos_col,
+             "pos_lens": _collapsed_binary(big_pos["pos_lens"].combine_chunks(),
+                                           term_starts)},
+            schema=POSITIONS_SCHEMA)
+        pq.write_table(ptable, os.path.join(tmp_dir, POSITIONS_FILE),
+                       row_group_size=POS_TERMS_PER_ROW_GROUP,
+                       compression="zstd", compression_level=1)
 
 
 def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
