@@ -371,14 +371,20 @@ class SplitSearcher:
         return mask, scores
 
     def _eval_WildcardQuery(self, node: WildcardQuery, scoring: bool):
-        rx = _wildcard_to_regex(node.pattern.lower())
+        # lowercase the pattern only when the field's tokenizer lowercases
+        # its terms (raw keeps case)
+        lower = True
+        if _has_field(self.mapping, node.field):
+            lower = self.mapping.resolve_field(node.field).tokenizer != "raw"
+        pattern = node.pattern.lower() if lower else node.pattern
+        rx = _wildcard_to_regex(pattern)
         # prefix optimization: literal head narrows the dictionary scan
         lit = []
-        for ch in node.pattern:
+        for ch in pattern:
             if ch in "*?":
                 break
             lit.append(ch)
-        prefix = "".join(lit).lower() or None
+        prefix = "".join(lit) or None
         rows = self.reader.term_range_rows(node.field, None, None, prefix=prefix, regex=rx)
         return self._term_postings_score(node.field, rows, scoring, const_score=True)
 

@@ -347,3 +347,22 @@ def test_heap_size_flush(tmp_path):
     assert len(splits) > 1  # memory trigger forced multiple splits
     assert sum(sp.num_docs for sp in splits) == 500
     assert s.search("text:scan", max_hits=0).num_hits > 0
+
+
+def test_wildcard_on_raw_field_keeps_case(tmp_path):
+    import pyarrow as pa
+
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "tagv": ["Alpha-One", "beta-two"]})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(field_mappings=(
+        FieldMapping(name="tagv", type="text", tokenizer="raw", record="basic"),
+        FieldMapping(name="doc_id", type="i64", fast=True)),
+        doc_id_field="doc_id", default_search_fields=("tagv",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("wc", mapping), execution="local")
+    s = IndexSearcher(d)
+    assert s.search("tagv:Alpha*", max_hits=0).num_hits == 1
+    assert s.search("tagv:alpha*", max_hits=0).num_hits == 0  # raw keeps case
+    assert s.search("tagv:beta?two", max_hits=0).num_hits == 1
