@@ -94,6 +94,23 @@ def json_field_tokens(texts, tokenizer: str):
     return doc_idx, tokens, positions
 
 
+POSITION_GAP = 1_000  # position offset between elements of a multi-valued field
+
+
+def _tokenize_list_column(col, tokenizer: str):
+    arr = col.combine_chunks()
+    offsets = np.asarray(arr.offsets, np.int64)
+    values = arr.values
+    el_idx, tokens, el_pos = tokenize_batch(values.to_pylist(), tokenizer)
+    if len(el_idx) == 0:
+        return el_idx, tokens, el_pos
+    # element index -> row, element ordinal within row
+    row = (np.searchsorted(offsets, el_idx, side="right") - 1).astype(np.int32)
+    elem_ord = el_idx - offsets[row]
+    positions = (el_pos.astype(np.int64) + elem_ord * POSITION_GAP).astype(np.int32)
+    return row, tokens, positions
+
+
 def _coerce_datetime(col, fm) -> pa.ChunkedArray:
     """Parse a non-timestamp datetime column (string / unix number) to
     timestamp[us] using the mapping's input_formats (multi-format parsing,
@@ -203,6 +220,13 @@ class SplitBuilder:
             elif fm.type == "json":
                 doc_idx, tokens, positions = json_field_tokens(
                     batch[fm.name].to_pylist(), fm.tokenizer)
+            elif pa.types.is_list(batch.schema.field(fm.name).type) \
+                    or pa.types.is_large_list(batch.schema.field(fm.name).type):
+                # multi-valued text field (Cardinality::MultiValued = JSON
+                # array of the scalar): tokenize each element, offset
+                # positions per element so phrases never cross elements
+                doc_idx, tokens, positions = _tokenize_list_column(
+                    batch[fm.name], fm.tokenizer)
             else:
                 doc_idx, tokens, positions = tokenize_batch(
                     batch[fm.name].to_pylist(), fm.tokenizer)

@@ -366,3 +366,31 @@ def test_wildcard_on_raw_field_keeps_case(tmp_path):
     assert s.search("tagv:Alpha*", max_hits=0).num_hits == 1
     assert s.search("tagv:alpha*", max_hits=0).num_hits == 0  # raw keeps case
     assert s.search("tagv:beta?two", max_hits=0).num_hits == 1
+
+
+def test_multivalued_text_field(tmp_path):
+    """Multi-valued text (list<string> column = Cardinality MultiValued):
+    every element's tokens index under the field; phrases stay within one
+    element."""
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "tags": pa.array([["red apple", "green pear"], ["blue sky"], None],
+                         pa.list_(pa.string())),
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(field_mappings=(
+        FieldMapping(name="tags", type="text", record="position",
+                     fieldnorms=True),
+        FieldMapping(name="doc_id", type="i64", fast=True)),
+        doc_id_field="doc_id", default_search_fields=("tags",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("mv", mapping), execution="local")
+    s = IndexSearcher(d)
+    assert s.search("tags:apple", max_hits=0).num_hits == 1
+    assert s.search("tags:pear OR tags:sky", max_hits=0).num_hits == 2
+    assert s.search('tags:"green pear"', max_hits=0).num_hits == 1
+    # phrase across elements must NOT match
+    assert s.search('tags:"apple green"', max_hits=0).num_hits == 0
