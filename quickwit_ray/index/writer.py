@@ -269,6 +269,11 @@ class SplitBuilder:
                         col.type if not isinstance(col, pa.ChunkedArray)
                         else col.type):
                     col = _coerce_datetime(col, fm)
+                elif fm.type == "ip":
+                    from quickwit_ray.functions.ip import normalize_ips
+
+                    col = pa.chunked_array([pa.array(
+                        normalize_ips(col.to_pylist()), pa.string())])
                 fast_cols[fm.name] = col
         if fast_cols:
             self._fast_chunks.append(pa.table(fast_cols))

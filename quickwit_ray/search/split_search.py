@@ -123,7 +123,11 @@ class SplitSearcher:
 
         vals = self._fast_values(field)
         fm = self.mapping.resolve_field(field)
-        if fm.type == "datetime" and not isinstance(value, (int, float)):
+        if fm.type == "ip":
+            from quickwit_ray.functions.ip import normalize_ip
+
+            value = normalize_ip(value)
+        elif fm.type == "datetime" and not isinstance(value, (int, float)):
             value = np.int64(pd.Timestamp(value).value // 1000)
         elif vals.dtype.kind in "iuf":
             value = float(value)
@@ -334,6 +338,10 @@ class SplitSearcher:
         vals = self._fast_values(node.field)
 
         def coerce(v):
+            if fm is not None and fm.type == "ip":
+                from quickwit_ray.functions.ip import normalize_ip
+
+                return normalize_ip(v)
             if fm is not None and fm.type == "datetime" and not isinstance(v, (int, np.integer)):
                 return np.int64(pd.Timestamp(v).value // 1000)
             if vals.dtype.kind in "iuf" and not isinstance(v, (int, float, np.number)):

@@ -394,3 +394,31 @@ def test_multivalued_text_field(tmp_path):
     assert s.search('tags:"green pear"', max_hits=0).num_hits == 1
     # phrase across elements must NOT match
     assert s.search('tags:"apple green"', max_hits=0).num_hits == 0
+
+
+def test_ip_field_type(tmp_path):
+    """ip fields normalize to IPv6-mapped exploded form: equality and
+    ranges work across mixed v4/v6 notations."""
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "client_ip": ["10.0.0.1", "10.0.0.200", "192.168.1.5",
+                      "::ffff:10.0.0.50"],
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(field_mappings=(
+        FieldMapping(name="client_ip", type="ip", fast=True, indexed=True,
+                     stored=True),
+        FieldMapping(name="doc_id", type="i64", fast=True)),
+        doc_id_field="doc_id", default_search_fields=())
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("ipidx", mapping), execution="local")
+    s = IndexSearcher(d)
+    assert s.search("client_ip:10.0.0.1", max_hits=0).num_hits == 1
+    # v6-mapped spelling of a v4 address matches the v4 doc
+    assert s.search("client_ip:::ffff:10.0.0.200", max_hits=0).num_hits == 1
+    # numeric-order range over the 10.0.0.0/24 block
+    n = s.search("client_ip:[10.0.0.0 TO 10.0.0.255]", max_hits=0).num_hits
+    assert n == 3  # .1, .200, and the v6-mapped .50
