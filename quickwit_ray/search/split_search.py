@@ -194,16 +194,7 @@ class SplitSearcher:
         if node.mode == "and":
             if (rows < 0).any():
                 return self._eval_MatchNone(MatchNone(), scoring)
-            mask = np.ones(self.n, bool)
-            scores = np.zeros(self.n, np.float32) if scoring else None
-            for r in rows:
-                m, s = self._term_postings_score(node.field, np.array([r]), scoring)
-                mask &= m
-                if scores is not None:
-                    scores += s
-            if scores is not None:
-                scores = np.where(mask, scores, np.float32(0.0)).astype(np.float32)
-            return mask, scores
+            return self._eval_and_terms(node.field, fm, rows, scoring)
         # OR (default) / bool_prefix (last term as prefix)
         if node.mode == "bool_prefix":
             exact, prefix = rows[:-1], terms[-1]
@@ -215,6 +206,39 @@ class SplitSearcher:
                 scores += s2
             return mask, scores
         return self._term_postings_score(node.field, rows[rows >= 0], scoring)
+
+    def _eval_and_terms(self, field: str, fm, rows: np.ndarray, scoring: bool):
+        """Conjunction of terms via sorted posting-list intersection
+        (rarest-first, the DAAT-AND shape): memory and work scale with the
+        SMALLEST posting list, not the split size."""
+        postings = self.reader.read_postings(rows)
+        num_docs, avgdl = self._field_stats(field)
+        basic = fm.record == "basic"
+        plist = [postings[int(r)] for r in rows]
+        order = np.argsort([len(p["doc_ids"]) for p in plist])
+        inter = plist[order[0]]["doc_ids"]
+        for i in order[1:]:
+            if len(inter) == 0:
+                break
+            inter = inter[np.isin(inter, plist[i]["doc_ids"],
+                                  assume_unique=True)]
+        mask = np.zeros(self.n, bool)
+        scores = np.zeros(self.n, np.float32) if scoring else None
+        if len(inter) == 0:
+            return mask, scores
+        mask[inter] = True
+        if scoring:
+            norms = self.reader.fieldnorm_ids(field)
+            total = np.zeros(len(inter), np.float32)
+            for p in plist:
+                docs = p["doc_ids"]
+                pos = np.searchsorted(docs, inter)
+                tfs = (np.ones(len(inter), np.int64) if basic
+                       else p["tfs"][pos])
+                total += bm25_scores(tfs, norms[inter], df=float(len(docs)),
+                                     num_docs=num_docs, avgdl=avgdl)
+            scores[inter] = total
+        return mask, scores
 
     # -- phrase ---------------------------------------------------------
 

@@ -117,3 +117,23 @@ def test_blockmax_on_merged_split(tmp_path):
         assert list(fast.hits["_doc_id"]) == list(slow.hits["_doc_id"])
         assert np.allclose(fast.hits["sort_key0"], slow.hits["sort_key0"],
                            rtol=0, atol=0)
+
+
+def test_and_intersection_equals_dense(zipf_index):
+    """The DAAT-AND intersection path (FullTextQuery mode='and') matches
+    the dense bool-must evaluation."""
+    from quickwit_ray.search.ast import BoolQuery, FullTextQuery
+
+    s = IndexSearcher(zipf_index)
+    for terms in [["aaterm0", "baterm1"],
+                  ["aaterm0", "rareterm10"],
+                  ["aaterm0", "baterm1", "caterm2"],
+                  ["aaterm0", "zzznotaterm"]]:
+        and_node = FullTextQuery("text", " ".join(terms), mode="and")
+        r = s.search(and_node, max_hits=15, sort_by="_score", fetch_fields=[])
+        bool_node = BoolQuery(must=tuple(FullTextQuery("text", t) for t in terms))
+        r2 = s.search(bool_node, max_hits=15, sort_by="_score", fetch_fields=[])
+        assert r.num_hits == r2.num_hits, terms
+        assert list(r.hits["_doc_id"]) == list(r2.hits["_doc_id"]), terms
+        assert np.allclose(r.hits["sort_key0"], r2.hits["sort_key0"],
+                           rtol=1e-6, atol=1e-9), terms
