@@ -135,5 +135,7 @@ def test_and_intersection_equals_dense(zipf_index):
         r2 = s.search(bool_node, max_hits=15, sort_by="_score", fetch_fields=[])
         assert r.num_hits == r2.num_hits, terms
         assert list(r.hits["_doc_id"]) == list(r2.hits["_doc_id"]), terms
-        assert np.allclose(r.hits["sort_key0"], r2.hits["sort_key0"],
-                           rtol=1e-6, atol=1e-9), terms
+        if len(r.hits):
+            assert np.allclose(r.hits["sort_key0"].astype(float),
+                               r2.hits["sort_key0"].astype(float),
+                               rtol=1e-6, atol=1e-9), terms
