@@ -56,3 +56,19 @@ def search_stream_index(index_dir: str, query, columns: list[str]) -> pd.DataFra
         frames.append(pd.DataFrame(cols))
     return (pd.concat(frames, ignore_index=True) if frames
             else pd.DataFrame(columns=columns))
+
+
+def export_rowbinary(df: pd.DataFrame, column: str) -> bytes:
+    """ClickHouseRowBinary-style export of one numeric column (the OLAP
+    join feed, quickwit-proto OutputFormat::ClickHouseRowBinary): packed
+    little-endian fixed-width values, no header."""
+    import numpy as np
+
+    vals = df[column].to_numpy()
+    if vals.dtype.kind == "f":
+        return vals.astype("<f8").tobytes()
+    return vals.astype("<i8").tobytes()
+
+
+def export_csv(df: pd.DataFrame) -> str:
+    return df.to_csv(index=False)

@@ -202,3 +202,26 @@ def test_ngram_jaccard_dedup(dup_ds):
     assert 100 in ids and 101 not in ids  # exact dup dropped, keep-first
     assert 102 not in ids                 # near dup dropped
     assert clusters.get(101) == 100
+
+
+def test_search_stream_export_formats(tmp_path):
+    import numpy as np
+
+    from quickwit_ray.api import Index
+    from quickwit_ray.config import documents_doc_mapping
+    from quickwit_ray.pipelines.search_stream import (
+        export_csv,
+        export_rowbinary,
+        search_stream_index,
+    )
+
+    d = str(tmp_path / "idx")
+    idx = Index.create(d, "documents", documents_doc_mapping())
+    idx.ingest("/root/testdata/sf0.001/documents.parquet", execution="local")
+    df = search_stream_index(d, "lang:de", ["doc_id", "n_chars"])
+    blob = export_rowbinary(df, "doc_id")
+    assert len(blob) == 8 * len(df)
+    assert list(np.frombuffer(blob, "<i8")) == list(df["doc_id"])
+    csv = export_csv(df)
+    assert csv.splitlines()[0] == "doc_id,n_chars"
+    assert len(csv.splitlines()) == len(df) + 1
