@@ -246,9 +246,15 @@ class _SearchActorPool:
         import ray
 
         blob = pickle.dumps(request)
-        futs = [self.actors[self._route(d)].leaf.remote(d, blob)
+        futs = [(d, self.actors[self._route(d)].leaf.remote(d, blob))
                 for d in split_dirs]
-        return [pickle.loads(b) for b in ray.get(futs)]
+        out = []
+        for d, f in futs:
+            try:
+                out.append(pickle.loads(ray.get(f)))
+            except Exception as exc:  # noqa: BLE001
+                out.append({"failed": os.path.basename(d), "error": str(exc)})
+        return out
 
     def shutdown(self) -> None:
         import ray
@@ -360,6 +366,8 @@ class IndexSearcher:
         split_dirs = [split_dirs[i] for i in order]
 
         partials = self._execute(split_dirs, request)
+        failed = [p for p in partials if "failed" in p]
+        partials = [p for p in partials if "failed" not in p]
 
         num_hits = sum(p["num_hits"] for p in partials)
         hits = merge_partial_hits(partials, request, split_ids)
@@ -371,6 +379,7 @@ class IndexSearcher:
         if len(hits) and (fetch_fields is None or fetch_fields):
             hits = self._fetch_docs(hits, fetch_fields, request)
         return SearchResponse(num_hits=num_hits, hits=hits, aggs=merged_aggs,
+                              failed_splits=failed,
                               elapsed_sec=_time.time() - t0)
 
     # ------------------------------------------------------------------
@@ -380,7 +389,13 @@ class IndexSearcher:
             return []
         if self.execution == "ray" and len(split_dirs) > 1:
             return self._execute_ray(split_dirs, request)
-        return [leaf_search_one(d, self.mapping, request) for d in split_dirs]
+        out = []
+        for d in split_dirs:
+            try:
+                out.append(leaf_search_one(d, self.mapping, request))
+            except Exception as exc:  # noqa: BLE001 — report, don't fail the query
+                out.append({"failed": os.path.basename(d), "error": str(exc)})
+        return out
 
     def _execute_ray(self, split_dirs: list[str], request: SearchRequest) -> list[dict]:
         import ray

@@ -422,3 +422,25 @@ def test_ip_field_type(tmp_path):
     # numeric-order range over the 10.0.0.0/24 block
     n = s.search("client_ip:[10.0.0.0 TO 10.0.0.255]", max_hits=0).num_hits
     assert n == 3  # .1, .200, and the v6-mapped .50
+
+
+def test_failed_splits_reported_not_fatal(tmp_path):
+    """A corrupt/missing split degrades the response (failed_splits
+    reported, collector.rs:586-594 semantics) instead of failing it."""
+    import shutil
+
+    cfg = IndexConfig("documents", documents_doc_mapping(),
+                      IndexSettings(split_num_docs_target=10_000,
+                                    commit_docs_threshold=200))
+    d = str(tmp_path / "idx")
+    build_index(DOCS, d, cfg, execution="local", read_batch_size=200)
+    s = IndexSearcher(d)
+    victim = s.manifest.published_splits()[0].split_id
+    shutil.rmtree(f"{d}/splits/{victim}")
+    import quickwit_ray.search.engine as em
+
+    em._GLOBAL_READER_CACHE._cache.clear()
+    r = s.search("text:scan", max_hits=5, sort_by="_score", fetch_fields=[])
+    assert len(r.failed_splits) == 1
+    assert r.failed_splits[0]["failed"] == victim
+    assert r.num_hits > 0  # surviving splits still answer
