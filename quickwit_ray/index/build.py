@@ -121,7 +121,11 @@ class IndexPartitionTask:
         if mapping.mode == "dynamic":
             cols = list(pf.schema_arrow.names)  # catch-all: read everything
         else:
-            cols = [c for c in pf.schema_arrow.names if c in needed]
+            # dotted field names ("meta.author") map to struct children:
+            # their root struct column must be read
+            roots = {n.split(".", 1)[0] for n in needed if "." in n}
+            cols = [c for c in pf.schema_arrow.names
+                    if c in needed or c in roots]
         splits: list[SplitMetadata] = []
         # workbench: routing partition -> (builder, seq counter)
         bench: dict[int, SplitBuilder] = {}

@@ -97,6 +97,27 @@ def json_field_tokens(texts, tokenizer: str):
 POSITION_GAP = 1_000  # position offset between elements of a multi-valued field
 
 
+def _flatten_structs(batch: pa.Table) -> pa.Table:
+    """Object-field analog (nested sub-mapping, field_mapping_type Object):
+    struct columns flatten to dotted child columns (`meta` struct<a,b> ->
+    `meta.a`, `meta.b`) so nested inputs map/index like flat ones (incl.
+    dynamic mode picking up unmapped children)."""
+    if not any(pa.types.is_struct(t) for t in batch.schema.types):
+        return batch
+    cols, names = [], []
+    for i, name in enumerate(batch.column_names):
+        col = batch.column(i)
+        if pa.types.is_struct(batch.schema.types[i]):
+            flat = col.combine_chunks().flatten()
+            for child, fld in zip(flat, batch.schema.types[i]):
+                names.append(f"{name}.{fld.name}")
+                cols.append(child)
+        else:
+            names.append(name)
+            cols.append(col)
+    return pa.table(dict(zip(names, cols)))
+
+
 def _tokenize_list_column(col, tokenizer: str):
     arr = col.combine_chunks()
     offsets = np.asarray(arr.offsets, np.int64)
@@ -191,6 +212,7 @@ class SplitBuilder:
         n = batch.num_rows
         if n == 0:
             return
+        batch = _flatten_structs(batch)
         base = self.num_docs
         # 1. inverted fields
         for fm in self._effective_text_fields(batch):

@@ -444,3 +444,31 @@ def test_failed_splits_reported_not_fatal(tmp_path):
     assert len(r.failed_splits) == 1
     assert r.failed_splits[0]["failed"] == victim
     assert r.num_hits > 0  # surviving splits still answer
+
+
+def test_object_field_struct_flattening(tmp_path):
+    """Object fields: struct columns flatten to dotted names; with dynamic
+    mode the children index + store automatically."""
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["alpha body", "beta body"],
+        "meta": pa.array([{"author": "ada lovelace", "rev": "r1"},
+                          {"author": "alan turing", "rev": "r2"}],
+                         pa.struct([("author", pa.string()),
+                                    ("rev", pa.string())])),
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(field_mappings=(
+        FieldMapping(name="text", type="text", record="freq", fieldnorms=True),
+        FieldMapping(name="doc_id", type="i64", fast=True)),
+        mode="dynamic", doc_id_field="doc_id", default_search_fields=("text",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("obj", mapping), execution="local")
+    s = IndexSearcher(d)
+    assert s.search("meta.author:lovelace", max_hits=0).num_hits == 1
+    assert s.search("meta.rev:r2", max_hits=0).num_hits == 1
+    r = s.search("meta.author:turing", max_hits=1, fetch_fields=["doc_id"])
+    assert int(r.hits["doc_id"].iloc[0]) == 1
