@@ -347,10 +347,11 @@ def tokenize_batch(texts, tokenizer: str = "default"):
     from itertools import chain
 
     parts = [(t if isinstance(t, str) else ("" if t is None else str(t))) for t in texts]
-    joined = sep.join(parts)
     if lower:
-        joined = joined.lower()
-        parts = joined.split(sep)  # lower once in C, re-split on separator
+        # lower per part — re-splitting a joined+lowered buffer would
+        # misalign rows whose text embeds the separator character itself
+        parts = [p.lower() for p in parts]
+    joined = sep.join(parts)
 
     # one C findall per row: no per-match Python objects
     fa = pattern.findall

@@ -1,0 +1,69 @@
+"""Hypothesis property tests for the codec + tokenizer invariants."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from quickwit_ray.functions.bm25 import fieldnorm_to_id, id_to_fieldnorm
+from quickwit_ray.functions.tokenizers import tokenize, tokenize_batch
+from quickwit_ray.index.format import BLOCK_SIZE, block_meta, delta_decode, delta_encode
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**28), min_size=1,
+                max_size=500, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip(doc_ids):
+    docs = np.asarray(sorted(doc_ids), np.int32)
+    assert (delta_decode(delta_encode(docs)) == docs).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**24), min_size=1,
+                max_size=600, unique=True),
+       st.lists(st.integers(min_value=1, max_value=10_000), min_size=1,
+                max_size=600))
+@settings(max_examples=60, deadline=None)
+def test_block_meta_invariants(doc_ids, tfs):
+    docs = np.asarray(sorted(doc_ids), np.int32)
+    t = np.asarray((tfs * ((len(docs) // len(tfs)) + 1))[: len(docs)], np.int64)
+    bl, bm, lens = block_meta(docs, t)
+    bl_a = np.frombuffer(bl, np.int32)
+    bm_a = np.frombuffer(bm, np.int32)
+    ln_a = np.frombuffer(lens, np.int32)
+    assert ln_a.sum() == len(docs)
+    assert (ln_a <= BLOCK_SIZE).all() and (ln_a > 0).all()
+    assert bl_a[-1] == docs[-1]
+    # per-block invariants: last doc and max tf match a direct computation
+    starts = np.concatenate([[0], np.cumsum(ln_a)[:-1]])
+    for i, (s, ln) in enumerate(zip(starts, ln_a)):
+        assert bl_a[i] == docs[s + ln - 1]
+        assert bm_a[i] == t[s: s + ln].max()
+
+
+@given(st.integers(min_value=0, max_value=2**30))
+@settings(max_examples=200, deadline=None)
+def test_fieldnorm_quantization_floor(length):
+    nid = fieldnorm_to_id(np.asarray([length]))[0]
+    dec = int(id_to_fieldnorm(np.asarray([nid]))[0])
+    assert dec <= length
+    # next id (if any) decodes strictly above length
+    if nid < 255:
+        assert int(id_to_fieldnorm(np.asarray([nid + 1]))[0]) > length
+
+
+TEXT = st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=400)
+
+
+@given(st.lists(TEXT, min_size=0, max_size=20),
+       st.sampled_from(["default", "whitespace", "raw", "en_stem"]))
+@settings(max_examples=80, deadline=None)
+def test_tokenize_batch_matches_exact_random_unicode(texts, tok):
+    doc_idx, tokens, positions = tokenize_batch(texts, tok)
+    per_row = [[] for _ in texts]
+    for i, t in zip(doc_idx, tokens):
+        per_row[i].append(t)
+    expected = [tokenize(t, tok) for t in texts]
+    assert per_row == expected
+    for i in np.unique(doc_idx) if len(doc_idx) else []:
+        got = positions[doc_idx == i]
+        assert list(got) == list(range(len(got)))
