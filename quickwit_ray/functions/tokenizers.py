@@ -347,13 +347,12 @@ def tokenize_batch(texts, tokenizer: str = "default"):
     from itertools import chain
 
     parts = [(t if isinstance(t, str) else ("" if t is None else str(t))) for t in texts]
-    if lower:
-        # lower per part — re-splitting a joined+lowered buffer would
-        # misalign rows whose text embeds the separator character itself
-        parts = [p.lower() for p in parts]
     joined = sep.join(parts)
 
-    # one C findall per row: no per-match Python objects
+    # one C findall per row over the ORIGINAL text (the reference filter
+    # order is tokenize -> 255-byte cut -> lowercase; lowering first would
+    # change token boundaries for case folds that emit combining marks,
+    # e.g. 'İ' -> 'i̇')
     fa = pattern.findall
     lists = [fa(p) for p in parts]
     counts = np.fromiter(map(len, lists), np.int64, count=n)
@@ -365,14 +364,20 @@ def tokenize_batch(texts, tokenizer: str = "default"):
     offsets = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
     positions = (np.arange(total, dtype=np.int64) - offsets).astype(np.int32)
 
-    # 255-byte cut: numpy byte-run prescan (a token's UTF-8 byte length is
-    # bounded by its run of non-separator bytes); the per-token check runs
-    # only when some run reaches the limit
+    # 255-byte cut on PRE-lowercase bytes (reference RemoveLongFilter runs
+    # before LowerCaser): numpy byte-run prescan bounds token byte lengths;
+    # the per-token check runs only when some run reaches the limit. The
+    # breaker byte set depends on the tokenizer: NUL is a separator for the
+    # alphanumeric tokenizers but legal inside a whitespace-tokenizer token.
     maybe_long = False
     bts = np.frombuffer(joined.encode("utf-8", "ignore"), np.uint8)
     if len(bts) >= MAX_TOKEN_BYTES:
-        sep_pos = np.nonzero((bts == 0) | (bts == 32) | (bts == 9)
-                             | (bts == 10) | (bts == 13))[0]
+        is_break = (bts == 32) | (bts == 9) | (bts == 10) | (bts == 13)
+        if tokenizer == "whitespace":
+            is_break |= (bts == 11) | (bts == 12)
+        else:
+            is_break |= bts == 0
+        sep_pos = np.nonzero(is_break)[0]
         runs = np.diff(np.concatenate([[-1], sep_pos, [len(bts)]])) - 1
         maybe_long = bool(runs.max() >= MAX_TOKEN_BYTES)
     if maybe_long:
@@ -383,6 +388,9 @@ def tokenize_batch(texts, tokenizer: str = "default"):
                 keep[j] = False
         if not keep.all():
             doc_idx, tokens = doc_idx[keep], tokens[keep]
+            total = len(tokens)
+            if total == 0:
+                return (doc_idx, tokens, np.empty(0, np.int32))
             # recompute per-row ordinals after the drop
             row_change = np.empty(len(doc_idx), bool)
             row_change[0] = True
@@ -391,6 +399,12 @@ def tokenize_batch(texts, tokenizer: str = "default"):
             seg_lens = np.diff(np.append(seg_starts, len(doc_idx)))
             positions = (np.arange(len(doc_idx), dtype=np.int64)
                          - np.repeat(seg_starts, seg_lens)).astype(np.int32)
-        else:
-            positions = positions
+    if lower and total:
+        # lowercase AFTER the cut, on the unique vocabulary only (Zipf:
+        # vocab << token count, so this loop is tiny)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(tokens)
+        lowered = np.asarray([t.lower() for t in uniq], object)
+        tokens = lowered[codes]
     return doc_idx, tokens, positions
