@@ -6,7 +6,8 @@
   lowercase        alias of raw_lowercase
   default          split on non-alphanumeric (tantivy SimpleTokenizer), drop
                    tokens >255 bytes, lowercase
-  en_stem          default + English (Porter) stemmer
+  en_stem          default + Snowball English (Porter2) stemmer, matching
+                   tantivy Stemmer::new(Language::English) (mod.rs:65)
   whitespace       split on unicode whitespace (no lowercase, no length filter
                    in the reference registry beyond the 255 cut)
   chinese_compatible  CJK chars become single-char tokens, other runs of
@@ -133,122 +134,181 @@ def tokenize_source_code(text: str, hex_support: bool = False) -> list[str]:
     return [_ascii_fold(t.lower()) for t in out if _len_ok(t)]
 
 
-# --- Porter stemmer (public-domain algorithm; Porter 1980) for en_stem -----
+# --- Porter2 / Snowball English stemmer for en_stem -------------------------
+# The reference's en_stem is tantivy Stemmer::new(Language::English)
+# (tokenizers/mod.rs:65), i.e. Snowball "english" (Porter2), NOT the 1980
+# Porter algorithm — they diverge on common words (fairly->fair, ties->tie,
+# generously->generous). Implemented from the published Snowball spec.
 
-_V = "aeiou"
+_SB_VOWELS = "aeiouy"  # 'Y' (marked consonant-y) is NOT in this set
+_SB_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_SB_LI_END = "cdeghkmnrt"
 
+_SB_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_SB_EXC2 = frozenset(("inning", "outing", "canning", "herring", "earring",
+                      "proceed", "exceed", "succeed"))
 
-def _cons(word: str, i: int) -> bool:
-    c = word[i]
-    if c in _V:
-        return False
-    if c == "y":
-        return i == 0 or not _cons(word, i - 1)
-    return True
-
-
-def _measure(stem: str) -> int:
-    m, prev_vowel = 0, False
-    for i in range(len(stem)):
-        v = not _cons(stem, i)
-        if not v and prev_vowel:
-            m += 1
-        prev_vowel = v
-    return m
-
-
-def _has_vowel(stem: str) -> bool:
-    return any(not _cons(stem, i) for i in range(len(stem)))
-
-
-def _double_cons(word: str) -> bool:
-    return len(word) >= 2 and word[-1] == word[-2] and _cons(word, len(word) - 1)
-
-
-def _cvc(word: str) -> bool:
-    if len(word) < 3:
-        return False
-    if not (_cons(word, len(word) - 3) and not _cons(word, len(word) - 2)
-            and _cons(word, len(word) - 1)):
-        return False
-    return word[-1] not in "wxy"
+_SB_STEP2 = (
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"), ("ousli", "ous"),
+    ("iviti", "ive"), ("fulli", "ful"), ("enci", "ence"), ("anci", "ance"),
+    ("abli", "able"), ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+    ("bli", "ble"), ("ogi", "og"), ("li", ""),
+)
+_SB_STEP3 = (
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"), ("icate", "ic"),
+    ("iciti", "ic"), ("ative", ""), ("ical", "ic"), ("ness", ""), ("ful", ""),
+)
+_SB_STEP4 = ("ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+             "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic")
 
 
-def porter_stem(word: str) -> str:
-    """Porter (1980) English stemmer — the algorithm behind the reference's
-    en_stem Snowball English default."""
-    if len(word) <= 2:
-        return word
+def _sb_regions(w: str) -> tuple[int, int]:
+    """R1 = after the first non-vowel following a vowel (with the gener/
+    commun/arsen prefix exception); R2 = same rule applied within R1."""
+    n = len(w)
+    r1 = n
+    for p in ("gener", "commun", "arsen"):
+        if w.startswith(p):
+            r1 = len(p)
+            break
+    else:
+        for i in range(1, n):
+            if w[i] not in _SB_VOWELS and w[i - 1] in _SB_VOWELS:
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in _SB_VOWELS and w[i - 1] in _SB_VOWELS:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _sb_ends_short_syllable(w: str) -> bool:
+    n = len(w)
+    if n == 2:
+        return w[0] in _SB_VOWELS and w[1] not in _SB_VOWELS
+    return (n >= 3 and w[-2] in _SB_VOWELS and w[-1] not in _SB_VOWELS
+            and w[-1] not in "wxY" and w[-3] not in _SB_VOWELS)
+
+
+def snowball_stem(word: str) -> str:
+    """Snowball English (Porter2) stemmer. Input is expected lowercased."""
     w = word
+    if len(w) <= 2:
+        return w
+    if w[0] == "'":
+        w = w[1:]
+    exc = _SB_EXC1.get(w)
+    if exc is not None:
+        return exc
+    if len(w) <= 2:
+        return w
+    # mark consonant-y as 'Y' (initial y, or y after a vowel)
+    if "y" in w:
+        chars = list(w)
+        if chars[0] == "y":
+            chars[0] = "Y"
+        for i in range(1, len(chars)):
+            if chars[i] == "y" and chars[i - 1] in _SB_VOWELS:
+                chars[i] = "Y"
+        w = "".join(chars)
+    r1, r2 = _sb_regions(w)
+    # step 0: strip 's / ' / 's'
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
     # step 1a
     if w.endswith("sses"):
         w = w[:-2]
-    elif w.endswith("ies"):
-        w = w[:-2]
-    elif not w.endswith("ss") and w.endswith("s"):
-        w = w[:-1]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-2] if len(w) > 4 else w[:-1]
+    elif w.endswith(("us", "ss")):
+        pass
+    elif w.endswith("s"):
+        if any(c in _SB_VOWELS for c in w[:-2]):
+            w = w[:-1]
+    if w in _SB_EXC2:
+        return w
     # step 1b
-    flag = False
-    if w.endswith("eed"):
-        if _measure(w[:-3]) > 0:
-            w = w[:-1]
-    elif w.endswith("ed") and _has_vowel(w[:-2]):
-        w, flag = w[:-2], True
-    elif w.endswith("ing") and _has_vowel(w[:-3]):
-        w, flag = w[:-3], True
-    if flag:
-        if w.endswith(("at", "bl", "iz")):
-            w += "e"
-        elif _double_cons(w) and w[-1] not in "lsz":
-            w = w[:-1]
-        elif _measure(w) == 1 and _cvc(w):
-            w += "e"
-    # step 1c
-    if w.endswith("y") and _has_vowel(w[:-1]):
+    done1b = False
+    for suf in ("eedly", "eed"):
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                w = w[: -len(suf)] + "ee"
+            done1b = True
+            break
+    if not done1b:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if any(c in _SB_VOWELS for c in stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w[-2:] in _SB_DOUBLES:
+                        w = w[:-1]
+                    elif r1 >= len(w) and _sb_ends_short_syllable(w):
+                        w += "e"
+                break
+    # step 1c: y/Y -> i after a non-vowel that is not the first letter
+    if len(w) > 2 and w[-1] in "yY" and w[-2] not in _SB_VOWELS:
         w = w[:-1] + "i"
-    # step 2
-    for suf, rep in (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
-                     ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
-                     ("alli", "al"), ("entli", "ent"), ("eli", "e"),
-                     ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
-                     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
-                     ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
-                     ("iviti", "ive"), ("biliti", "ble")):
+    # step 2 (longest suffix; apply only if it sits in R1)
+    for suf, rep in _SB_STEP2:
         if w.endswith(suf):
-            if _measure(w[: -len(suf)]) > 0:
-                w = w[: -len(suf)] + rep
+            if len(w) - len(suf) >= r1:
+                if suf == "ogi":
+                    if w.endswith("logi"):
+                        w = w[:-1]
+                elif suf == "li":
+                    if len(w) >= 3 and w[-3] in _SB_LI_END:
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
             break
-    # step 3
-    for suf, rep in (("icate", "ic"), ("ative", ""), ("alize", "al"),
-                     ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", "")):
+    # step 3 (in R1; 'ative' additionally requires R2)
+    for suf, rep in _SB_STEP3:
         if w.endswith(suf):
-            if _measure(w[: -len(suf)]) > 0:
-                w = w[: -len(suf)] + rep
+            if len(w) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(w) - len(suf) >= r2:
+                        w = w[: -len(suf)]
+                else:
+                    w = w[: -len(suf)] + rep
             break
-    # step 4
-    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
-                "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
-                "ive", "ize"):
+    # step 4 (in R2)
+    for suf in _SB_STEP4:
         if w.endswith(suf):
-            stem = w[: -len(suf)]
-            if suf == "ent" and w.endswith(("sion", "tion")):
-                # handled by "ion" rule below
-                pass
-            if _measure(stem) > 1:
-                w = stem
+            if len(w) - len(suf) >= r2:
+                if suf == "ion":
+                    if len(w) >= 4 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
             break
-    else:
-        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _measure(w[:-3]) > 1:
-            w = w[:-3]
-    # step 5a
+    # step 5
     if w.endswith("e"):
-        m = _measure(w[:-1])
-        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+        if len(w) - 1 >= r2 or (len(w) - 1 >= r1
+                                and not _sb_ends_short_syllable(w[:-1])):
             w = w[:-1]
-    # step 5b
-    if _measure(w) > 1 and _double_cons(w) and w.endswith("l"):
+    elif w.endswith("ll") and len(w) - 1 >= r2:
         w = w[:-1]
-    return w
+    return w.replace("Y", "y")
+
+
+# Back-compat alias: en_stem's stemmer entry point.
+porter_stem = snowball_stem
 
 
 def tokenize_en_stem(text: str) -> list[str]:
@@ -387,18 +447,14 @@ def tokenize_batch(texts, tokenizer: str = "default"):
                     and len(t.encode("utf-8", "ignore")) >= MAX_TOKEN_BYTES:
                 keep[j] = False
         if not keep.all():
+            # tantivy RemoveLongFilter drops tokens WITHOUT renumbering the
+            # survivors — keep original ordinals (position gaps) so phrase /
+            # slop semantics across a removed long token match the reference
             doc_idx, tokens = doc_idx[keep], tokens[keep]
+            positions = positions[keep]
             total = len(tokens)
             if total == 0:
                 return (doc_idx, tokens, np.empty(0, np.int32))
-            # recompute per-row ordinals after the drop
-            row_change = np.empty(len(doc_idx), bool)
-            row_change[0] = True
-            row_change[1:] = doc_idx[1:] != doc_idx[:-1]
-            seg_starts = np.nonzero(row_change)[0]
-            seg_lens = np.diff(np.append(seg_starts, len(doc_idx)))
-            positions = (np.arange(len(doc_idx), dtype=np.int64)
-                         - np.repeat(seg_starts, seg_lens)).astype(np.int32)
     if lower and total:
         # lowercase AFTER the cut, on the unique vocabulary only (Zipf:
         # vocab << token count, so this loop is tiny)

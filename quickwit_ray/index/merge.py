@@ -384,14 +384,35 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
     # each; the reader treats them as contiguous (last_doc, max_tf) ranges).
     _merge_postings_vectorized(split_dirs, offsets, tmp_dir)
 
-    # ---- per-doc tables: plain concatenation in split order
+    # ---- per-doc tables: plain concatenation in split order. A split may
+    # lack a per-doc file entirely (e.g. built from input with no fast
+    # column): splice in a placeholder of that split's num_docs rows so the
+    # concatenated table keeps the row-index == doc-id invariant (fieldnorm
+    # placeholders are zeros — norm id 0 = length 0 — because the reader
+    # casts the column straight to uint8; fast/docstore placeholders are
+    # nulls).
     for fname in (FIELDNORMS_FILE, FASTFIELDS_FILE, DOCSTORE_FILE):
-        parts = [pq.read_table(os.path.join(d, fname)) for d in split_dirs
-                 if os.path.exists(os.path.join(d, fname))]
-        if parts:
-            pq.write_table(pa.concat_tables(parts, promote_options="default"),
-                           os.path.join(tmp_dir, fname),
-                           compression="zstd", compression_level=1)
+        paths = [os.path.join(d, fname) for d in split_dirs]
+        present = [p for p in paths if os.path.exists(p)]
+        if not present:
+            continue
+        unified = pa.unify_schemas([pq.read_schema(p) for p in present],
+                                   promote_options="default")
+        parts = []
+        for p, nd in zip(paths, counts):
+            if os.path.exists(p):
+                parts.append(pq.read_table(p))
+            elif fname == FIELDNORMS_FILE:
+                parts.append(pa.table(
+                    {f.name: pa.array(np.zeros(nd, np.uint8), f.type)
+                     for f in unified}, schema=unified))
+            else:
+                parts.append(pa.table(
+                    {f.name: pa.nulls(nd, f.type) for f in unified},
+                    schema=unified))
+        pq.write_table(pa.concat_tables(parts, promote_options="default"),
+                       os.path.join(tmp_dir, fname),
+                       compression="zstd", compression_level=1)
 
     # ---- footer: union of stats
     field_stats: dict[str, dict[str, float]] = {}

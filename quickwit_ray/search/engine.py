@@ -135,7 +135,12 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
                 }
 
     pruned = None
+    # NOTE: gated on timestamp_field is None — the timestamp row-filter is
+    # applied after scoring, so a pruned evaluation (partial scores below
+    # theta) would surface wrongly-scored docs once out-of-window top docs
+    # are masked away. With a window, score fully.
     if (ENABLE_MAXSCORE and scoring and k_hint > 0
+            and request.timestamp_field is None
             and request.search_after is None and len(request.sort_fields) == 1
             and request.sort_fields[0].field == "_score"
             and request.sort_fields[0].order == "desc"

@@ -194,6 +194,13 @@ def _parse_term_expr(tok: str, toks: _Tokens, dfields) -> Any:
             if hi != "*":
                 kw["lte" if hi_inclusive else "lt"] = hi
             return RangeQuery(field_name, **kw)
+        m = re.match(r"^(<=|>=|<|>)(.+)$", value)
+        if m:
+            # comparison shorthand `field:>=v` etc.
+            # (docs/reference/query-language.md:167-185)
+            op, v = m.groups()
+            key = {"<": "lt", "<=": "lte", ">": "gt", ">=": "gte"}[op]
+            return RangeQuery(field_name, **{key: v})
         if value.startswith('"'):
             phrase, slop = _strip_quotes(value)
             if phrase.endswith("*"):

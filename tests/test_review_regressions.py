@@ -175,3 +175,77 @@ def test_dynamic_field_appearing_mid_stream(tmp_path):
     # "tail50" lives at absolute doc 250 (third read batch)
     r = s.search("extra:tail50", max_hits=2, fetch_fields=["doc_id"])
     assert r.num_hits == 1 and int(r.hits["doc_id"].iloc[0]) == 250
+
+
+def test_pruned_or_scoring_respects_timestamp_window(tmp_path):
+    """ADVICE r1 (high): the MaxScore-pruned OR path must not run when a
+    timestamp window is set — the window mask is applied after scoring, so
+    docs whose scoring was skipped (partial score) would surface with wrong
+    scores. 5 high-idf 'rare' docs sit outside the window; 95 'common' docs
+    inside. Pruned and naive paths must agree exactly."""
+    import quickwit_ray.search.engine as em
+
+    base = 1_700_000_000_000_000
+    n = 100
+    texts, tss = [], []
+    for i in range(n):
+        if i < 5:
+            texts.append("rare common filler")
+            tss.append(base + 10_000_000_000)       # OUTSIDE window
+        else:
+            texts.append("common filler pad")
+            tss.append(base + i * 1_000_000)        # inside window
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "msg": pa.array(texts, pa.string()),
+        "ts": pa.array(tss, pa.timestamp("us")),
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="msg", type="text", record="freq", fieldnorms=True),
+            FieldMapping(name="ts", type="datetime", fast=True),
+            FieldMapping(name="doc_id", type="i64", fast=True)),
+        timestamp_field="ts", doc_id_field="doc_id",
+        default_search_fields=("msg",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("tsprune", mapping), execution="local")
+    s = IndexSearcher(d)
+    kw = dict(max_hits=10, sort_by="_score", fetch_fields=[],
+              start_timestamp=base, end_timestamp=base + n * 1_000_000)
+    em.ENABLE_MAXSCORE = True
+    fast = s.search("msg:rare OR msg:common", **kw)
+    em.ENABLE_MAXSCORE = False
+    slow = s.search("msg:rare OR msg:common", **kw)
+    em.ENABLE_MAXSCORE = True
+    assert list(fast.hits["_doc_id"]) == list(slow.hits["_doc_id"])
+    assert np.allclose(fast.hits["sort_key0"], slow.hits["sort_key0"],
+                       rtol=0, atol=0)
+    assert fast.hits["sort_key0"].iloc[0] > 0.0
+
+
+def test_comparison_shorthand_ranges(docs_idx):
+    """ADVICE r1 (medium): `field:>=v` / `<=` / `>` / `<` parse as one-sided
+    ranges (docs/reference/query-language.md:167-185), not full-text."""
+    from quickwit_ray.search.ast import RangeQuery
+    from quickwit_ray.search.parser import parse_query
+
+    node = parse_query("n_chars:>=10")
+    assert isinstance(node, RangeQuery) and node.gte == "10"
+    node = parse_query("n_chars:<900")
+    assert isinstance(node, RangeQuery) and node.lt == "900"
+    s = IndexSearcher(docs_idx)
+    t = pq.read_table(DOCS, columns=["n_chars"]).to_pandas()
+    assert s.search("n_chars:>=900", max_hits=0).num_hits == \
+        int((t["n_chars"] >= 900).sum())
+    assert s.search("n_chars:<=900", max_hits=0).num_hits == \
+        int((t["n_chars"] <= 900).sum())
+    assert s.search("n_chars:>900", max_hits=0).num_hits == \
+        int((t["n_chars"] > 900).sum())
+    assert s.search("n_chars:<900", max_hits=0).num_hits == \
+        int((t["n_chars"] < 900).sum())
+    # combined with other clauses
+    expected = int((t["n_chars"] >= 500).sum())
+    r = s.search("text:scan AND n_chars:>=500", max_hits=0)
+    assert 0 < r.num_hits <= expected

@@ -87,10 +87,14 @@ def test_batch_matches_exact(tok):
         per_row[i].append(t)
     expected = [tokenize(t or "", tok) for t in texts]
     assert per_row == expected
-    # positions are per-row ordinals
+    # positions are per-row PRE-filter ordinals: the row with the 300-byte
+    # token keeps a gap where it was removed (RemoveLongFilter semantics)
     for i in np.unique(doc_idx):
-        got = positions[doc_idx == i]
-        assert list(got) == list(range(len(got)))
+        got = list(positions[doc_idx == i])
+        if texts[i] and "yyy" in texts[i]:
+            assert got == [0, 2]
+        else:
+            assert got == list(range(len(got)))
 
 
 def test_batch_raw():
@@ -100,3 +104,38 @@ def test_batch_raw():
     assert list(tokens) == ["A", "b c"]
     doc_idx, tokens, _ = tokenize_batch(texts, "raw_lowercase")
     assert list(tokens) == ["a", "b c"]
+
+
+def test_snowball_english_golden():
+    """en_stem = Snowball English (Porter2), matching tantivy
+    Stemmer::new(Language::English) — NOT Porter 1980 (ADVICE r1). The
+    diverging triples from the advice plus published Snowball demo pairs."""
+    from quickwit_ray.functions.tokenizers import snowball_stem as s
+
+    # Porter1 gives fairli / ti / gener for these
+    assert s("fairly") == "fair"
+    assert s("ties") == "tie"
+    assert s("generously") == "generous"
+    golden = {
+        "consistency": "consist", "consolatory": "consolatori",
+        "conspicuously": "conspicu", "knackeries": "knackeri",
+        "knightly": "knight", "knives": "knive", "agreed": "agre",
+        "dying": "die", "skies": "sky", "early": "earli",
+        "inning": "inning", "proceed": "proceed", "beautifully": "beauti",
+        "electricity": "electr", "nationally": "nation",
+        "generate": "generat", "generically": "generic",
+        "communism": "communism", "hopping": "hop", "hoping": "hope",
+        "flies": "fli", "cries": "cri", "gas": "gas", "kiwis": "kiwi",
+        "vilely": "vile", "analogously": "analog",
+    }
+    for w, want in golden.items():
+        assert s(w) == want, (w, want, s(w))
+
+
+def test_en_stem_tokenizer_uses_snowball():
+    from quickwit_ray.functions.tokenizers import tokenize, tokenize_batch
+
+    assert tokenize("Fairly generous ties", "en_stem") == \
+        ["fair", "generous", "tie"]
+    _, toks, _ = tokenize_batch(["Fairly generous ties"], "en_stem")
+    assert list(toks) == ["fair", "generous", "tie"]
