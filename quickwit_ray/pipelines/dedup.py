@@ -5,27 +5,56 @@ All variants follow the partial-before-shuffle discipline:
               first (min id). One shuffle, keyed on the 64-bit hash.
   * minhash:  per-batch vectorized shingle->minhash (128 perms) ->
               explode to (band, band_hash, id) rows -> groupby on the
-              LSH bucket -> candidate pairs -> exact-Jaccard verify ->
-              union-find over the (small) surviving pair set.
-  * simhash:  64-bit simhash per batch -> band buckets -> hamming verify.
-  * ngram:    word n-gram Jaccard verification used by both.
+              LSH bucket -> candidate pairs -> distributed exact-Jaccard
+              verify (texts hash-joined onto the pairs) -> distributed
+              connected components -> anti-join drop.
+  * simhash:  64-bit simhash per batch -> band buckets -> hamming verify
+              inside the bucket group.
+  * ngram:    sampled-shingle candidate buckets, exact-Jaccard verify.
   * embedding: random-hyperplane LSH buckets -> within-bucket cosine.
 
-Scale note: the only all-to-all exchanges are groupbys on
-well-distributed hash keys; candidate verification happens inside the
-bucket groups; only the candidate PAIR list (tiny vs corpus) reaches the
-driver for the union-find.
+Scale discipline (round-2 rework): NOTHING O(corpus) lives on the driver.
+Candidate pairs, verification texts, component labels and the duplicate-id
+set are all Ray Datasets end-to-end; connected components run as
+distributed min-label propagation (components.connected_components), and
+duplicates are removed with a hash anti-join that broadcasts the id set
+via the object store only when provably small (components.semi_join_ids).
+Every recall-affecting cap (per-bucket pair window, bucket truncation)
+logs the dropped volume — no silent caps.
+
+Returns: each near-dup pipeline returns ``(kept_ds, clusters_ds)`` where
+``clusters_ds`` is a Dataset with columns (id, root) for every detected
+duplicate (id != root, root = kept representative = min id of the
+near-dup component).
 """
 
 from __future__ import annotations
 
+import logging
+from functools import lru_cache
+from itertools import chain
+
 import numpy as np
 import pandas as pd
+
+from quickwit_ray.pipelines.components import (
+    attach_pair_texts,
+    connected_components,
+    distinct_pairs,
+    duplicate_ids,
+    semi_join_ids,
+)
+
+log = logging.getLogger(__name__)
 
 NUM_PERMS = 128
 NUM_BANDS = 16  # 16 bands x 8 rows -> catches jaccard ~>0.7
 ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
 _MERSENNE = (1 << 61) - 1
+# candidate-generation caps (recall/cost trade-offs; drops are LOGGED)
+PAIR_WINDOW = 16        # per-bucket pair fanout: id i pairs with the next <16
+SIMHASH_BUCKET_CAP = 64
+EMBED_BUCKET_CAP = 256
 
 
 def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -92,17 +121,27 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 def simhash64(texts) -> np.ndarray:
-    """64-bit SimHash over word hashes (unweighted)."""
-    out = np.zeros(len(texts), np.uint64)
+    """64-bit SimHash over word hashes (unweighted). Vectorized over the
+    whole batch: one hash pass over the concatenated word stream, one
+    segmented reduceat per batch (round-1 version looped per row)."""
+    n = len(texts)
+    out = np.zeros(n, np.uint64)
+    if n == 0:
+        return out
+    words_per = [(t or "").lower().split() for t in texts]
+    counts = np.fromiter(map(len, words_per), np.int64, count=n)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    allw = np.fromiter(chain.from_iterable(words_per), object, count=total)
+    h = pd.util.hash_array(allw).astype(np.uint64)
     bit_cols = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        words = (t or "").lower().split()
-        if not words:
-            continue
-        h = pd.util.hash_array(np.asarray(words, object)).astype(np.uint64)
-        bits = ((h[:, None] >> bit_cols) & np.uint64(1)).astype(np.int64)
-        v = bits.sum(0) * 2 - len(h)
-        out[i] = np.uint64(((v > 0).astype(np.uint64) << bit_cols).sum())
+    bits = ((h[:, None] >> bit_cols) & np.uint64(1)).astype(np.int64)
+    nz = counts > 0
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+    sums = np.add.reduceat(bits, starts, axis=0)  # (n_nonzero, 64)
+    v = sums * 2 - counts[nz, None]
+    out[nz] = ((v > 0).astype(np.uint64) << bit_cols).sum(axis=1)
     return out
 
 
@@ -116,6 +155,9 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class UnionFind:
+    """Small in-process union-find (kept for local/bounded uses and tests;
+    the Dataset pipelines use components.connected_components instead)."""
+
     def __init__(self):
         self.parent: dict = {}
 
@@ -135,12 +177,53 @@ class UnionFind:
             self.parent[rb] = ra
 
 
+def _empty_pairs(dtype) -> pd.DataFrame:
+    return pd.DataFrame({"a": pd.Series([], dtype=dtype),
+                         "b": pd.Series([], dtype=dtype)})
 
-def _ensure_pair_cols(pair_df: pd.DataFrame) -> pd.DataFrame:
-    """All-empty map_groups output can lose the schema; restore it."""
-    if "a" not in pair_df.columns or "b" not in pair_df.columns:
-        return pd.DataFrame({"a": [], "b": []})
-    return pair_df
+
+def _id_dtype(ds, id_col: str):
+    import pyarrow as pa
+
+    sch = ds.schema()
+    try:
+        return dict(zip(sch.names, sch.types))[id_col]
+    except Exception:  # noqa: BLE001
+        return pa.int64()
+
+
+def _pairs_schema_ok(pairs_ds) -> bool:
+    try:
+        names = pairs_ds.schema().names
+    except Exception:  # noqa: BLE001
+        return False
+    return names is not None and "a" in names and "b" in names
+
+
+def _resolve_dups(ds, pairs_ds, id_col: str):
+    """Shared tail of every near-dup pipeline: distinct pairs ->
+    distributed connected components -> (kept_ds, clusters_ds)."""
+    import ray
+
+    id_dtype = _id_dtype(ds, id_col)
+    import pyarrow as pa
+
+    empty = ray.data.from_arrow(pa.table({"id": pa.array([], id_dtype),
+                                          "root": pa.array([], id_dtype)}))
+    if not _pairs_schema_ok(pairs_ds):
+        return ds, empty
+    pairs_ds = pairs_ds.materialize()  # consumed by count + components
+    if pairs_ds.count() == 0:
+        return ds, empty
+    comps = connected_components(distinct_pairs(pairs_ds), id_dtype=id_dtype)
+    clusters = duplicate_ids(comps).materialize()
+    n_dups = clusters.count()
+    if n_dups == 0:
+        return ds, empty
+    kept = semi_join_ids(ds, clusters.select_columns(["id"]), id_col,
+                         keep=False, n_ids=n_dups)
+    return kept, clusters
+
 
 # ---------------------------------------------------------------------------
 # Ray Dataset pipelines
@@ -167,16 +250,45 @@ def _candidate_pairs_from_buckets(bucket_rows: pd.DataFrame, id_col: str
                                   ) -> set[tuple]:
     pairs: set[tuple] = set()
     ids = sorted(bucket_rows[id_col].tolist())
-    for i in range(len(ids)):
-        for j in range(i + 1, min(i + 16, len(ids))):  # cap fanout per bucket
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, min(i + PAIR_WINDOW, n)):
             pairs.add((ids[i], ids[j]))
+    if n > PAIR_WINDOW:
+        # the window cap skips (n choose 2) - emitted pairs: surface it
+        log.info("dedup bucket of %d ids capped at window %d (%d pairs "
+                 "not emitted)", n, PAIR_WINDOW,
+                 n * (n - 1) // 2 - len(pairs))
     return pairs
+
+
+def _bucket_pairs_fn(id_col: str):
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs(g[id_col].dtype)
+        pairs = _candidate_pairs_from_buckets(g, id_col)
+        if not pairs:
+            return _empty_pairs(g[id_col].dtype)
+        a, b = zip(*sorted(pairs))
+        return pd.DataFrame({"a": pd.Series(a, dtype=g[id_col].dtype),
+                             "b": pd.Series(b, dtype=g[id_col].dtype)})
+    return bucket_pairs
+
+
+def _verify_jaccard_fn(text_col: str, threshold: float, k: int):
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [jaccard(ta, tb, k) >= threshold
+                for ta, tb in zip(batch[text_col], batch[f"{text_col}_rb"])]
+        out = batch.loc[keep, ["a", "b"]]
+        return out if len(out) else _empty_pairs(batch["a"].dtype)
+    return verify
 
 
 def minhash_dedup(ds, text_col: str, id_col: str, threshold: float = 0.7,
                   k: int = 5):
-    """MinHash+LSH near-dup detection. Returns (keep_dataset, clusters)
-    where clusters maps duplicate id -> kept (root) id."""
+    """MinHash+LSH near-dup detection. Returns (kept_ds, clusters_ds);
+    clusters_ds columns (id, root) list each dropped duplicate and its
+    kept representative."""
     import pyarrow as pa
 
     def sig_bands(batch: pa.Table) -> pa.Table:
@@ -192,42 +304,17 @@ def minhash_dedup(ds, text_col: str, id_col: str, threshold: float = 0.7,
         })
 
     banded = ds.map_batches(sig_bands, batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        pairs = _candidate_pairs_from_buckets(g, id_col)
-        if not pairs:
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = zip(*pairs)
-        return pd.DataFrame({"a": list(a), "b": list(b)})
-
-    pair_ds = banded.groupby(["band", "bh"]).map_groups(bucket_pairs,
-                                                        batch_format="pandas")
-    pair_df = _ensure_pair_cols(pair_ds.to_pandas()).drop_duplicates()
-
-    # verification needs the texts of candidate ids only: broadcast the
-    # (tiny) candidate id set and semi-join it inside map_batches
-    cand_ids = set(pair_df["a"]) | set(pair_df["b"])
-
-    def pick_candidates(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch[id_col].isin(cand_ids)][[id_col, text_col]]
-
-    texts_df = (ds.map_batches(pick_candidates, batch_format="pandas")
-                .to_pandas()) if cand_ids else pd.DataFrame({id_col: [], text_col: []})
-    texts_map = dict(zip(texts_df[id_col], texts_df[text_col]))
-    uf = UnionFind()
-    for a, b in zip(pair_df["a"], pair_df["b"]):
-        if a in texts_map and b in texts_map \
-                and jaccard(texts_map[a], texts_map[b], k) >= threshold:
-            uf.union(a, b)
-    clusters = {x: uf.find(x) for x in list(uf.parent)}
-    dups = {x for x, root in clusters.items() if x != root}
-
-    def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[~batch[id_col].isin(dups)]
-
-    return ds.map_batches(drop_dups, batch_format="pandas"), clusters
+    pairs = (banded.groupby(["band", "bh"])
+             .map_groups(_bucket_pairs_fn(id_col), batch_format="pandas"))
+    if _pairs_schema_ok(pairs):
+        pairs = pairs.materialize()
+    if _pairs_schema_ok(pairs) and pairs.count() > 0:
+        cand = distinct_pairs(pairs).materialize()
+        with_texts = attach_pair_texts(cand, ds, id_col, text_col)
+        verified = with_texts.map_batches(
+            _verify_jaccard_fn(text_col, threshold, k), batch_format="pandas")
+        return _resolve_dups(ds, verified, id_col)
+    return _resolve_dups(ds, pairs, id_col)
 
 
 def simhash_dedup(ds, text_col: str, id_col: str, max_hamming: int = 3):
@@ -256,8 +343,11 @@ def simhash_dedup(ds, text_col: str, id_col: str, max_hamming: int = 3):
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        g = g.sort_values(id_col).head(64)
+            return _empty_pairs(g[id_col].dtype)
+        if len(g) > SIMHASH_BUCKET_CAP:
+            log.info("simhash bucket of %d ids truncated to %d",
+                     len(g), SIMHASH_BUCKET_CAP)
+        g = g.sort_values(id_col).head(SIMHASH_BUCKET_CAP)
         ids = g[id_col].to_numpy()
         sims = g["sim"].to_numpy(dtype=np.uint64)
         out_a, out_b = [], []
@@ -266,22 +356,14 @@ def simhash_dedup(ds, text_col: str, id_col: str, max_hamming: int = 3):
             for j in np.nonzero(d <= max_hamming)[0]:
                 out_a.append(ids[i])
                 out_b.append(ids[i + 1 + j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        if not out_a:
+            return _empty_pairs(g[id_col].dtype)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype=g[id_col].dtype),
+                             "b": pd.Series(out_b, dtype=g[id_col].dtype)})
 
-    pair_df = _ensure_pair_cols(
-        banded.groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()).drop_duplicates()
-    uf = UnionFind()
-    for a, b in zip(pair_df["a"], pair_df["b"]):
-        uf.union(a, b)
-    clusters = {x: uf.find(x) for x in list(uf.parent)}
-    dups = {x for x, root in clusters.items() if x != root}
-
-    def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[~batch[id_col].isin(dups)]
-
-    return ds.map_batches(drop_dups, batch_format="pandas"), clusters
+    pairs = (banded.groupby(["band", "key"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    return _resolve_dups(ds, pairs, id_col)
 
 
 def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8,
@@ -290,7 +372,7 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8,
     pairs come from sharing any SAMPLED shingle (hash % sample_mod == 0 —
     a 1/sample_mod document-independent shingle sample, so near-dups share
     many sampled shingles with high probability), then pairs verify with
-    the exact Jaccard over full shingle sets. Returns (keep_ds, clusters)."""
+    the exact Jaccard over full shingle sets. Returns (kept_ds, clusters_ds)."""
     import pyarrow as pa
 
     def sampled_shingles(batch: pa.Table) -> pa.Table:
@@ -305,52 +387,36 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8,
                          "sh": pa.array(sh_out, pa.uint64())})
 
     exploded = ds.map_batches(sampled_shingles, batch_format="pyarrow")
+    pairs = (exploded.groupby("sh")
+             .map_groups(_bucket_pairs_fn(id_col), batch_format="pandas"))
+    if _pairs_schema_ok(pairs):
+        pairs = pairs.materialize()
+    if _pairs_schema_ok(pairs) and pairs.count() > 0:
+        cand = distinct_pairs(pairs).materialize()
+        with_texts = attach_pair_texts(cand, ds, id_col, text_col)
+        verified = with_texts.map_batches(
+            _verify_jaccard_fn(text_col, threshold, k), batch_format="pandas")
+        return _resolve_dups(ds, verified, id_col)
+    return _resolve_dups(ds, pairs, id_col)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        pairs = _candidate_pairs_from_buckets(g, id_col)
-        if not pairs:
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = zip(*pairs)
-        return pd.DataFrame({"a": list(a), "b": list(b)})
 
-    pair_df = _ensure_pair_cols(
-        exploded.groupby("sh").map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()).drop_duplicates()
-    cand_ids = set(pair_df["a"]) | set(pair_df["b"])
-
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch[id_col].isin(cand_ids)][[id_col, text_col]]
-
-    texts_df = (ds.map_batches(pick, batch_format="pandas").to_pandas()
-                if cand_ids else pd.DataFrame({id_col: [], text_col: []}))
-    texts_map = dict(zip(texts_df[id_col], texts_df[text_col]))
-    uf = UnionFind()
-    for a, b in zip(pair_df["a"], pair_df["b"]):
-        if a in texts_map and b in texts_map \
-                and jaccard(texts_map[a], texts_map[b], k) >= threshold:
-            uf.union(a, b)
-    clusters = {x: uf.find(x) for x in list(uf.parent)}
-    dups = {x for x, root in clusters.items() if x != root}
-
-    def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[~batch[id_col].isin(dups)]
-
-    return ds.map_batches(drop_dups, batch_format="pandas"), clusters
+@lru_cache(maxsize=8)
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    """Cached per worker process — generated once, reused across batches."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((dim, num_planes)).astype(np.float32)
 
 
 def embedding_dedup(ds, vec_col: str, id_col: str, threshold: float = 0.95,
                     num_planes: int = 16, seed: int = 11):
     """Embedding near-dup: random-hyperplane LSH bucket -> within-bucket
-    cosine >= threshold -> union-find keep-first."""
+    cosine >= threshold -> distributed components, keep-first."""
     import pyarrow as pa
 
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch[vec_col].to_pylist(), np.float32)
         ids = batch[id_col].to_pylist()
-        rng = np.random.Generator(np.random.PCG64(seed))
-        planes = rng.standard_normal((vecs.shape[1], num_planes)).astype(np.float32)
+        planes = _hyperplanes(vecs.shape[1], num_planes, seed)
         bits = (vecs @ planes) > 0
         key = np.zeros(len(ids), np.uint64)
         for c in range(num_planes):
@@ -365,26 +431,22 @@ def embedding_dedup(ds, vec_col: str, id_col: str, threshold: float = 0.95,
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        g = g.sort_values(id_col).head(256)
+            return _empty_pairs(g[id_col].dtype)
+        if len(g) > EMBED_BUCKET_CAP:
+            log.info("embedding bucket of %d ids truncated to %d",
+                     len(g), EMBED_BUCKET_CAP)
+        g = g.sort_values(id_col).head(EMBED_BUCKET_CAP)
         v = np.asarray(g["vec"].tolist(), np.float32)
         v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
         sims = v @ v.T
         ids = g[id_col].to_numpy()
         iu = np.triu_indices(len(ids), 1)
         hit = sims[iu] >= threshold
-        return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]]})
+        if not hit.any():
+            return _empty_pairs(g[id_col].dtype)
+        return pd.DataFrame({"a": pd.Series(ids[iu[0][hit]], dtype=g[id_col].dtype),
+                             "b": pd.Series(ids[iu[1][hit]], dtype=g[id_col].dtype)})
 
-    pair_df = _ensure_pair_cols(
-        bucketed.groupby("key").map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()).drop_duplicates()
-    uf = UnionFind()
-    for a, b in zip(pair_df["a"], pair_df["b"]):
-        uf.union(a, b)
-    clusters = {x: uf.find(x) for x in list(uf.parent)}
-    dups = {x for x, root in clusters.items() if x != root}
-
-    def drop_dups(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[~batch[id_col].isin(dups)]
-
-    return ds.map_batches(drop_dups, batch_format="pandas"), clusters
+    pairs = (bucketed.groupby("key")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    return _resolve_dups(ds, pairs, id_col)

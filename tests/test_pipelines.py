@@ -57,7 +57,9 @@ def test_minhash_dedup_catches_near_dup(dup_ds):
     assert 100 in ids
     assert 101 not in ids and 102 not in ids  # exact + near dup both drop
     assert 103 in ids
-    assert clusters.get(101) == 100 and clusters.get(102) == 100
+    # clusters is a Dataset (id, root): every dropped dup -> kept root
+    cl = {int(r["id"]): int(r["root"]) for r in clusters.take_all()}
+    assert cl.get(101) == 100 and cl.get(102) == 100
 
 
 def test_minhash_signature_similarity():
@@ -201,7 +203,8 @@ def test_ngram_jaccard_dedup(dup_ds):
     ids = set(kept.to_pandas()["doc_id"])
     assert 100 in ids and 101 not in ids  # exact dup dropped, keep-first
     assert 102 not in ids                 # near dup dropped
-    assert clusters.get(101) == 100
+    cl = {int(r["id"]): int(r["root"]) for r in clusters.take_all()}
+    assert cl.get(101) == 100
 
 
 def test_search_stream_export_formats(tmp_path):
@@ -225,3 +228,47 @@ def test_search_stream_export_formats(tmp_path):
     csv = export_csv(df)
     assert csv.splitlines()[0] == "doc_id,n_chars"
     assert len(csv.splitlines()) == len(df) + 1
+
+
+def test_dedup_keepsets_pinned_to_round1(ray_session):
+    """Regression: the round-2 distributed rework (Dataset pairs, label
+    propagation, anti-join) must produce the EXACT keep-sets the round-1
+    driver union-find produced on the sf0.001 fixture. Pinned by count +
+    sha1 of the sorted kept-id list."""
+    import hashlib
+
+    import ray.data
+
+    from quickwit_ray.pipelines.dedup import (
+        embedding_dedup,
+        minhash_dedup,
+        ngram_jaccard_dedup,
+        simhash_dedup,
+    )
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def sig(ids):
+        return hashlib.sha1(",".join(map(str, sorted(ids))).encode()
+                            ).hexdigest()[:16]
+
+    kept, cl = minhash_dedup(docs, "text", "doc_id", threshold=0.8)
+    ids = list(kept.to_pandas()["doc_id"])
+    assert (len(ids), sig(ids)) == (476, "61eb0c5250120953")
+    # every dropped dup maps to a kept root, root is the component min id
+    cmap = {int(r["id"]): int(r["root"]) for r in cl.take_all()}
+    assert set(cmap) == set(range(500)) - set(ids)
+    assert all(root in ids and root < d for d, root in cmap.items())
+
+    kept, _ = simhash_dedup(docs, "text", "doc_id", max_hamming=2)
+    ids = list(kept.to_pandas()["doc_id"])
+    assert (len(ids), sig(ids)) == (486, "b49dc4aad471291b")
+
+    kept, _ = ngram_jaccard_dedup(docs, "text", "doc_id", threshold=0.8)
+    ids = list(kept.to_pandas()["doc_id"])
+    assert (len(ids), sig(ids)) == (478, "39bf1b767f0102c1")
+
+    kept, _ = embedding_dedup(emb, "embedding", "vec_id", threshold=0.98)
+    ids = list(kept.to_pandas()["vec_id"])
+    assert (len(ids), sig(ids)) == (500, "18b9a7dc1962258b")
