@@ -168,7 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from quickwit_ray.pipelines.search_stream import search_stream_index
 
         df = search_stream_index(_events_index(sf), "event_type:click",
-                                 ["user_id", "value"])
+                                 ["user_id", "value"]).to_pandas()
         return (df.sort_values(["user_id", "value"]).reset_index(drop=True)
                 .astype({"user_id": "int64", "value": "float64"}))
     q["events_stream_export"] = events_stream_export

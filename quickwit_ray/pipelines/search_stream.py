@@ -2,12 +2,16 @@
 (reference `quickwit-search/src/search_stream/leaf.rs:51-356`, used for
 OLAP joins). Re-expressed as a plain Ray Data pipeline over the source
 table (filter -> select -> write/iter), plus an index-backed variant that
-streams from built splits."""
+fans out one task per split and streams blocks to the sink (the reference
+streams CSV/RowBinary per leaf) — no driver-side concat."""
 
 from __future__ import annotations
 
+import os
+import pickle
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -32,38 +36,68 @@ def search_stream_table(ds, predicate, columns: list[str],
     return out
 
 
-def search_stream_index(index_dir: str, query, columns: list[str]) -> pd.DataFrame:
-    """Index-backed export: evaluate the query per split and dump the fast
-    fields of every matching doc (the ClickHouse-join path)."""
-    import os
-
-    from quickwit_ray.search.engine import IndexSearcher, _GLOBAL_READER_CACHE
+def _export_split_batch(item_batch: dict[str, np.ndarray], *,
+                        mapping_json: dict, node_blob: bytes,
+                        columns: list[str]) -> pa.Table:
+    """One task = leaf export for a batch of splits: evaluate the query,
+    gather the projected fast fields of every matching doc. Zero-length
+    outputs keep their numpy dtypes, so the block schema stays stable."""
+    from quickwit_ray.config import IndexConfig as _IC
+    from quickwit_ray.search.engine import _GLOBAL_READER_CACHE
     from quickwit_ray.search.split_search import SplitSearcher
+
+    mapping = _IC.from_json(
+        {"index_id": "x", "doc_mapping": mapping_json}).doc_mapping
+    node = pickle.loads(node_blob)
+    tables = []
+    for split_dir in [str(p) for p in item_batch["split_dir"]]:
+        reader = _GLOBAL_READER_CACHE.get(split_dir)
+        searcher = SplitSearcher(reader, mapping)
+        mask, _ = searcher.eval(node, False)
+        tables.append(pa.table({c: reader.fast_field(c)[mask]
+                                for c in columns}))
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def search_stream_index(index_dir: str, query, columns: list[str],
+                        output_path: Optional[str] = None):
+    """Index-backed export: fan out one Ray task per split, each evaluating
+    the query and emitting the fast fields of its matching docs as an Arrow
+    block. Returns a streaming Ray Dataset (or writes it when
+    ``output_path`` is given) — the 100 TB path never concatenates on the
+    driver."""
+    import ray
+    import ray.data
+
+    from quickwit_ray.search.engine import IndexSearcher
 
     s = IndexSearcher(index_dir)
     node = s._resolve_query(query)
-    frames = []
-    for sm in s.manifest.published_splits():
-        split_dir = os.path.join(index_dir, "splits", sm.split_id)
-        reader = _GLOBAL_READER_CACHE.get(split_dir)
-        searcher = SplitSearcher(reader, s.mapping)
-        mask, _ = searcher.eval(node, False)
-        if not mask.any():
-            continue
-        cols = {}
-        for c in columns:
-            cols[c] = reader.fast_field(c)[mask]
-        frames.append(pd.DataFrame(cols))
-    return (pd.concat(frames, ignore_index=True) if frames
-            else pd.DataFrame(columns=columns))
+    splits = s.manifest.published_splits()
+    if not splits:
+        out = ray.data.from_arrow(pa.table({c: pa.array([]) for c in columns}))
+    else:
+        items = [{"split_dir": os.path.join(index_dir, "splits", sm.split_id)}
+                 for sm in splits]
+        out = ray.data.from_items(items).map_batches(
+            _export_split_batch,
+            fn_kwargs={"mapping_json": s.config.to_json()["doc_mapping"],
+                       "node_blob": pickle.dumps(node),
+                       "columns": list(columns)},
+            batch_size=1, batch_format="numpy")
+    if output_path:
+        if output_path.endswith("csv"):
+            out.write_csv(output_path)
+        else:
+            out.write_parquet(output_path)
+        return None
+    return out
 
 
 def export_rowbinary(df: pd.DataFrame, column: str) -> bytes:
     """ClickHouseRowBinary-style export of one numeric column (the OLAP
     join feed, quickwit-proto OutputFormat::ClickHouseRowBinary): packed
     little-endian fixed-width values, no header."""
-    import numpy as np
-
     vals = df[column].to_numpy()
     if vals.dtype.kind == "f":
         return vals.astype("<f8").tobytes()

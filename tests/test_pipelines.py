@@ -221,7 +221,7 @@ def test_search_stream_export_formats(tmp_path):
     d = str(tmp_path / "idx")
     idx = Index.create(d, "documents", documents_doc_mapping())
     idx.ingest("/root/testdata/sf0.001/documents.parquet", execution="local")
-    df = search_stream_index(d, "lang:de", ["doc_id", "n_chars"])
+    df = search_stream_index(d, "lang:de", ["doc_id", "n_chars"]).to_pandas()
     blob = export_rowbinary(df, "doc_id")
     assert len(blob) == 8 * len(df)
     assert list(np.frombuffer(blob, "<i8")) == list(df["doc_id"])
