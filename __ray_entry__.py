@@ -489,6 +489,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
     q["shuffle_build_search"] = shuffle_build_search
 
+    def queue_ingest_search(sf):
+        """Kafka-shaped streaming source: documents loaded into a simulated
+        partitioned queue, indexed with an injected mid-stream kill, then
+        resumed from the committed offset checkpoints (exactly-once) — the
+        search result must match the batch-built oracle."""
+        import shutil
+
+        from quickwit_ray.config import (IndexConfig, IndexSettings,
+                                         documents_doc_mapping)
+        from quickwit_ray.search.engine import IndexSearcher
+        from quickwit_ray.sources.queue import ingest_queue, queue_from_parquet
+
+        idx_dir = _index_dir_for(sf, "documents_queue")
+        qdir = idx_dir + "-queue"
+        cfg = IndexConfig("docs_q", documents_doc_mapping(),
+                          IndexSettings(split_num_docs_target=1_000_000))
+        done_marker = os.path.join(idx_dir, ".stream_done")
+        if not os.path.exists(done_marker):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            shutil.rmtree(qdir, ignore_errors=True)
+            queue_from_parquet(os.path.join(sf, "documents.parquet"), qdir,
+                               num_partitions=4, partition_col="doc_id")
+            try:
+                ingest_queue(qdir, idx_dir, cfg, execution="local",
+                             max_batch_bytes=128 << 10,
+                             max_batches_per_wave=2, poll_rounds=100,
+                             fault_after_commits=1)
+            except RuntimeError:
+                pass  # the injected mid-stream kill
+            ingest_queue(qdir, idx_dir, cfg, execution="local",
+                         max_batch_bytes=128 << 10, poll_rounds=100)
+            with open(done_marker, "w") as f:
+                f.write("ok")
+        s = IndexSearcher(idx_dir)
+        resp = s.search("text:scan", max_hits=1_000_000, fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["queue_ingest_search"] = queue_ingest_search
+
     def agg_range_value(sf):
         s = _searcher(sf, "events")
         resp = s.search("*", max_hits=0, aggs={
@@ -670,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
                               "AND lang <> 'de' ORDER BY doc_id"),
         "merge_then_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "shuffle_build_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "queue_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "agg_range_value": ("SELECT key, CAST(count(*) AS BIGINT) AS doc_count FROM ("
                             "SELECT CASE WHEN value < 25.0 THEN '*-25.0' "
                             "WHEN value >= 25.0 AND value < 75.0 THEN '25.0-75.0' "

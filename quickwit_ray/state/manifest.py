@@ -158,6 +158,43 @@ class Manifest:
         if changed:
             self._commit()
 
+    def source_offset(self, partition: str) -> int:
+        """Committed stream offset for a queue partition (0 = nothing
+        committed). Offsets live in the same checkpoint map the batch
+        builds use, so batch and stream ingestion share one transactional
+        publish path (checkpoint.rs:170-188 SourceCheckpoint analog)."""
+        cp = self.checkpoints.get(partition)
+        return int(cp.get("offset", 0)) if cp else 0
+
+    def publish_stream(self, by_partition: dict[str, tuple[list["SplitMetadata"], int, int]]) -> None:
+        """Atomic publish of streaming micro-batches with their offset
+        deltas: ``partition -> (splits, from_offset, to_offset)``.
+
+        Exactly-once semantics per the reference checkpoint contiguity
+        rules (checkpoint.rs:170-188 / IndexCheckpointDelta):
+          * committed >= to  -> duplicate replay, no-op
+          * committed != from -> gap or overlap, refuse (the poller must
+            restart from the committed offset)
+          * else commit splits + offset in ONE manifest write
+        """
+        changed = False
+        for pid, (sms, frm, to) in by_partition.items():
+            cur = self.source_offset(pid)
+            if cur >= to:
+                continue  # duplicate commit = no-op
+            if cur != frm:
+                raise ValueError(
+                    f"checkpoint delta not contiguous for {pid!r}: "
+                    f"committed {cur}, delta [{frm}, {to})")
+            for sm in sms:
+                sm.split_state = "published"
+                self.splits[sm.split_id] = sm
+            self.checkpoints[pid] = {"committed_at": time.time(),
+                                     "offset": int(to)}
+            changed = True
+        if changed:
+            self._commit()
+
     def mark_for_deletion(self, split_ids: Iterable[str]) -> None:
         for sid in split_ids:
             if sid in self.splits:
