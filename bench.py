@@ -109,6 +109,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         [f"text:{chr(97 + k)}aterm{k}" for k in range(0, 10)]    # head terms
         + [f"text:rareterm{k * 1000 + 10}" for k in range(5)]    # rare terms
         + ["text:aaterm0 OR text:abterm40", "+text:aaterm0 +text:abterm30",
+           "+text:aaterm0 +text:rareterm1010",   # stopword+rare (block-skip AND)
+           "+text:aaterm0 +text:baterm1",        # two stopwords AND
            "text:aaterm0 -text:abterm30",
            'text:"intial commit"', 'text:"white sandy beach"',
            "lang: IN [de fr]", "text:ab*",

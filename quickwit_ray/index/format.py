@@ -318,6 +318,44 @@ class SplitReader:
             "block_lens": np.frombuffer(tbl["block_lens"][i].as_py() or b"", np.int32),
         }
 
+    def read_postings_selected(self, row: int, cand_docs: np.ndarray
+                               ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfs) of one posting list, decoding ONLY the 128-doc
+        blocks that can contain any of ``cand_docs`` (sorted asc) — the
+        skip-list read of a DAAT-AND: a rare term intersecting a stopword
+        list touches a handful of the stopword's blocks instead of
+        delta-decoding millions of postings. Falls back to a full decode
+        for legacy splits without block_lens."""
+        row = int(row)
+        raw = self.read_postings_raw(row)
+        lens = raw["block_lens"].astype(np.int64)
+        if len(lens) == 0 or lens.sum() != self.df[row]:
+            p = self.read_postings([row])[row]
+            return p["doc_ids"], p["tfs"]
+        bl = raw["block_last"].astype(np.int64)
+        # candidate c lives in the first block whose last doc id >= c
+        sel = np.unique(np.searchsorted(bl, np.asarray(cand_docs, np.int64),
+                                        side="left"))
+        sel = sel[sel < len(bl)]
+        if len(sel) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        deltas = raw["doc_deltas"]
+        tfs_all = raw["tfs"]
+        ls = lens[sel]
+        ss = starts[sel]
+        total = int(ls.sum())
+        seg_off = np.concatenate([[0], np.cumsum(ls)[:-1]])
+        big_idx = np.repeat(ss - seg_off, ls) + np.arange(total)
+        d = deltas[big_idx].astype(np.int64)
+        cs = np.cumsum(d)
+        seg_base = cs[seg_off] - d[seg_off]
+        abs_prev = np.where(sel > 0, bl[sel - 1], 0)
+        docs = cs - np.repeat(seg_base, ls) + np.repeat(abs_prev, ls)
+        tfs = (np.ones(total, np.int64) if len(tfs_all) == 0
+               else tfs_all[big_idx].astype(np.int64))
+        return docs, tfs
+
     # -- per-doc columns ----------------------------------------------------
 
     def fieldnorm_ids(self, field: str) -> np.ndarray:

@@ -208,20 +208,31 @@ class SplitSearcher:
         return self._term_postings_score(node.field, rows[rows >= 0], scoring)
 
     def _eval_and_terms(self, field: str, fm, rows: np.ndarray, scoring: bool):
-        """Conjunction of terms via sorted posting-list intersection
-        (rarest-first, the DAAT-AND shape): memory and work scale with the
-        SMALLEST posting list, not the split size."""
-        postings = self.reader.read_postings(rows)
+        """Conjunction of terms: rarest-first DAAT-AND with BLOCK-SKIP
+        decode. The smallest posting list (df from the dictionary, no
+        decode needed to rank) is decoded fully; every larger list decodes
+        only the 128-doc blocks that can still contain a surviving
+        candidate (block_last skip data — tantivy's skip-reader shape, so
+        `+rare +stopword` touches a handful of the stopword's blocks).
+        Work scales with the rarest term's df, not the largest. The mask
+        stays exact; scores are the exact per-term BM25 sums over the
+        intersection (df = full dictionary df, matching full scoring)."""
         num_docs, avgdl = self._field_stats(field)
         basic = fm.record == "basic"
-        plist = [postings[int(r)] for r in rows]
-        order = np.argsort([len(p["doc_ids"]) for p in plist])
-        inter = plist[order[0]]["doc_ids"]
-        for i in order[1:]:
+        dfs = self.reader.df[rows]
+        order = np.argsort(dfs, kind="stable")
+        r0 = int(rows[order[0]])
+        p0 = self.reader.read_postings([r0])[r0]
+        inter = p0["doc_ids"]
+        per_term: list[tuple[int, np.ndarray, np.ndarray]] = [
+            (r0, p0["doc_ids"], p0["tfs"])]
+        for oi in order[1:]:
             if len(inter) == 0:
                 break
-            inter = inter[np.isin(inter, plist[i]["doc_ids"],
-                                  assume_unique=True)]
+            r = int(rows[oi])
+            docs_r, tfs_r = self.reader.read_postings_selected(r, inter)
+            inter = inter[np.isin(inter, docs_r, assume_unique=True)]
+            per_term.append((r, docs_r, tfs_r))
         mask = np.zeros(self.n, bool)
         scores = np.zeros(self.n, np.float32) if scoring else None
         if len(inter) == 0:
@@ -230,12 +241,12 @@ class SplitSearcher:
         if scoring:
             norms = self.reader.fieldnorm_ids(field)
             total = np.zeros(len(inter), np.float32)
-            for p in plist:
-                docs = p["doc_ids"]
-                pos = np.searchsorted(docs, inter)
+            for r, docs_r, tfs_r in per_term:
+                pos = np.searchsorted(docs_r, inter)
                 tfs = (np.ones(len(inter), np.int64) if basic
-                       else p["tfs"][pos])
-                total += bm25_scores(tfs, norms[inter], df=float(len(docs)),
+                       else tfs_r[pos])
+                total += bm25_scores(tfs, norms[inter],
+                                     df=float(self.reader.df[r]),
                                      num_docs=num_docs, avgdl=avgdl)
             scores[inter] = total
         return mask, scores

@@ -139,3 +139,67 @@ def test_and_intersection_equals_dense(zipf_index):
             assert np.allclose(r.hits["sort_key0"].astype(float),
                                r2.hits["sort_key0"].astype(float),
                                rtol=1e-6, atol=1e-9), terms
+
+
+AND_QUERIES = [
+    "aaterm0 rareterm10",                  # stopword + rare: block-skip fires
+    "aaterm0 baterm1",                     # two hot terms
+    "rareterm10 rareterm20",               # two rare terms
+    "aaterm0 baterm1 caterm2 rareterm30",  # mixed
+]
+
+
+@pytest.mark.parametrize("qtext", AND_QUERIES)
+def test_blockskip_and_equals_full_scoring(zipf_index, qtext):
+    """The block-skip DAAT-AND must produce the exact intersection AND the
+    exact BM25 sums a full decode produces: compare per-doc scores to the
+    independently computed sum of single-term scores over the mask."""
+    from quickwit_ray.config import IndexConfig as _IC
+    from quickwit_ray.search.engine import _GLOBAL_READER_CACHE
+    from quickwit_ray.search.split_search import SplitSearcher
+
+    s = IndexSearcher(zipf_index)
+    q = FullTextQuery("text", qtext, mode="and")
+    terms = qtext.split()
+    import os as _os
+    for sm in s.manifest.published_splits():
+        d = _os.path.join(zipf_index, "splits", sm.split_id)
+        reader = _GLOBAL_READER_CACHE.get(d)
+        searcher = SplitSearcher(reader, s.mapping)
+        mask, scores = searcher.eval(q, True)
+        # reference: full-decode single-term scores, summed over the mask
+        ref_mask = np.ones(reader.num_docs, bool)
+        ref_scores = np.zeros(reader.num_docs, np.float32)
+        for t in terms:
+            m, sc = searcher.eval(FullTextQuery("text", t, mode="or"), True)
+            ref_mask &= m
+            ref_scores += sc
+        assert (mask == ref_mask).all(), qtext
+        assert np.allclose(scores[mask], ref_scores[mask], rtol=1e-5), qtext
+
+
+def test_blockskip_selected_decode_exact(zipf_index):
+    """read_postings_selected returns exactly the full list's entries for
+    the blocks containing arbitrary candidates."""
+    s = IndexSearcher(zipf_index)
+    import os as _os
+
+    from quickwit_ray.search.engine import _GLOBAL_READER_CACHE
+
+    sm = s.manifest.published_splits()[0]
+    reader = _GLOBAL_READER_CACHE.get(
+        _os.path.join(zipf_index, "splits", sm.split_id))
+    row = int(reader.term_rows("text", ["aaterm0"])[0])
+    full = reader.read_postings([row])[row]
+    docs_full, tfs_full = full["doc_ids"], full["tfs"]
+    rng = np.random.default_rng(1)
+    cands = np.sort(rng.choice(reader.num_docs, size=17, replace=False))
+    docs_sel, tfs_sel = reader.read_postings_selected(row, cands)
+    # selected docs are a subset, in order, and cover every candidate hit
+    assert np.isin(docs_sel, docs_full).all()
+    assert (np.diff(docs_sel) > 0).all()
+    in_full = np.isin(cands, docs_full)
+    assert np.isin(cands[in_full], docs_sel).all()
+    # tfs agree with the full decode at the same docs
+    pos = np.searchsorted(docs_full, docs_sel)
+    assert (tfs_full[pos] == tfs_sel).all()
