@@ -527,6 +527,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
     q["queue_ingest_search"] = queue_ingest_search
 
+    def scroll_export(sf):
+        """Page the full result set through TTL'd scroll contexts
+        (scroll_context.rs analog): every page is fetched via the ES
+        `_scroll` adapter; the concatenated pages must equal the oracle."""
+        from quickwit_ray.api import Index
+
+        idx = Index.open(_documents_index(sf))
+        resp, sid = idx.scroll_search("text:scan", scroll="1m", max_hits=50,
+                                      sort_by="n_chars",
+                                      fetch_fields=["doc_id"])
+        ids = list(resp.hits["doc_id"]) if len(resp.hits) else []
+        while True:
+            resp, sid = idx.es_scroll(sid, "1m")
+            if not len(resp.hits):
+                break
+            ids.extend(resp.hits["doc_id"])
+        idx.clear_scroll(sid)
+        return _ids_df(ids)
+    q["scroll_export"] = scroll_export
+
     def agg_range_value(sf):
         s = _searcher(sf, "events")
         resp = s.search("*", max_hits=0, aggs={
@@ -709,6 +729,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_then_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "shuffle_build_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "queue_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "scroll_export": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "agg_range_value": ("SELECT key, CAST(count(*) AS BIGINT) AS doc_count FROM ("
                             "SELECT CASE WHEN value < 25.0 THEN '*-25.0' "
                             "WHEN value >= 25.0 AND value < 75.0 THEN '25.0-75.0' "

@@ -55,12 +55,40 @@ class Index:
     def search(self, query: Any = None, **kw) -> SearchResponse:
         return IndexSearcher(self.index_dir).search(query, **kw)
 
-    def es_search(self, body: dict) -> SearchResponse:
-        """ES-compatible `_search` body."""
+    def es_search(self, body: dict, scroll: Optional[str] = None):
+        """ES-compatible `_search` body. With ``scroll`` (e.g. "1m") the
+        first page is returned together with a scroll_id, mirroring
+        `_search?scroll=...` (root.rs:342-441)."""
         from quickwit_ray.search.es_dsl import es_search_request
 
         kw = es_search_request(body, self.config.doc_mapping.default_search_fields)
+        if scroll is not None:
+            query = kw.pop("query", None)
+            return self._scroll_manager().start(query, scroll=scroll, **kw)
         return IndexSearcher(self.index_dir).search(**kw)
+
+    # -- scroll contexts (scroll_context.rs:1-260) -----------------------
+
+    _scroll_mgr = None
+
+    def _scroll_manager(self):
+        from quickwit_ray.search.scroll import ScrollManager
+
+        if self._scroll_mgr is None:
+            self._scroll_mgr = ScrollManager(IndexSearcher(self.index_dir))
+        return self._scroll_mgr
+
+    def scroll_search(self, query: Any = None, *, scroll: str = "1m", **kw):
+        """(first page, scroll_id) — native-API scroll entry."""
+        return self._scroll_manager().start(query, scroll=scroll, **kw)
+
+    def es_scroll(self, scroll_id: str, scroll: Optional[str] = None):
+        """ES `_search/scroll` analog: next page, TTL renewed."""
+        return self._scroll_manager().next(scroll_id, scroll)
+
+    def clear_scroll(self, scroll_id: str) -> bool:
+        """ES DELETE `_search/scroll` analog."""
+        return self._scroll_manager().clear(scroll_id)
 
     def es_count(self, body: Optional[dict] = None) -> int:
         """ES-compatible `_count` (rest_handler.rs handler list)."""
