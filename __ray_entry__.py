@@ -547,6 +547,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ids_df(ids)
     q["scroll_export"] = scroll_export
 
+    def search_ngram_substring(sf):
+        """Config-defined ngram(2..3) tokenizer on the source column
+        (tokenizer_entry.rs analog): an AND over the query's grams gives
+        exact substring semantics for a 3-char needle."""
+        from quickwit_ray.config import (DocMapping, FieldMapping, IndexConfig,
+                                         IndexSettings)
+        from quickwit_ray.index.build import build_index
+        from quickwit_ray.search.ast import FullTextQuery
+        from quickwit_ray.search.engine import IndexSearcher
+
+        idx_dir = _index_dir_for(sf, "documents_ngram")
+        mapping = DocMapping(
+            field_mappings=(
+                FieldMapping(name="source", type="text", tokenizer="src_ngram",
+                             record="freq"),
+                FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+            doc_id_field="doc_id", default_search_fields=("source",),
+            tokenizers=({"name": "src_ngram", "type": "ngram", "min_gram": 2,
+                         "max_gram": 3, "filters": ["lower_caser"]},))
+        build_index(os.path.join(sf, "documents.parquet"), idx_dir,
+                    IndexConfig("docs_ng", mapping,
+                                IndexSettings(split_num_docs_target=1_000_000,
+                                              commit_docs_threshold=2000)),
+                    execution="local")
+        s = IndexSearcher(idx_dir)
+        resp = s.search(FullTextQuery("source", "rc1", mode="and"),
+                        max_hits=1_000_000, fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["search_ngram_substring"] = search_ngram_substring
+
     def agg_range_value(sf):
         s = _searcher(sf, "events")
         resp = s.search("*", max_hits=0, aggs={
@@ -730,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_build_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "queue_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "scroll_export": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
         "agg_range_value": ("SELECT key, CAST(count(*) AS BIGINT) AS doc_count FROM ("
                             "SELECT CASE WHEN value < 25.0 THEN '*-25.0' "
                             "WHEN value >= 25.0 AND value < 75.0 THEN '25.0-75.0' "

@@ -68,6 +68,16 @@ class DocMapping:
     # doc id column of the source table used as the stable external id
     doc_id_field: str = "url"
     default_search_fields: tuple[str, ...] = ()
+    # user-defined tokenizer entries (tokenizer_entry.rs:35-144):
+    # ({"name", "type": simple|ngram|regex|source_code|multilang,
+    #   "min_gram"/"max_gram"/"prefix_only", "pattern", "filters": [...]},)
+    tokenizers: tuple = ()
+
+    def __post_init__(self) -> None:
+        if self.tokenizers:
+            from quickwit_ray.functions.tokenizers import register_custom_tokenizers
+
+            register_custom_tokenizers(self.tokenizers)
 
     def field(self, name: str) -> FieldMapping:
         for fm in self.field_mappings:
@@ -168,6 +178,7 @@ class IndexConfig:
             max_num_partitions=dm.get("max_num_partitions", 200),
             doc_id_field=dm.get("doc_id_field", "url"),
             default_search_fields=tuple(dm.get("default_search_fields", ())),
+            tokenizers=tuple(dm.get("tokenizers", ())),
         )
         st = obj.get("settings", {})
         mp = st.get("merge_policy", {})

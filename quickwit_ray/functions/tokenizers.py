@@ -315,6 +315,68 @@ def tokenize_en_stem(text: str) -> list[str]:
     return [porter_stem(t) for t in tokenize_default(text)]
 
 
+# --- multilang tokenizer (tokenizers/multilang.rs:1-334) --------------------
+# The reference detects the language with `whichlang` and segments CJK text
+# with lindera dictionaries (CcCedict / IPADIC / KoDic). The dictionaries
+# are not available here, so segmentation is APPROXIMATED: Chinese/Japanese
+# text emits one token per CJK/kana character (the chinese_compatible
+# shape); Korean hangul runs split on non-alphanumerics like the reference
+# fallback SimpleTokenizer. The language-prefix override protocol
+# (`CMN:` / `ENG:` / `JPN:` / `KOR:`, multilang.rs:125-145) and the
+# registered filter chain (RemoveLong(255) + LowerCaser, mod.rs:94-102)
+# are reproduced exactly.
+
+_KANA_CLASS = "぀-ゟ゠-ヿ"
+_JPN_RE = re.compile(rf"[{_CJK_CLASS}{_KANA_CLASS}]|[^\W_{_CJK_CLASS}{_KANA_CLASS}]+",
+                     re.UNICODE)
+_LANG_PREFIXES = ("CMN:", "ENG:", "JPN:", "KOR:")
+
+
+def detect_lang_script(text: str) -> str:
+    """whichlang analog by script counts: kor / jpn / cmn / other."""
+    kor = jpn = cmn = 0
+    for ch in text:
+        o = ord(ch)
+        if 0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF or 0x3130 <= o <= 0x318F:
+            kor += 1
+        elif 0x3040 <= o <= 0x30FF:
+            jpn += 1
+        elif 0x3400 <= o <= 0x9FFF or 0x20000 <= o <= 0x2CEAF:
+            cmn += 1
+    best = max(kor, jpn, cmn)
+    if best == 0:
+        return "other"
+    if best == kor:
+        return "kor"
+    if best == jpn:
+        return "jpn"
+    return "cmn"
+
+
+def _multilang_raw(text: str) -> list[str]:
+    """Token stream BEFORE the filter chain (prefix + dispatch)."""
+    lang = None
+    if text[:4] in _LANG_PREFIXES:
+        lang = {"CMN:": "cmn", "ENG:": "other", "JPN:": "jpn",
+                "KOR:": "kor"}[text[:4]]
+        text = text[4:]
+    if not text.strip():
+        return []
+    if lang is None:
+        lang = detect_lang_script(text)
+    if lang == "cmn":
+        return _CHINESE_RE.findall(text)
+    if lang == "jpn":
+        return _JPN_RE.findall(text)
+    # kor / other: SimpleTokenizer fallback (hangul runs are alphanumeric)
+    return _SIMPLE_RE.findall(text)
+
+
+def tokenize_multilang(text: str) -> list[str]:
+    # multilang_default filter chain: RemoveLong(255) then LowerCaser
+    return [t.lower() for t in _multilang_raw(text) if _len_ok(t)]
+
+
 TOKENIZERS: dict[str, Callable[[str], list[str]]] = {
     "raw": tokenize_raw,
     "raw_lowercase": tokenize_raw_lowercase,
@@ -325,7 +387,97 @@ TOKENIZERS: dict[str, Callable[[str], list[str]]] = {
     "chinese_compatible": tokenize_chinese_compatible,
     "source_code_default": tokenize_source_code,
     "source_code_with_hex": lambda t: tokenize_source_code(t, hex_support=True),
+    "multilang": tokenize_multilang,
+    "multilang_default": tokenize_multilang,  # registry name in mod.rs:96
 }
+
+_BUILTIN_NAMES = frozenset(TOKENIZERS)
+
+
+# --- user-defined tokenizers (tokenizer_entry.rs:35-144) --------------------
+# A doc mapping may declare custom entries:
+#   {"name": ..., "type": "simple"|"ngram"|"regex"|"source_code"|"multilang",
+#    "min_gram"/"max_gram"/"prefix_only", "pattern",
+#    "filters": ["remove_long", "lower_caser", "ascii_folding"]}
+# The base tokenizer emits raw tokens; the listed filters apply IN ORDER
+# (no implicit defaults — mirrors TokenizerConfig::text_analyzer).
+
+_CUSTOM_PARAMS: dict[str, dict] = {}
+
+
+def _ngram_tokens(text: str, min_gram: int, max_gram: int,
+                  prefix_only: bool) -> list[str]:
+    """tantivy NgramTokenizer: character n-grams over the whole value,
+    emitted position-major (all gram sizes at offset 0, then offset 1, ...);
+    prefix_only keeps only offset 0."""
+    n = len(text)
+    out = []
+    for i in ([0] if prefix_only else range(n)):
+        for g in range(min_gram, max_gram + 1):
+            if i + g <= n:
+                out.append(text[i: i + g])
+    return out
+
+
+def _make_custom(entry: dict) -> Callable[[str], list[str]]:
+    typ = entry["type"]
+    if typ == "simple":
+        base = _SIMPLE_RE.findall
+    elif typ == "source_code":
+        def base(t):  # raw case-split parts, unfiltered
+            return [part for _kind, part in _code_parts(t)]
+    elif typ == "regex":
+        rx = re.compile(entry["pattern"])
+
+        def base(t, _rx=rx):
+            return [m.group(0) for m in _rx.finditer(t)]
+    elif typ == "ngram":
+        mn, mx = int(entry["min_gram"]), int(entry["max_gram"])
+        if not (0 < mn <= mx):
+            raise ValueError(f"bad ngram bounds {mn}..{mx}")
+        po = bool(entry.get("prefix_only", False))
+
+        def base(t, _mn=mn, _mx=mx, _po=po):
+            return _ngram_tokens(t, _mn, _mx, _po)
+    elif typ == "multilang":
+        base = _multilang_raw
+    else:
+        raise ValueError(f"unknown custom tokenizer type {typ!r}")
+
+    filters = tuple(entry.get("filters", ()))
+    for f in filters:
+        if f not in ("remove_long", "lower_caser", "ascii_folding"):
+            raise ValueError(f"unknown token filter {f!r}")
+
+    def fn(text: str) -> list[str]:
+        toks = base(text)
+        for f in filters:
+            if f == "remove_long":
+                toks = [t for t in toks if _len_ok(t)]
+            elif f == "lower_caser":
+                toks = [t.lower() for t in toks]
+            else:  # ascii_folding
+                toks = [_ascii_fold(t) for t in toks]
+        return toks
+
+    return fn
+
+
+def register_custom_tokenizers(entries) -> None:
+    """Register doc-mapping tokenizer entries into the process registry
+    (TokenizerManager::register analog). Redefining a name with identical
+    parameters is a no-op; clashing with a built-in raises."""
+    for e in entries:
+        e = dict(e)
+        name = e.get("name")
+        if not name:
+            raise ValueError("tokenizer entry needs a name")
+        if name in _BUILTIN_NAMES:
+            raise ValueError(f"cannot override built-in tokenizer {name!r}")
+        if _CUSTOM_PARAMS.get(name) == e:
+            continue
+        TOKENIZERS[name] = _make_custom(e)
+        _CUSTOM_PARAMS[name] = e
 
 
 def tokenize(text: str, tokenizer: str = "default") -> list[str]:

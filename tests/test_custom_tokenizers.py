@@ -1,0 +1,138 @@
+"""Custom (config-defined) tokenizers + multilang
+(tokenizer_entry.rs:35-144, tokenizers/multilang.rs:1-334)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quickwit_ray.config import DocMapping, FieldMapping, IndexConfig
+from quickwit_ray.functions.tokenizers import (
+    register_custom_tokenizers,
+    tokenize,
+)
+from quickwit_ray.index.build import build_index
+from quickwit_ray.search.engine import IndexSearcher
+
+
+def test_ngram_tokenizer_golden():
+    register_custom_tokenizers([{
+        "name": "t_ngram13", "type": "ngram", "min_gram": 1, "max_gram": 3,
+        "filters": ["lower_caser"]}])
+    # position-major emission, all gram sizes per offset (tantivy shape)
+    assert tokenize("Abc", "t_ngram13") == ["a", "ab", "abc", "b", "bc", "c"]
+    register_custom_tokenizers([{
+        "name": "t_prefix", "type": "ngram", "min_gram": 2, "max_gram": 4,
+        "prefix_only": True, "filters": []}])
+    assert tokenize("hello", "t_prefix") == ["he", "hel", "hell"]
+
+
+def test_regex_tokenizer_and_filters():
+    register_custom_tokenizers([{
+        "name": "t_hashtags", "type": "regex", "pattern": r"#\w+",
+        "filters": ["lower_caser", "ascii_folding"]}])
+    assert tokenize("see #Caffé and #News now", "t_hashtags") == \
+        ["#caffe", "#news"]
+    # filters apply in the LISTED order: folding before lowering differs for
+    # some case folds; verify order is respected
+    register_custom_tokenizers([{
+        "name": "t_fold_first", "type": "regex", "pattern": r"\w+",
+        "filters": ["ascii_folding", "lower_caser"]}])
+    assert tokenize("Caffé", "t_fold_first") == ["caffe"]
+
+
+def test_simple_and_source_code_custom():
+    register_custom_tokenizers([{
+        "name": "t_simple_nolower", "type": "simple", "filters": []}])
+    assert tokenize("Hello World", "t_simple_nolower") == ["Hello", "World"]
+    register_custom_tokenizers([{
+        "name": "t_code", "type": "source_code",
+        "filters": ["lower_caser", "ascii_folding"]}])
+    assert tokenize("PigCaféFactory2", "t_code") == \
+        ["pig", "cafe", "factory", "2"]
+
+
+def test_custom_registry_rules():
+    with pytest.raises(ValueError, match="built-in"):
+        register_custom_tokenizers([{"name": "default", "type": "simple"}])
+    with pytest.raises(ValueError, match="unknown token filter"):
+        register_custom_tokenizers([{"name": "t_badf", "type": "simple",
+                                     "filters": ["stemmer"]}])
+    with pytest.raises(ValueError, match="unknown custom tokenizer type"):
+        register_custom_tokenizers([{"name": "t_badt", "type": "exotic"}])
+    # idempotent redefinition with identical params
+    e = {"name": "t_idem", "type": "ngram", "min_gram": 2, "max_gram": 2,
+         "filters": []}
+    register_custom_tokenizers([e])
+    register_custom_tokenizers([e])
+
+
+def test_multilang_prefixes_and_detection():
+    # prefix override protocol (multilang.rs:125-145)
+    assert tokenize("ENG:Hello World", "multilang") == ["hello", "world"]
+    # hangul runs split like the SimpleTokenizer fallback
+    kor = tokenize("일본입니다. 매우 멋진 단어입니다.", "multilang")
+    assert kor[0] == "일본입니다" and len(kor) == 4
+    assert tokenize("KOR:일본입니다", "multilang") == ["일본입니다"]
+    # CJK ideographs emit per-char (chinese_compatible approximation of the
+    # reference's lindera segmentation — documented divergence)
+    cmn = tokenize("地址1，包含無效的字元", "multilang")
+    assert "地" in cmn and "址" in cmn and "1" in cmn
+    # kana per-char
+    jpn = tokenize("すもももももももものうち", "multilang")
+    assert jpn[0] == "す" and len(jpn) == 12
+    assert tokenize("JPN:すもも", "multilang") == ["す", "も", "も"]
+    # detection dispatches latin text to the default shape, lowercased
+    assert tokenize("Just English", "multilang") == ["just", "english"]
+    assert tokenize("", "multilang") == []
+
+
+def test_index_search_over_ngram_field(tmp_path):
+    """End-to-end: an ngram(2..3)-tokenized field supports substring-ish
+    lookup; query text tokenizes with the same entry."""
+    tbl = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "sku": ["AB-1234", "CD-5678", "AB-9999", "XY-0000"],
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="sku", type="text", tokenizer="sku_ngram",
+                         record="freq"),
+            FieldMapping(name="doc_id", type="i64", stored=True)),
+        doc_id_field="doc_id", default_search_fields=("sku",),
+        tokenizers=({"name": "sku_ngram", "type": "ngram", "min_gram": 2,
+                     "max_gram": 3, "filters": ["lower_caser"]},))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("skus", mapping), execution="local")
+    s = IndexSearcher(d)
+    # "123" is an interior substring of AB-1234 only
+    r = s.search("sku:123", max_hits=10, fetch_fields=["doc_id"])
+    assert list(r.hits["doc_id"]) == [0]
+    # "ab" prefix matches both AB- docs
+    r2 = s.search("sku:ab", max_hits=10, fetch_fields=["doc_id"])
+    assert sorted(r2.hits["doc_id"]) == [0, 2]
+
+
+def test_multilang_field_end_to_end(tmp_path):
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "body": ["Hello World", "일본입니다 매우", "地址包含字元"],
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", tokenizer="multilang",
+                         record="freq"),
+            FieldMapping(name="doc_id", type="i64", stored=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("ml", mapping), execution="local")
+    s = IndexSearcher(d)
+    assert list(s.search("body:hello", max_hits=5,
+                         fetch_fields=["doc_id"]).hits["doc_id"]) == [0]
+    assert list(s.search("body:일본입니다", max_hits=5,
+                         fetch_fields=["doc_id"]).hits["doc_id"]) == [1]
+    assert list(s.search("body:地", max_hits=5,
+                         fetch_fields=["doc_id"]).hits["doc_id"]) == [2]
