@@ -74,12 +74,26 @@ def _atomic_write_json(path: str, obj: Any) -> None:
         raise
 
 
+COMPACT_EVERY = 64  # log entries between snapshot compactions
+
+
 class Manifest:
-    """Driver-side single-writer manifest for one index."""
+    """Driver-side single-writer manifest for one index.
+
+    Persistence is an APPEND-LOG + periodic snapshot (round-2 rework):
+    every transactional operation appends one fsync'd JSON line to
+    ``manifest.log`` — O(delta) bytes per commit instead of rewriting the
+    whole split list (which is a scale-killer at 10^5-10^6 splits). Every
+    ``COMPACT_EVERY`` appends the full state is snapshotted to
+    ``manifest.json`` via atomic rename and the log is atomically
+    truncated. Loading = read snapshot, replay log; a torn trailing line
+    (crash mid-append) is ignored; replaying ops already folded into the
+    snapshot is idempotent."""
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         self.path = os.path.join(index_dir, "manifest.json")
+        self.log_path = os.path.join(index_dir, "manifest.log")
         self.index_config_json: Optional[dict[str, Any]] = None
         self.splits: dict[str, SplitMetadata] = {}
         # committed source partitions: partition_id -> {"committed_at": ts}
@@ -88,30 +102,109 @@ class Manifest:
         # quickwit-janitor/src/actors/delete_task_planner.rs):
         # [{"opstamp": int, "query": str}]
         self.delete_tasks: list[dict[str, Any]] = []
-        if os.path.exists(self.path):
+        self._log_entries = 0
+        if os.path.exists(self.path) or os.path.exists(self.log_path):
             self._load()
 
-    def _load(self) -> None:
-        with open(self.path) as f:
-            obj = json.load(f)
-        self.index_config_json = obj.get("index_config")
-        self.splits = {s["split_id"]: SplitMetadata.from_json(s) for s in obj["splits"]}
-        self.checkpoints = obj.get("checkpoints", {})
-        self.delete_tasks = obj.get("delete_tasks", [])
+    # -- persistence --------------------------------------------------------
 
-    def _commit(self) -> None:
-        _atomic_write_json(self.path, {
+    def _load(self) -> None:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                obj = json.load(f)
+            self.index_config_json = obj.get("index_config")
+            self.splits = {s["split_id"]: SplitMetadata.from_json(s)
+                           for s in obj["splits"]}
+            self.checkpoints = obj.get("checkpoints", {})
+            self.delete_tasks = obj.get("delete_tasks", [])
+        if os.path.exists(self.log_path):
+            with open(self.log_path, "rb") as f:
+                raw = f.read()
+            good = 0  # byte offset past the last fully-applied line
+            for chunk in raw.split(b"\n"):
+                if not chunk.strip():
+                    good += len(chunk) + 1
+                    continue
+                try:
+                    op = json.loads(chunk)
+                except json.JSONDecodeError:
+                    break  # torn trailing line from a crash mid-append
+                self._apply(op)
+                self._log_entries += 1
+                good += len(chunk) + 1
+            if good < len(raw):
+                # truncate the torn tail so the next append starts a clean
+                # line (appending after a torn fragment would corrupt BOTH)
+                with open(self.log_path, "rb+") as f:
+                    f.truncate(min(good, len(raw)))
+
+    def _apply(self, op: dict[str, Any]) -> None:
+        """Fold one log entry into the in-memory state (replay-idempotent)."""
+        kind = op["op"]
+        if kind == "create":
+            self.index_config_json = op["index_config"]
+        elif kind == "publish":
+            for sj in op.get("splits", ()):
+                sm = SplitMetadata.from_json(sj)
+                sm.split_state = "published"
+                self.splits[sm.split_id] = sm
+            for sid in op.get("replaced", ()):
+                if sid in self.splits:
+                    self.splits[sid].split_state = "marked_for_deletion"
+            for pid, cp in op.get("checkpoints", {}).items():
+                self.checkpoints[pid] = cp
+        elif kind == "mark_for_deletion":
+            for sid in op["split_ids"]:
+                if sid in self.splits:
+                    self.splits[sid].split_state = "marked_for_deletion"
+        elif kind == "delete_splits":
+            for sid in op["split_ids"]:
+                self.splits.pop(sid, None)
+        elif kind == "delete_task":
+            if not any(t["opstamp"] == op["opstamp"] for t in self.delete_tasks):
+                self.delete_tasks.append({"opstamp": op["opstamp"],
+                                          "query": op["query"]})
+        else:  # pragma: no cover — forward compat
+            raise ValueError(f"unknown manifest op {kind!r}")
+
+    def _append(self, op: dict[str, Any]) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(op, separators=(",", ":")) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._log_entries += 1
+        if self._log_entries >= COMPACT_EVERY:
+            self._compact()
+
+    def _snapshot_obj(self) -> dict[str, Any]:
+        return {
             "index_config": self.index_config_json,
             "splits": [s.to_json() for s in self.splits.values()],
             "checkpoints": self.checkpoints,
             "delete_tasks": self.delete_tasks,
-        })
+        }
+
+    def _compact(self) -> None:
+        """Snapshot + truncate the log, both via atomic rename. A crash
+        between the two leaves snapshot + stale log: replay is idempotent,
+        so the state converges either way."""
+        _atomic_write_json(self.path, self._snapshot_obj())
+        fd, tmp = tempfile.mkstemp(dir=self.index_dir, prefix=".log-")
+        os.close(fd)
+        os.replace(tmp, self.log_path)
+        self._log_entries = 0
+
+    def _commit(self) -> None:
+        """Full-snapshot commit (kept for the rare whole-state rewrites)."""
+        _atomic_write_json(self.path, self._snapshot_obj())
 
     def create_delete_task(self, query: str) -> int:
         """Record a stored delete query; returns its opstamp."""
         opstamp = (max((t["opstamp"] for t in self.delete_tasks), default=0) + 1)
-        self.delete_tasks.append({"opstamp": opstamp, "query": query})
-        self._commit()
+        op = {"op": "delete_task", "opstamp": opstamp, "query": query}
+        self._apply(op)
+        self._append(op)
         return opstamp
 
     @property
@@ -121,42 +214,46 @@ class Manifest:
     # -- transactional operations (each = one atomic rename) ----------------
 
     def create(self, index_config_json: dict[str, Any]) -> None:
-        self.index_config_json = index_config_json
-        self._commit()
+        op = {"op": "create", "index_config": index_config_json}
+        self._apply(op)
+        self._append(op)
+        # snapshot immediately: manifest.json presence is the "index
+        # exists" signal for Index.open and the reader caches
+        self._compact()
 
     def publish(self, new_splits: Iterable[SplitMetadata],
                 replaced_split_ids: Iterable[str] = (),
                 checkpoint_partition: Optional[str] = None) -> None:
         """Atomic publish: add new splits, mark replaced ones for deletion,
         record the source-partition checkpoint. A re-publish of an
-        already-committed partition is a no-op (exactly-once semantics)."""
+        already-committed partition is a no-op (exactly-once semantics).
+        One append-log line = one transaction (publisher.rs:137-160)."""
         if checkpoint_partition is not None and checkpoint_partition in self.checkpoints:
             return  # duplicate commit = no-op (checkpoint.rs contiguity analog)
-        for sm in new_splits:
-            sm.split_state = "published"
-            self.splits[sm.split_id] = sm
-        for sid in replaced_split_ids:
-            if sid in self.splits:
-                self.splits[sid].split_state = "marked_for_deletion"
+        op: dict[str, Any] = {
+            "op": "publish",
+            "splits": [sm.to_json() for sm in new_splits],
+            "replaced": list(replaced_split_ids),
+        }
         if checkpoint_partition is not None:
-            self.checkpoints[checkpoint_partition] = {"committed_at": time.time()}
-        self._commit()
+            op["checkpoints"] = {checkpoint_partition: {"committed_at": time.time()}}
+        self._apply(op)
+        self._append(op)
 
     def publish_many(self, by_partition: dict[str, list[SplitMetadata]]) -> None:
         """Publish several completed source partitions in ONE atomic manifest
-        write (same exactly-once semantics; coarser commit batching so a
+        append (same exactly-once semantics; coarser commit batching so a
         build doesn't pay one fsync per partition)."""
-        changed = False
+        op: dict[str, Any] = {"op": "publish", "splits": [], "replaced": [],
+                              "checkpoints": {}}
         for pid, sms in by_partition.items():
             if pid in self.checkpoints:
                 continue
-            for sm in sms:
-                sm.split_state = "published"
-                self.splits[sm.split_id] = sm
-            self.checkpoints[pid] = {"committed_at": time.time()}
-            changed = True
-        if changed:
-            self._commit()
+            op["splits"].extend(sm.to_json() for sm in sms)
+            op["checkpoints"][pid] = {"committed_at": time.time()}
+        if op["checkpoints"]:
+            self._apply(op)
+            self._append(op)
 
     def source_offset(self, partition: str) -> int:
         """Committed stream offset for a queue partition (0 = nothing
@@ -177,7 +274,8 @@ class Manifest:
             restart from the committed offset)
           * else commit splits + offset in ONE manifest write
         """
-        changed = False
+        op: dict[str, Any] = {"op": "publish", "splits": [], "replaced": [],
+                              "checkpoints": {}}
         for pid, (sms, frm, to) in by_partition.items():
             cur = self.source_offset(pid)
             if cur >= to:
@@ -186,25 +284,22 @@ class Manifest:
                 raise ValueError(
                     f"checkpoint delta not contiguous for {pid!r}: "
                     f"committed {cur}, delta [{frm}, {to})")
-            for sm in sms:
-                sm.split_state = "published"
-                self.splits[sm.split_id] = sm
-            self.checkpoints[pid] = {"committed_at": time.time(),
-                                     "offset": int(to)}
-            changed = True
-        if changed:
-            self._commit()
+            op["splits"].extend(sm.to_json() for sm in sms)
+            op["checkpoints"][pid] = {"committed_at": time.time(),
+                                      "offset": int(to)}
+        if op["checkpoints"]:
+            self._apply(op)
+            self._append(op)
 
     def mark_for_deletion(self, split_ids: Iterable[str]) -> None:
-        for sid in split_ids:
-            if sid in self.splits:
-                self.splits[sid].split_state = "marked_for_deletion"
-        self._commit()
+        op = {"op": "mark_for_deletion", "split_ids": list(split_ids)}
+        self._apply(op)
+        self._append(op)
 
     def delete_splits(self, split_ids: Iterable[str]) -> None:
-        for sid in split_ids:
-            self.splits.pop(sid, None)
-        self._commit()
+        op = {"op": "delete_splits", "split_ids": list(split_ids)}
+        self._apply(op)
+        self._append(op)
 
     # -- queries ------------------------------------------------------------
 

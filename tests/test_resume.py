@@ -13,10 +13,9 @@ from quickwit_ray.sources.fixtures import ensure_pages
 
 
 def _manifest_split_ids(index_dir):
-    with open(os.path.join(index_dir, "manifest.json")) as f:
-        m = json.load(f)
-    return sorted(s["split_id"] for s in m["splits"]
-                  if s["split_state"] == "published")
+    from quickwit_ray.state.manifest import Manifest
+
+    return sorted(s.split_id for s in Manifest(index_dir).published_splits())
 
 
 def test_interrupted_build_resumes_identically(tmp_path):
@@ -85,3 +84,51 @@ def test_retention_policy(tmp_path):
     s2 = IndexSearcher(d)
     remaining = sum(sp.num_docs for sp in s2.manifest.published_splits())
     assert remaining == 1000 - splits[0].num_docs - splits[1].num_docs
+
+
+def test_manifest_append_log_commit_cost(tmp_path):
+    """Publish cost is O(delta), not O(total splits): with hundreds of
+    splits already published, one more publish appends a small log line
+    instead of rewriting the whole split list (the round-1 scale-killer)."""
+    from quickwit_ray.state.manifest import COMPACT_EVERY, Manifest, SplitMetadata
+
+    d = str(tmp_path / "idx")
+    m = Manifest(d)
+    m.create({"index_id": "x"})
+    for i in range(300):
+        m.publish([SplitMetadata(f"s{i:05d}", "x", 100, 1000)],
+                  checkpoint_partition=f"p{i}")
+    log_path = os.path.join(d, "manifest.log")
+    before = os.path.getsize(log_path)
+    m.publish([SplitMetadata("slast", "x", 100, 1000)],
+              checkpoint_partition="plast")
+    delta = os.path.getsize(log_path) - before
+    # one split's JSON is a few hundred bytes; 300 splits would be ~100 KB
+    assert 0 < delta < 2_000
+    # reload folds snapshot + log into the identical state
+    m2 = Manifest(d)
+    assert sorted(s.split_id for s in m2.published_splits()) == \
+        sorted(s.split_id for s in m.published_splits())
+    assert len(m2.published_splits()) == 301
+    assert m2.checkpoints.keys() == m.checkpoints.keys()
+    # compaction happened along the way and the state survived it
+    assert 300 > COMPACT_EVERY
+
+
+def test_manifest_log_torn_tail_ignored(tmp_path):
+    from quickwit_ray.state.manifest import Manifest, SplitMetadata
+
+    d = str(tmp_path / "idx")
+    m = Manifest(d)
+    m.create({"index_id": "x"})
+    m.publish([SplitMetadata("s1", "x", 10, 100)], checkpoint_partition="p1")
+    # simulate a crash mid-append: torn trailing line
+    with open(os.path.join(d, "manifest.log"), "a") as f:
+        f.write('{"op":"publish","splits":[{"split_id":"torn"')
+    m2 = Manifest(d)
+    assert sorted(s.split_id for s in m2.published_splits()) == ["s1"]
+    # the torn tail is truncated on load, so the next append starts a
+    # clean line and BOTH ops survive a reload
+    m2.publish([SplitMetadata("s2", "x", 10, 100)], checkpoint_partition="p2")
+    m3 = Manifest(d)
+    assert sorted(s.split_id for s in m3.published_splits()) == ["s1", "s2"]
