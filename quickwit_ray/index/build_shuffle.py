@@ -50,6 +50,7 @@ from quickwit_ray.index.format import (
     FASTFIELDS_FILE,
     FIELDNORMS_FILE,
     POSTINGS_FILE,
+    ExactRowGroupWriter,
     block_meta,
     write_footer,
     write_postings_file,
@@ -196,11 +197,44 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
     tmp_dir = split_dir + ".staged-shuffle"
     os.makedirs(tmp_dir, exist_ok=True)
 
-    # merge salted sub-lists, sort terms
+    # merge salted sub-lists, sort terms; STITCH IN WINDOWS: the term table
+    # arrives materialized (the map_groups floor), but the output side
+    # flushes every TERMS_PER_ROW_GROUP terms through an incremental
+    # parquet writer instead of double-buffering the whole shard's rows —
+    # round-2 rework toward the 10M-doc shard target.
+    from quickwit_ray.index.format import (
+        POS_TERMS_PER_ROW_GROUP,
+        POSITIONS_FILE,
+        POSITIONS_SCHEMA,
+        POSTINGS_SCHEMA,
+        TERMS_PER_ROW_GROUP,
+    )
+
     g = g.sort_values(["field", "term", "salt"], kind="mergesort")
+    post_writer = ExactRowGroupWriter(os.path.join(tmp_dir, POSTINGS_FILE),
+                                      POSTINGS_SCHEMA, TERMS_PER_ROW_GROUP)
+    pos_writer = ExactRowGroupWriter(os.path.join(tmp_dir, POSITIONS_FILE),
+                                     POSITIONS_SCHEMA, POS_TERMS_PER_ROW_GROUP)
+    any_pos = False
     rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
                             "block_last", "block_max_tf", "block_lens",
                             "positions", "pos_lens")}
+
+    def flush_window() -> None:
+        nonlocal any_pos
+        if not rows["field"]:
+            return
+        post_writer.write(pa.table(
+            {k: pa.array(rows[k], POSTINGS_SCHEMA.field(k).type)
+             for k in POSTINGS_SCHEMA.names}, schema=POSTINGS_SCHEMA))
+        pos_writer.write(pa.table(
+            {"positions": pa.array(rows["positions"], pa.binary()),
+             "pos_lens": pa.array(rows["pos_lens"], pa.binary())},
+            schema=POSITIONS_SCHEMA))
+        any_pos = any_pos or any(len(b) for b in rows["positions"])
+        for v in rows.values():
+            v.clear()
+
     for (field, term), sub in g.groupby(["field", "term"], sort=True):
         doc_b = b"".join(sub["doc_ids"])
         tf_b = b"".join(sub["tfs"])
@@ -224,7 +258,18 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
         rows["block_lens"].append(blen)
         rows["positions"].append(b"".join(sub["positions"]))
         rows["pos_lens"].append(b"".join(sub["pos_lens"]))
-    write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE), rows)
+        if len(rows["field"]) >= TERMS_PER_ROW_GROUP:
+            flush_window()
+    flush_window()
+    if post_writer.total_rows == 0:
+        write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE),
+                            {k: [] for k in POSTINGS_SCHEMA.names})
+    else:
+        post_writer.close()
+    pos_writer.close()
+    pp = os.path.join(tmp_dir, POSITIONS_FILE)
+    if not any_pos and os.path.exists(pp):
+        os.unlink(pp)
 
     # per-doc artifacts from the source file (stream, no shuffle)
     pf = pq.ParquetFile(path)

@@ -127,6 +127,52 @@ def write_postings_file(path: str, rows: dict[str, list]) -> None:
                        compression="zstd", compression_level=1)
 
 
+class ExactRowGroupWriter:
+    """Buffers appended tables and writes parquet row groups of EXACTLY
+    ``rows_per_group`` rows (the readers address dictionary rows by
+    row // rows_per_group), flushing as soon as a full group is buffered."""
+
+    def __init__(self, path: str, schema: pa.Schema, rows_per_group: int):
+        self.path = path
+        self.schema = schema
+        self.rows_per_group = rows_per_group
+        self._writer: Optional[pq.ParquetWriter] = None
+        self._parts: list[pa.Table] = []
+        self._buffered = 0
+        self.total_rows = 0
+
+    def _ensure_writer(self) -> None:
+        if self._writer is None:
+            self._writer = pq.ParquetWriter(self.path, self.schema,
+                                            compression="zstd",
+                                            compression_level=1)
+
+    def write(self, tbl: pa.Table) -> None:
+        if tbl.num_rows == 0:
+            return
+        self._parts.append(tbl.select(self.schema.names).cast(self.schema))
+        self._buffered += tbl.num_rows
+        self.total_rows += tbl.num_rows
+        while self._buffered >= self.rows_per_group:
+            big = pa.concat_tables(self._parts).combine_chunks()
+            head = big.slice(0, self.rows_per_group)
+            rest = big.slice(self.rows_per_group)
+            self._ensure_writer()
+            self._writer.write_table(head, row_group_size=self.rows_per_group)
+            self._parts = [rest] if rest.num_rows else []
+            self._buffered = rest.num_rows
+
+    def close(self) -> None:
+        if self._buffered:
+            big = pa.concat_tables(self._parts).combine_chunks()
+            self._ensure_writer()
+            self._writer.write_table(big, row_group_size=self.rows_per_group)
+            self._parts, self._buffered = [], 0
+        if self._writer is not None:
+            self._writer.close()
+
+
+
 def write_footer(split_dir: str, footer: dict) -> None:
     files = {}
     for fn in (POSTINGS_FILE, POSITIONS_FILE, FIELDNORMS_FILE, FASTFIELDS_FILE,

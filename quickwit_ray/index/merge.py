@@ -29,11 +29,18 @@ from quickwit_ray.index.format import (
     FASTFIELDS_FILE,
     FIELDNORMS_FILE,
     POSTINGS_FILE,
+    ExactRowGroupWriter,
     write_footer,
     write_postings_file,
 )
 from quickwit_ray.index.writer import MAX_VALUES_PER_TAG_FIELD, deterministic_split_id
 from quickwit_ray.state.manifest import Manifest, SplitMetadata
+
+
+# merges whose total dictionary rows fit under this take the one-window
+# fast path (everything in RAM, zero extra passes); larger merges stream
+# bounded row-group windows. Patchable in tests.
+SMALL_MERGE_DICT_ROWS = 262_144
 
 
 @dataclass
@@ -202,10 +209,118 @@ def _collapsed_binary(arr: pa.Array, term_starts: np.ndarray,
         [None, pa.py_buffer(new_offs.tobytes()), data_buf or data])
 
 
+class _SplitPostingsStream:
+    """Row-group-at-a-time reader of one split's postings (+ positions
+    sidecar / legacy columns), yielding key-ordered chunks — the input
+    side of the streaming k-way merge. Peak memory per stream = the
+    loaded row groups, never the whole file."""
+
+    def __init__(self, split_dir: str, ord_: int, off: int,
+                 rgs_per_refill: int = 8):
+        from quickwit_ray.index.format import (
+            POS_TERMS_PER_ROW_GROUP,
+            POSITIONS_FILE,
+            POSTINGS_FILE,
+            TERMS_PER_ROW_GROUP,
+        )
+
+        self.split_dir = split_dir
+        self.ord_ = ord_
+        self.off = off
+        self.rgs_per_refill = rgs_per_refill
+        self._pf = pq.ParquetFile(os.path.join(split_dir, POSTINGS_FILE))
+        self._n_rg = self._pf.metadata.num_row_groups
+        self._next_rg = 0
+        self._legacy_pos = "positions" in self._pf.schema_arrow.names
+        pp = os.path.join(split_dir, POSITIONS_FILE)
+        self._pos_pf = (pq.ParquetFile(pp) if os.path.exists(pp) else None)
+        self._pos_rows_per_rg = POS_TERMS_PER_ROW_GROUP
+        self._rows_per_rg = TERMS_PER_ROW_GROUP
+        self._buf: Optional[pa.Table] = None
+        self._consumed = 0
+
+    def _positions_slice(self, row_start: int, n: int) -> pa.Table:
+        """Sidecar rows [row_start, row_start+n) (sidecar row == dict row)."""
+        if self._pos_pf is None:
+            empty = pa.array([b""] * n, pa.binary())
+            return pa.table({"positions": empty, "pos_lens": empty})
+        rg0 = row_start // self._pos_rows_per_rg
+        rg1 = (row_start + n - 1) // self._pos_rows_per_rg
+        t = self._pos_pf.read_row_groups(list(range(rg0, rg1 + 1)))
+        lo = row_start - rg0 * self._pos_rows_per_rg
+        return t.slice(lo, n)
+
+    def _refill(self) -> None:
+        if self._next_rg >= self._n_rg:
+            self._buf, self._consumed = None, 0
+            return
+        take = list(range(self._next_rg,
+                          min(self._next_rg + self.rgs_per_refill, self._n_rg)))
+        row_start = self._next_rg * self._rows_per_rg
+        t = self._pf.read_row_groups(take)
+        if self._legacy_pos:
+            pt = t.select(["positions", "pos_lens"])
+            t = t.drop_columns(["positions", "pos_lens"])
+        else:
+            pt = self._positions_slice(row_start, t.num_rows)
+        n = t.num_rows
+        t = t.append_column("positions", pt["positions"])
+        t = t.append_column("pos_lens", pt["pos_lens"])
+        t = t.append_column("_off", pa.array(np.full(n, self.off, np.int32)))
+        t = t.append_column("_ord", pa.array(np.full(n, self.ord_, np.int32)))
+        self._buf = t.combine_chunks()
+        # sorted key list for O(log n) window-boundary bisection
+        self._keys = list(zip(self._buf["field"].to_pylist(),
+                              self._buf["term"].to_pylist()))
+        self._consumed = 0
+        self._next_rg = take[-1] + 1
+
+    def ensure_loaded(self) -> None:
+        if self._buf is None or self._consumed >= self._buf.num_rows:
+            self._refill()
+
+    @property
+    def exhausted(self) -> bool:
+        return self._buf is None and self._next_rg >= self._n_rg
+
+    def buffer_last_key(self) -> Optional[tuple[str, str]]:
+        """Last (field, term) of the loaded buffer; None when exhausted.
+        Unloaded rows all have keys strictly greater (keys are unique and
+        sorted within a split's dictionary)."""
+        if self._buf is None:
+            return None
+        return self._keys[-1]
+
+    def has_more_rowgroups(self) -> bool:
+        return self._next_rg < self._n_rg
+
+    def take_upto(self, key: tuple[str, str]) -> Optional[pa.Table]:
+        """Consume and return the buffered rows with (field, term) <= key."""
+        if self._buf is None:
+            return None
+        import bisect
+
+        hi = bisect.bisect_right(self._keys, key, lo=self._consumed)
+        if hi == self._consumed:
+            return None
+        out = self._buf.slice(self._consumed, hi - self._consumed)
+        self._consumed = hi
+        if self._consumed >= self._buf.num_rows:
+            self._buf = None
+            self._consumed = 0
+        return out
+
+
 def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
                                tmp_dir: str) -> None:
-    import pyarrow.compute as pc
+    """Streaming k-way merge of the input splits' posting tables in
+    (field, term) key windows — round-2 rework of the all-in-RAM merge.
 
+    Each input streams row-group-at-a-time; a window is every buffered row
+    with key <= the SAFE key (the minimum over streams of their buffer's
+    last key), which guarantees a term's pieces from all inputs land in
+    the same window so the byte-level patching stays self-contained. Peak
+    memory = a few row groups per input, independent of split size."""
     from quickwit_ray.index.format import (
         POS_TERMS_PER_ROW_GROUP,
         POSITIONS_FILE,
@@ -214,38 +329,70 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
         TERMS_PER_ROW_GROUP,
     )
 
-    tables = []
-    pos_tables = []
-    for ord_, (d, off) in enumerate(zip(split_dirs, offsets)):
-        t = pq.read_table(os.path.join(d, POSTINGS_FILE))
-        n = t.num_rows
-        # positions sidecar (or legacy in-postings columns, or none)
-        pp = os.path.join(d, POSITIONS_FILE)
-        if os.path.exists(pp):
-            pt = pq.read_table(pp)
-        elif "positions" in t.column_names:
-            pt = t.select(["positions", "pos_lens"])
-        else:
-            empty = pa.array([b""] * n, pa.binary())
-            pt = pa.table({"positions": empty, "pos_lens": empty})
-        if "positions" in t.column_names:
-            t = t.drop_columns(["positions", "pos_lens"])
-        pos_tables.append(pt)
-        t = t.append_column("_off", pa.array(np.full(n, off, np.int32)))
-        t = t.append_column("_ord", pa.array(np.full(n, ord_, np.int32)))
-        tables.append(t)
-    big = pa.concat_tables(tables).combine_chunks()
-    big_pos = pa.concat_tables(pos_tables).combine_chunks()
+    # size-adaptive windowing: small merges (test scale, tail compactions)
+    # load everything in one refill — one window == the plain vectorized
+    # merge with zero extra passes; big merges stream bounded row-group
+    # windows. 256k dictionary rows across all inputs ~ a few hundred MB of
+    # posting buffers, well inside a worker heap.
+    total_rows = 0
+    for d in split_dirs:
+        total_rows += pq.ParquetFile(
+            os.path.join(d, POSTINGS_FILE)).metadata.num_rows
+    refill = 1_000_000 if total_rows <= SMALL_MERGE_DICT_ROWS else 8
+    streams = [_SplitPostingsStream(d, i, int(off), rgs_per_refill=refill)
+               for i, (d, off) in enumerate(zip(split_dirs, offsets))]
+    # write the positions sidecar iff any input carries positions
+    any_positions = any(s._pos_pf is not None or s._legacy_pos
+                       for s in streams)
+    out = ExactRowGroupWriter(os.path.join(tmp_dir, POSTINGS_FILE),
+                               POSTINGS_SCHEMA, TERMS_PER_ROW_GROUP)
+    pos_out = (ExactRowGroupWriter(os.path.join(tmp_dir, POSITIONS_FILE),
+                                    POSITIONS_SCHEMA, POS_TERMS_PER_ROW_GROUP)
+               if any_positions else None)
+    wrote_any_pos = False
+    while True:
+        for s in streams:
+            s.ensure_loaded()
+        keys = [s.buffer_last_key() for s in streams if s.buffer_last_key() is not None]
+        if not keys:
+            break
+        safe = min(keys)
+        chunks = [s.take_upto(safe) for s in streams]
+        chunks = [c for c in chunks if c is not None and c.num_rows]
+        if not chunks:
+            continue
+        window = pa.concat_tables(chunks).combine_chunks()
+        tbl, ptbl, has_pos = _merge_window(window)
+        out.write(tbl)
+        if pos_out is not None:
+            pos_out.write(ptbl)
+            wrote_any_pos = wrote_any_pos or has_pos
+    if out.total_rows == 0:
+        write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE),
+                            {k: [] for k in POSTINGS_SCHEMA.names})
+    else:
+        out.close()
+    if pos_out is not None:
+        pos_out.close()
+        pp = os.path.join(tmp_dir, POSITIONS_FILE)
+        if not wrote_any_pos and os.path.exists(pp):
+            # no input term actually had positions: drop the empty sidecar
+            os.unlink(pp)
+
+
+def _merge_window(big: pa.Table) -> tuple[pa.Table, pa.Table, bool]:
+    """Vectorized merge of one key window (all pieces of every term in the
+    window are present). Returns (postings_rows, positions_rows, has_pos)."""
+    import pyarrow.compute as pc
+
+    from quickwit_ray.index.format import POSITIONS_SCHEMA, POSTINGS_SCHEMA
+
     order = pc.sort_indices(big, sort_keys=[("field", "ascending"),
                                             ("term", "ascending"),
                                             ("_ord", "ascending")])
     big = big.take(order).combine_chunks()
-    big_pos = big_pos.take(order).combine_chunks()
+    big_pos = big.select(["positions", "pos_lens"])
     n = big.num_rows
-    if n == 0:
-        write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE),
-                            {k: [] for k in POSTINGS_SCHEMA.names})
-        return
     fcodes = np.asarray(pc.dictionary_encode(big["field"].combine_chunks()).indices)
     tcodes = np.asarray(pc.dictionary_encode(big["term"].combine_chunks()).indices)
     start = np.empty(n, bool)
@@ -336,19 +483,14 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
             tf_list[ti] = b
         table = table.set_column(table.column_names.index("tfs"), "tfs",
                                  pa.array(tf_list, pa.binary()))
-    pq.write_table(table, os.path.join(tmp_dir, POSTINGS_FILE),
-                   row_group_size=TERMS_PER_ROW_GROUP,
-                   compression="zstd", compression_level=1)
     pos_col = _collapsed_binary(big_pos["positions"].combine_chunks(), term_starts)
-    if pa.compute.max(pa.compute.binary_length(pos_col)).as_py() or 0:
-        ptable = pa.table(
-            {"positions": pos_col,
-             "pos_lens": _collapsed_binary(big_pos["pos_lens"].combine_chunks(),
-                                           term_starts)},
-            schema=POSITIONS_SCHEMA)
-        pq.write_table(ptable, os.path.join(tmp_dir, POSITIONS_FILE),
-                       row_group_size=POS_TERMS_PER_ROW_GROUP,
-                       compression="zstd", compression_level=1)
+    ptable = pa.table(
+        {"positions": pos_col,
+         "pos_lens": _collapsed_binary(big_pos["pos_lens"].combine_chunks(),
+                                       term_starts)},
+        schema=POSITIONS_SCHEMA)
+    has_pos = bool(pa.compute.max(pa.compute.binary_length(pos_col)).as_py() or 0)
+    return table, ptable, has_pos
 
 
 def execute_merge(index_dir: str, split_ids: list[str], index_id: str,

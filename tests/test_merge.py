@@ -218,3 +218,71 @@ def test_merge_splices_missing_per_doc_files(tmp_path):
     r2 = s2.search("msg:beta", max_hits=60, fetch_fields=["doc_id"])
     assert not r2.failed_splits and r2.num_hits == 50
     assert sorted(int(x) for x in r2.hits["doc_id"]) == list(range(50, 100))
+
+
+def test_streaming_merge_many_windows(tmp_path):
+    """Vocabulary spanning several posting row groups (2048 terms each)
+    forces the streaming k-way merge through multiple key windows; term
+    lookups, counts, phrase positions and fast fields must round-trip."""
+    import numpy as np
+    import pyarrow as pa
+    import quickwit_ray.index.merge as merge_mod
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.index.merge import execute_merge
+
+    rng = np.random.default_rng(7)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    n_files, docs_per = 3, 400
+    vocab = [f"w{i:05d}" for i in range(5000)]
+    texts_by_file = []
+    for fi in range(n_files):
+        texts = []
+        for d in range(docs_per):
+            words = rng.choice(vocab, size=12, replace=False).tolist()
+            words.append("anchor common")  # phrase planted everywhere
+            texts.append(" ".join(words))
+        texts_by_file.append(texts)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(fi * docs_per, (fi + 1) * docs_per),
+                               pa.int64()),
+            "body": texts,
+            "val": pa.array(range(docs_per), pa.int64()),
+        }), str(indir / f"f{fi}.parquet"))
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", record="position",
+                         fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True),
+            FieldMapping(name="val", type="i64", fast=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    d = str(tmp_path / "idx")
+    build_index(str(indir), d, IndexConfig("many", mapping), execution="local")
+    s = IndexSearcher(d)
+    sids = [sp.split_id for sp in s.manifest.published_splits()]
+    assert len(sids) == 3
+    # pre-merge ground truth on a sample of terms + the planted phrase
+    sample_terms = [vocab[i] for i in (0, 1, 1000, 2047, 2048, 2049, 4999)]
+    before = {t: s.search(f"body:{t}", max_hits=0).num_hits
+              for t in sample_terms}
+    phrase_before = s.search('body:"anchor common"', max_hits=0).num_hits
+    # force the STREAMING path (the small-merge fast path would take one
+    # window otherwise)
+    old_thresh = merge_mod.SMALL_MERGE_DICT_ROWS
+    merge_mod.SMALL_MERGE_DICT_ROWS = 0
+    try:
+        sm = execute_merge(d, sids, "many", 1)
+    finally:
+        merge_mod.SMALL_MERGE_DICT_ROWS = old_thresh
+    s.manifest.publish([sm], replaced_split_ids=sids)
+    s2 = IndexSearcher(d)
+    assert len(s2.manifest.published_splits()) == 1
+    for t, cnt in before.items():
+        r = s2.search(f"body:{t}", max_hits=0)
+        assert not r.failed_splits
+        assert r.num_hits == cnt, t
+    assert s2.search('body:"anchor common"', max_hits=0).num_hits == \
+        phrase_before == n_files * docs_per
+    # fast-field query + fetch still row-aligned after the merge
+    r = s2.search("val:[100 TO 110]", max_hits=100, fetch_fields=["doc_id"])
+    assert not r.failed_splits and r.num_hits == 11 * n_files
