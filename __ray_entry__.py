@@ -577,6 +577,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
     q["search_ngram_substring"] = search_ngram_substring
 
+    def image_decode_meta(sf):
+        """Multimodal decode: deterministic PPM/BMP payloads derived from
+        doc_id (width = 8 + doc_id % 16, height = 8 + doc_id % 8, BMP for
+        even ids, PPM for odd) run through the actor-pool decode stage; the
+        decoded metadata must equal the oracle's arithmetic."""
+        import pyarrow as pa
+
+        from quickwit_ray.pipelines.multimodal import (decode_images,
+                                                       make_bmp, make_ppm)
+
+        ds = _docs_ds(sf, "documents", ["doc_id"])
+
+        def encode(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            bufs = [
+                (make_bmp if i % 2 == 0 else make_ppm)(8 + i % 16, 8 + i % 8,
+                                                       seed=i)
+                for i in ids]
+            return pa.table({"doc_id": batch["doc_id"],
+                             "image": pa.array(bufs, pa.binary())})
+
+        out = decode_images(ds.map_batches(encode, batch_format="pyarrow"),
+                            concurrency=2, batch_size=128).to_pandas()
+        out = out[["doc_id", "width", "height", "channels", "format"]]
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return out.astype({"doc_id": "int64", "width": "int64",
+                           "height": "int64", "channels": "int64"})
+    q["image_decode_meta"] = image_decode_meta
+
     def agg_range_value(sf):
         s = _searcher(sf, "events")
         resp = s.search("*", max_hits=0, aggs={
@@ -761,6 +790,11 @@ def oracle_sql() -> dict[str, str]:
         "queue_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "scroll_export": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
+        "image_decode_meta": (
+            "SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS width, "
+            "CAST(8 + doc_id % 8 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format "
+            "FROM documents ORDER BY doc_id"),
         "agg_range_value": ("SELECT key, CAST(count(*) AS BIGINT) AS doc_count FROM ("
                             "SELECT CASE WHEN value < 25.0 THEN '*-25.0' "
                             "WHEN value >= 25.0 AND value < 75.0 THEN '25.0-75.0' "

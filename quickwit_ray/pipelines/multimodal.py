@@ -1,18 +1,23 @@
-"""Multimodal column plumbing: image/audio/video as opaque `binary`
+"""Multimodal column processing: image/audio/video as opaque `binary`
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment): `DecodeImageStage` raises NotImplementedError unless
-`fake=True`, in which case a deterministic fake decoder (parse our own
-fake header) stands in. The Ray-side plumbing — schema contract, actor
-pool setup, batch sizing for wide binary rows, output layout — is real
-and tested; swapping in PIL/ffmpeg is a one-function change in
-`__init__`.
+Round-2: the image decode kernel is REAL for the formats decodable with
+numpy alone — PPM (P6/P3), PGM (P5/P2) and uncompressed BI_RGB BMP
+(24/32-bit) — plus the deterministic FAKEIMG container used by tests.
+JPEG/PNG would need an image library that is not in this environment;
+unknown formats yield null metadata rows (or raise with strict=True).
+Video frame sampling remains a declared stub (no ffmpeg).
+
+The Ray-side plumbing — schema contract, actor pool setup, small batch
+sizing for wide binary rows, output layout — is the scale-relevant part:
+decode state lives in the actor (one __init__ per actor), batches stay
+small so batch_size x concurrency of multi-MB payloads fits worker heaps.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Optional
 
 import numpy as np
@@ -24,6 +29,10 @@ IMAGE_META_SCHEMA = pa.schema([
 ])
 
 
+# ---------------------------------------------------------------------------
+# encoders (deterministic test/bench data)
+# ---------------------------------------------------------------------------
+
 def make_fake_image(width: int, height: int, fmt: str = "fake") -> bytes:
     """Deterministic fake 'encoded image': header + seeded pixel bytes."""
     head = f"FAKEIMG:{fmt}:{width}:{height};".encode()
@@ -33,39 +42,168 @@ def make_fake_image(width: int, height: int, fmt: str = "fake") -> bytes:
     return head + rng.integers(0, 256, n, dtype=np.uint8).tobytes()
 
 
+def _seeded_pixels(width: int, height: int, channels: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, (height, width, channels), dtype=np.uint8)
+
+
+def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Binary P6 PPM with seeded RGB pixels."""
+    px = _seeded_pixels(width, height, 3, seed)
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def make_pgm(width: int, height: int, seed: int = 0) -> bytes:
+    """Binary P5 PGM (grayscale)."""
+    px = _seeded_pixels(width, height, 1, seed)
+    return f"P5\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP (bottom-up rows, 4-byte padding)."""
+    px = _seeded_pixels(width, height, 3, seed)
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = b"".join(
+        px[y, :, ::-1].tobytes() + b"\x00" * pad  # BGR order, bottom-up
+        for y in range(height - 1, -1, -1))
+    pixel_off = 14 + 40
+    file_size = pixel_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+# ---------------------------------------------------------------------------
+# decoders (pure numpy)
+# ---------------------------------------------------------------------------
+
+def _decode_pnm(buf: bytes):
+    """P6/P3 PPM and P5/P2 PGM. Returns (format, w, h, HxWxC uint8)."""
+    magic = buf[:2]
+    if magic not in (b"P6", b"P3", b"P5", b"P2"):
+        return None
+    # header tokens: magic, width, height, maxval — whitespace/comment-aware
+    toks, i, n = [], 2, len(buf)
+    while len(toks) < 3 and i < n:
+        c = buf[i:i + 1]
+        if c == b"#":
+            while i < n and buf[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not buf[j:j + 1].isspace():
+                j += 1
+            toks.append(buf[i:j])
+            i = j
+    if len(toks) < 3:
+        return None
+    w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    if maxval <= 0 or maxval > 255 or w <= 0 or h <= 0:
+        return None
+    i += 1  # single whitespace after maxval
+    ch = 3 if magic in (b"P6", b"P3") else 1
+    need = w * h * ch
+    if magic in (b"P6", b"P5"):
+        if len(buf) < i + need:
+            return None
+        px = np.frombuffer(buf, np.uint8, count=need, offset=i)
+    else:  # ascii variants
+        vals = np.array(buf[i:].split()[:need], dtype=np.int64)
+        if len(vals) < need:
+            return None
+        px = vals.astype(np.uint8)
+    fmt = {b"P6": "ppm", b"P3": "ppm", b"P5": "pgm", b"P2": "pgm"}[magic]
+    return fmt, w, h, px.reshape(h, w, ch)
+
+
+def _decode_bmp(buf: bytes):
+    """Uncompressed BI_RGB 24/32-bit BMP -> (format, w, h, HxWx3 uint8)."""
+    if buf[:2] != b"BM" or len(buf) < 54:
+        return None
+    pixel_off = struct.unpack_from("<I", buf, 10)[0]
+    dib_size = struct.unpack_from("<I", buf, 14)[0]
+    if dib_size < 40:
+        return None
+    w, h_raw = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h_raw == 0:
+        return None
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    ch = bpp // 8
+    row_bytes = (w * ch + 3) & ~3
+    need = pixel_off + row_bytes * h
+    if len(buf) < need:
+        return None
+    rows = np.frombuffer(buf, np.uint8, count=row_bytes * h,
+                         offset=pixel_off).reshape(h, row_bytes)
+    px = rows[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) -> RGB
+    px = px[:, :, [2, 1, 0]]
+    return "bmp", w, h, np.ascontiguousarray(px)
+
+
+def _decode_fake(buf: bytes):
+    if not buf.startswith(b"FAKEIMG:"):
+        return None
+    head, _, _ = buf.partition(b";")
+    _, fmt, w, h = head.decode().split(":")
+    w, h = int(w), int(h)
+    pixels = np.frombuffer(buf[len(head) + 1:], np.uint8)
+    return fmt, w, h, pixels[: w * h * 3].reshape(h, w, 3)
+
+
+def decode_image(buf: bytes):
+    """Dispatch over the supported containers; None when undecodable."""
+    if buf is None or len(buf) < 2:
+        return None
+    if buf.startswith(b"FAKEIMG:"):
+        return _decode_fake(buf)
+    if buf[:1] == b"P":
+        return _decode_pnm(buf)
+    if buf[:2] == b"BM":
+        return _decode_bmp(buf)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
 class DecodeImageStage:
     """Actor-pool stage: binary image column -> decoded metadata + feature.
 
-    Real deployment: replace `_decode` with PIL/torchvision in __init__
-    (loaded ONCE per actor). Batch size must stay small for multi-MB
-    payloads — callers pass batch_size explicitly.
+    Decodes PPM/PGM/BMP (pure numpy) and the FAKEIMG test container.
+    ``strict=True`` raises on undecodable payloads instead of emitting a
+    null row. JPEG/PNG would plug in here (one function in __init__, loaded
+    once per actor). Batch size must stay small for multi-MB payloads —
+    callers pass batch_size explicitly.
     """
 
-    def __init__(self, image_col: str = "image", fake: bool = False,
-                 resize_to: Optional[tuple[int, int]] = None):
+    def __init__(self, image_col: str = "image", fake: bool = True,
+                 resize_to: Optional[tuple[int, int]] = None,
+                 strict: bool = False):
+        # `fake` kept for back-compat; the decoder handles real formats
+        # regardless, FAKEIMG is just one more container.
         self.image_col = image_col
-        self.fake = fake
         self.resize_to = resize_to
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires an image library not present in this "
-                "environment; construct with fake=True for the deterministic "
-                "fake decoder (real plumbing, stubbed kernel)")
-
-    def _decode(self, buf: bytes):
-        if not buf.startswith(b"FAKEIMG:"):
-            return None
-        head, _, _ = buf.partition(b";")
-        _, fmt, w, h = head.decode().split(":")
-        w, h = int(w), int(h)
-        pixels = np.frombuffer(buf[len(head) + 1:], np.uint8)
-        return fmt, w, h, pixels[: w * h * 3].reshape(h, w, 3)
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, channels, fmts, means = [], [], [], [], []
         for buf in batch[self.image_col].to_pylist():
-            dec = self._decode(buf) if buf is not None else None
+            dec = decode_image(buf)
             if dec is None:
+                if self.strict and buf is not None:
+                    raise ValueError("undecodable image payload "
+                                     f"({(buf or b'')[:8]!r})")
                 widths.append(None); heights.append(None)
                 channels.append(None); fmts.append(None); means.append(None)
                 continue
@@ -76,7 +214,8 @@ class DecodeImageStage:
                 xi = (np.arange(tw) * w // tw)[None, :]
                 px = px[yi, xi]
                 h, w = th, tw
-            widths.append(w); heights.append(h); channels.append(3)
+            widths.append(w); heights.append(h)
+            channels.append(px.shape[2])
             fmts.append(fmt); means.append(float(px.mean()))
         out = batch.drop_columns([self.image_col])
         return (out.append_column("width", pa.array(widths, pa.int32()))
@@ -110,12 +249,13 @@ class FrameSampleStage:
 
 
 def decode_images(ds, image_col: str = "image", fake: bool = True,
-                  resize_to=None, concurrency: int = 4, batch_size: int = 64):
+                  resize_to=None, concurrency: int = 4, batch_size: int = 64,
+                  strict: bool = False):
     """Wire the decode stage as an actor pool with small batches (wide
     binary payloads: batch_size x concurrency must fit worker heaps)."""
     return ds.map_batches(
         DecodeImageStage,
         fn_constructor_kwargs=dict(image_col=image_col, fake=fake,
-                                   resize_to=resize_to),
+                                   resize_to=resize_to, strict=strict),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)

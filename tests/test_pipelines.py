@@ -173,8 +173,9 @@ def test_multimodal_decode_plumbing(ray_session):
     ok = out[out["img_id"] < 90]
     assert (ok["width"] == 8).all() and (ok["height"] == 8).all()
     assert out[out["img_id"] == 99]["width"].isna().all()
-    with pytest.raises(NotImplementedError):
-        DecodeImageStage(fake=False)
+    # strict mode raises on an undecodable payload
+    with pytest.raises(ValueError, match="undecodable"):
+        DecodeImageStage(strict=True)(pa.table({"image": [b"garbagebytes"]}))
 
 
 def test_search_stream_table(ray_session):
@@ -272,3 +273,48 @@ def test_dedup_keepsets_pinned_to_round1(ray_session):
     kept, _ = embedding_dedup(emb, "embedding", "vec_id", threshold=0.98)
     ids = list(kept.to_pandas()["vec_id"])
     assert (len(ids), sig(ids)) == (500, "18b9a7dc1962258b")
+
+
+def test_real_image_decoders_roundtrip(ray_session):
+    """PPM/PGM/BMP encode->decode round-trips through the actor-pool
+    stage: dimensions, channels, format and pixel values survive."""
+    import ray.data
+
+    from quickwit_ray.pipelines.multimodal import (
+        decode_image,
+        decode_images,
+        make_bmp,
+        make_pgm,
+        make_ppm,
+    )
+
+    # direct kernel checks, incl. exact pixel recovery
+    for maker, fmt, ch in ((make_ppm, "ppm", 3), (make_pgm, "pgm", 1),
+                           (make_bmp, "bmp", 3)):
+        buf = maker(13, 7, seed=42)
+        got = decode_image(buf)
+        assert got is not None
+        gfmt, w, h, px = got
+        assert (gfmt, w, h, px.shape) == (fmt, 13, 7, (7, 13, ch))
+        from quickwit_ray.pipelines.multimodal import _seeded_pixels
+
+        np.testing.assert_array_equal(px, _seeded_pixels(13, 7, ch, 42))
+    # ascii P3 variant
+    assert decode_image(b"P3\n2 1\n255\n10 20 30 40 50 60\n")[3].tolist() == \
+        [[[10, 20, 30], [40, 50, 60]]]
+    # corrupt payloads -> None
+    assert decode_image(b"BMgarbage") is None
+    assert decode_image(b"P6\n4 4\n255\nshort") is None
+    # through the Ray actor-pool stage with mixed formats + resize
+    rows = [{"img_id": 0, "image": make_ppm(16, 8, 1)},
+            {"img_id": 1, "image": make_bmp(9, 9, 2)},
+            {"img_id": 2, "image": make_pgm(5, 4, 3)},
+            {"img_id": 3, "image": b"\x89PNG not supported"},
+            {"img_id": 4, "image": None}]
+    out = decode_images(ray.data.from_items(rows), concurrency=2,
+                        batch_size=2, resize_to=(4, 4)).to_pandas()
+    out = out.set_index("img_id").sort_index()
+    assert out.loc[0, "format"] == "ppm" and out.loc[0, "width"] == 4
+    assert out.loc[1, "format"] == "bmp" and out.loc[1, "channels"] == 3
+    assert out.loc[2, "format"] == "pgm" and out.loc[2, "channels"] == 1
+    assert pd.isna(out.loc[3, "format"]) and pd.isna(out.loc[4, "width"])
