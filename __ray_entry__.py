@@ -606,6 +606,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            "height": "int64", "channels": "int64"})
     q["image_decode_meta"] = image_decode_meta
 
+    def bulk_ingest_search(sf):
+        """Push-ingestion front door: the documents table is re-ingested
+        through the ES _bulk NDJSON path (action/doc lines, one commit
+        wave), then searched — result must equal the batch-built oracle."""
+        import json as _json
+
+        from quickwit_ray.api import Index
+        from quickwit_ray.config import (IndexSettings,
+                                         documents_doc_mapping)
+
+        idx_dir = _index_dir_for(sf, "documents_bulk")
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            idx = Index.create(idx_dir, "docs_bulk", documents_doc_mapping(),
+                               IndexSettings(split_num_docs_target=1_000_000))
+            import pyarrow.parquet as _pq
+
+            tbl = _pq.read_table(os.path.join(sf, "documents.parquet"))
+            rows = tbl.to_pylist()
+            # several bulk calls of ~1000 docs each (commit waves)
+            for off in range(0, len(rows), 1000):
+                lines = []
+                for r in rows[off: off + 1000]:
+                    lines.append('{"index": {}}')
+                    lines.append(_json.dumps(r))
+                idx.bulk("\n".join(lines), commit_id=f"wave{off}")
+        else:
+            idx = Index.open(idx_dir)
+        resp = idx.search("text:scan", max_hits=1_000_000,
+                          fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["bulk_ingest_search"] = bulk_ingest_search
+
     def agg_range_value(sf):
         s = _searcher(sf, "events")
         resp = s.search("*", max_hits=0, aggs={
@@ -790,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "queue_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "scroll_export": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
+        "bulk_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "image_decode_meta": (
             "SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS width, "
             "CAST(8 + doc_id % 8 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, "

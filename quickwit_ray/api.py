@@ -107,6 +107,88 @@ class Index:
         dflt = self.config.doc_mapping.default_search_fields
         return [searcher.search(**es_search_request(b, dflt)) for b in bodies]
 
+    # -- push ingestion (ingest API / ES _bulk analog) -------------------
+
+    def bulk(self, payload: bytes | str, *, commit_id: Optional[str] = None) -> int:
+        """ES `_bulk` NDJSON ingestion (rest_handler.rs `_bulk`): parse the
+        action/doc lines, build one split, publish atomically. Returns the
+        number of docs indexed."""
+        from quickwit_ray.sources.ingest import ingest_docs, parse_bulk_ndjson
+
+        return ingest_docs(self.index_dir, parse_bulk_ndjson(payload),
+                           commit_id=commit_id)
+
+    def ingest_docs(self, docs: list[dict], *,
+                    commit_id: Optional[str] = None) -> int:
+        """Push a batch of JSON docs (ingest API analog)."""
+        from quickwit_ray.sources.ingest import ingest_docs
+
+        return ingest_docs(self.index_dir, docs, commit_id=commit_id)
+
+    def ingest_payload(self, payload: bytes | str, input_format: str = "json",
+                       *, commit_id: Optional[str] = None) -> int:
+        """Decode + ingest a raw payload in any supported source input
+        format (json/ndjson, plain_text, otlp_logs_json, otlp_traces_json
+        — doc_processor.rs:153-226)."""
+        from quickwit_ray.sources.ingest import decode_input, ingest_docs
+
+        return ingest_docs(self.index_dir, decode_input(payload, input_format),
+                           commit_id=commit_id)
+
+    # -- ES REST surface breadth (rest_handler.rs:71-294) ----------------
+
+    _ES_TYPES = {"text": "text", "i64": "long", "u64": "unsigned_long",
+                 "f64": "double", "bool": "boolean", "datetime": "date",
+                 "bytes": "binary", "ip": "ip", "json": "object"}
+
+    def es_field_caps(self) -> dict:
+        """ES `_field_caps` shape over the doc mapping."""
+        fields = {}
+        m = Manifest(self.index_dir)
+        for f in self.config.doc_mapping.field_mappings:
+            es_t = self._ES_TYPES.get(f.type, "keyword")
+            fields[f.name] = {es_t: {
+                "type": es_t,
+                "metadata_field": False,
+                "searchable": bool(f.indexed),
+                "aggregatable": bool(f.fast),
+            }}
+        return {"indices": [m.index_config_json["index_id"]], "fields": fields}
+
+    def es_stats(self) -> dict:
+        """ES `_stats` shape: doc counts + store bytes from the manifest."""
+        import os
+
+        m = Manifest(self.index_dir)
+        splits = m.published_splits()
+        n_docs = sum(s.num_docs for s in splits)
+        store = 0
+        for s in splits:
+            d = os.path.join(self.index_dir, "splits", s.split_id)
+            if os.path.isdir(d):
+                store += sum(os.path.getsize(os.path.join(d, f))
+                             for f in os.listdir(d))
+        body = {"primaries": {"docs": {"count": n_docs, "deleted": 0},
+                              "store": {"size_in_bytes": store}},
+                "total": {"docs": {"count": n_docs, "deleted": 0},
+                          "store": {"size_in_bytes": store}}}
+        index_id = m.index_config_json["index_id"]
+        return {"_all": body, "indices": {index_id: body}}
+
+    def es_cat_indices(self) -> list[dict]:
+        """ES `_cat/indices?format=json` shape."""
+        m = Manifest(self.index_dir)
+        stats = self.es_stats()["_all"]["primaries"]
+        return [{
+            "health": "green", "status": "open",
+            "index": m.index_config_json["index_id"],
+            "pri": "1", "rep": "0",
+            "docs.count": str(stats["docs"]["count"]),
+            "docs.deleted": "0",
+            "store.size": str(stats["store"]["size_in_bytes"]),
+            "pri.store.size": str(stats["store"]["size_in_bytes"]),
+        }]
+
     def merge(self, execution: str = "local") -> int:
         return run_merge_pipeline(self.index_dir, execution=execution)
 
