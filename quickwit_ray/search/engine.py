@@ -49,6 +49,10 @@ class SearchResponse:
     elapsed_sec: float = 0.0
     aggs: Optional[dict] = None
     failed_splits: list = dc_field(default_factory=list)
+    # False when time-sorted split skipping pruned splits whose docs cannot
+    # appear in the top-k (leaf.rs CanSplitDoBetter): num_hits is then a
+    # lower bound, the ES "gte" relation
+    num_hits_exact: bool = True
 
     @property
     def scroll_cursor(self) -> Optional[tuple]:
@@ -366,11 +370,34 @@ class IndexSearcher:
 
         split_dirs = [os.path.join(self.index_dir, "splits", s.split_id) for s in splits]
         split_ids = dict(zip(split_dirs, [s.split_id for s in splits]))
-        # longest-first: order work items by descending num_docs (stragglers)
-        order = np.argsort([-s.num_docs for s in splits], kind="stable")
+        # CanSplitDoBetter (leaf.rs:958-1326): for a single-key sort on the
+        # timestamp field, order splits most-promising-first by their time
+        # range and SKIP splits whose whole range cannot beat the running
+        # kth value. Otherwise: longest-first (straggler hiding).
+        ts_sort_dir = None
+        if (ts_field and len(sort_fields) == 1
+                and sort_fields[0].field == ts_field
+                and request.max_hits > 0 and aggs is None
+                and request.search_after is None):
+            ts_sort_dir = sort_fields[0].order
+        if ts_sort_dir == "desc":
+            order = np.argsort(
+                [-(s.time_range_end if s.time_range_end is not None else 2**62)
+                 for s in splits], kind="stable")
+        elif ts_sort_dir == "asc":
+            order = np.argsort(
+                [(s.time_range_start if s.time_range_start is not None else -2**62)
+                 for s in splits], kind="stable")
+        else:
+            order = np.argsort([-s.num_docs for s in splits], kind="stable")
         split_dirs = [split_dirs[i] for i in order]
+        bounds = None
+        if ts_sort_dir is not None:
+            bounds = [(splits[i].time_range_start, splits[i].time_range_end)
+                      for i in order]
 
-        partials = self._execute(split_dirs, request)
+        partials, skipped = self._execute(split_dirs, request, bounds,
+                                          ts_sort_dir)
         failed = [p for p in partials if "failed" in p]
         partials = [p for p in partials if "failed" not in p]
 
@@ -385,24 +412,60 @@ class IndexSearcher:
             hits = self._fetch_docs(hits, fetch_fields, request)
         return SearchResponse(num_hits=num_hits, hits=hits, aggs=merged_aggs,
                               failed_splits=failed,
-                              elapsed_sec=_time.time() - t0)
+                              elapsed_sec=_time.time() - t0,
+                              num_hits_exact=skipped == 0)
 
     # ------------------------------------------------------------------
 
-    def _execute(self, split_dirs: list[str], request: SearchRequest) -> list[dict]:
+    @staticmethod
+    def _kth_threshold(partials: list[dict], k: int, desc: bool) -> Optional[float]:
+        """Current kth-best primary sort value across collected partials."""
+        keys = np.concatenate([p["sort_key0"] for p in partials
+                               if "failed" not in p and len(p["sort_key0"])]
+                              or [np.empty(0)])
+        if len(keys) < k:
+            return None
+        keys = np.sort(keys)
+        return float(keys[len(keys) - k] if desc else keys[k - 1])
+
+    @staticmethod
+    def _split_can_do_better(bound: tuple, theta: Optional[float],
+                             desc: bool) -> bool:
+        if theta is None:
+            return True
+        lo, hi = bound
+        if desc:
+            return hi is None or float(hi) >= theta
+        return lo is None or float(lo) <= theta
+
+    def _execute(self, split_dirs: list[str], request: SearchRequest,
+                 bounds: Optional[list[tuple]] = None,
+                 ts_sort_dir: Optional[str] = None) -> tuple[list[dict], int]:
         if not split_dirs:
-            return []
+            return [], 0
         if self.execution == "ray" and len(split_dirs) > 1:
-            return self._execute_ray(split_dirs, request)
-        out = []
-        for d in split_dirs:
+            return self._execute_ray(split_dirs, request, bounds, ts_sort_dir)
+        k = request.start_offset + request.max_hits
+        desc = ts_sort_dir == "desc"
+        out: list[dict] = []
+        skipped = 0
+        for i, d in enumerate(split_dirs):
+            if bounds is not None:
+                theta = self._kth_threshold(out, k, desc)
+                if not self._split_can_do_better(bounds[i], theta, desc):
+                    # splits are ordered by the same criterion: everything
+                    # after this one is provably no better either
+                    skipped = len(split_dirs) - i
+                    break
             try:
                 out.append(leaf_search_one(d, self.mapping, request))
             except Exception as exc:  # noqa: BLE001 — report, don't fail the query
                 out.append({"failed": os.path.basename(d), "error": str(exc)})
-        return out
+        return out, skipped
 
-    def _execute_ray(self, split_dirs: list[str], request: SearchRequest) -> list[dict]:
+    def _execute_ray(self, split_dirs: list[str], request: SearchRequest,
+                     bounds: Optional[list[tuple]] = None,
+                     ts_sort_dir: Optional[str] = None) -> tuple[list[dict], int]:
         import ray
 
         if self._actor_pool is None:
@@ -411,7 +474,26 @@ class IndexSearcher:
                        int(ray.cluster_resources().get("CPU", 8))))
             self._actor_pool = _SearchActorPool(
                 self.config.to_json()["doc_mapping"], conc)
-        return self._actor_pool.search(split_dirs, request)
+        if bounds is None:
+            return self._actor_pool.search(split_dirs, request), 0
+        # time-sorted: dispatch in WAVES of pool width; between waves use
+        # the collected kth threshold to prune the remaining (ordered)
+        # splits by their time ranges before they are ever dispatched
+        k = request.start_offset + request.max_hits
+        desc = ts_sort_dir == "desc"
+        wave = max(len(self._actor_pool.actors), 1)
+        out: list[dict] = []
+        skipped = 0
+        i = 0
+        while i < len(split_dirs):
+            theta = self._kth_threshold(out, k, desc)
+            if not self._split_can_do_better(bounds[i], theta, desc):
+                skipped = len(split_dirs) - i
+                break
+            batch = split_dirs[i: i + wave]
+            out.extend(self._actor_pool.search(batch, request))
+            i += len(batch)
+        return out, skipped
 
     # ------------------------------------------------------------------
 
