@@ -370,6 +370,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort_values(["query_id", "rank"]).reset_index(drop=True))
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_ivf_persisted_topk(sf):
+        """Persisted centroid-partitioned IVF layout (one parquet dir per
+        inverted list; nprobe prunes READS). Probing every list is exact,
+        so the brute-force oracle applies."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from quickwit_ray.pipelines.ann import build_ivf_index, ivf_index_topk
+
+        idx_dir = _index_dir_for(sf, "ivf_embeddings")
+        if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            ds = _docs_ds(sf, "embeddings", ["vec_id", "embedding"])
+            build_ivf_index(ds, idx_dir, num_centroids=16)
+        emb = pq.read_table(os.path.join(sf, "embeddings.parquet")) \
+                .slice(0, 3)["embedding"].to_pylist()
+        out = ivf_index_topk(idx_dir, np.asarray(emb, np.float64), k=10,
+                             nprobe=16)
+        return (out[["query_id", "rank", "id"]]
+                .astype({"query_id": "int64", "rank": "int64", "id": "int64"})
+                .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    q["ann_ivf_persisted_topk"] = ann_ivf_persisted_topk
+
     # ---- round-trip variants: ES DSL, pagination, delete, merge, shuffle
     def search_es_dsl(sf):
         from quickwit_ray.search.es_dsl import es_search_request
@@ -842,6 +866,16 @@ def oracle_sql() -> dict[str, str]:
         "token_count_by_lang": (f"SELECT lang, CAST(sum(len({TOKENS})) AS BIGINT) AS n_tokens "
                                 "FROM documents GROUP BY lang ORDER BY lang"),
         "ann_cosine_topk": ("WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3), "
+                            "scored AS (SELECT q.query_id, e.vec_id AS id, "
+                            "list_cosine_similarity(e.embedding, q.embedding) AS s "
+                            "FROM embeddings e CROSS JOIN q), "
+                            "ranked AS (SELECT query_id, id, "
+                            "row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id) - 1 AS rank "
+                            "FROM scored) "
+                            "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, "
+                            "CAST(id AS BIGINT) AS id FROM ranked WHERE rank < 10 "
+                            "ORDER BY query_id, rank"),
+        "ann_ivf_persisted_topk": ("WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3), "
                             "scored AS (SELECT q.query_id, e.vec_id AS id, "
                             "list_cosine_similarity(e.embedding, q.embedding) AS s "
                             "FROM embeddings e CROSS JOIN q), "

@@ -87,6 +87,72 @@ def train_centroids(ds, vec_col: str, num_centroids: int = 64,
     return c
 
 
+def build_ivf_index(ds, index_dir: str, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", num_centroids: int = 64,
+                    sample_rows: int = 10_000, seed: int = 5) -> np.ndarray:
+    """Persist an IVF layout: vectors PARTITIONED BY COARSE CENTROID into
+    one parquet directory per inverted list (hive layout `list=NNN/`).
+
+    This is what makes nprobe prune READS, not just compute: a query over
+    a 100 TB corpus opens only its nprobe list directories instead of
+    re-scanning every vector (the round-1 ivf_topk was a full scan with
+    compute-side pruning). The write is a Ray Data partitioned
+    write_parquet — streaming, resumable per list directory."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray
+
+    centroids = train_centroids(ds, vec_col, num_centroids,
+                                sample_rows=sample_rows, seed=seed)
+    c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        vecs = _normalize(np.asarray(batch[vec_col].to_pylist(), np.float64))
+        lst = np.argmax(vecs @ cents.T, axis=1).astype(np.int32)
+        return batch.append_column("list", pa.array(lst, pa.int32()))
+
+    lists_dir = os.path.join(index_dir, "lists")
+    (ds.map_batches(assign, batch_format="pyarrow")
+       .write_parquet(lists_dir, partition_cols=["list"]))
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"vec_col": vec_col, "id_col": id_col,
+                   "num_centroids": int(len(centroids))}, f)
+    return centroids
+
+
+def ivf_index_topk(index_dir: str, queries: np.ndarray, k: int = 10,
+                   nprobe: int = 8) -> pd.DataFrame:
+    """Query a persisted IVF index: read ONLY the union of the queries'
+    nprobe nearest list directories, then exact-rank inside them."""
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.atleast_2d(np.asarray(queries, np.float64)))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    need = sorted(set(probe.reshape(-1).tolist()))
+    import glob as _glob
+
+    dirs = [os.path.join(index_dir, "lists", f"list={v}") for v in need]
+    files = [f for d in dirs if os.path.isdir(d)
+             for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+    if not files:
+        return pd.DataFrame(columns=["query_id", "rank", "id", "score"])
+    sub = ray.data.read_parquet(files)
+    # exact ranking within the probed lists = brute force over the subset
+    return brute_force_topk(sub, q, k=k, vec_col=meta["vec_col"],
+                            id_col=meta["id_col"])
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, vec_col: str = "embedding",
              id_col: str = "vec_id", centroids: Optional[np.ndarray] = None,
              nprobe: int = 8, num_centroids: int = 64) -> pd.DataFrame:

@@ -318,3 +318,36 @@ def test_real_image_decoders_roundtrip(ray_session):
     assert out.loc[1, "format"] == "bmp" and out.loc[1, "channels"] == 3
     assert out.loc[2, "format"] == "pgm" and out.loc[2, "channels"] == 1
     assert pd.isna(out.loc[3, "format"]) and pd.isna(out.loc[4, "width"])
+
+
+def test_ivf_persisted_index(ray_session, tmp_path):
+    """Persisted centroid-partitioned IVF: hive list dirs on disk, queries
+    read only probed lists; full probe equals exact brute force."""
+    import os
+
+    import ray.data
+
+    from quickwit_ray.pipelines.ann import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    vecs = rng.standard_normal((300, 12)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(300), "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df)
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(ds, idx, num_centroids=8, sample_rows=300)
+    assert cents.shape == (8, 12)
+    lists = sorted(os.listdir(os.path.join(idx, "lists")))
+    assert all(d.startswith("list=") for d in lists) and len(lists) >= 4
+    q = vecs[:3]
+    exact = brute_force_topk(ds, q, k=5)
+    full = ivf_index_topk(idx, q, k=5, nprobe=8)
+    assert full.equals(exact)
+    # narrow probe: self is always in its own centroid's list
+    narrow = ivf_index_topk(idx, q, k=5, nprobe=1)
+    for qi in range(3):
+        got = narrow[narrow["query_id"] == qi].sort_values("rank")
+        assert int(got.iloc[0]["id"]) == qi
