@@ -351,3 +351,42 @@ def test_ivf_persisted_index(ray_session, tmp_path):
     for qi in range(3):
         got = narrow[narrow["query_id"] == qi].sort_values("rank")
         assert int(got.iloc[0]["id"]) == qi
+
+
+def test_textstats_vectorized_edge_cases():
+    """The round-2 vectorized kernels must match the per-row definitions on
+    boundary shapes: empties, exactly-window rows, trailing short rows."""
+    import pandas as pd_util
+
+    from quickwit_ray.functions import textstats as ts
+
+    texts = ["", None, "one", "a b c d e f g h",          # exactly window=8
+             "a b c d e f g h i j k",                      # > window
+             "tail short", " ".join(f"w{i}" for i in range(9))]
+    fp = ts.fingerprints(texts, window=8)
+    assert fp[0] == 0 and fp[1] == 0
+
+    def slow_fp(t, window=8):
+        words = (t or "").lower().split()
+        if not words:
+            return np.uint64(0)
+        h = pd.util.hash_array(np.asarray(words, object)).astype(np.uint64)
+        if len(h) >= window:
+            roll = np.zeros(len(h) - window + 1, np.uint64)
+            for k in range(window):
+                seg = h[k: len(h) - window + 1 + k]
+                r = k % 63
+                roll ^= (seg << np.uint64(r)) | (seg >> np.uint64(64 - r if r else 63))
+            return np.bitwise_xor.reduce(np.sort(roll)) ^ np.uint64(len(words))
+        return np.bitwise_xor.reduce(np.sort(h)) ^ np.uint64(len(words))
+
+    for i, t in enumerate(texts):
+        assert fp[i] == slow_fp(t), (i, t)
+    # identical docs -> identical fingerprints; shifted docs share windows
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert ts.fingerprints([a, a])[0] == ts.fingerprints([a, a])[1]
+    q = ts.quality_scores(["", "hello world the of and", None])
+    assert q["n_words"][0] == 0 and q["stopword_ratio"][1] > 0
+    langs = ts.detect_language(["the cat and the hat is it", "", None,
+                                "der hund und die katze ist", "地址包含字元" * 5])
+    assert list(langs) == ["en", "und", "und", "de", "zh"]
