@@ -91,8 +91,15 @@ ENABLE_MAXSCORE = True
 
 
 def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
-                    cache: Optional[_ReaderCache] = None) -> dict:
-    """Leaf search over one split -> partial result dict."""
+                    cache: Optional[_ReaderCache] = None,
+                    theta0: Optional[float] = None) -> dict:
+    """Leaf search over one split -> partial result dict.
+
+    ``theta0`` is the cross-split kth-score threshold hint (leaf.rs
+    CanSplitDoBetter sharing): the pruned scoring paths start from it
+    instead of -inf, so later splits skip scoring docs that provably
+    cannot enter the global top-k. The match mask (num_hits) stays exact;
+    only sub-threshold scoring work is skipped."""
     from quickwit_ray.functions.tokenizers import tokenize
     from quickwit_ray.search.ast import FullTextQuery
 
@@ -121,7 +128,8 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
                 if len(ts) == 1:
                     single = (node.field, ts[0])
         if single is not None:
-            res = searcher.term_topk_blockmax(single[0], single[1], k_hint)
+            res = searcher.term_topk_blockmax(single[0], single[1], k_hint,
+                                              theta0=theta0)
             if res is not None:
                 docs, scores_sub, df = res
                 if len(docs) > 4 * k_hint + 64:
@@ -157,7 +165,8 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
         if fm is not None and fm.type == "text":
             terms = tokenize(node.text, fm.tokenizer)
             if len(terms) > 1:
-                pruned = searcher.eval_or_topk_pruned(node.field, terms, k_hint)
+                pruned = searcher.eval_or_topk_pruned(node.field, terms, k_hint,
+                                                      theta0=theta0)
     if pruned is not None:
         mask, scores = pruned
     else:
@@ -234,12 +243,14 @@ class _SearchActorPool:
                     {"index_id": "x", "doc_mapping": mapping_json}).doc_mapping
                 self.cache = _ReaderCache(64)
 
-            def leaf(self, split_dir: str, request_blob: bytes) -> bytes:
+            def leaf(self, split_dir: str, request_blob: bytes,
+                     theta0: Optional[float] = None) -> bytes:
                 import pickle
 
                 request = pickle.loads(request_blob)
                 return pickle.dumps(leaf_search_one(split_dir, self.mapping,
-                                                    request, self.cache))
+                                                    request, self.cache,
+                                                    theta0=theta0))
 
         self.actors = [_SearchActor.remote(mapping_json) for _ in range(size)]
 
@@ -249,13 +260,14 @@ class _SearchActorPool:
         h = int(hashlib.md5(os.path.basename(split_dir).encode()).hexdigest()[:8], 16)
         return h % len(self.actors)
 
-    def search(self, split_dirs: list[str], request: SearchRequest) -> list[dict]:
+    def search(self, split_dirs: list[str], request: SearchRequest,
+               theta0: Optional[float] = None) -> list[dict]:
         import pickle
 
         import ray
 
         blob = pickle.dumps(request)
-        futs = [(d, self.actors[self._route(d)].leaf.remote(d, blob))
+        futs = [(d, self.actors[self._route(d)].leaf.remote(d, blob, theta0))
                 for d in split_dirs]
         out = []
         for d, f in futs:
@@ -271,6 +283,16 @@ class _SearchActorPool:
         for a in self.actors:
             ray.kill(a, no_restart=True)
         self.actors = []
+
+
+def _score_theta_mode(request: SearchRequest) -> bool:
+    """Queries eligible for cross-split kth-SCORE sharing: single-key
+    descending _score sort with a top-k and no cursor (the pruned leaf
+    paths apply their own stricter guards)."""
+    return (request.max_hits > 0 and request.search_after is None
+            and len(request.sort_fields) == 1
+            and request.sort_fields[0].field == "_score"
+            and request.sort_fields[0].order == "desc")
 
 
 def merge_partial_hits(partials: list[dict], request: SearchRequest,
@@ -447,6 +469,7 @@ class IndexSearcher:
             return self._execute_ray(split_dirs, request, bounds, ts_sort_dir)
         k = request.start_offset + request.max_hits
         desc = ts_sort_dir == "desc"
+        score_mode = _score_theta_mode(request)
         out: list[dict] = []
         skipped = 0
         for i, d in enumerate(split_dirs):
@@ -457,8 +480,13 @@ class IndexSearcher:
                     # after this one is provably no better either
                     skipped = len(split_dirs) - i
                     break
+            # cross-split kth-score sharing: later splits start their
+            # pruned scoring at the running global kth score
+            theta0 = (self._kth_threshold(out, k, True)
+                      if score_mode else None)
             try:
-                out.append(leaf_search_one(d, self.mapping, request))
+                out.append(leaf_search_one(d, self.mapping, request,
+                                           theta0=theta0))
             except Exception as exc:  # noqa: BLE001 — report, don't fail the query
                 out.append({"failed": os.path.basename(d), "error": str(exc)})
         return out, skipped
@@ -474,11 +502,12 @@ class IndexSearcher:
                        int(ray.cluster_resources().get("CPU", 8))))
             self._actor_pool = _SearchActorPool(
                 self.config.to_json()["doc_mapping"], conc)
-        if bounds is None:
+        score_mode = _score_theta_mode(request)
+        if bounds is None and not score_mode:
             return self._actor_pool.search(split_dirs, request), 0
-        # time-sorted: dispatch in WAVES of pool width; between waves use
-        # the collected kth threshold to prune the remaining (ordered)
-        # splits by their time ranges before they are ever dispatched
+        # dispatch in WAVES of pool width; between waves share the running
+        # kth threshold — as a split-skip bound for time-sorted queries,
+        # and as a scoring theta hint for scored queries
         k = request.start_offset + request.max_hits
         desc = ts_sort_dir == "desc"
         wave = max(len(self._actor_pool.actors), 1)
@@ -486,12 +515,15 @@ class IndexSearcher:
         skipped = 0
         i = 0
         while i < len(split_dirs):
-            theta = self._kth_threshold(out, k, desc)
-            if not self._split_can_do_better(bounds[i], theta, desc):
-                skipped = len(split_dirs) - i
-                break
+            if bounds is not None:
+                theta = self._kth_threshold(out, k, desc)
+                if not self._split_can_do_better(bounds[i], theta, desc):
+                    skipped = len(split_dirs) - i
+                    break
+            theta0 = (self._kth_threshold(out, k, True)
+                      if score_mode else None)
             batch = split_dirs[i: i + wave]
-            out.extend(self._actor_pool.search(batch, request))
+            out.extend(self._actor_pool.search(batch, request, theta0=theta0))
             i += len(batch)
         return out, skipped
 

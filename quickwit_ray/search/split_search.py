@@ -484,7 +484,8 @@ class SplitSearcher:
     # per-posting scoring while the match mask stays exact)
     # ------------------------------------------------------------------
 
-    def eval_or_topk_pruned(self, field: str, terms: list[str], k: int):
+    def eval_or_topk_pruned(self, field: str, terms: list[str], k: int,
+                            theta0: Optional[float] = None):
         """Exact top-k for a pure disjunction of terms, scored with BM25.
 
         Returns (mask, scores) like eval(), with the guarantee that the
@@ -516,7 +517,8 @@ class SplitSearcher:
         postings = self.reader.read_postings(rows)
         norms = self.reader.fieldnorm_ids(field)
         rem_after = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
-        theta = -np.inf
+        # cross-split sharing: start at the global kth hint instead of -inf
+        theta = -np.inf if theta0 is None else float(theta0)
         eps = 1e-6
         for i, r in enumerate(rows):
             p = postings[int(r)]
@@ -542,10 +544,12 @@ class SplitSearcher:
             if k > 0:
                 matched = scores[mask]
                 if len(matched) >= k:
-                    theta = float(np.partition(matched, len(matched) - k)[len(matched) - k])
+                    theta = max(theta, float(
+                        np.partition(matched, len(matched) - k)[len(matched) - k]))
         return mask, scores
 
-    def term_topk_blockmax(self, field: str, term: str, k: int):
+    def term_topk_blockmax(self, field: str, term: str, k: int,
+                           theta0: Optional[float] = None):
         """Block-Max top-k for a SINGLE scored term: per-block score upper
         bounds from the stored block_max_tf prune whole 128-doc blocks —
         only blocks whose bound clears the running kth-best score are
@@ -606,6 +610,8 @@ class SplitSearcher:
             theta = float(np.partition(scores1, len(scores1) - k)[len(scores1) - k])
         else:
             theta = -np.inf
+        if theta0 is not None:
+            theta = max(theta, float(theta0))
         # round 2: every remaining block whose bound clears the threshold
         rest = order[n1:]
         rest = rest[ub[rest] >= theta]
