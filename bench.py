@@ -32,12 +32,38 @@ PAGES_DOCS = 360_000
 PAGES_FILES = 256
 
 
+def _quiet_ray_data_logs() -> None:
+    """Silence two cosmetic Ray Data warnings (schema-hash dedup on
+    pandas-backed blocks + RefBundle schema-change notices) in the driver
+    AND every worker (worker_process_setup_hook). ray.data's import-time
+    logging config would override a plain setLevel, so import it FIRST and
+    attach filters (dictConfig preserves logger-attached filters)."""
+    import logging
+
+    import ray.data  # noqa: F401 — force its logging config first
+
+    class _Drop(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (msg.startswith("Failed to hash the schemas")
+                        or "RefBundle with a different schema" in msg)
+
+    for name in ("ray.data._internal.arrow_ops.transform_pyarrow",
+                 "ray.data._internal.execution.streaming_executor_state"):
+        lg = logging.getLogger(name)
+        lg.setLevel(logging.ERROR)
+        lg.addFilter(_Drop())
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"worker_process_setup_hook": _quiet_ray_data_logs})
     from ray.data import DataContext
+
+    _quiet_ray_data_logs()
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
