@@ -216,6 +216,9 @@ class SplitReader:
         self._fastfields: Optional[pa.Table] = None
         self._postings_cache: dict[int, dict] = {}
         self._rg_cache: dict = {}
+        from collections import OrderedDict as _OD
+
+        self._raw_cache: "_OD[int, dict]" = _OD()
         self._pos_pf: Optional[pq.ParquetFile] = None
         self._legacy_positions = "positions" in self._pf.schema_arrow.names
 
@@ -350,19 +353,32 @@ class SplitReader:
 
     def read_postings_raw(self, row: int) -> dict:
         """Raw (undecoded) posting buffers for one dictionary row — the
-        block-max path decodes only the blocks it needs."""
-        rg = int(row) // TERMS_PER_ROW_GROUP
+        block-max / block-skip paths decode only the blocks they need.
+        Cached per row: ``.as_py()`` copies the binary cell out of the
+        Arrow column (several MB for a stopword), which dominated repeated
+        hot-term queries before this LRU."""
+        row = int(row)
+        ent = self._raw_cache.get(row)
+        if ent is not None:
+            self._raw_cache.move_to_end(row)
+            return ent
+        rg = row // TERMS_PER_ROW_GROUP
         tbl = self._row_group(rg)
         if "block_lens" not in tbl.column_names:
-            return {"block_lens": np.empty(0, np.int32)}
-        i = int(row) - rg * TERMS_PER_ROW_GROUP
-        return {
-            "doc_deltas": np.frombuffer(tbl["doc_ids"][i].as_py() or b"", np.int32),
-            "tfs": np.frombuffer(tbl["tfs"][i].as_py() or b"", np.uint32),
-            "block_last": np.frombuffer(tbl["block_last"][i].as_py() or b"", np.int32),
-            "block_max_tf": np.frombuffer(tbl["block_max_tf"][i].as_py() or b"", np.int32),
-            "block_lens": np.frombuffer(tbl["block_lens"][i].as_py() or b"", np.int32),
-        }
+            ent = {"block_lens": np.empty(0, np.int32)}
+        else:
+            i = row - rg * TERMS_PER_ROW_GROUP
+            ent = {
+                "doc_deltas": np.frombuffer(tbl["doc_ids"][i].as_py() or b"", np.int32),
+                "tfs": np.frombuffer(tbl["tfs"][i].as_py() or b"", np.uint32),
+                "block_last": np.frombuffer(tbl["block_last"][i].as_py() or b"", np.int32),
+                "block_max_tf": np.frombuffer(tbl["block_max_tf"][i].as_py() or b"", np.int32),
+                "block_lens": np.frombuffer(tbl["block_lens"][i].as_py() or b"", np.int32),
+            }
+        self._raw_cache[row] = ent
+        if len(self._raw_cache) > 512:
+            self._raw_cache.popitem(last=False)
+        return ent
 
     def read_postings_selected(self, row: int, cand_docs: np.ndarray
                                ) -> tuple[np.ndarray, np.ndarray]:
