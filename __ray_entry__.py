@@ -237,6 +237,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"event_id": pd.Series(ids, dtype="int64")})
     q["search_json_path"] = search_json_path
 
+    def search_json_exists(sf):
+        """Per-path field presence inside the json column (`props.k:*`),
+        with a negated missing-path clause to pin both polarities."""
+        s = _searcher(sf, "events")
+        resp = s.search("+props.k:* -props.missing:*", max_hits=1_000_000,
+                        fetch_fields=["event_id"])
+        ids = sorted(int(x) for x in (resp.hits["event_id"]
+                                      if len(resp.hits) else []))
+        return pd.DataFrame({"event_id": pd.Series(ids, dtype="int64")})
+    q["search_json_exists"] = search_json_exists
+
     def agg_filtered_terms(sf):
         s = _searcher(sf, "documents")
         resp = s.search("text:scan", max_hits=0, aggs={
@@ -807,6 +818,9 @@ def oracle_sql() -> dict[str, str]:
         "agg_terms_lang": "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count FROM documents GROUP BY lang",
         "search_json_path": ("SELECT event_id FROM events "
                              "WHERE json_extract(props, '$.k') = '69' ORDER BY event_id"),
+        "search_json_exists": ("SELECT event_id FROM events "
+                               "WHERE json_extract(props, '$.k') IS NOT NULL "
+                               "ORDER BY event_id"),
         "agg_filtered_terms": (f"SELECT lang, CAST(count(*) AS BIGINT) AS doc_count "
                                f"FROM documents WHERE {has_token('scan')} GROUP BY lang"),
         "agg_stats_nchars": ("SELECT CAST(count(*) AS BIGINT) AS cnt, "

@@ -398,6 +398,23 @@ class SplitSearcher:
         return mask, scores
 
     def _eval_ExistsQuery(self, node: ExistsQuery, scoring: bool):
+        jf = self.mapping.resolve_json_path(node.field)
+        if jf is not None:
+            # per-path presence inside a json field (the reference's
+            # field-presence hashes, doc_mapper): docs holding any term
+            # under `path<SEP>` or any nested `path.sub<SEP>`
+            from quickwit_ray.index.writer import JSON_PATH_SEP
+
+            rows = np.concatenate([
+                self.reader.term_range_rows(jf[0].name, None, None,
+                                            prefix=jf[1] + JSON_PATH_SEP),
+                self.reader.term_range_rows(jf[0].name, None, None,
+                                            prefix=jf[1] + "."),
+            ])
+            mask, _ = self._term_postings_score(jf[0].name, rows, False)
+            scores = (np.where(mask, np.float32(1.0), np.float32(0.0))
+                      .astype(np.float32) if scoring else None)
+            return mask, scores
         mask = self.reader.fast_field_valid(node.field)
         if mask is None:
             # text field presence = a non-empty token stream: fieldnorm > 0

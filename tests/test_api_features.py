@@ -270,3 +270,48 @@ def test_json_field_type(tmp_path):
     assert s.search("props.nested.deep:value", max_hits=0).num_hits == 1
     assert s.search("props.flag:true", max_hits=0).num_hits == 1
     assert s.search("props.k:9999", max_hits=0).num_hits == 0
+
+
+def test_json_path_exists(tmp_path):
+    """Per-path presence inside a json field (field-presence analog):
+    `props.k:*` matches docs whose json carries that key, incl. nested."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.config import DocMapping, FieldMapping, IndexConfig
+    from quickwit_ray.index.build import build_index
+    from quickwit_ray.search.engine import IndexSearcher
+
+    rows = [
+        {"doc_id": 0, "props": json.dumps({"k": 1, "tag": "x"})},
+        {"doc_id": 1, "props": json.dumps({"other": 5})},
+        {"doc_id": 2, "props": json.dumps({"k": {"nested": "deep"}})},
+        {"doc_id": 3, "props": None},
+        {"doc_id": 4, "props": json.dumps({"kk": 9})},  # prefix must NOT match
+    ]
+    tbl = pa.table({"doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                    "props": pa.array([r["props"] for r in rows], pa.string())})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="props", type="json", record="freq"),
+            FieldMapping(name="doc_id", type="i64", stored=True)),
+        doc_id_field="doc_id", default_search_fields=())
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("jx", mapping), execution="local")
+    s = IndexSearcher(d)
+
+    def ids(q):
+        r = s.search(q, max_hits=100, fetch_fields=["doc_id"])
+        if not len(r.hits):
+            return []
+        return sorted(int(x) for x in r.hits["doc_id"])
+
+    assert ids("props.k:*") == [0, 2]          # direct + nested object
+    assert ids("props.other:*") == [1]
+    assert ids("props.k.nested:*") == [2]
+    assert ids("props.missing:*") == []
+    assert ids("props.kk:*") == [4]            # and k did not leak into kk
