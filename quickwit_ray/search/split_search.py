@@ -328,26 +328,45 @@ class SplitSearcher:
     def _sloppy_phrase(self, doc, adj, tix, nterms, slop):
         """Ordered near-match: for each occurrence of term 0 at adjusted
         position p, every term i must appear with adjusted position within
-        [p - slop, p + slop]."""
+        [p - slop, p + slop].
+
+        Vectorized (round 2): occurrences are encoded as
+        ``doc << 32 | (adj + nterms)`` keys, sorted per term; every base
+        occurrence checks each other term with ONE searchsorted over that
+        term's key array — no per-candidate-doc Python loop (the old
+        pathological case: a sloppy phrase of two stopwords)."""
         order = np.lexsort((adj, tix, doc))
         doc, adj, tix = doc[order], adj[order], tix[order]
-        out_docs, out_tfs = [], []
-        # iterate candidate docs (those containing all terms)
-        uniq_docs = np.unique(doc)
-        for d in uniq_docs:
-            sel = doc == d
-            td, ad = tix[sel], adj[sel]
-            if len(np.unique(td)) < nterms:
-                continue
-            base = ad[td == 0]
-            tf = 0
-            for p in base:
-                if all(np.any(np.abs(ad[td == i] - p) <= slop) for i in range(1, nterms)):
-                    tf += 1
-            if tf:
-                out_docs.append(d)
-                out_tfs.append(tf)
-        return np.asarray(out_docs, np.int64), np.asarray(out_tfs, np.int64)
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        # candidate docs: those containing ALL terms
+        pair = doc.astype(np.int64) * nterms + tix
+        d_of = np.unique(pair) // nterms
+        dd, cnt = np.unique(d_of, return_counts=True)
+        cand = dd[cnt == nterms]
+        if len(cand) == 0:
+            return empty
+        keep = np.isin(doc, cand)
+        doc64 = doc[keep].astype(np.int64)
+        adj64 = adj[keep].astype(np.int64)
+        tixk = tix[keep]
+        off = adj64 + nterms  # adjusted positions are >= -(nterms-1)
+        enc = (doc64 << np.int64(32)) | off
+        base_sel = tixk == 0
+        base_doc = doc64[base_sel]
+        if len(base_doc) == 0:
+            return empty
+        base_off = off[base_sel]
+        lo_keys = (base_doc << np.int64(32)) | np.maximum(base_off - slop, 0)
+        hi_keys = (base_doc << np.int64(32)) | (base_off + slop)
+        ok = np.ones(len(base_doc), bool)
+        for i in range(1, nterms):
+            ti = enc[tixk == i]  # sorted: stream ordered by (doc, tix, adj)
+            pos = np.searchsorted(ti, lo_keys, side="left")
+            ok &= (pos < len(ti)) & (ti[np.minimum(pos, len(ti) - 1)] <= hi_keys)
+            if not ok.any():
+                return empty
+        md, mt = np.unique(base_doc[ok], return_counts=True)
+        return md.astype(np.int64), mt.astype(np.int64)
 
     def _eval_PhrasePrefixQuery(self, node: PhrasePrefixQuery, scoring: bool):
         fm = self.mapping.resolve_field(node.field)

@@ -472,3 +472,58 @@ def test_object_field_struct_flattening(tmp_path):
     assert s.search("meta.rev:r2", max_hits=0).num_hits == 1
     r = s.search("meta.author:turing", max_hits=1, fetch_fields=["doc_id"])
     assert int(r.hits["doc_id"].iloc[0]) == 1
+
+
+def test_sloppy_phrase_vectorized_equals_reference_loop(tmp_path):
+    """The vectorized sloppy-phrase must equal the per-doc reference
+    definition on random position data, including stopword-dense docs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.search.engine import IndexSearcher
+
+    rng = np.random.default_rng(11)
+    vocab = ["the", "quick", "fox", "runs", "far", "pad"]
+    texts = []
+    for _ in range(300):
+        n = rng.integers(3, 40)
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "body": texts})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", record="position",
+                         fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", stored=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("slop", mapping), execution="local")
+    s = IndexSearcher(d)
+
+    def ref_matches(terms, slop):
+        out = {}
+        for did, t in enumerate(texts):
+            words = t.split()
+            pos = {w: [i for i, x in enumerate(words) if x == w] for w in set(terms)}
+            if any(not pos.get(w) for w in terms):
+                continue
+            tf = 0
+            for p in pos[terms[0]]:
+                if all(any(abs((q - i) - p) <= slop for q in pos[terms[i]])
+                       for i in range(1, len(terms))):
+                    tf += 1
+            if tf:
+                out[did] = tf
+        return out
+
+    for terms, slop in [(["the", "quick"], 1), (["the", "fox"], 2),
+                        (["the", "the"], 1), (["quick", "fox", "runs"], 3)]:
+        q = f'body:"{" ".join(terms)}"~{slop}'
+        r = s.search(q, max_hits=1000, fetch_fields=["doc_id"])
+        want = ref_matches(terms, slop)
+        got = sorted(int(x) for x in r.hits["doc_id"]) if len(r.hits) else []
+        assert got == sorted(want), (terms, slop)
