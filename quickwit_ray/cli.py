@@ -60,6 +60,28 @@ def main(argv=None) -> int:
     lt.add_argument("--prefix", default=None)
     lt.add_argument("--limit", type=int, default=50)
 
+    b = sub.add_parser("bulk", help="push-ingest an ES _bulk NDJSON file "
+                                    "(or any source input format)")
+    b.add_argument("index_dir")
+    b.add_argument("--input", required=True, help="payload file, '-' = stdin")
+    b.add_argument("--format", default="bulk",
+                   choices=["bulk", "json", "ndjson", "plain_text",
+                            "otlp_logs_json", "otlp_traces_json"])
+    b.add_argument("--commit-id", default=None,
+                   help="idempotence key: replays with the same id no-op")
+
+    qi = sub.add_parser("queue-ingest", help="poll a partitioned queue dir "
+                                             "from its committed offsets")
+    qi.add_argument("index_dir")
+    qi.add_argument("--queue-dir", required=True)
+    qi.add_argument("--rounds", type=int, default=1)
+    qi.add_argument("--local", action="store_true")
+
+    st_ = sub.add_parser("stats", help="ES _stats / _cat-style index stats")
+    st_.add_argument("index_dir")
+    st_.add_argument("--format", default="stats", choices=["stats", "cat",
+                                                           "field-caps"])
+
     args = p.parse_args(argv)
     from quickwit_ray.api import Index
 
@@ -99,6 +121,34 @@ def main(argv=None) -> int:
         op = idx.create_delete_task(args.query)
         n = idx.apply_deletes()
         print(f"delete task opstamp {op}; rewrote {n} splits")
+    elif args.cmd == "bulk":
+        idx = Index.open(args.index_dir)
+        payload = (sys.stdin.read() if args.input == "-"
+                   else open(args.input).read())
+        if args.format == "bulk":
+            n = idx.bulk(payload, commit_id=args.commit_id)
+        else:
+            n = idx.ingest_payload(payload, args.format,
+                                   commit_id=args.commit_id)
+        print(json.dumps({"indexed_docs": n}))
+    elif args.cmd == "queue-ingest":
+        from quickwit_ray.sources.queue import ingest_queue
+
+        idx = Index.open(args.index_dir)
+        if not args.local:
+            _ray_up(args.num_cpus)
+        st = ingest_queue(args.queue_dir, args.index_dir, idx.config,
+                          execution="local" if args.local else "ray",
+                          poll_rounds=args.rounds)
+        print(json.dumps({"num_commits": st.num_commits,
+                          "num_splits": st.num_splits,
+                          "num_docs": st.num_docs}))
+    elif args.cmd == "stats":
+        idx = Index.open(args.index_dir)
+        out = (idx.es_cat_indices() if args.format == "cat"
+               else idx.es_field_caps() if args.format == "field-caps"
+               else idx.es_stats())
+        print(json.dumps(out, indent=2))
     elif args.cmd == "list-terms":
         df = Index.open(args.index_dir).list_terms(
             args.field, prefix=args.prefix, limit=args.limit)

@@ -315,3 +315,41 @@ def test_json_path_exists(tmp_path):
     assert ids("props.k.nested:*") == [2]
     assert ids("props.missing:*") == []
     assert ids("props.kk:*") == [4]            # and k did not leak into kk
+
+
+def test_cli_bulk_queue_stats(tmp_path, capsys):
+    import json as _json
+
+    from quickwit_ray.cli import main as cli_main
+    from quickwit_ray.sources.queue import PartitionedQueue
+
+    d = str(tmp_path / "idx")
+    assert cli_main(["create", d, "--index-id", "docs",
+                     "--mapping", "documents"]) == 0
+    payload = "\n".join([
+        '{"index": {}}',
+        _json.dumps({"doc_id": 1, "text": "hello bulk world", "lang": "en",
+                     "source": "s", "n_chars": 16}),
+    ])
+    pf = tmp_path / "bulk.ndjson"
+    pf.write_text(payload)
+    assert cli_main(["bulk", d, "--input", str(pf)]) == 0
+    out = capsys.readouterr().out
+    assert '"indexed_docs": 1' in out
+    # queue-ingest (local)
+    import pyarrow as pa
+
+    q = PartitionedQueue.create(str(tmp_path / "q"), 1)
+    q.append(0, pa.table({"doc_id": pa.array([2], pa.int64()),
+                          "text": ["queued doc body"], "lang": ["en"],
+                          "source": ["s"], "n_chars": pa.array([15], pa.int64())}))
+    assert cli_main(["queue-ingest", d, "--queue-dir", str(tmp_path / "q"),
+                     "--local"]) == 0
+    assert '"num_docs": 1' in capsys.readouterr().out
+    # stats shapes
+    assert cli_main(["stats", d]) == 0
+    assert '"count": 2' in capsys.readouterr().out
+    assert cli_main(["stats", d, "--format", "cat"]) == 0
+    assert '"docs.count": "2"' in capsys.readouterr().out
+    assert cli_main(["search", d, "--query", "text:hello"]) == 0
+    assert '"num_hits": 1' in capsys.readouterr().out
