@@ -651,8 +651,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from quickwit_ray.config import (IndexSettings,
                                          documents_doc_mapping)
 
+        import shutil as _shutil
+
         idx_dir = _index_dir_for(sf, "documents_bulk")
-        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        done_marker = os.path.join(idx_dir, ".bulk_done")
+        if not os.path.exists(done_marker):
+            # a half-finished previous attempt (kill mid-ingest) must not
+            # poison the cache: rebuild from scratch
+            _shutil.rmtree(idx_dir, ignore_errors=True)
             idx = Index.create(idx_dir, "docs_bulk", documents_doc_mapping(),
                                IndexSettings(split_num_docs_target=1_000_000))
             import pyarrow.parquet as _pq
@@ -666,6 +672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     lines.append('{"index": {}}')
                     lines.append(_json.dumps(r))
                 idx.bulk("\n".join(lines), commit_id=f"wave{off}")
+            with open(done_marker, "w") as f:
+                f.write("ok")
         else:
             idx = Index.open(idx_dir)
         resp = idx.search("text:scan", max_hits=1_000_000,

@@ -66,16 +66,19 @@ def detect_language(texts) -> np.ndarray:
     counts, allw, starts = _word_stream(texts, per_row_cap=200)
     if len(allw):
         codes, uniq = pd.factorize(allw)
-        uniq_l = np.asarray([u.lower() for u in uniq], object)
-        # distinct-per-row membership: the heuristic counts DISTINCT matched
-        # stopwords per row (set intersection semantics)
+        # recode to the LOWERCASED vocabulary: the heuristic counts
+        # DISTINCT lowercased stopwords per row (set-intersection
+        # semantics), so 'De' and 'de' must collapse to one hit
+        lower_codes_of_uniq, uniq_l = pd.factorize(
+            np.asarray([u.lower() for u in uniq], object))
+        lcodes = lower_codes_of_uniq[codes]
         lang_counts = np.zeros((n, len(_LANGS)), np.int64)
-        # dedupe (row, code) pairs so set-semantics hold
+        # dedupe (row, lowered-code) pairs so set-semantics hold
         row_of = np.repeat(np.arange(n), counts)
-        pair_key = row_of.astype(np.int64) * (len(uniq) + 1) + codes
+        pair_key = row_of.astype(np.int64) * (len(uniq_l) + 1) + lcodes
         uniq_pairs = np.unique(pair_key)
-        u_rows = uniq_pairs // (len(uniq) + 1)
-        u_codes = uniq_pairs % (len(uniq) + 1)
+        u_rows = uniq_pairs // (len(uniq_l) + 1)
+        u_codes = uniq_pairs % (len(uniq_l) + 1)
         for li, lang in enumerate(_LANGS):
             sw = _STOPWORDS[lang]
             member = np.fromiter((u in sw for u in uniq_l), bool,

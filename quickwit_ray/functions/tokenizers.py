@@ -474,8 +474,17 @@ def register_custom_tokenizers(entries) -> None:
             raise ValueError("tokenizer entry needs a name")
         if name in _BUILTIN_NAMES:
             raise ValueError(f"cannot override built-in tokenizer {name!r}")
-        if _CUSTOM_PARAMS.get(name) == e:
+        prev = _CUSTOM_PARAMS.get(name)
+        if prev == e:
             continue
+        if prev is not None:
+            # the registry is process-global: silently letting a second
+            # index's same-named-but-different entry win would corrupt the
+            # first index's tokenization
+            raise ValueError(
+                f"tokenizer {name!r} already registered with different "
+                f"parameters ({prev!r} vs {e!r}); tokenizer names must be "
+                "unique per process")
         TOKENIZERS[name] = _make_custom(e)
         _CUSTOM_PARAMS[name] = e
 

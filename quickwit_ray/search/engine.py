@@ -260,6 +260,12 @@ class _SearchActorPool:
         h = int(hashlib.md5(os.path.basename(split_dir).encode()).hexdigest()[:8], 16)
         return h % len(self.actors)
 
+    def submit(self, split_dir: str, request_blob: bytes,
+               theta0: Optional[float] = None):
+        """One leaf search future, affinity-routed."""
+        return self.actors[self._route(split_dir)].leaf.remote(
+            split_dir, request_blob, theta0)
+
     def search(self, split_dirs: list[str], request: SearchRequest,
                theta0: Optional[float] = None) -> list[dict]:
         import pickle
@@ -505,26 +511,47 @@ class IndexSearcher:
         score_mode = _score_theta_mode(request)
         if bounds is None and not score_mode:
             return self._actor_pool.search(split_dirs, request), 0
-        # dispatch in WAVES of pool width; between waves share the running
-        # kth threshold — as a split-skip bound for time-sorted queries,
-        # and as a scoring theta hint for scored queries
+        # SLIDING-WINDOW dispatch (no wave barrier): keep up to 2x pool
+        # width in flight; as each leaf completes, refresh the running kth
+        # threshold — a split-skip bound for time-sorted queries, a scoring
+        # theta hint for scored ones — and dispatch the next global split.
+        # Global dispatch order is preserved, so the time-sorted skip keeps
+        # its prefix semantics; affinity routing keeps reader caches warm.
+        import pickle
+
+        import ray
+
         k = request.start_offset + request.max_hits
         desc = ts_sort_dir == "desc"
-        wave = max(len(self._actor_pool.actors), 1)
+        window = 2 * max(len(self._actor_pool.actors), 1)
+        blob = pickle.dumps(request)
         out: list[dict] = []
         skipped = 0
+        pending: dict = {}
         i = 0
-        while i < len(split_dirs):
-            if bounds is not None:
-                theta = self._kth_threshold(out, k, desc)
-                if not self._split_can_do_better(bounds[i], theta, desc):
-                    skipped = len(split_dirs) - i
-                    break
-            theta0 = (self._kth_threshold(out, k, True)
-                      if score_mode else None)
-            batch = split_dirs[i: i + wave]
-            out.extend(self._actor_pool.search(batch, request, theta0=theta0))
-            i += len(batch)
+        while i < len(split_dirs) or pending:
+            while i < len(split_dirs) and len(pending) < window:
+                if bounds is not None:
+                    theta = self._kth_threshold(out, k, desc)
+                    if not self._split_can_do_better(bounds[i], theta, desc):
+                        skipped = len(split_dirs) - i
+                        i = len(split_dirs)
+                        break
+                theta0 = (self._kth_threshold(out, k, True)
+                          if score_mode else None)
+                fut = self._actor_pool.submit(split_dirs[i], blob, theta0)
+                pending[fut] = split_dirs[i]
+                i += 1
+            if not pending:
+                break
+            done, _ = ray.wait(list(pending), num_returns=1)
+            for f in done:
+                d = pending.pop(f)
+                try:
+                    out.append(pickle.loads(ray.get(f)))
+                except Exception as exc:  # noqa: BLE001
+                    out.append({"failed": os.path.basename(d),
+                                "error": str(exc)})
         return out, skipped
 
     # ------------------------------------------------------------------

@@ -39,6 +39,7 @@ def parse_ttl(ttl: Any) -> float:
 @dataclass
 class _ScrollState:
     expire_at: float
+    ttl_sec: float
     search_kwargs: dict[str, Any]
     cursor: Optional[tuple]
     served: int = 0
@@ -77,6 +78,7 @@ class ScrollManager:
         sid = uuid.uuid4().hex
         st = _ScrollState(
             expire_at=time.time() + ttl,
+            ttl_sec=ttl,
             search_kwargs={"query": query, **search_kwargs},
             cursor=resp.scroll_cursor,
             served=len(resp.hits),
@@ -92,9 +94,12 @@ class ScrollManager:
         st = self._ctx.get(scroll_id)
         if st is None:
             raise KeyError(f"scroll context {scroll_id!r} expired or unknown")
-        ttl = parse_ttl(scroll) if scroll is not None else None
-        st.expire_at = time.time() + (ttl if ttl is not None
-                                      else DEFAULT_TTL_SEC)
+        # renew with the given TTL, else the TTL the context was CREATED
+        # with (ES clients commonly omit scroll on continuation calls; the
+        # reference keeps the context's own TTL, not a global default)
+        if scroll is not None:
+            st.ttl_sec = parse_ttl(scroll)
+        st.expire_at = time.time() + st.ttl_sec
         if st.exhausted or st.cursor is None:
             from quickwit_ray.search.engine import SearchResponse, _empty_hits
 

@@ -232,6 +232,13 @@ def _docs_to_table(docs: list[dict[str, Any]], mapping) -> pa.Table:
     if mapping.mode != "dynamic":
         mapped = {f.name for f in mapping.field_mappings}
         mapped.add(mapping.doc_id_field)
+        # `_id` is bulk-action metadata, never a schema violation
+        unknown = [k for k in keys
+                   if k not in mapped and "." not in k and k != "_id"]
+        if unknown and mapping.mode == "strict":
+            raise ValueError(
+                f"strict doc mapping: unknown fields {sorted(unknown)[:5]} "
+                "(use mode=lenient to drop them, dynamic to index them)")
         keys = [k for k in keys if k in mapped or "." in k]
     cols = {}
     json_fields = {f.name for f in mapping.field_mappings if f.type == "json"}

@@ -120,23 +120,22 @@ class Manifest:
         if os.path.exists(self.log_path):
             with open(self.log_path, "rb") as f:
                 raw = f.read()
-            good = 0  # byte offset past the last fully-applied line
             for chunk in raw.split(b"\n"):
                 if not chunk.strip():
-                    good += len(chunk) + 1
                     continue
                 try:
                     op = json.loads(chunk)
                 except json.JSONDecodeError:
-                    break  # torn trailing line from a crash mid-append
+                    # torn fragment from a writer that died mid-append (its
+                    # op was never acknowledged) — or a writer's append IN
+                    # FLIGHT while we read. NEVER truncate here: a reader
+                    # racing the single writer must not destroy the line the
+                    # writer is about to complete. The writer path starts
+                    # every append on a fresh line (see _append), so a
+                    # skipped fragment stays isolated and unacknowledged.
+                    continue
                 self._apply(op)
                 self._log_entries += 1
-                good += len(chunk) + 1
-            if good < len(raw):
-                # truncate the torn tail so the next append starts a clean
-                # line (appending after a torn fragment would corrupt BOTH)
-                with open(self.log_path, "rb+") as f:
-                    f.truncate(min(good, len(raw)))
 
     def _apply(self, op: dict[str, Any]) -> None:
         """Fold one log entry into the in-memory state (replay-idempotent)."""
@@ -169,8 +168,16 @@ class Manifest:
 
     def _append(self, op: dict[str, Any]) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
-        with open(self.log_path, "a") as f:
-            f.write(json.dumps(op, separators=(",", ":")) + "\n")
+        with open(self.log_path, "ab") as f:
+            # start on a fresh line even after a predecessor's torn tail
+            # (writer-side repair; readers never mutate the log)
+            if f.tell() > 0:
+                with open(self.log_path, "rb") as rf:
+                    rf.seek(-1, os.SEEK_END)
+                    last = rf.read(1)
+                if last != b"\n":
+                    f.write(b"\n")
+            f.write(json.dumps(op, separators=(",", ":")).encode() + b"\n")
             f.flush()
             os.fsync(f.fileno())
         self._log_entries += 1

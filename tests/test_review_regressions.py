@@ -249,3 +249,100 @@ def test_comparison_shorthand_ranges(docs_idx):
     expected = int((t["n_chars"] >= 500).sum())
     r = s.search("text:scan AND n_chars:>=500", max_hits=0)
     assert 0 < r.num_hits <= expected
+
+
+def test_strict_bulk_rejects_unknown_fields(tmp_path):
+    """Round-2 review: strict doc mappings must reject docs with unknown
+    keys (quickwit strict-mode semantics), not drop them silently."""
+    from quickwit_ray.api import Index
+    from quickwit_ray.config import DocMapping as DM, FieldMapping as FM
+
+    mapping = DM(field_mappings=(
+        FM(name="body", type="text", record="freq"),
+        FM(name="doc_id", type="i64", stored=True)),
+        mode="strict", doc_id_field="doc_id", default_search_fields=("body",))
+    idx = Index.create(str(tmp_path / "i"), "x", mapping)
+    with pytest.raises(ValueError, match="unknown fields"):
+        idx.ingest_docs([{"doc_id": 1, "body": "ok", "doc_idd": 2}])
+    # _id bulk metadata is exempt; lenient mode drops unknowns
+    assert idx.ingest_docs([{"doc_id": 1, "body": "ok", "_id": "a"}]) == 1
+    mapping_l = DM(field_mappings=mapping.field_mappings, mode="lenient",
+                   doc_id_field="doc_id", default_search_fields=("body",))
+    idx2 = Index.create(str(tmp_path / "i2"), "x2", mapping_l)
+    assert idx2.ingest_docs([{"doc_id": 1, "body": "ok", "junk": 2}]) == 1
+
+
+def test_scroll_renewal_uses_context_ttl():
+    """Round-2 review: es_scroll without a scroll param must renew with
+    the context's OWN TTL, not the 60 s global default."""
+    import time as _t
+
+    from quickwit_ray.search.scroll import ScrollManager
+
+    class _FakeSearcher:
+        def search(self, query=None, **kw):
+            from quickwit_ray.search.engine import SearchResponse, _empty_hits
+
+            h = _empty_hits()
+            return SearchResponse(num_hits=0, hits=h)
+
+    mgr = ScrollManager(_FakeSearcher())
+    _, sid = mgr.start(None, scroll="200ms", max_hits=1)
+    _t.sleep(0.12)
+    mgr.next(sid)          # no scroll param -> renew by 200ms, NOT 60s
+    _t.sleep(0.12)
+    mgr.next(sid)          # still alive thanks to renewal
+    _t.sleep(0.3)
+    with pytest.raises(KeyError):
+        mgr.next(sid)      # 200ms TTL elapsed -> expired
+
+
+def test_custom_tokenizer_conflict_raises():
+    from quickwit_ray.functions.tokenizers import register_custom_tokenizers
+
+    register_custom_tokenizers([{"name": "t_conflict", "type": "ngram",
+                                 "min_gram": 2, "max_gram": 2}])
+    with pytest.raises(ValueError, match="different parameters"):
+        register_custom_tokenizers([{"name": "t_conflict", "type": "ngram",
+                                     "min_gram": 3, "max_gram": 3}])
+
+
+def test_detect_language_case_insensitive_dedup():
+    """Round-2 review: 'De' and 'de' are ONE stopword hit (lowercased set
+    semantics), so case variants cannot inflate a language's count."""
+    from quickwit_ray.functions.textstats import detect_language
+
+    # de has 2 distinct stopwords (der, und); es would reach 3 only if the
+    # case variants of 'de' counted separately
+    text = "de De dE el der und est les the"
+    assert detect_language([text])[0] != "es"
+
+
+def test_manifest_reader_never_truncates_writer_log(tmp_path):
+    """Round-2 review: a READER racing the writer's in-flight append must
+    not destroy the line (no truncation on load); the writer starts its
+    next append on a fresh line instead."""
+    import os
+
+    from quickwit_ray.state.manifest import Manifest, SplitMetadata
+
+    d = str(tmp_path / "idx")
+    w = Manifest(d)
+    w.create({"index_id": "x"})
+    w.publish([SplitMetadata("s1", "x", 10, 100)], checkpoint_partition="p1")
+    log = os.path.join(d, "manifest.log")
+    size_before = os.path.getsize(log)
+    # simulate the writer's half-written line...
+    with open(log, "a") as f:
+        f.write('{"op":"publish","splits":[{"split_id":"inflight"')
+    # ...while a reader loads concurrently
+    r = Manifest(d)
+    assert sorted(s.split_id for s in r.published_splits()) == ["s1"]
+    assert os.path.getsize(log) > size_before  # reader did NOT truncate
+    # the WRITER completes its line; a fresh load sees it
+    with open(log, "a") as f:
+        f.write(',"index_id":"x","num_docs":5,'
+                '"uncompressed_docs_size_in_bytes":1}],'
+                '"replaced":[],"checkpoints":{"p2":{"committed_at":1}}}\n')
+    r2 = Manifest(d)
+    assert sorted(s.split_id for s in r2.published_splits()) == ["inflight", "s1"]
