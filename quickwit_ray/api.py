@@ -25,8 +25,12 @@ class Index:
 
     @staticmethod
     def create(index_dir: str, index_id: str, doc_mapping: DocMapping,
-               settings: Optional[IndexSettings] = None) -> "Index":
-        manifest = Manifest(index_dir)
+               settings: Optional[IndexSettings] = None,
+               metastore: str = "file") -> "Index":
+        """``metastore="sqlite"`` stores the manifest in an ACID sqlite DB
+        (the reference's SQL/postgres metastore option) instead of the
+        append-log file; both speak the same Manifest API."""
+        manifest = Manifest(index_dir, backend=metastore)
         if manifest.index_config_json is not None:
             raise FileExistsError(f"index already exists at {index_dir}")
         config = IndexConfig(index_id=index_id, doc_mapping=doc_mapping,

@@ -90,10 +90,11 @@ class Manifest:
     (crash mid-append) is ignored; replaying ops already folded into the
     snapshot is idempotent."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, backend: Optional[str] = None):
         self.index_dir = index_dir
         self.path = os.path.join(index_dir, "manifest.json")
         self.log_path = os.path.join(index_dir, "manifest.log")
+        self.db_path = os.path.join(index_dir, "metastore.db")
         self.index_config_json: Optional[dict[str, Any]] = None
         self.splits: dict[str, SplitMetadata] = {}
         # committed source partitions: partition_id -> {"committed_at": ts}
@@ -103,7 +104,16 @@ class Manifest:
         # [{"opstamp": int, "query": str}]
         self.delete_tasks: list[dict[str, Any]] = []
         self._log_entries = 0
-        if os.path.exists(self.path) or os.path.exists(self.log_path):
+        self._conn = None
+        # backend auto-detection: a metastore.db marks the SQL backend (the
+        # postgres-metastore analog, quickwit-metastore/src/metastore/
+        # postgres — real ACID transactions instead of the append-log)
+        self._backend = backend or ("sqlite" if os.path.exists(self.db_path)
+                                    else "file")
+        if self._backend == "sqlite":
+            if os.path.exists(self.db_path):
+                self._load_sql()
+        elif os.path.exists(self.path) or os.path.exists(self.log_path):
             self._load()
 
     # -- persistence --------------------------------------------------------
@@ -166,7 +176,84 @@ class Manifest:
         else:  # pragma: no cover — forward compat
             raise ValueError(f"unknown manifest op {kind!r}")
 
+    # -- SQL backend driver (sqlite standing in for the reference's
+    # postgres metastore; same transactional semantics: one op = one
+    # ACID transaction, state survives without snapshot/compaction) ------
+
+    _DDL = """
+    CREATE TABLE IF NOT EXISTS meta (key TEXT PRIMARY KEY, value TEXT);
+    CREATE TABLE IF NOT EXISTS splits (split_id TEXT PRIMARY KEY, json TEXT);
+    CREATE TABLE IF NOT EXISTS checkpoints (partition TEXT PRIMARY KEY, json TEXT);
+    CREATE TABLE IF NOT EXISTS delete_tasks (opstamp INTEGER PRIMARY KEY, query TEXT);
+    """
+
+    def _sql(self):
+        import sqlite3
+
+        if self._conn is None:
+            os.makedirs(self.index_dir, exist_ok=True)
+            self._conn = sqlite3.connect(self.db_path)
+            self._conn.execute("PRAGMA journal_mode=WAL")
+            self._conn.executescript(self._DDL)
+        return self._conn
+
+    def _load_sql(self) -> None:
+        con = self._sql()
+        for (v,) in con.execute("SELECT value FROM meta WHERE key='index_config'"):
+            self.index_config_json = json.loads(v)
+        for (j,) in con.execute("SELECT json FROM splits"):
+            sm = SplitMetadata.from_json(json.loads(j))
+            self.splits[sm.split_id] = sm
+        for p, j in con.execute("SELECT partition, json FROM checkpoints"):
+            self.checkpoints[p] = json.loads(j)
+        for o, q in con.execute(
+                "SELECT opstamp, query FROM delete_tasks ORDER BY opstamp"):
+            self.delete_tasks.append({"opstamp": int(o), "query": q})
+
+    def _apply_sql(self, op: dict[str, Any]) -> None:
+        """One op = one ACID transaction. Split rows are re-serialized from
+        the in-memory state (already updated by _apply), so state-changing
+        ops like replacement marking stay consistent."""
+        con = self._sql()
+        kind = op["op"]
+        with con:
+            if kind == "create":
+                con.execute("INSERT OR REPLACE INTO meta VALUES ('index_config', ?)",
+                            (json.dumps(op["index_config"]),))
+            elif kind == "publish":
+                for sj in op.get("splits", ()):
+                    sid = sj["split_id"]
+                    con.execute("INSERT OR REPLACE INTO splits VALUES (?, ?)",
+                                (sid, json.dumps(self.splits[sid].to_json())))
+                for sid in op.get("replaced", ()):
+                    if sid in self.splits:
+                        con.execute(
+                            "INSERT OR REPLACE INTO splits VALUES (?, ?)",
+                            (sid, json.dumps(self.splits[sid].to_json())))
+                for pid in op.get("checkpoints", {}):
+                    con.execute(
+                        "INSERT OR REPLACE INTO checkpoints VALUES (?, ?)",
+                        (pid, json.dumps(self.checkpoints[pid])))
+            elif kind == "mark_for_deletion":
+                for sid in op["split_ids"]:
+                    if sid in self.splits:
+                        con.execute(
+                            "INSERT OR REPLACE INTO splits VALUES (?, ?)",
+                            (sid, json.dumps(self.splits[sid].to_json())))
+            elif kind == "delete_splits":
+                con.executemany("DELETE FROM splits WHERE split_id = ?",
+                                [(sid,) for sid in op["split_ids"]])
+            elif kind == "delete_task":
+                con.execute(
+                    "INSERT OR IGNORE INTO delete_tasks VALUES (?, ?)",
+                    (op["opstamp"], op["query"]))
+            else:  # pragma: no cover
+                raise ValueError(f"unknown manifest op {kind!r}")
+
     def _append(self, op: dict[str, Any]) -> None:
+        if self._backend == "sqlite":
+            self._apply_sql(op)
+            return
         os.makedirs(self.index_dir, exist_ok=True)
         with open(self.log_path, "ab") as f:
             # start on a fresh line even after a predecessor's torn tail
@@ -195,7 +282,10 @@ class Manifest:
     def _compact(self) -> None:
         """Snapshot + truncate the log, both via atomic rename. A crash
         between the two leaves snapshot + stale log: replay is idempotent,
-        so the state converges either way."""
+        so the state converges either way. (No-op for the SQL backend —
+        transactions ARE the durable state.)"""
+        if self._backend == "sqlite":
+            return
         _atomic_write_json(self.path, self._snapshot_obj())
         fd, tmp = tempfile.mkstemp(dir=self.index_dir, prefix=".log-")
         os.close(fd)
@@ -204,6 +294,27 @@ class Manifest:
 
     def _commit(self) -> None:
         """Full-snapshot commit (kept for the rare whole-state rewrites)."""
+        if self._backend == "sqlite":
+            con = self._sql()
+            with con:
+                con.execute("DELETE FROM splits")
+                con.execute("DELETE FROM checkpoints")
+                con.execute("DELETE FROM delete_tasks")
+                if self.index_config_json is not None:
+                    con.execute(
+                        "INSERT OR REPLACE INTO meta VALUES ('index_config', ?)",
+                        (json.dumps(self.index_config_json),))
+                con.executemany(
+                    "INSERT INTO splits VALUES (?, ?)",
+                    [(s.split_id, json.dumps(s.to_json()))
+                     for s in self.splits.values()])
+                con.executemany(
+                    "INSERT INTO checkpoints VALUES (?, ?)",
+                    [(p, json.dumps(c)) for p, c in self.checkpoints.items()])
+                con.executemany(
+                    "INSERT INTO delete_tasks VALUES (?, ?)",
+                    [(t["opstamp"], t["query"]) for t in self.delete_tasks])
+            return
         _atomic_write_json(self.path, self._snapshot_obj())
 
     def create_delete_task(self, query: str) -> int:

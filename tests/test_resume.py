@@ -132,3 +132,62 @@ def test_manifest_log_torn_tail_ignored(tmp_path):
     m2.publish([SplitMetadata("s2", "x", 10, 100)], checkpoint_partition="p2")
     m3 = Manifest(d)
     assert sorted(s.split_id for s in m3.published_splits()) == ["s1", "s2"]
+
+
+def test_sqlite_metastore_backend(tmp_path):
+    """SQL metastore option (postgres analog, sqlite-backed): same Manifest
+    API and semantics — publish/replace/stream offsets/delete tasks survive
+    reloads through ACID transactions, auto-detected by metastore.db."""
+    from quickwit_ray.state.manifest import Manifest, SplitMetadata
+
+    d = str(tmp_path / "idx")
+    m = Manifest(d, backend="sqlite")
+    m.create({"index_id": "sx"})
+    m.publish([SplitMetadata("s1", "sx", 10, 100)], checkpoint_partition="p1")
+    m.publish([SplitMetadata("s2", "sx", 20, 200)],
+              replaced_split_ids=["s1"], checkpoint_partition="p2")
+    m.publish_stream({"queue:0": ([SplitMetadata("s3", "sx", 5, 50)], 0, 7)})
+    op = m.create_delete_task("lang:de")
+    # duplicate partition commit no-ops
+    m.publish([SplitMetadata("dup", "sx", 1, 1)], checkpoint_partition="p1")
+    m2 = Manifest(d)  # auto-detects sqlite via metastore.db
+    assert m2._backend == "sqlite"
+    assert m2.index_config_json == {"index_id": "sx"}
+    assert sorted(s.split_id for s in m2.published_splits()) == ["s2", "s3"]
+    assert m2.splits["s1"].split_state == "marked_for_deletion"
+    assert "dup" not in m2.splits
+    assert m2.source_offset("queue:0") == 7
+    assert m2.delete_tasks == [{"opstamp": op, "query": "lang:de"}]
+    m2.delete_splits(["s1"])
+    assert "s1" not in Manifest(d).splits
+
+
+def test_sqlite_metastore_end_to_end(tmp_path):
+    """A sqlite-metastore index builds, searches, merges and GCs through
+    the normal pipelines (every caller goes through the Manifest API)."""
+    from quickwit_ray.api import Index
+    from quickwit_ray.config import documents_doc_mapping
+
+    from quickwit_ray.config import MergePolicyConfig
+
+    d = str(tmp_path / "idx")
+    idx = Index.create(d, "docs", documents_doc_mapping(),
+                       IndexSettings(split_num_docs_target=10_000,
+                                     commit_docs_threshold=150,
+                                     merge_policy=MergePolicyConfig(
+                                         merge_factor=3, max_merge_factor=4,
+                                         min_level_num_docs=1000)),
+                       metastore="sqlite")
+    idx.ingest("/root/testdata/sf0.001/documents.parquet", execution="local",
+               read_batch_size=150)
+    r = idx.search("text:scan", max_hits=0)
+    n = r.num_hits
+    assert n > 0
+    assert idx.merge() >= 1
+    assert idx.search("text:scan", max_hits=0).num_hits == n
+    idx.gc()
+    assert idx.search("text:scan", max_hits=0).num_hits == n
+    # resume-idempotence: re-ingest is a no-op through sqlite checkpoints
+    st = idx.ingest("/root/testdata/sf0.001/documents.parquet",
+                    execution="local", read_batch_size=150)
+    assert st.num_docs == 0
