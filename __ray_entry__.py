@@ -248,6 +248,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"event_id": pd.Series(ids, dtype="int64")})
     q["search_json_exists"] = search_json_exists
 
+    def multi_index_search(sf):
+        """Federated root search over two indexes (documents split by lang)
+        — merged hits must equal the single-index oracle."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from quickwit_ray.config import (IndexConfig, IndexSettings,
+                                         documents_doc_mapping)
+        from quickwit_ray.index.build import build_index
+        from quickwit_ray.search.multi import search_indexes
+
+        a_dir = _index_dir_for(sf, "documents_fed_a")
+        b_dir = _index_dir_for(sf, "documents_fed_b")
+        if not (os.path.exists(os.path.join(a_dir, "manifest.json"))
+                and os.path.exists(os.path.join(b_dir, "manifest.json"))):
+            full = pq.read_table(os.path.join(sf, "documents.parquet"))
+            sel = pc.is_in(full["lang"],
+                           value_set=pa.array(["de", "fr"]))
+            cfg = IndexConfig("docs_fed", documents_doc_mapping(),
+                              IndexSettings(split_num_docs_target=1_000_000,
+                                            commit_docs_threshold=1000))
+            os.makedirs(_SCRATCH, exist_ok=True)
+            pa_path = os.path.join(_SCRATCH, "fed_a.parquet")
+            pb_path = os.path.join(_SCRATCH, "fed_b.parquet")
+            pq.write_table(full.filter(sel), pa_path)
+            pq.write_table(full.filter(pc.invert(sel)), pb_path)
+            build_index(pa_path, a_dir, cfg, execution="local")
+            build_index(pb_path, b_dir, cfg, execution="local")
+        resp = search_indexes([a_dir, b_dir], "text:scan",
+                              max_hits=1_000_000, fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["multi_index_search"] = multi_index_search
+
     def agg_filtered_terms(sf):
         s = _searcher(sf, "documents")
         resp = s.search("text:scan", max_hits=0, aggs={
@@ -869,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "scroll_export": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
         "bulk_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "multi_index_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "image_decode_meta": (
             "SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS width, "
             "CAST(8 + doc_id % 8 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, "

@@ -353,3 +353,45 @@ def test_cli_bulk_queue_stats(tmp_path, capsys):
     assert '"docs.count": "2"' in capsys.readouterr().out
     assert cli_main(["search", d, "--query", "text:hello"]) == 0
     assert '"num_hits": 1' in capsys.readouterr().out
+
+
+def test_multi_index_search(tmp_path):
+    """Federated search over two indexes == one index over the union
+    (root.rs multi-index resolution)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.search.engine import IndexSearcher
+    from quickwit_ray.search.multi import search_indexes
+
+    full = pq.read_table(DOCS)
+    langs = full["lang"].to_pylist()
+    sel_a = pa.array([l in ("de", "fr") for l in langs])
+    a_dir, b_dir, u_dir = (tmp_path / "a", tmp_path / "b", tmp_path / "u")
+    ina, inb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(full.filter(sel_a), ina)
+    pq.write_table(full.filter(pa.compute.invert(sel_a)), inb)
+    cfg = IndexConfig("d", documents_doc_mapping(),
+                      IndexSettings(split_num_docs_target=10_000,
+                                    commit_docs_threshold=100))
+    build_index(ina, str(a_dir), cfg, execution="local")
+    build_index(inb, str(b_dir), cfg, execution="local")
+    build_index(DOCS, str(u_dir), cfg, execution="local")
+    su = IndexSearcher(str(u_dir))
+
+    # counts federate
+    r = search_indexes([str(a_dir), str(b_dir)], "text:scan", max_hits=0)
+    assert r.num_hits == su.search("text:scan", max_hits=0).num_hits
+    # sorted top-k federates with the comparator (fast-field sort ->
+    # identical values regardless of which index holds the doc)
+    rm = search_indexes([str(a_dir), str(b_dir)], "text:scan", max_hits=20,
+                        sort_by="n_chars", fetch_fields=["doc_id", "n_chars"])
+    ru = su.search("text:scan", max_hits=20, sort_by="n_chars",
+                   fetch_fields=["doc_id", "n_chars"])
+    assert list(rm.hits["n_chars"]) == list(ru.hits["n_chars"])
+    assert set(rm.hits["doc_id"]) == set(ru.hits["doc_id"])
+    # full result set federates exactly
+    rm2 = search_indexes([str(a_dir), str(b_dir)], "text:scan",
+                         max_hits=10_000, fetch_fields=["doc_id"])
+    ru2 = su.search("text:scan", max_hits=10_000, fetch_fields=["doc_id"])
+    assert sorted(rm2.hits["doc_id"]) == sorted(ru2.hits["doc_id"])
