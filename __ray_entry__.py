@@ -282,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
     q["multi_index_search"] = multi_index_search
 
+    q["search_field_group"] = lambda sf: _matching_ids(
+        sf, "text:(scan AND merge)")
+
     def agg_filtered_terms(sf):
         s = _searcher(sf, "documents")
         resp = s.search("text:scan", max_hits=0, aggs={
@@ -904,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
         "bulk_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "multi_index_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "search_field_group": f"SELECT doc_id FROM documents WHERE {has_token('scan')} AND {has_token('merge')} ORDER BY doc_id",
         "image_decode_meta": (
             "SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS width, "
             "CAST(8 + doc_id % 8 AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, "

@@ -213,6 +213,14 @@ def _parse_term_expr(tok: str, toks: _Tokens, dfields) -> Any:
         return FullTextQuery(field_name, value, mode="or")
 
     if field is not None:
+        if value == "" and toks.peek() == "(":
+            # field-scoped group `title:(foo AND bar)` (query-language.md):
+            # the group parses with the field as its only default field
+            toks.next()
+            node = _parse_bool(toks, [field])
+            if toks.next() != ")":
+                raise ValueError("expected ')' closing field group")
+            return node
         if value in ("[", "{") or value == "":
             # `field:[a TO b]` tokenizes as `field:[` — or `field:` then bracket
             nxt = value if value in ("[", "{") else toks.next()

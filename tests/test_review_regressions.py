@@ -346,3 +346,22 @@ def test_manifest_reader_never_truncates_writer_log(tmp_path):
                 '"replaced":[],"checkpoints":{"p2":{"committed_at":1}}}\n')
     r2 = Manifest(d)
     assert sorted(s.split_id for s in r2.published_splits()) == ["inflight", "s1"]
+
+
+def test_field_scoped_group(docs_idx):
+    """`field:(a AND b)` scopes every bare clause in the group to the
+    field (docs/reference/query-language.md field grouping)."""
+    s = IndexSearcher(docs_idx)
+    a = s.search("text:(scan AND merge)", max_hits=0).num_hits
+    b = s.search("+text:scan +text:merge", max_hits=0).num_hits
+    assert a == b > 0
+    c = s.search("text:(scan OR merge)", max_hits=0).num_hits
+    d = s.search("text:scan OR text:merge", max_hits=0).num_hits
+    assert c == d
+    e = s.search("text:(scan -merge)", max_hits=0).num_hits
+    f = s.search("+text:scan -text:merge", max_hits=0).num_hits
+    assert e == f
+    # nested explicit fields inside a group keep their own field
+    g = s.search("text:(scan AND n_chars:>=500)", max_hits=0).num_hits
+    h = s.search("+text:scan +n_chars:>=500", max_hits=0).num_hits
+    assert g == h
