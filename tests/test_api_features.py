@@ -389,7 +389,11 @@ def test_multi_index_search(tmp_path):
     ru = su.search("text:scan", max_hits=20, sort_by="n_chars",
                    fetch_fields=["doc_id", "n_chars"])
     assert list(rm.hits["n_chars"]) == list(ru.hits["n_chars"])
-    assert set(rm.hits["doc_id"]) == set(ru.hits["doc_id"])
+    # ties at the kth boundary may resolve differently (split ids differ
+    # between the federated and union layouts); non-boundary docs agree
+    boundary = ru.hits["n_chars"].iloc[-1]
+    assert set(rm.hits.loc[rm.hits["n_chars"] != boundary, "doc_id"]) == \
+        set(ru.hits.loc[ru.hits["n_chars"] != boundary, "doc_id"])
     # full result set federates exactly
     rm2 = search_indexes([str(a_dir), str(b_dir)], "text:scan",
                          max_hits=10_000, fetch_fields=["doc_id"])
