@@ -182,6 +182,40 @@ def _empty_pairs(dtype) -> pd.DataFrame:
                          "b": pd.Series([], dtype=dtype)})
 
 
+def _filter_multi_member_buckets(ds, key_cols: list[str], key_encoder):
+    """Drop rows whose bucket has a single member BEFORE the expensive
+    map_groups: with good hash keys the vast majority of LSH buckets are
+    singletons that can never produce a pair, and per-group Python-call
+    overhead dominates the pipeline (measured 800k buckets -> ~2k useful
+    at 50k docs). ``key_encoder(table) -> uint64 array`` folds the bucket
+    key into one value; encoding collisions only ADD rows (the real pair
+    grouping still uses the exact key columns), so results are identical.
+    """
+    import pyarrow as pa
+
+    from quickwit_ray.pipelines.components import semi_join_ids
+
+    counts = ds.groupby(key_cols).count()
+
+    # pandas here, not pyarrow: Ray's groupby stores uint64 keys above the
+    # int64 range as pickled-object extension arrays; the pandas block
+    # conversion restores the Python ints
+    def hot_keys(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["count()"] >= 2]
+        return pd.DataFrame({"id": np.asarray(key_encoder(sub), np.uint64)})
+
+    hot = counts.map_batches(hot_keys, batch_format="pandas").materialize()
+
+    def add_enc(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_bk", pa.array(key_encoder(batch),
+                                                   pa.uint64()))
+
+    enc_ds = ds.map_batches(add_enc, batch_format="pyarrow")
+    kept = semi_join_ids(enc_ds, hot, "_bk", keep=True,
+                         n_ids=hot.count())
+    return kept.drop_columns(["_bk"])
+
+
 def _id_dtype(ds, id_col: str):
     import pyarrow as pa
 
@@ -304,6 +338,13 @@ def minhash_dedup(ds, text_col: str, id_col: str, threshold: float = 0.7,
         })
 
     banded = ds.map_batches(sig_bands, batch_format="pyarrow")
+
+    def _enc_minhash(t):
+        bh = np.asarray(t["bh"], np.uint64)
+        band = np.asarray(t["band"], np.int64).astype(np.uint64)
+        return bh * np.uint64(NUM_BANDS) + band  # wrapping fold is fine
+
+    banded = _filter_multi_member_buckets(banded, ["band", "bh"], _enc_minhash)
     pairs = (banded.groupby(["band", "bh"])
              .map_groups(_bucket_pairs_fn(id_col), batch_format="pandas"))
     if _pairs_schema_ok(pairs):
@@ -340,6 +381,13 @@ def simhash_dedup(ds, text_col: str, id_col: str, max_hamming: int = 3):
         })
 
     banded = ds.map_batches(sim_bands, batch_format="pyarrow")
+
+    def _enc_simhash(t):
+        key = np.asarray(t["key"], np.uint64)
+        band = np.asarray(t["band"], np.int64).astype(np.uint64)
+        return (key << np.uint64(2)) | band
+
+    banded = _filter_multi_member_buckets(banded, ["band", "key"], _enc_simhash)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -387,6 +435,8 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8,
                          "sh": pa.array(sh_out, pa.uint64())})
 
     exploded = ds.map_batches(sampled_shingles, batch_format="pyarrow")
+    exploded = _filter_multi_member_buckets(
+        exploded, ["sh"], lambda t: np.asarray(t["sh"], np.uint64))
     pairs = (exploded.groupby("sh")
              .map_groups(_bucket_pairs_fn(id_col), batch_format="pandas"))
     if _pairs_schema_ok(pairs):
@@ -428,6 +478,8 @@ def embedding_dedup(ds, vec_col: str, id_col: str, threshold: float = 0.95,
         })
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    bucketed = _filter_multi_member_buckets(
+        bucketed, ["key"], lambda t: np.asarray(t["key"], np.uint64))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

@@ -191,3 +191,55 @@ def test_sqlite_metastore_end_to_end(tmp_path):
     st = idx.ingest("/root/testdata/sf0.001/documents.parquet",
                     execution="local", read_batch_size=150)
     assert st.num_docs == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.tuples(st.sampled_from(["publish", "mark", "delete",
+                                           "stream", "task"]),
+                          st.integers(0, 9)), min_size=1, max_size=25))
+@settings(max_examples=25, deadline=None)
+def test_manifest_backends_equivalent(tmp_path_factory, ops):
+    """Property: any op sequence leaves the file (append-log) and sqlite
+    backends in identical reloaded states."""
+    from quickwit_ray.state.manifest import Manifest, SplitMetadata
+
+    dirs = [str(tmp_path_factory.mktemp("file_be")),
+            str(tmp_path_factory.mktemp("sql_be"))]
+    ms = [Manifest(dirs[0], backend="file"),
+          Manifest(dirs[1], backend="sqlite")]
+    for m in ms:
+        m.create({"index_id": "x"})
+    offsets = {0: 0}
+    for i, (kind, n) in enumerate(ops):
+        for m in ms:
+            if kind == "publish":
+                m.publish([SplitMetadata(f"s{i}_{n}", "x", n + 1, 10)],
+                          checkpoint_partition=f"p{i}")
+            elif kind == "mark":
+                m.mark_for_deletion([f"s{n}_{n}"])
+            elif kind == "delete":
+                m.delete_splits([f"s{n}_{n}"])
+            elif kind == "stream":
+                frm = offsets.get(0, 0)
+                try:
+                    m.publish_stream({"queue:0": (
+                        [SplitMetadata(f"q{i}", "x", 1, 1)], frm, frm + n + 1)})
+                except ValueError:
+                    pass
+            elif kind == "task":
+                m.create_delete_task(f"q{i}")
+        if kind == "stream":
+            offsets[0] = offsets.get(0, 0) + n + 1
+
+    def state(d):
+        m = Manifest(d)
+        return (sorted((s.split_id, s.split_state, s.num_docs)
+                       for s in m.splits.values()),
+                {k: v.get("offset") for k, v in m.checkpoints.items()},
+                [(t["opstamp"], t["query"]) for t in m.delete_tasks],
+                m.index_config_json)
+
+    assert state(dirs[0]) == state(dirs[1])
