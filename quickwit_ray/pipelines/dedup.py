@@ -264,7 +264,12 @@ def _resolve_dups(ds, pairs_ds, id_col: str):
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds, text_col: str, id_col: str):
-    """Keep the min-id row per exact text value. One hash-keyed shuffle."""
+    """Keep the min-id row per exact text value.
+
+    Only rows whose content hash occurs more than once are shuffled into
+    the keep-first groupby; unique-hash rows (the vast majority of a real
+    corpus) pass through map-side with no exchange. Result is identical to
+    the full groupby — a singleton group keeps its only row."""
     import pyarrow as pa
 
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -274,10 +279,24 @@ def exact_dedup(ds, text_col: str, id_col: str):
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return g.loc[[g[id_col].idxmin()]]
 
-    out = (ds.map_batches(add_hash, batch_format="pyarrow")
-             .groupby("_h")
-             .map_groups(keep_first, batch_format="pandas"))
-    return out.drop_columns(["_h"])
+    from quickwit_ray.pipelines.components import semi_join_ids
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
+    counts = hashed.groupby(["_h"]).count()
+
+    def hot_keys(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["count()"] >= 2]
+        return pd.DataFrame({"id": np.asarray(sub["_h"], np.uint64)})
+
+    hot = counts.map_batches(hot_keys, batch_format="pandas").materialize()
+    n_hot = hot.count()
+    if n_hot == 0:
+        return hashed.drop_columns(["_h"])
+    dup_rows = semi_join_ids(hashed, hot, "_h", keep=True, n_ids=n_hot)
+    kept_dups = (dup_rows.groupby("_h")
+                 .map_groups(keep_first, batch_format="pandas"))
+    singles = semi_join_ids(hashed, hot, "_h", keep=False, n_ids=n_hot)
+    return singles.union(kept_dups).drop_columns(["_h"])
 
 
 def _candidate_pairs_from_buckets(bucket_rows: pd.DataFrame, id_col: str
