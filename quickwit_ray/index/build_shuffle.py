@@ -19,13 +19,14 @@ Pipeline:
      Hot terms (batch df > HOT_DF) are salted: their partials are keyed
      (term, salt = doc_block % NUM_SALTS) so no single reducer group holds
      a stopword's full posting list during the shuffle.
-  2. groupby(shard, field, term, salt) -> concat partials (doc order is
-     restored by sorting piece-wise on first doc id; pieces are disjoint
-     doc ranges).
-  3. groupby(shard) -> stitch the shard's sorted term table + postings
-     into the standard split artifact (same on-disk format as build.py;
-     readers cannot tell which path built a split).
-  4. a parallel per-shard pass (no shuffle) writes fieldnorms/fastfields/
+  2. ONE groupby(shard) exchange -> stitch the shard's term table +
+     postings into the standard split artifact (same on-disk format as
+     build.py; readers cannot tell which path built a split). Piece order
+     within a term is restored by a vectorized argsort on each piece's
+     first doc id (pieces are disjoint, increasing doc ranges), so no
+     per-(term, salt) reduce stage exists — that stage cost one Python
+     call per shard x term x salt group, millions at bench scale.
+  3. a parallel per-shard pass (no shuffle) writes fieldnorms/fastfields/
      docstore directly from the source rows.
 
 Doc ids within a shard = row index within the input file (deterministic,
@@ -157,29 +158,6 @@ def _partials_for_file(item: dict[str, np.ndarray], *, config_json: dict,
                                 config_json=config_json))
 
 
-def _reduce_term_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Stage-2 reduce: merge one (shard, field, term, salt) group's
-    partials; pieces hold disjoint, increasing doc ranges — order by first
-    doc id and concatenate."""
-    firsts = [np.frombuffer(b[:4], np.int32)[0] if len(b) else -1
-              for b in g["doc_ids"]]
-    order = np.argsort(firsts, kind="stable")
-    doc_parts = [g["doc_ids"].iloc[i] for i in order]
-    tf_parts = [g["tfs"].iloc[i] for i in order]
-    pos_parts = [g["positions"].iloc[i] for i in order]
-    pl_parts = [g["pos_lens"].iloc[i] for i in order]
-    return pd.DataFrame({
-        "shard": [g["shard"].iloc[0]],
-        "field": [g["field"].iloc[0]],
-        "term": [g["term"].iloc[0]],
-        "salt": [int(g["salt"].iloc[0])],
-        "doc_ids": [b"".join(doc_parts)],
-        "tfs": [b"".join(tf_parts)],
-        "positions": [b"".join(pos_parts)],
-        "pos_lens": [b"".join(pl_parts)],
-    })
-
-
 def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
                        shard_paths: dict[int, str],
                        read_batch_size: int) -> pd.DataFrame:
@@ -210,7 +188,6 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
         TERMS_PER_ROW_GROUP,
     )
 
-    g = g.sort_values(["field", "term", "salt"], kind="mergesort")
     post_writer = ExactRowGroupWriter(os.path.join(tmp_dir, POSTINGS_FILE),
                                       POSTINGS_SCHEMA, TERMS_PER_ROW_GROUP)
     pos_writer = ExactRowGroupWriter(os.path.join(tmp_dir, POSITIONS_FILE),
@@ -236,6 +213,12 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
             v.clear()
 
     for (field, term), sub in g.groupby(["field", "term"], sort=True):
+        if len(sub) > 1:
+            # pieces are disjoint, increasing doc ranges (per-batch emits,
+            # optionally salt-sliced): global order = ascending first doc
+            firsts = [np.frombuffer(b[:4], np.int32)[0] if len(b) else -1
+                      for b in sub["doc_ids"]]
+            sub = sub.iloc[np.argsort(firsts, kind="stable")]
         doc_b = b"".join(sub["doc_ids"])
         tf_b = b"".join(sub["tfs"])
         docs = np.frombuffer(doc_b, np.int32)
@@ -376,9 +359,12 @@ def build_index_shuffle(inputs: str | list[str], index_dir: str,
                              fn_kwargs=dict(config_json=cfg_json,
                                             read_batch_size=read_batch_size),
                              batch_format="default"))
-    reduced = partials.groupby(["shard", "field", "term", "salt"]) \
-                      .map_groups(_reduce_term_group, batch_format="pandas")
-    split_rows = reduced.groupby("shard").map_groups(
+    # ONE exchange: partials shuffle keyed by shard straight into the
+    # stitch. The former stage-2 reduce (groupby (shard, field, term,
+    # salt) -> concat) cost one Python call per shard x term x salt group
+    # — millions of calls at bench scale — and its doc-order restoration
+    # is a vectorized argsort inside the stitch instead.
+    split_rows = partials.groupby("shard").map_groups(
         _write_shard_split, batch_format="pandas",
         fn_kwargs=dict(config_json=cfg_json, index_dir=index_dir,
                        shard_paths=shard_paths,
