@@ -30,6 +30,11 @@ class Index:
         """``metastore="sqlite"`` stores the manifest in an ACID sqlite DB
         (the reference's SQL/postgres metastore option) instead of the
         append-log file; both speak the same Manifest API."""
+        # auto-detecting probe first: creating with a DIFFERENT backend
+        # over an existing index must fail, not shadow/orphan it
+        probe = Manifest(index_dir)
+        if probe.index_config_json is not None:
+            raise FileExistsError(f"index already exists at {index_dir}")
         manifest = Manifest(index_dir, backend=metastore)
         if manifest.index_config_json is not None:
             raise FileExistsError(f"index already exists at {index_dir}")

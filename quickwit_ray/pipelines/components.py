@@ -129,8 +129,12 @@ def semi_join_ids(ds, ids_ds, id_col: str, *, keep: bool,
             return batch.filter(m)
 
         return ds.map_batches(filt, batch_format="pyarrow")
-    # shuffle path: mark + left-outer join + filter on the marker
-    marked = ids_ds.map_batches(
+    # shuffle path: mark + left-outer join + filter on the marker. The id
+    # set is made DISTINCT first: duplicate right-side ids in an outer
+    # join would duplicate matching left rows (callers may pass encoded
+    # keys where distinct buckets fold to one value)
+    distinct = ids_ds.groupby("id").count().drop_columns(["count()"])
+    marked = distinct.map_batches(
         lambda b: b.append_column("__dup_marker",
                                   pa.array(np.ones(b.num_rows, np.int8))),
         batch_format="pyarrow")

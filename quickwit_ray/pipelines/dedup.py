@@ -182,6 +182,21 @@ def _empty_pairs(dtype) -> pd.DataFrame:
                          "b": pd.Series([], dtype=dtype)})
 
 
+def _hot_bucket_keys(ds, key_cols: list[str], key_encoder):
+    """Dataset of (encoded) bucket keys with >= 2 members.
+
+    pandas blocks, not pyarrow: Ray's groupby stores uint64 keys above the
+    int64 range as pickled-object extension arrays; the pandas block
+    conversion restores the Python ints."""
+    counts = ds.groupby(key_cols).count()
+
+    def hot_keys(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["count()"] >= 2]
+        return pd.DataFrame({"id": np.asarray(key_encoder(sub), np.uint64)})
+
+    return counts.map_batches(hot_keys, batch_format="pandas").materialize()
+
+
 def _filter_multi_member_buckets(ds, key_cols: list[str], key_encoder):
     """Drop rows whose bucket has a single member BEFORE the expensive
     map_groups: with good hash keys the vast majority of LSH buckets are
@@ -195,16 +210,7 @@ def _filter_multi_member_buckets(ds, key_cols: list[str], key_encoder):
 
     from quickwit_ray.pipelines.components import semi_join_ids
 
-    counts = ds.groupby(key_cols).count()
-
-    # pandas here, not pyarrow: Ray's groupby stores uint64 keys above the
-    # int64 range as pickled-object extension arrays; the pandas block
-    # conversion restores the Python ints
-    def hot_keys(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[df["count()"] >= 2]
-        return pd.DataFrame({"id": np.asarray(key_encoder(sub), np.uint64)})
-
-    hot = counts.map_batches(hot_keys, batch_format="pandas").materialize()
+    hot = _hot_bucket_keys(ds, key_cols, key_encoder)
 
     def add_enc(batch: pa.Table) -> pa.Table:
         return batch.append_column("_bk", pa.array(key_encoder(batch),
@@ -282,13 +288,8 @@ def exact_dedup(ds, text_col: str, id_col: str):
     from quickwit_ray.pipelines.components import semi_join_ids
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
-    counts = hashed.groupby(["_h"]).count()
-
-    def hot_keys(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[df["count()"] >= 2]
-        return pd.DataFrame({"id": np.asarray(sub["_h"], np.uint64)})
-
-    hot = counts.map_batches(hot_keys, batch_format="pandas").materialize()
+    hot = _hot_bucket_keys(hashed, ["_h"],
+                           lambda t: np.asarray(t["_h"], np.uint64))
     n_hot = hot.count()
     if n_hot == 0:
         return hashed.drop_columns(["_h"])

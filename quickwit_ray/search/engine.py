@@ -53,6 +53,9 @@ class SearchResponse:
     # appear in the top-k (leaf.rs CanSplitDoBetter): num_hits is then a
     # lower bound, the ES "gte" relation
     num_hits_exact: bool = True
+    # raw per-split agg partial states (only when the caller asked to keep
+    # them — federated search merges partials ACROSS indexes)
+    agg_partials: Optional[list] = None
 
     @property
     def scroll_cursor(self) -> Optional[tuple]:
@@ -361,7 +364,8 @@ class IndexSearcher:
                end_timestamp: Optional[int] = None,
                search_after: Optional[tuple] = None,
                fetch_fields: Optional[list[str]] = None,
-               snippet_fields: tuple = ()) -> SearchResponse:
+               snippet_fields: tuple = (),
+               keep_agg_partials: bool = False) -> SearchResponse:
         import time as _time
 
         t0 = _time.time()
@@ -432,16 +436,20 @@ class IndexSearcher:
         num_hits = sum(p["num_hits"] for p in partials)
         hits = merge_partial_hits(partials, request, split_ids)
         merged_aggs = None
+        agg_partials = None
         if aggs:
             from quickwit_ray.search.aggs import merge_partial_aggs
 
-            merged_aggs = merge_partial_aggs(aggs, [p["agg_partial"] for p in partials])
+            agg_partials = [p["agg_partial"] for p in partials]
+            merged_aggs = merge_partial_aggs(aggs, agg_partials)
         if len(hits) and (fetch_fields is None or fetch_fields):
             hits = self._fetch_docs(hits, fetch_fields, request)
         return SearchResponse(num_hits=num_hits, hits=hits, aggs=merged_aggs,
                               failed_splits=failed,
                               elapsed_sec=_time.time() - t0,
-                              num_hits_exact=skipped == 0)
+                              num_hits_exact=skipped == 0,
+                              agg_partials=(agg_partials if keep_agg_partials
+                                            else None))
 
     # ------------------------------------------------------------------
 

@@ -232,14 +232,19 @@ def _docs_to_table(docs: list[dict[str, Any]], mapping) -> pa.Table:
     if mapping.mode != "dynamic":
         mapped = {f.name for f in mapping.field_mappings}
         mapped.add(mapping.doc_id_field)
+
+        def _known(k: str) -> bool:
+            # dotted paths are legal only when rooted at a mapped json field
+            return (k in mapped
+                    or ("." in k and mapping.resolve_json_path(k) is not None))
+
         # `_id` is bulk-action metadata, never a schema violation
-        unknown = [k for k in keys
-                   if k not in mapped and "." not in k and k != "_id"]
+        unknown = [k for k in keys if not _known(k) and k != "_id"]
         if unknown and mapping.mode == "strict":
             raise ValueError(
                 f"strict doc mapping: unknown fields {sorted(unknown)[:5]} "
                 "(use mode=lenient to drop them, dynamic to index them)")
-        keys = [k for k in keys if k in mapped or "." in k]
+        keys = [k for k in keys if _known(k)]
     cols = {}
     json_fields = {f.name for f in mapping.field_mappings if f.type == "json"}
     for k in keys:

@@ -399,3 +399,85 @@ def test_multi_index_search(tmp_path):
                          max_hits=10_000, fetch_fields=["doc_id"])
     ru2 = su.search("text:scan", max_hits=10_000, fetch_fields=["doc_id"])
     assert sorted(rm2.hits["doc_id"]) == sorted(ru2.hits["doc_id"])
+
+
+def test_multi_index_aggs_offset_and_routing(tmp_path):
+    """Review-2 fixes: federated aggs merge from partials; start_offset
+    applies after the cross-index merge; fetch routing is exact even when
+    one index dir is a path prefix of another."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.search.engine import IndexSearcher
+    from quickwit_ray.search.multi import search_indexes
+
+    full = pq.read_table(DOCS)
+    langs = full["lang"].to_pylist()
+    sel_a = pa.array([l in ("de", "fr") for l in langs])
+    # deliberately prefix-colliding dirs: "idx" and "idx2"
+    a_dir, b_dir = str(tmp_path / "idx"), str(tmp_path / "idx2")
+    u_dir = str(tmp_path / "u")
+    ina, inb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(full.filter(sel_a), ina)
+    pq.write_table(full.filter(pa.compute.invert(sel_a)), inb)
+    cfg = IndexConfig("d", documents_doc_mapping(),
+                      IndexSettings(split_num_docs_target=10_000,
+                                    commit_docs_threshold=100))
+    build_index(ina, a_dir, cfg, execution="local")
+    build_index(inb, b_dir, cfg, execution="local")
+    build_index(DOCS, u_dir, cfg, execution="local")
+    su = IndexSearcher(u_dir)
+
+    # aggs merge across indexes
+    agg_spec = {"langs": {"terms": {"field": "lang", "size": 20}}}
+    rm = search_indexes([a_dir, b_dir], "*", max_hits=0, aggs=agg_spec)
+    ru = su.search("*", max_hits=0, aggs=agg_spec)
+    assert rm.aggs == ru.aggs
+
+    # start_offset applies after the merge: page2 == rows 10..19 of full
+    base = search_indexes([a_dir, b_dir], "text:scan", max_hits=20,
+                          sort_by="n_chars", fetch_fields=[])
+    page2 = search_indexes([a_dir, b_dir], "text:scan", max_hits=10,
+                           start_offset=10, sort_by="n_chars",
+                           fetch_fields=[])
+    assert list(zip(page2.hits["_split_id"], page2.hits["_doc_id"])) == \
+        list(zip(base.hits["_split_id"], base.hits["_doc_id"]))[10:20]
+
+    # prefix-colliding dirs: no duplicated fetches
+    r = search_indexes([a_dir, b_dir], "text:scan", max_hits=50,
+                       fetch_fields=["doc_id"])
+    assert len(r.hits) == len(set(zip(r.hits["_split_id"], r.hits["_doc_id"])))
+    assert r.hits["doc_id"].notna().all()
+
+
+def test_create_backend_mismatch_refused(tmp_path):
+    """Review-2: creating with a different metastore backend over an
+    existing index must fail, not shadow/orphan it."""
+    from quickwit_ray.config import DocMapping as DM, FieldMapping as FM
+
+    mapping = DM(field_mappings=(FM(name="t", type="text"),),
+                 doc_id_field="t", default_search_fields=("t",))
+    d = str(tmp_path / "i")
+    Index.create(d, "x", mapping)  # file backend
+    with pytest.raises(FileExistsError):
+        Index.create(d, "x2", mapping, metastore="sqlite")
+    d2 = str(tmp_path / "i2")
+    Index.create(d2, "y", mapping, metastore="sqlite")
+    with pytest.raises(FileExistsError):
+        Index.create(d2, "y2", mapping, metastore="file")
+
+
+def test_strict_rejects_unknown_dotted_fields(tmp_path):
+    from quickwit_ray.config import DocMapping as DM, FieldMapping as FM
+
+    mapping = DM(field_mappings=(
+        FM(name="body", type="text", record="freq"),
+        FM(name="props", type="json"),
+        FM(name="doc_id", type="i64", stored=True)),
+        mode="strict", doc_id_field="doc_id", default_search_fields=("body",))
+    idx = Index.create(str(tmp_path / "i"), "x", mapping)
+    # dotted path rooted at the mapped json field: fine
+    assert idx.ingest_docs([{"doc_id": 1, "body": "ok", "props.k": 1}]) == 1
+    # dotted path with an unmapped root: rejected
+    with pytest.raises(ValueError, match="unknown fields"):
+        idx.ingest_docs([{"doc_id": 2, "body": "ok", "junk.field": 2}])
