@@ -41,6 +41,12 @@ log = logging.getLogger(__name__)
 # local object store by every task); above it the drop becomes a shuffle
 # hash join. 2M int64 ids ~= 16 MB.
 BROADCAST_LIMIT = 2_000_000
+# pair graphs below this edge count run union-find on the driver (bounded:
+# <= ~16 MB of edges, same provably-small doctrine as the broadcast path);
+# larger graphs use distributed min-label propagation. The fixed cost of
+# the iterated join/groupby rounds (~10 s of stage latency) only pays off
+# when the edge set itself is too big to hold anywhere.
+SMALL_CC_EDGES = 1_000_000
 
 
 def default_num_partitions() -> int:
@@ -184,11 +190,42 @@ def connected_components(pairs_ds, *, id_dtype: pa.DataType,
     are tiny, so 2-3 rounds in practice.
     """
     import ray
+    import ray.data
     from ray.data.aggregate import Min, Sum
 
     if num_partitions is None:
         num_partitions = default_num_partitions()
     pairs_ds = pairs_ds.materialize()  # consumed twice (edges + node list)
+    n_edges = pairs_ds.count()
+    if n_edges <= SMALL_CC_EDGES:
+        # provably-small graph: bounded driver union-find beats ~10 s of
+        # distributed round latency (the driver holds <= SMALL_CC_EDGES
+        # edges, never an O(corpus) set)
+        import pandas as _pd
+
+        parts = []
+        for r in pairs_ds.to_arrow_refs():
+            t = ray.get(r)
+            if isinstance(t, _pd.DataFrame):
+                if t.shape[1] == 0:
+                    continue
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            if t.num_columns:
+                parts.append(t.select(["a", "b"]))
+        if not parts:
+            return ray.data.from_arrow(_empty_ids_table(id_dtype))
+        edges_tbl = pa.concat_tables(parts, promote_options="default")
+        from quickwit_ray.pipelines.dedup import UnionFind
+
+        uf = UnionFind()
+        for a_v, b_v in zip(edges_tbl["a"].to_pylist(),
+                            edges_tbl["b"].to_pylist()):
+            uf.union(a_v, b_v)
+        nodes = list(uf.parent)
+        roots = [uf.find(x) for x in nodes]
+        return ray.data.from_arrow(pa.table({
+            "id": pa.array(nodes, id_dtype),
+            "root": pa.array(roots, id_dtype)}))
 
     def symmetric(batch: pa.Table) -> pa.Table:
         a = batch["a"].combine_chunks().cast(id_dtype)

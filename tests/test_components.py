@@ -30,9 +30,15 @@ def test_distinct_pairs_and_nodes(rd):
     assert nodes == [1, 2, 3]
 
 
-def test_connected_components_chain(rd):
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_connected_components_chain(rd, force_distributed, monkeypatch):
     """A 6-node chain needs multiple propagation rounds — every node must
-    still land on the component min (0)."""
+    still land on the component min (0). Runs BOTH the bounded driver
+    fast path and the distributed label-propagation path."""
+    import quickwit_ray.pipelines.components as comp_mod
+
+    if force_distributed:
+        monkeypatch.setattr(comp_mod, "SMALL_CC_EDGES", 0)
     pairs = rd.from_arrow(pa.table({"a": [0, 1, 2, 3, 4, 10],
                                     "b": [1, 2, 3, 4, 5, 11]}))
     comps = connected_components(pairs, id_dtype=pa.int64()).to_pandas()
