@@ -338,6 +338,59 @@ def _verify_jaccard_fn(text_col: str, threshold: float, k: int):
     return verify
 
 
+# candidate sets below this many ids broadcast their texts through the
+# object store for map-side verification (one ray.put; tasks read
+# zero-copy); larger sets verify via the shuffle hash joins
+BROADCAST_VERIFY_IDS = 200_000
+
+
+def _verified_pairs(cand_pairs, ds, id_col: str, text_col: str,
+                    threshold: float, k: int):
+    """Exact-Jaccard verification of candidate pairs, distributed.
+
+    Small candidate sets (counted, bounded) broadcast an (id -> text)
+    Arrow table once and verify inside one map_batches over the pairs —
+    no joins; large sets attach texts with the shuffle hash joins."""
+    import pyarrow as pa
+    import ray
+
+    from quickwit_ray.pipelines.components import pair_nodes, semi_join_ids
+
+    cands = pair_nodes(cand_pairs).materialize()
+    n = cands.count()
+    texts = semi_join_ids(ds.select_columns([id_col, text_col]), cands,
+                          id_col, keep=True, n_ids=n)
+    if n <= BROADCAST_VERIFY_IDS:
+        all_tbls = []
+        for r in texts.to_arrow_refs():  # one execution, blocks of any kind
+            t = ray.get(r)
+            if isinstance(t, pd.DataFrame):
+                if t.shape[1]:
+                    all_tbls.append(pa.Table.from_pandas(
+                        t, preserve_index=False).select([id_col, text_col]))
+            elif t.num_columns:
+                all_tbls.append(t.select([id_col, text_col]))
+        if not all_tbls:
+            return cand_pairs.limit(0)
+        ref = ray.put(pa.concat_tables(all_tbls, promote_options="default"))
+
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            t = ray.get(ref)  # zero-copy object-store read
+            lut = dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+            keep = []
+            for a_v, b_v in zip(batch["a"], batch["b"]):
+                ta, tb = lut.get(a_v), lut.get(b_v)
+                keep.append(ta is not None and tb is not None
+                            and jaccard(ta, tb, k) >= threshold)
+            out = batch.loc[keep, ["a", "b"]]
+            return out if len(out) else _empty_pairs(batch["a"].dtype)
+
+        return cand_pairs.map_batches(verify, batch_format="pandas")
+    with_texts = attach_pair_texts(cand_pairs, ds, id_col, text_col)
+    return with_texts.map_batches(
+        _verify_jaccard_fn(text_col, threshold, k), batch_format="pandas")
+
+
 def minhash_dedup(ds, text_col: str, id_col: str, threshold: float = 0.7,
                   k: int = 5):
     """MinHash+LSH near-dup detection. Returns (kept_ds, clusters_ds);
@@ -371,9 +424,7 @@ def minhash_dedup(ds, text_col: str, id_col: str, threshold: float = 0.7,
         pairs = pairs.materialize()
     if _pairs_schema_ok(pairs) and pairs.count() > 0:
         cand = distinct_pairs(pairs).materialize()
-        with_texts = attach_pair_texts(cand, ds, id_col, text_col)
-        verified = with_texts.map_batches(
-            _verify_jaccard_fn(text_col, threshold, k), batch_format="pandas")
+        verified = _verified_pairs(cand, ds, id_col, text_col, threshold, k)
         return _resolve_dups(ds, verified, id_col)
     return _resolve_dups(ds, pairs, id_col)
 
@@ -463,9 +514,7 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8,
         pairs = pairs.materialize()
     if _pairs_schema_ok(pairs) and pairs.count() > 0:
         cand = distinct_pairs(pairs).materialize()
-        with_texts = attach_pair_texts(cand, ds, id_col, text_col)
-        verified = with_texts.map_batches(
-            _verify_jaccard_fn(text_col, threshold, k), batch_format="pandas")
+        verified = _verified_pairs(cand, ds, id_col, text_col, threshold, k)
         return _resolve_dups(ds, verified, id_col)
     return _resolve_dups(ds, pairs, id_col)
 
