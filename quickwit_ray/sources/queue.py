@@ -116,24 +116,47 @@ class PartitionedQueue:
     def estimate_batch_ranges(self, partition: int, from_offset: int,
                               max_batch_bytes: int) -> list[tuple[int, int]]:
         """Cut [from_offset, end) into micro-batch offset ranges of roughly
-        <= max_batch_bytes raw bytes, using per-segment parquet sizes as
-        the byte-rate estimate (never reads record data)."""
+        <= max_batch_bytes, ALIGNED to segment boundaries wherever possible
+        (a range crossing into a segment forces that whole parquet file to
+        decompress, so unaligned batches re-read segments up to
+        segment/batch times). A single oversized segment is split by the
+        per-record byte-rate estimate — the re-read stays bounded to that
+        one segment. Never reads record data."""
         segs = self._segments(partition)
         end = self.end_offset(partition)
         if from_offset >= end:
             return []
-        # average bytes/record over the uncommitted tail
-        tail_bytes = sum(os.path.getsize(p) for s, n, p in segs
-                         if s + n > from_offset)
-        tail_rows = end - from_offset
-        per_rec = max(tail_bytes / max(tail_rows, 1), 1.0)
-        batch_rows = max(int(max_batch_bytes / per_rec), 1)
-        out = []
+        out: list[tuple[int, int]] = []
         cur = from_offset
-        while cur < end:
-            nxt = min(cur + batch_rows, end)
-            out.append((cur, nxt))
-            cur = nxt
+        acc_bytes = 0
+        for s, n, p in segs:
+            seg_end = s + n
+            if seg_end <= from_offset:
+                continue
+            size = os.path.getsize(p)
+            if size > max_batch_bytes:
+                # flush what we have, then split the big segment internally
+                if cur < s:
+                    out.append((cur, s))
+                    cur = s
+                    acc_bytes = 0
+                per_rec = max(size / max(n, 1), 1.0)
+                step = max(int(max_batch_bytes / per_rec), 1)
+                lo = max(cur, s)
+                while lo < seg_end:
+                    hi = min(lo + step, seg_end)
+                    out.append((lo, hi))
+                    lo = hi
+                cur = seg_end
+                acc_bytes = 0
+                continue
+            if acc_bytes + size > max_batch_bytes and cur < s:
+                out.append((cur, s))
+                cur = s
+                acc_bytes = 0
+            acc_bytes += size
+        if cur < end:
+            out.append((cur, end))
         return out
 
 
