@@ -136,3 +136,31 @@ def test_queue_ingest_ray_execution(tmp_path, ray_session):
     s = IndexSearcher(idx)
     r = s.search("*", max_hits=300, fetch_fields=["doc_id"])
     assert sorted(r.hits["doc_id"]) == list(range(250))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=12),
+       st.integers(0, 100), st.integers(1, 1 << 20))
+@settings(max_examples=40, deadline=None)
+def test_batch_ranges_cover_backlog(tmp_path_factory, appends, from_off, max_bytes):
+    """Property: micro-batch ranges are contiguous, non-empty, start at the
+    committed offset and end at the queue head — for any segment layout,
+    resume point and byte budget."""
+    import pyarrow as pa
+
+    q = PartitionedQueue.create(str(tmp_path_factory.mktemp("qprop")), 1)
+    for n in appends:
+        q.append(0, pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                              "text": ["x" * 50] * n}))
+    end = q.end_offset(0)
+    frm = min(from_off, end)
+    ranges = q.estimate_batch_ranges(0, frm, max_bytes)
+    if frm >= end:
+        assert ranges == []
+        return
+    assert ranges[0][0] == frm and ranges[-1][1] == end
+    assert all(a < b for a, b in ranges)
+    assert all(r1[1] == r2[0] for r1, r2 in zip(ranges, ranges[1:]))
