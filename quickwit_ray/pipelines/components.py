@@ -47,6 +47,7 @@ BROADCAST_LIMIT = 2_000_000
 # the iterated join/groupby rounds (~10 s of stage latency) only pays off
 # when the edge set itself is too big to hold anywhere.
 SMALL_CC_EDGES = 1_000_000
+SMALL_CC_BYTES = 32 << 20  # and at most ~32 MB of edge data on the driver
 
 
 def default_num_partitions() -> int:
@@ -66,6 +67,29 @@ def default_num_partitions() -> int:
 
 def _empty_ids_table(dtype: pa.DataType) -> pa.Table:
     return pa.table({"id": pa.array([], dtype), "root": pa.array([], dtype)})
+
+
+def collect_arrow_blocks(ds, cols=None) -> list[pa.Table]:
+    """Materialize a (small, pre-counted) Dataset's blocks as Arrow tables
+    on the driver: skips zero-column blocks from all-empty map_groups
+    outputs and converts pandas-backed blocks (Ray hands them back
+    unconverted, incl. pickled-object columns for uint64 overflow keys).
+    ONE place for this edge-case handling — three call sites."""
+    import pandas as _pd
+
+    import ray
+
+    out = []
+    for r in ds.to_arrow_refs():
+        t = ray.get(r)
+        if isinstance(t, _pd.DataFrame):
+            if t.shape[1] == 0:
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_columns == 0:
+            continue
+        out.append(t.select(cols) if cols is not None else t)
+    return out
 
 
 def distinct_pairs(pairs_ds):
@@ -106,20 +130,7 @@ def semi_join_ids(ds, ids_ds, id_col: str, *, keep: bool,
     if n_ids == 0:
         return ds if not keep else ds.limit(0)
     if n_ids <= broadcast_limit:
-        # all-empty map_groups blocks can carry a zero-column schema — skip;
-        # to_arrow_refs may also surface pandas-backed blocks unconverted
-        import pandas as _pd
-
-        tbls = []
-        for r in ids_ds.to_arrow_refs():
-            t = ray.get(r)
-            if isinstance(t, _pd.DataFrame):
-                if t.shape[1] == 0:
-                    continue
-                t = pa.Table.from_pandas(t, preserve_index=False)
-            if t.num_columns == 0:
-                continue
-            tbls.append(t)
+        tbls = collect_arrow_blocks(ids_ds)
         if not tbls:
             return ds if not keep else ds.limit(0)
         id_tbl = pa.concat_tables(tbls, promote_options="default")
@@ -197,21 +208,11 @@ def connected_components(pairs_ds, *, id_dtype: pa.DataType,
         num_partitions = default_num_partitions()
     pairs_ds = pairs_ds.materialize()  # consumed twice (edges + node list)
     n_edges = pairs_ds.count()
-    if n_edges <= SMALL_CC_EDGES:
-        # provably-small graph: bounded driver union-find beats ~10 s of
-        # distributed round latency (the driver holds <= SMALL_CC_EDGES
-        # edges, never an O(corpus) set)
-        import pandas as _pd
-
-        parts = []
-        for r in pairs_ds.to_arrow_refs():
-            t = ray.get(r)
-            if isinstance(t, _pd.DataFrame):
-                if t.shape[1] == 0:
-                    continue
-                t = pa.Table.from_pandas(t, preserve_index=False)
-            if t.num_columns:
-                parts.append(t.select(["a", "b"]))
+    if n_edges <= SMALL_CC_EDGES and pairs_ds.size_bytes() <= SMALL_CC_BYTES:
+        # provably-small graph (count AND bytes — string ids would blow the
+        # edge-count bound alone): bounded driver union-find beats ~10 s of
+        # distributed round latency; never an O(corpus) set
+        parts = collect_arrow_blocks(pairs_ds, cols=["a", "b"])
         if not parts:
             return ray.data.from_arrow(_empty_ids_table(id_dtype))
         edges_tbl = pa.concat_tables(parts, promote_options="default")

@@ -38,7 +38,6 @@ import numpy as np
 import pandas as pd
 
 from quickwit_ray.pipelines.components import (
-    attach_pair_texts,
     connected_components,
     distinct_pairs,
     duplicate_ids,
@@ -338,55 +337,71 @@ def _verify_jaccard_fn(text_col: str, threshold: float, k: int):
     return verify
 
 
-# candidate sets below this many ids broadcast their texts through the
-# object store for map-side verification (one ray.put; tasks read
-# zero-copy); larger sets verify via the shuffle hash joins
+# candidate sets below BOTH bounds broadcast their texts through the
+# object store for map-side verification (one ray.put; tasks read the
+# table zero-copy and cache the lookup dict per process); larger sets
+# verify via the shuffle hash joins. The byte bound matters: the payload
+# is document TEXTS, not fixed-width ids.
 BROADCAST_VERIFY_IDS = 200_000
+BROADCAST_VERIFY_BYTES = 256 << 20
+
+
+@lru_cache(maxsize=4)
+def _text_lut(ref, id_col: str, text_col: str) -> dict:
+    """Per-process cache of the broadcast (id -> text) lookup — built once
+    per worker, not once per batch."""
+    import ray
+
+    t = ray.get(ref)
+    return dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
 
 
 def _verified_pairs(cand_pairs, ds, id_col: str, text_col: str,
                     threshold: float, k: int):
     """Exact-Jaccard verification of candidate pairs, distributed.
 
-    Small candidate sets (counted, bounded) broadcast an (id -> text)
-    Arrow table once and verify inside one map_batches over the pairs —
-    no joins; large sets attach texts with the shuffle hash joins."""
+    Small candidate sets (counted AND byte-bounded) broadcast an
+    (id -> text) Arrow table once and verify inside one map_batches over
+    the pairs — no joins; large sets attach texts with the shuffle hash
+    joins (reusing the SAME materialized candidate-text dataset)."""
     import pyarrow as pa
     import ray
 
-    from quickwit_ray.pipelines.components import pair_nodes, semi_join_ids
+    from quickwit_ray.pipelines.components import (collect_arrow_blocks,
+                                                   default_num_partitions,
+                                                   pair_nodes, semi_join_ids)
 
     cands = pair_nodes(cand_pairs).materialize()
     n = cands.count()
     texts = semi_join_ids(ds.select_columns([id_col, text_col]), cands,
-                          id_col, keep=True, n_ids=n)
-    if n <= BROADCAST_VERIFY_IDS:
-        all_tbls = []
-        for r in texts.to_arrow_refs():  # one execution, blocks of any kind
-            t = ray.get(r)
-            if isinstance(t, pd.DataFrame):
-                if t.shape[1]:
-                    all_tbls.append(pa.Table.from_pandas(
-                        t, preserve_index=False).select([id_col, text_col]))
-            elif t.num_columns:
-                all_tbls.append(t.select([id_col, text_col]))
+                          id_col, keep=True, n_ids=n).materialize()
+    if n <= BROADCAST_VERIFY_IDS and texts.size_bytes() <= BROADCAST_VERIFY_BYTES:
+        all_tbls = collect_arrow_blocks(texts, cols=[id_col, text_col])
         if not all_tbls:
             return cand_pairs.limit(0)
         ref = ray.put(pa.concat_tables(all_tbls, promote_options="default"))
 
         def verify(batch: pd.DataFrame) -> pd.DataFrame:
-            t = ray.get(ref)  # zero-copy object-store read
-            lut = dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+            lut = _text_lut(ref, id_col, text_col)
             keep = []
             for a_v, b_v in zip(batch["a"], batch["b"]):
-                ta, tb = lut.get(a_v), lut.get(b_v)
-                keep.append(ta is not None and tb is not None
-                            and jaccard(ta, tb, k) >= threshold)
+                # membership, not None-ness: a null text is a legal value
+                # and must verify exactly like the join path (jaccard of
+                # two empty shingle sets is 1.0)
+                if a_v in lut and b_v in lut:
+                    keep.append(jaccard(lut[a_v], lut[b_v], k) >= threshold)
+                else:
+                    keep.append(False)
             out = batch.loc[keep, ["a", "b"]]
             return out if len(out) else _empty_pairs(batch["a"].dtype)
 
         return cand_pairs.map_batches(verify, batch_format="pandas")
-    with_texts = attach_pair_texts(cand_pairs, ds, id_col, text_col)
+    # join path, reusing the already-materialized candidate texts
+    np_ = default_num_partitions()
+    j = cand_pairs.join(texts, "inner", np_, on=("a",),
+                        right_on=(id_col,), right_suffix="_ra")
+    with_texts = j.join(texts, "inner", np_, on=("b",),
+                        right_on=(id_col,), right_suffix="_rb")
     return with_texts.map_batches(
         _verify_jaccard_fn(text_col, threshold, k), batch_format="pandas")
 

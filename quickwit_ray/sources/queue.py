@@ -150,6 +150,10 @@ class PartitionedQueue:
                 cur = seg_end
                 acc_bytes = 0
                 continue
+            # prorate a segment the cursor sits inside (resume mid-segment):
+            # only its remaining rows contribute pending bytes
+            if cur > s:
+                size = int(size * (seg_end - cur) / max(n, 1))
             if acc_bytes + size > max_batch_bytes and cur < s:
                 out.append((cur, s))
                 cur = s

@@ -390,3 +390,30 @@ def test_textstats_vectorized_edge_cases():
     langs = ts.detect_language(["the cat and the hat is it", "", None,
                                 "der hund und die katze ist", "地址包含字元" * 5])
     assert list(langs) == ["en", "und", "und", "de", "zh"]
+
+
+def test_minhash_join_verify_path_matches_broadcast(dup_ds, monkeypatch):
+    """Review-3: the shuffle-join verification path (large candidate sets)
+    must produce the same keep-set as the broadcast path — incl. null
+    texts, which verify as identical empty shingle sets on BOTH paths."""
+    import pyarrow as pa
+    import ray.data
+
+    import quickwit_ray.pipelines.dedup as dd
+
+    base = dd.minhash_dedup(dup_ds, "text", "doc_id", threshold=0.5)
+    base_ids = sorted(base[0].to_pandas()["doc_id"])
+    monkeypatch.setattr(dd, "BROADCAST_VERIFY_IDS", 0)
+    joined = dd.minhash_dedup(dup_ds, "text", "doc_id", threshold=0.5)
+    assert sorted(joined[0].to_pandas()["doc_id"]) == base_ids
+    # null texts: identical-null docs are dups on both paths
+    nds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([None, None, "real content here words"], pa.string()),
+    }))
+    monkeypatch.setattr(dd, "BROADCAST_VERIFY_IDS", 0)
+    kept_j, _ = dd.minhash_dedup(nds, "text", "doc_id", threshold=0.5)
+    monkeypatch.setattr(dd, "BROADCAST_VERIFY_IDS", 200_000)
+    kept_b, _ = dd.minhash_dedup(nds, "text", "doc_id", threshold=0.5)
+    assert sorted(kept_j.to_pandas()["doc_id"]) == \
+        sorted(kept_b.to_pandas()["doc_id"]) == [1, 3]
