@@ -285,6 +285,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["search_field_group"] = lambda sf: _matching_ids(
         sf, "text:(scan AND merge)")
 
+    def multi_index_aggs(sf):
+        """Federated terms aggregation: per-split partial agg states merge
+        ACROSS the two lang-partitioned indexes."""
+        from quickwit_ray.search.multi import search_indexes
+
+        # reuses (and if needed builds) the fed_a/fed_b indexes
+        q["multi_index_search"](sf)
+        a_dir = _index_dir_for(sf, "documents_fed_a")
+        b_dir = _index_dir_for(sf, "documents_fed_b")
+        resp = search_indexes([a_dir, b_dir], "*", max_hits=0, aggs={
+            "langs": {"terms": {"field": "lang", "size": 1000}}})
+        b = resp.aggs["langs"]["buckets"]
+        out = pd.DataFrame({"lang": [x["key"] for x in b],
+                            "n": [x["doc_count"] for x in b]})
+        return (out.sort_values("lang").reset_index(drop=True)
+                .astype({"n": "int64"}))
+    q["multi_index_aggs"] = multi_index_aggs
+
     def agg_filtered_terms(sf):
         s = _searcher(sf, "documents")
         resp = s.search("text:scan", max_hits=0, aggs={
@@ -861,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_export": ("SELECT user_id, value FROM events WHERE event_type = 'click' "
                                  "ORDER BY user_id, value"),
         "agg_terms_lang": "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count FROM documents GROUP BY lang",
+        "multi_index_aggs": "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang ORDER BY lang",
         "search_json_path": ("SELECT event_id FROM events "
                              "WHERE json_extract(props, '$.k') = '69' ORDER BY event_id"),
         "search_json_exists": ("SELECT event_id FROM events "
