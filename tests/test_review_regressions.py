@@ -287,14 +287,14 @@ def test_scroll_renewal_uses_context_ttl():
             return SearchResponse(num_hits=0, hits=h)
 
     mgr = ScrollManager(_FakeSearcher())
-    _, sid = mgr.start(None, scroll="200ms", max_hits=1)
-    _t.sleep(0.12)
-    mgr.next(sid)          # no scroll param -> renew by 200ms, NOT 60s
-    _t.sleep(0.12)
+    _, sid = mgr.start(None, scroll="800ms", max_hits=1)
+    _t.sleep(0.45)
+    mgr.next(sid)          # no scroll param -> renew by 800ms, NOT 60s
+    _t.sleep(0.45)
     mgr.next(sid)          # still alive thanks to renewal
-    _t.sleep(0.3)
+    _t.sleep(1.0)
     with pytest.raises(KeyError):
-        mgr.next(sid)      # 200ms TTL elapsed -> expired
+        mgr.next(sid)      # 800ms TTL elapsed -> expired
 
 
 def test_custom_tokenizer_conflict_raises():

@@ -58,17 +58,17 @@ def test_scroll_pages_match_offset_pages(idx):
 
 
 def test_scroll_ttl_expiry_and_renewal(idx):
-    _, sid = idx.scroll_search("text:scan", scroll="200ms", max_hits=5,
+    _, sid = idx.scroll_search("text:scan", scroll="300ms", max_hits=5,
                                sort_by="n_chars", fetch_fields=[])
-    time.sleep(0.25)
+    time.sleep(0.6)
     with pytest.raises(KeyError):
         idx.es_scroll(sid)
     # renewal: each fetch with a TTL keeps the context alive
-    _, sid = idx.scroll_search("text:scan", scroll="300ms", max_hits=5,
+    _, sid = idx.scroll_search("text:scan", scroll="800ms", max_hits=5,
                                sort_by="n_chars", fetch_fields=[])
     for _ in range(3):
-        time.sleep(0.15)
-        resp, sid = idx.es_scroll(sid, "300ms")
+        time.sleep(0.35)
+        resp, sid = idx.es_scroll(sid, "800ms")
         assert len(resp.hits) == 5
 
 
