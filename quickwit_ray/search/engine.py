@@ -481,6 +481,8 @@ class IndexSearcher:
             return [], 0
         if self.execution == "ray" and len(split_dirs) > 1:
             return self._execute_ray(split_dirs, request, bounds, ts_sort_dir)
+        if self.execution == "ray-data" and len(split_dirs) > 1:
+            return self._execute_ray_data(split_dirs, request), 0
         k = request.start_offset + request.max_hits
         desc = ts_sort_dir == "desc"
         score_mode = _score_theta_mode(request)
@@ -504,6 +506,35 @@ class IndexSearcher:
             except Exception as exc:  # noqa: BLE001 — report, don't fail the query
                 out.append({"failed": os.path.basename(d), "error": str(exc)})
         return out, skipped
+
+    def _execute_ray_data(self, split_dirs: list[str],
+                          request: SearchRequest) -> list[dict]:
+        """Dataset-API leaf fan-out: from_items(split jobs) ->
+        map_batches(SearchSplitStage actor pool). One-shot BATCH search
+        jobs over many splits (e.g. offline evaluation sweeps) — the
+        streaming executor schedules/pipelines the pool; the persistent
+        rendezvous-routed pool (execution="ray") stays the low-latency
+        path because it keeps reader caches split-affine across queries."""
+        import pickle
+
+        import ray
+        import ray.data
+
+        conc = self.concurrency or max(
+            1, min(len(split_dirs), int(ray.cluster_resources().get("CPU", 8))))
+        ds = ray.data.from_items([{"split_dir": d} for d in split_dirs])
+        out = ds.map_batches(
+            SearchSplitStage,
+            fn_constructor_kwargs=dict(
+                mapping_json=self.config.to_json()["doc_mapping"],
+                request=request),
+            concurrency=min(conc, len(split_dirs)), batch_size=4,
+            num_cpus=1)
+        results = []
+        for batch in out.iter_batches(batch_size=None, batch_format="pandas"):
+            for blob in batch["partial"]:
+                results.append(pickle.loads(blob))
+        return results
 
     def _execute_ray(self, split_dirs: list[str], request: SearchRequest,
                      bounds: Optional[list[tuple]] = None,
