@@ -26,7 +26,7 @@ _SCRATCH = "/tmp/quickwit_ray_entry"
 
 
 def _index_dir_for(sf_dir: str, table: str) -> str:
-    h = hashlib.sha1(f"{sf_dir}:{table}:v4".encode()).hexdigest()[:10]
+    h = hashlib.sha1(f"{sf_dir}:{table}:v5".encode()).hexdigest()[:10]
     return os.path.join(_SCRATCH, f"{table}-{h}")
 
 

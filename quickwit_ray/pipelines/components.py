@@ -189,16 +189,22 @@ def attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str, *,
 
 def connected_components(pairs_ds, *, id_dtype: pa.DataType,
                          num_partitions: int | None = None,
-                         max_rounds: int = 24):
+                         max_rounds: int = 64,
+                         stats: dict | None = None):
     """Connected components of the (a, b) pair graph by distributed
-    min-label propagation — returns a Dataset (id, root) where root is the
-    minimum id of the component (exactly the keep-first union-find result).
+    min-label propagation + pointer doubling — returns a Dataset
+    (id, root) where root is the minimum id of the component (exactly the
+    keep-first union-find result).
 
-    Each round joins current labels onto the symmetric edge list, then
-    takes the per-node min over neighbor labels and the node's own label.
-    Labels only decrease, so an unchanged label checksum (driver scalar) is
-    a fixpoint. Converges in O(log diameter) rounds; near-dup components
-    are tiny, so 2-3 rounds in practice.
+    Each round (1) joins current labels onto the symmetric edge list and
+    takes the per-node min over neighbor labels and the node's own label
+    (hooking), then (2) shortcuts label(node) <- label(label(node))
+    (pointer jumping). The jump halves remaining chain depth every round,
+    so convergence is O(log diameter) — max_rounds=64 covers any graph
+    that fits in an int64 id space. Labels only decrease, so an unchanged
+    label checksum (driver scalar) is a fixpoint. Pass ``stats`` (a dict)
+    to receive {"rounds": n, "converged": bool}; non-convergence also
+    raises RuntimeError since it would silently keep duplicates.
     """
     import ray
     import ray.data
@@ -245,7 +251,10 @@ def connected_components(pairs_ds, *, id_dtype: pa.DataType,
                   batch_format="pyarrow")
               .materialize())
     prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+    converged = False
+    rounds = 0
     for rnd in range(max_rounds):
+        rounds = rnd + 1
         msgs = edges.join(labels, "inner", num_partitions,
                           on=("u",), right_on=("node",))
         # candidate labels for each node: its own + every neighbor's
@@ -258,15 +267,35 @@ def connected_components(pairs_ds, *, id_dtype: pa.DataType,
                   .map_batches(lambda b: pa.table({
                       "node": b["node"].combine_chunks(),
                       "label": b["min(label)"].combine_chunks()}),
-                      batch_format="pyarrow")
-                  .materialize())
+                      batch_format="pyarrow"))
+        # pointer jumping: label(node) <- label(label(node)). Every label
+        # value is itself a node (labels start as ids and min() only picks
+        # existing ids), so the inner self-join is total. label(y) <= y,
+        # so the jumped label can only improve — take it directly.
+        labels = labels.materialize()
+        jumped = labels.join(labels, "inner", num_partitions,
+                             on=("label",), right_on=("node",),
+                             right_suffix="_r")
+        labels = (jumped.map_batches(
+            lambda b: pa.table({
+                "node": b["node"].combine_chunks(),
+                "label": pc.min_element_wise(
+                    b["label"].combine_chunks(),
+                    b["label_r"].combine_chunks())}),
+            batch_format="pyarrow")
+            .materialize())
         cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    else:
-        log.warning("connected_components: no fixpoint after %d rounds",
-                    max_rounds)
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds "
+            f"(components would be under-merged)")
     return labels.map_batches(
         lambda b: pa.table({"id": b["node"].combine_chunks(),
                             "root": b["label"].combine_chunks()}),

@@ -75,7 +75,22 @@ def search_stream_index(index_dir: str, query, columns: list[str],
     node = s._resolve_query(query)
     splits = s.manifest.published_splits()
     if not splits:
-        out = ray.data.from_arrow(pa.table({c: pa.array([]) for c in columns}))
+        # type the empty columns from the doc mapping's fast-field types so
+        # empty and non-empty exports share a schema (datetime fast fields
+        # surface as int64 — SplitReader.fast_field casts them on read)
+        arrow_t = {"i64": pa.int64(), "u64": pa.uint64(), "f64": pa.float64(),
+                   "bool": pa.bool_(), "datetime": pa.int64(),
+                   "bytes": pa.binary()}
+
+        def _col_type(name: str) -> pa.DataType:
+            try:
+                fm = s.config.doc_mapping.resolve_field(name)
+            except KeyError:
+                return pa.string()
+            return arrow_t.get(fm.type, pa.string())
+
+        out = ray.data.from_arrow(
+            pa.table({c: pa.array([], _col_type(c)) for c in columns}))
     else:
         items = [{"split_dir": os.path.join(index_dir, "splits", sm.split_id)}
                  for sm in splits]

@@ -245,6 +245,34 @@ def _docs_to_table(docs: list[dict[str, Any]], mapping) -> pa.Table:
                 f"strict doc mapping: unknown fields {sorted(unknown)[:5]} "
                 "(use mode=lenient to drop them, dynamic to index them)")
         keys = [k for k in keys if _known(k)]
+    # Fold dotted keys rooted at a mapped json field into the parent json
+    # object (expand_dots semantics, field_mapping_entry.rs:578): `props.k`
+    # merges {'k': v} into the `props` column instead of becoming a
+    # standalone column the split writer would silently drop.
+    dotted = [k for k in keys
+              if "." in k and mapping.resolve_json_path(k) is not None]
+    if dotted:
+        keys = [k for k in keys if k not in dotted]
+        docs = [dict(d) for d in docs]  # don't mutate caller's docs
+        for d in docs:
+            for k in list(d.keys()):
+                if k not in dotted:
+                    continue
+                fm, path = mapping.resolve_json_path(k)
+                obj = d.get(fm.name)
+                obj = dict(obj) if isinstance(obj, dict) else {}
+                node = obj
+                parts = path.split(".")
+                for p in parts[:-1]:
+                    nxt = node.get(p)
+                    if not isinstance(nxt, dict):
+                        nxt = {}
+                        node[p] = nxt
+                    node = nxt
+                node[parts[-1]] = d.pop(k)
+                d[fm.name] = obj
+                if fm.name not in keys:
+                    keys.append(fm.name)
     cols = {}
     json_fields = {f.name for f in mapping.field_mappings if f.type == "json"}
     for k in keys:

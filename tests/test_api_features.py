@@ -478,6 +478,15 @@ def test_strict_rejects_unknown_dotted_fields(tmp_path):
     idx = Index.create(str(tmp_path / "i"), "x", mapping)
     # dotted path rooted at the mapped json field: fine
     assert idx.ingest_docs([{"doc_id": 1, "body": "ok", "props.k": 1}]) == 1
+    # ... and actually folded into the parent json object, so it is
+    # searchable as props.k (not silently dropped as a stray column)
+    assert list(idx.search("props.k:1", max_hits=10).hits["doc_id"]) == [1]
+    # nested dotted path merges with existing json content
+    assert idx.ingest_docs(
+        [{"doc_id": 3, "body": "ok", "props": {"a": "x"}, "props.b.c": "y"}]
+    ) == 1
+    assert list(idx.search("props.b.c:y", max_hits=10).hits["doc_id"]) == [3]
+    assert list(idx.search("props.a:x", max_hits=10).hits["doc_id"]) == [3]
     # dotted path with an unmapped root: rejected
     with pytest.raises(ValueError, match="unknown fields"):
         idx.ingest_docs([{"doc_id": 2, "body": "ok", "junk.field": 2}])

@@ -50,6 +50,24 @@ def test_connected_components_chain(rd, force_distributed, monkeypatch):
     assert sorted(dups["id"]) == [1, 2, 3, 4, 5, 11]
 
 
+def test_connected_components_long_chain_pointer_doubling(rd, monkeypatch):
+    """A 70-hop path exceeds any plausible per-hop round budget — pointer
+    doubling must converge in O(log diameter) rounds (~8 for 70 hops),
+    and the stats out-param must report convergence."""
+    import quickwit_ray.pipelines.components as comp_mod
+
+    monkeypatch.setattr(comp_mod, "SMALL_CC_EDGES", 0)  # force distributed
+    n = 71
+    pairs = rd.from_arrow(pa.table({"a": list(range(n - 1)),
+                                    "b": list(range(1, n))}))
+    stats = {}
+    comps = connected_components(pairs, id_dtype=pa.int64(),
+                                 stats=stats).to_pandas()
+    got = dict(zip(comps["id"], comps["root"]))
+    assert got == {i: 0 for i in range(n)}
+    assert stats["converged"] and stats["rounds"] <= 10
+
+
 def test_semi_join_broadcast_and_shuffle_paths(rd):
     ds = rd.from_arrow(pa.table({"k": list(range(20)),
                                  "v": [f"v{i}" for i in range(20)]}))

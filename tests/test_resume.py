@@ -127,8 +127,9 @@ def test_manifest_log_torn_tail_ignored(tmp_path):
         f.write('{"op":"publish","splits":[{"split_id":"torn"')
     m2 = Manifest(d)
     assert sorted(s.split_id for s in m2.published_splits()) == ["s1"]
-    # the torn tail is truncated on load, so the next append starts a
-    # clean line and BOTH ops survive a reload
+    # readers never truncate — they SKIP the torn fragment; the WRITER
+    # repairs by prefixing its next append with a newline, so the new op
+    # starts a clean line and BOTH ops survive a reload
     m2.publish([SplitMetadata("s2", "x", 10, 100)], checkpoint_partition="p2")
     m3 = Manifest(d)
     assert sorted(s.split_id for s in m3.published_splits()) == ["s1", "s2"]

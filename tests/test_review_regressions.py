@@ -365,3 +365,27 @@ def test_field_scoped_group(docs_idx):
     g = s.search("text:(scan AND n_chars:>=500)", max_hits=0).num_hits
     h = s.search("+text:scan +n_chars:>=500", max_hits=0).num_hits
     assert g == h
+
+
+def test_empty_stream_export_typed_schema(tmp_path):
+    """search_stream_index over an index with zero published splits must
+    emit the fast fields' REAL types (not null-typed columns), matching
+    the non-empty path (round-2 ADVICE, search_stream.py)."""
+    from quickwit_ray.api import Index
+    from quickwit_ray.pipelines.search_stream import search_stream_index
+
+    mapping = DocMapping(field_mappings=(
+        FieldMapping(name="body", type="text", record="freq"),
+        FieldMapping(name="ts", type="datetime", fast=True),
+        FieldMapping(name="val", type="f64", fast=True),
+        FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    d = str(tmp_path / "i")
+    Index.create(d, "x", mapping)
+    out = search_stream_index(d, "body:x", ["doc_id", "val", "ts"])
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["doc_id"] == pa.int64()
+    assert types["val"] == pa.float64()
+    # datetime fast fields surface as int64 on the non-empty path too
+    assert types["ts"] == pa.int64()
