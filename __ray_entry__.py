@@ -26,7 +26,7 @@ _SCRATCH = "/tmp/quickwit_ray_entry"
 
 
 def _index_dir_for(sf_dir: str, table: str) -> str:
-    h = hashlib.sha1(f"{sf_dir}:{table}:v5".encode()).hexdigest()[:10]
+    h = hashlib.sha1(f"{sf_dir}:{table}:v6".encode()).hexdigest()[:10]
     return os.path.join(_SCRATCH, f"{table}-{h}")
 
 
@@ -200,7 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         s = _searcher(sf, "events")
         resp = s.search("*", max_hits=0, aggs={
             "days": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}})
-        b = resp.aggs["days"]["buckets"]
+        # ES semantics emit min_doc_count=0 gap buckets; the SQL oracle's
+        # GROUP BY can't, so compare only non-empty buckets
+        b = [x for x in resp.aggs["days"]["buckets"] if x["doc_count"] > 0]
         return pd.DataFrame({"key": pd.Series([int(x["key"]) for x in b], dtype="int64"),
                              "doc_count": pd.Series([x["doc_count"] for x in b],
                                                     dtype="int64")})
@@ -210,7 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         s = _searcher(sf, "events")
         resp = s.search("*", max_hits=0, aggs={
             "v": {"histogram": {"field": "value", "interval": 10.0}}})
-        b = resp.aggs["v"]["buckets"]
+        b = [x for x in resp.aggs["v"]["buckets"] if x["doc_count"] > 0]
         return pd.DataFrame({"key": [float(x["key"]) for x in b],
                              "doc_count": pd.Series([x["doc_count"] for x in b],
                                                     dtype="int64")})
@@ -753,7 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         resp = s.search("*", max_hits=0, aggs={
             "days": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
                      "aggs": {"v": {"stats": {"field": "value"}}}}})
-        b = resp.aggs["days"]["buckets"]
+        b = [x for x in resp.aggs["days"]["buckets"] if x["doc_count"] > 0]
         return pd.DataFrame({
             "key": pd.Series([int(x["key"]) for x in b], dtype="int64"),
             "doc_count": pd.Series([x["doc_count"] for x in b], dtype="int64"),

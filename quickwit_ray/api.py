@@ -177,10 +177,13 @@ class Index:
             if os.path.isdir(d):
                 store += sum(os.path.getsize(os.path.join(d, f))
                              for f in os.listdir(d))
+        seg = {"count": len(splits)}
         body = {"primaries": {"docs": {"count": n_docs, "deleted": 0},
-                              "store": {"size_in_bytes": store}},
+                              "store": {"size_in_bytes": store},
+                              "segments": dict(seg)},
                 "total": {"docs": {"count": n_docs, "deleted": 0},
-                          "store": {"size_in_bytes": store}}}
+                          "store": {"size_in_bytes": store},
+                          "segments": dict(seg)}}
         index_id = m.index_config_json["index_id"]
         return {"_all": body, "indices": {index_id: body}}
 

@@ -46,12 +46,29 @@ class FieldMapping:
     # source column is a string/number instead of a native timestamp;
     # () -> rfc3339 then unix_timestamp
     input_formats: tuple = ()
+    # fast-column normalizer for text fields (field_mapping_entry.rs:469-483
+    # `fast: {normalizer: raw|lowercase}`): applied to the columnar copy
+    # used by sorts / aggs / ranges, NOT to the inverted index
+    fast_normalizer: str = "raw"
+    # datetime fast-column truncation (date_time_type.rs fast_precision):
+    # stored values AND query range bounds truncate to this unit
+    fast_precision: str = "microseconds"  # seconds|milliseconds|microseconds
 
     def __post_init__(self) -> None:
         if self.type not in FIELD_TYPES:
             raise ValueError(f"unknown field type {self.type!r}")
         if self.record not in RECORD_OPTIONS:
             raise ValueError(f"unknown record option {self.record!r}")
+        if self.fast_normalizer not in ("raw", "lowercase"):
+            raise ValueError(f"unknown fast normalizer {self.fast_normalizer!r}")
+        if self.fast_precision not in ("seconds", "milliseconds", "microseconds"):
+            raise ValueError(f"unknown fast_precision {self.fast_precision!r}")
+
+    @property
+    def fast_precision_us(self) -> int:
+        """Truncation quantum of the datetime fast column, in microseconds."""
+        return {"seconds": 1_000_000, "milliseconds": 1_000,
+                "microseconds": 1}[self.fast_precision]
 
 
 @dataclass(frozen=True)

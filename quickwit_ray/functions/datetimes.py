@@ -46,7 +46,10 @@ def parse_datetimes(values: Iterable, input_formats: Sequence[str] = ("rfc3339",
         if fmt in ("rfc3339", "iso8601"):
             parsed = pd.to_datetime(sub, errors="coerce", utc=True,
                                     format="ISO8601")
-            vals = parsed.view("int64") / 1000.0
+            # ns -> us by INTEGER division before any float conversion:
+            # int64 ns (~1.4e18) is not float64-exact and a float divide
+            # corrupts sub-ms fractions (.002 -> .001999750)
+            vals = (np.asarray(parsed.astype("int64")) // 1000).astype(np.float64)
             ok = parsed.notna().to_numpy()
         elif fmt == "rfc2822":
             def _p(x):
@@ -62,7 +65,7 @@ def parse_datetimes(values: Iterable, input_formats: Sequence[str] = ("rfc3339",
         elif fmt.startswith("strptime:"):
             pat = fmt.split(":", 1)[1]
             parsed = pd.to_datetime(sub, errors="coerce", utc=True, format=pat)
-            vals = parsed.view("int64") / 1000.0
+            vals = (np.asarray(parsed.astype("int64")) // 1000).astype(np.float64)
             ok = parsed.notna().to_numpy()
         else:
             raise ValueError(f"unknown datetime input format {fmt!r}")

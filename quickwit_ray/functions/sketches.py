@@ -32,16 +32,31 @@ def hash64(values: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.ascontiguousarray(arr)).astype(np.uint64)
 
 
+HLL_SPARSE_MAX = 4096  # distinct hashes kept exactly before densifying
+
+
 class HyperLogLog:
-    __slots__ = ("registers",)
+    """HLL++-style: a sparse EXACT hash set below HLL_SPARSE_MAX distinct
+    values (small cardinalities come out integer-exact, matching the
+    reference's sparse mode), densifying to the register array above it."""
 
-    def __init__(self, registers: np.ndarray | None = None):
-        self.registers = (registers if registers is not None
-                          else np.zeros(HLL_M, np.uint8))
+    __slots__ = ("registers", "sparse")
 
-    def add_hashes(self, h: np.ndarray) -> None:
-        if len(h) == 0:
-            return
+    def __init__(self, registers: np.ndarray | None = None,
+                 sparse: np.ndarray | None = None):
+        if registers is None and sparse is None:
+            sparse = np.empty(0, np.uint64)
+        self.registers = registers
+        self.sparse = sparse  # sorted unique uint64 hashes, or None
+
+    def _densify(self) -> None:
+        h = self.sparse
+        self.sparse = None
+        self.registers = np.zeros(HLL_M, np.uint8)
+        if len(h):
+            self._add_dense(h)
+
+    def _add_dense(self, h: np.ndarray) -> None:
         idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
         rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
         # rank = leading zeros of remaining bits + 1
@@ -53,13 +68,43 @@ class HyperLogLog:
         rank = lz + 1
         np.maximum.at(self.registers, idx, rank)
 
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        h = h.astype(np.uint64, copy=False)
+        if self.sparse is not None:
+            merged = np.union1d(self.sparse, h)
+            if len(merged) <= HLL_SPARSE_MAX:
+                self.sparse = merged
+                return
+            self.sparse = merged
+            self._densify()
+            return
+        self._add_dense(h)
+
     def add(self, values: np.ndarray) -> None:
         self.add_hashes(hash64(values))
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
-        return HyperLogLog(np.maximum(self.registers, other.registers))
+        if self.sparse is not None and other.sparse is not None:
+            merged = np.union1d(self.sparse, other.sparse)
+            if len(merged) <= HLL_SPARSE_MAX:
+                return HyperLogLog(sparse=merged)
+            out = HyperLogLog(sparse=merged)
+            out._densify()
+            return out
+        a, b = self, other
+        if a.sparse is not None:
+            a = HyperLogLog(sparse=a.sparse.copy())
+            a._densify()
+        if b.sparse is not None:
+            b = HyperLogLog(sparse=b.sparse.copy())
+            b._densify()
+        return HyperLogLog(np.maximum(a.registers, b.registers))
 
     def estimate(self) -> float:
+        if self.sparse is not None:
+            return float(len(self.sparse))  # exact below the sparse cap
         m = HLL_M
         regs = self.registers.astype(np.float64)
         raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))
@@ -69,10 +114,17 @@ class HyperLogLog:
         return raw
 
     def to_bytes(self) -> bytes:
-        return self.registers.tobytes()
+        if self.sparse is not None:
+            return b"S" + self.sparse.tobytes()
+        return b"D" + self.registers.tobytes()
 
     @staticmethod
     def from_bytes(b: bytes) -> "HyperLogLog":
+        if b[:1] == b"S":
+            return HyperLogLog(sparse=np.frombuffer(b[1:], np.uint64).copy())
+        if b[:1] == b"D":
+            return HyperLogLog(np.frombuffer(b[1:], np.uint8).copy())
+        # legacy untagged register dump
         return HyperLogLog(np.frombuffer(b, np.uint8).copy())
 
 

@@ -443,6 +443,20 @@ class SplitReader:
         except pa.ArrowInvalid:
             return col.to_numpy(zero_copy_only=False)
 
+    def fast_field_arrow(self, name: str) -> Optional[pa.Array]:
+        """Raw Arrow fast column (nulls intact) — integer-exact access for
+        u64/i64 values beyond float64 precision (terms-agg keys)."""
+        if self._fastfields is None:
+            p = os.path.join(self.split_dir, FASTFIELDS_FILE)
+            self._fastfields = pq.read_table(p) if os.path.exists(p) else pa.table({})
+        if name not in self._fastfields.column_names:
+            return None
+        ca = self._fastfields[name].combine_chunks()
+        if isinstance(ca, pa.ChunkedArray):
+            # a flat Array (ChunkedArray lacks is_valid and friends)
+            ca = ca.chunk(0) if ca.num_chunks else pa.array([], ca.type)
+        return ca
+
     def fast_field_valid(self, name: str) -> Optional[np.ndarray]:
         """Validity (non-null) mask of a fast field, or None if absent."""
         if self._fastfields is None:

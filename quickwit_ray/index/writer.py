@@ -24,6 +24,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from quickwit_ray.config import IndexConfig
@@ -287,15 +288,25 @@ class SplitBuilder:
         for fm in self.mapping.fast_fields:
             if fm.name in batch.column_names:
                 col = batch[fm.name]
-                if fm.type == "datetime" and not pa.types.is_timestamp(
-                        col.type if not isinstance(col, pa.ChunkedArray)
-                        else col.type):
-                    col = _coerce_datetime(col, fm)
+                if fm.type == "datetime":
+                    if not pa.types.is_timestamp(
+                            col.type if not isinstance(col, pa.ChunkedArray)
+                            else col.type):
+                        col = _coerce_datetime(col, fm)
+                    q = fm.fast_precision_us
+                    if q > 1:
+                        # fast_precision truncation (date_time_type.rs):
+                        # both stored values and range bounds quantize
+                        ints = col.cast(pa.timestamp("us")).cast(pa.int64())
+                        ints = pc.multiply(pc.divide(ints, q), q)
+                        col = ints.cast(pa.timestamp("us"))
                 elif fm.type == "ip":
                     from quickwit_ray.functions.ip import normalize_ips
 
                     col = pa.chunked_array([pa.array(
                         normalize_ips(col.to_pylist()), pa.string())])
+                elif fm.type == "text" and fm.fast_normalizer == "lowercase":
+                    col = pc.utf8_lower(col)
                 fast_cols[fm.name] = col
         if fast_cols:
             self._fast_chunks.append(pa.table(fast_cols))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any
 
 import numpy as np
+import pyarrow as pa
 
 MAX_BUCKETS = 65_000
 
@@ -37,6 +38,15 @@ def parse_fixed_interval(s: str) -> int:
     if not m:
         raise ValueError(f"bad fixed_interval {s!r}")
     return int(m.group(1)) * _INTERVALS_MS[m.group(2)] * 1000
+
+
+def _parse_offset(v, kind: str) -> float:
+    """Histogram offset — date_histogram accepts signed durations
+    ('-4d', '1h') next to bare numbers (aggregation.md offset)."""
+    if isinstance(v, str) and kind == "date_histogram":
+        sign = -1 if v.startswith("-") else 1
+        return sign * parse_fixed_interval(v.lstrip("+-"))
+    return float(v)
 
 
 def _field_values(searcher, field: str, mask: np.ndarray) -> np.ndarray:
@@ -65,7 +75,12 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
             from quickwit_ray.functions.sketches import HyperLogLog
 
             hll = HyperLogLog()
-            vals = _field_values(searcher, body["field"], mask)
+            # missing values don't count toward the cardinality
+            vals = _drop_missing(_field_values(searcher, body["field"], mask))
+            if vals.dtype.kind in "iu":
+                # one split may surface the column as int (no nulls) and
+                # another as float (nulls) — hash one canonical dtype
+                vals = vals.astype(np.float64)
             hll.add(vals)
             out[name] = {"hll": hll.to_bytes()}
         elif kind == "percentiles":
@@ -78,25 +93,68 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
                          "percents": body.get("percents", [1, 5, 25, 50, 75, 95, 99])}
         elif kind == "terms":
             vals = _field_values(searcher, body["field"], mask)
-            vals = _drop_missing(vals)
-            uniq, counts = np.unique(vals.astype(str), return_counts=True)
+            exploded = _explode_multivalued(vals)
+            numeric = False
+            if exploded is None:  # single-valued path
+                arrow_col = None
+                if vals.dtype.kind == "f":
+                    getter = getattr(searcher.reader, "fast_field_arrow", None)
+                    arrow_col = getter(body["field"]) if getter else None
+                if arrow_col is not None and pa.types.is_integer(arrow_col.type):
+                    # int column that fell back to float (nulls): take the
+                    # keys from Arrow so u64 values beyond 2^53 stay exact
+                    acol = arrow_col.filter(pa.array(mask[: len(arrow_col)]))
+                    valid = np.asarray(acol.is_valid())
+                    keys_arr = np.asarray(
+                        acol.drop_null().cast(pa.string()).to_pylist(), object)
+                    pos = np.nonzero(valid)[0]
+                    numeric = True
+                else:
+                    valid = _valid_mask(vals)
+                    keys_arr = vals[valid].astype(str)
+                    # positions into the masked doc array, so sub-agg
+                    # members stay aligned when missing values were dropped
+                    pos = np.nonzero(valid)[0]
+                    numeric = vals.dtype.kind in "iuf"
+            else:
+                keys_arr, pos = exploded
+            uniq = np.unique(keys_arr)
             buckets = {}
-            _ = counts
-            for u, c, idxs in _bucket_members(vals.astype(str), uniq):
+            for u, c, idxs in _bucket_members(keys_arr, uniq):
                 b = {"doc_count": int(c)}
                 if sub:
-                    b["aggs"] = _sub_partial(sub, searcher, mask, idxs)
+                    b["aggs"] = _sub_partial(sub, searcher, mask,
+                                             np.unique(pos[idxs]))
                 buckets[str(u)] = b
-            out[name] = {"buckets": buckets, "size": int(body.get("size", 10))}
+            total = sum(b["doc_count"] for b in buckets.values())
+            error = 0
+            # split_size (the reference terms-agg param, aggregation.md):
+            # per-split truncation to the top split_size buckets; the first
+            # truncated bucket's count bounds what this split may have
+            # under-reported (doc_count_error_upper_bound contribution)
+            split_size = (body.get("split_size") or body.get("segment_size")
+                          or body.get("shard_size"))
+            if split_size is not None and len(buckets) > int(split_size):
+                ordered = sorted(buckets.items(),
+                                 key=lambda kv: (-kv[1]["doc_count"], kv[0]))
+                error = ordered[int(split_size)][1]["doc_count"]
+                buckets = dict(ordered[: int(split_size)])
+            out[name] = {"buckets": buckets, "size": int(body.get("size", 10)),
+                         "total": total, "error": error,
+                         "numeric_keys": bool(numeric)}
         elif kind in ("histogram", "date_histogram"):
             field = body["field"]
             vals = _field_values(searcher, field, mask).astype(np.float64)
-            vals = vals[~np.isnan(vals)]
+            valid = ~np.isnan(vals)
+            # positions into the masked doc array: sub-agg members must
+            # stay aligned after dropping docs with a missing bucket key
+            pos = np.nonzero(valid)[0]
+            vals = vals[valid]
             if kind == "date_histogram":
                 interval = parse_fixed_interval(body.get("fixed_interval", "1d"))
             else:
                 interval = float(body["interval"])
-            offset = float(body.get("offset", 0))
+            offset = _parse_offset(body.get("offset", 0), kind)
             keys = np.floor((vals - offset) / interval) * interval + offset
             uniq, counts = np.unique(keys, return_counts=True)
             if len(uniq) > MAX_BUCKETS:
@@ -105,7 +163,7 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
             for u, c, idxs in _bucket_members(keys, uniq):
                 b = {"doc_count": int(c)}
                 if sub:
-                    b["aggs"] = _sub_partial(sub, searcher, mask, idxs)
+                    b["aggs"] = _sub_partial(sub, searcher, mask, pos[idxs])
                 buckets[float(u)] = b
             out[name] = {"buckets": buckets, "interval": interval}
         elif kind == "range":
@@ -120,7 +178,8 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
                     m &= vals >= lo
                 if hi is not None:
                     m &= vals < hi
-                key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+                key = r.get("key") or (
+                    f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}")
                 b = {"doc_count": int(m.sum()), "from": lo, "to": hi}
                 if sub:
                     doc_sel = np.nonzero(mask)[0][m]
@@ -132,15 +191,43 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
     return out
 
 
-def _drop_missing(vals: np.ndarray) -> np.ndarray:
-    """ES semantics: missing values don't form buckets."""
+def _explode_multivalued(vals: np.ndarray):
+    """Multi-valued (list) fast column -> (term keys, doc positions) with
+    per-doc dedup (ES terms semantics: a doc counts once per distinct
+    value). Returns None when the column is single-valued."""
+    if vals.dtype != object or not len(vals):
+        return None
+    probe = next((x for x in vals if x is not None), None)
+    if not isinstance(probe, (list, tuple, np.ndarray)):
+        return None
+    keys, pos = [], []
+    for i, xs in enumerate(vals):
+        if xs is None:
+            continue
+        seen = set()
+        for v in xs:
+            if v is None or v in seen:
+                continue
+            seen.add(v)
+            keys.append(str(v))
+            pos.append(i)
+    return np.asarray(keys, object), np.asarray(pos, np.int64)
+
+
+def _valid_mask(vals: np.ndarray) -> np.ndarray:
+    """True where the value is present (ES: missing values don't bucket)."""
     if vals.dtype.kind == "f":
-        return vals[~np.isnan(vals)]
+        return ~np.isnan(vals)
     if vals.dtype == object:
         import pandas as pd
 
-        return vals[pd.notna(vals)]
-    return vals
+        return np.asarray(pd.notna(vals))
+    return np.ones(len(vals), bool)
+
+
+def _drop_missing(vals: np.ndarray) -> np.ndarray:
+    """ES semantics: missing values don't form buckets."""
+    return vals[_valid_mask(vals)]
 
 
 def _bucket_members(keys: np.ndarray, uniq: np.ndarray):
@@ -207,7 +294,13 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
             percents = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
             for s in states:
                 qs = qs.merge(QuantileSketch.from_state(s["qs_values"], s["qs_weights"]))
-            out[name] = {"values": {str(p): qs.percentile(p) for p in percents}}
+            if body.get("keyed", True):
+                out[name] = {"values": {str(p): qs.percentile(p)
+                                        for p in percents}}
+            else:  # ES keyed=false: list of {key, value} pairs
+                out[name] = {"values": [{"key": float(p),
+                                         "value": qs.percentile(p)}
+                                        for p in percents]}
         elif kind == "terms":
             merged: dict[str, dict] = {}
             for s in states:
@@ -218,13 +311,32 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
                         tgt["partials"].append(b["aggs"])
             size = int(body.get("size", 10))
             ordered = sorted(merged.items(), key=lambda kv: (-kv[1]["doc_count"], kv[0]))
+            numeric = any(s.get("numeric_keys") for s in states)
             buckets = []
             for key, b in ordered[:size]:
-                eb = {"key": key, "doc_count": b["doc_count"]}
+                k = key
+                if numeric:
+                    try:
+                        f = float(key)
+                        k = int(key) if f.is_integer() and "." not in key else f
+                    except ValueError:
+                        pass
+                eb = {"key": k, "doc_count": b["doc_count"]}
                 if sub and b["partials"]:
                     eb.update(merge_partial_aggs(sub, b["partials"]))
                 buckets.append(eb)
-            out[name] = {"buckets": buckets}
+            # ES response extras: sum_other = matched docs not in the shown
+            # buckets (per-split `total` is pre-truncation, so this stays
+            # right under split_size); error bound = sum of each split's
+            # first-truncated-bucket count
+            total = sum(s.get("total", sum(bb["doc_count"]
+                                           for bb in s["buckets"].values()))
+                        for s in states)
+            shown = sum(b["doc_count"] for b in buckets)
+            out[name] = {"buckets": buckets,
+                         "sum_other_doc_count": total - shown,
+                         "doc_count_error_upper_bound": sum(
+                             s.get("error", 0) for s in states)}
         elif kind in ("histogram", "date_histogram"):
             merged = {}
             for s in states:
@@ -233,6 +345,39 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
                     tgt["doc_count"] += b["doc_count"]
                     if "aggs" in b:
                         tgt["partials"].append(b["aggs"])
+            # min_doc_count=0 semantics (ES/quickwit default): empty
+            # buckets fill every gap between the first and last key, and
+            # extended_bounds stretches that span. Bare-number bounds on a
+            # date_histogram auto-detect the epoch unit.
+            eb_spec = body.get("extended_bounds") or {}
+            if merged or eb_spec:
+                if kind == "date_histogram":
+                    interval = float(
+                        parse_fixed_interval(body.get("fixed_interval", "1d")))
+                else:
+                    interval = float(body["interval"])
+                offset = _parse_offset(body.get("offset", 0), kind)
+
+                def _bound(v):
+                    if kind == "date_histogram" and isinstance(v, (int, float)):
+                        import pandas as pd
+
+                        from quickwit_ray.functions.datetimes import _unix_to_us
+
+                        return float(_unix_to_us(pd.Series([v]))[0])
+                    return float(v)
+
+                lo_keys = [np.floor((_bound(eb_spec["min"]) - offset) / interval)
+                           * interval + offset] if "min" in eb_spec else []
+                hi_keys = [np.floor((_bound(eb_spec["max"]) - offset) / interval)
+                           * interval + offset] if "max" in eb_spec else []
+                span = list(merged) + lo_keys + hi_keys
+                if span:
+                    k = min(span)
+                    while k <= max(span) + 1e-9:
+                        merged.setdefault(float(k), {"doc_count": 0,
+                                                     "partials": []})
+                        k += interval
             buckets = []
             for key in sorted(merged):
                 b = merged[key]

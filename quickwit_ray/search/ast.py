@@ -32,6 +32,9 @@ class FullTextQuery:
     mode: str = "or"  # or | and | phrase | bool_prefix
     slop: int = 0
     zero_terms_match_all: bool = False
+    # ES `lenient`: a type mismatch / unknown field matches nothing
+    # instead of erroring (match_query.rs lenient)
+    lenient: bool = False
 
 
 @dataclass(frozen=True)
@@ -54,6 +57,8 @@ class PhrasePrefixQuery:
     field: str
     text: str
     max_expansions: int = 50
+    # optional analyzer override (ES match_phrase_prefix `analyzer`)
+    analyzer: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -163,7 +168,13 @@ def extract_timestamp_bounds(node: Any, ts_field: str) -> tuple[Optional[int], O
         if v is None:
             return None
         if isinstance(v, (int, float)):
-            return int(v)
+            # bare numbers auto-detect the epoch unit by magnitude (the
+            # reference's unix_timestamp semantics) — an ES range bound of
+            # 1422748813000 is millis, and pruning in raw micros would
+            # wrongly discard every split
+            from quickwit_ray.functions.datetimes import _unix_to_us
+
+            return int(_unix_to_us(pd.Series([v]))[0])
         return int(pd.Timestamp(v).value // 1000)
 
     if isinstance(node, RangeQuery) and node.field == ts_field:

@@ -1,0 +1,482 @@
+"""Offline ES-compatible REST dispatcher — the library-level analog of the
+reference's elasticsearch REST tier (`quickwit-serve/src/elasticsearch_api/
+rest_handler.rs:71-294`): `_search`, `_search/scroll`, `_count`, `_msearch`,
+`_stats`, `_cat/indices`, `_bulk`, plus quickwit's native `{index}/ingest`.
+
+There is no HTTP server (library/CLI target); `EsRestService.request()`
+takes (method, endpoint, params, body) and returns ``(status, payload)``
+shaped exactly like the reference's JSON responses, so the reference's
+rest-api-tests conformance corpus replays against it offline
+(tests/test_es_conformance.py).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+from typing import Any, Optional
+from urllib.parse import parse_qsl
+
+import numpy as np
+import pandas as pd
+
+from quickwit_ray.api import Index
+from quickwit_ray.search.engine import IndexSearcher, SearchResponse
+from quickwit_ray.search.es_dsl import es_query_to_ast, es_search_request
+from quickwit_ray.search.parser import parse_query
+
+
+class EsApiError(Exception):
+    """Maps to a non-2xx REST response."""
+
+    def __init__(self, status: int, reason: str):
+        super().__init__(reason)
+        self.status = status
+        self.reason = reason
+
+
+# ---------------------------------------------------------------------------
+# response rendering
+# ---------------------------------------------------------------------------
+
+def _parse_source_param(v) -> Optional[list[str]]:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return [s for s in v.split(",") if s]
+    return list(v)
+
+
+def _filter_source(src: dict, includes: Optional[list[str]],
+                   excludes: Optional[list[str]]) -> dict:
+    """ES _source_includes/_source_excludes with dotted-path support
+    (excludes win on overlap, matching ES)."""
+    def pick(obj: dict, path: list[str]):
+        node = obj
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                return False, None
+            node = node[p]
+        return True, node
+
+    def put(obj: dict, path: list[str], val):
+        node = obj
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = val
+
+    out = src
+    if includes is not None:
+        out = {}
+        for inc in includes:
+            ok, val = pick(src, inc.split("."))
+            if ok:
+                put(out, inc.split("."), val)
+    if excludes:
+        out = json.loads(json.dumps(out))  # deep copy before pruning
+        for exc in excludes:
+            parts = exc.split(".")
+            node = out
+            for p in parts[:-1]:
+                node = node.get(p) if isinstance(node, dict) else None
+                if node is None:
+                    break
+            if isinstance(node, dict):
+                node.pop(parts[-1], None)
+    return out
+
+
+def _clean_scalar(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return int(f) if f.is_integer() and abs(f) < 2**53 else f
+    if isinstance(v, np.bool_):
+        return bool(v)
+    return v
+
+
+def _hit_source(row: pd.Series, mapping) -> dict:
+    """_source for one hit: the verbatim stored `_source` column when the
+    mapping has one (the reference's store_source), else the stored fields
+    re-assembled (json columns parsed back to objects, nulls dropped)."""
+    if "_source" in row.index and isinstance(row["_source"], str):
+        return json.loads(row["_source"])
+    src: dict[str, Any] = {}
+    json_fields = {f.name for f in mapping.field_mappings if f.type == "json"}
+    for col in row.index:
+        if col.startswith("_") or col in ("sort_key0", "sort_key1"):
+            continue
+        v = row[col]
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        if col in json_fields and isinstance(v, str):
+            try:
+                v = json.loads(v)
+            except ValueError:
+                pass
+        src[col] = _clean_scalar(v)
+    return src
+
+
+def _sort_values(row: pd.Series, sort_fields, mapping,
+                 sort_formats: Optional[dict] = None) -> list:
+    out = []
+    for i, sf in enumerate(sort_fields[:2]):
+        v = row[f"sort_key{i}"]
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            out.append(None)
+            continue
+        # datetime sort keys surface as epoch millis (ES convention) or
+        # nanos with `format: epoch_nanos_int`; internal values are micros
+        try:
+            fm = mapping.resolve_field(sf.field)
+        except KeyError:
+            fm = None
+        if fm is not None and fm.type == "datetime":
+            fmt = (sort_formats or {}).get(sf.field)
+            if fmt == "epoch_nanos_int":
+                out.append(int(v) * 1000)
+            else:
+                out.append(int(v) // 1000)
+        else:
+            out.append(_clean_scalar(np.float64(v)))
+    return out
+
+
+def _render_aggs(aggs_spec: Optional[dict], aggs: Optional[dict],
+                 mapping) -> Optional[dict]:
+    """Post-process native agg output into the ES response shape:
+    date_histogram keys become epoch millis + key_as_string."""
+    if aggs is None or aggs_spec is None:
+        return aggs
+
+    def walk(spec: dict, out: dict) -> dict:
+        res = {}
+        for name, body in spec.items():
+            kind = next(k for k in body if k != "aggs")
+            node = out.get(name)
+            if node is None:
+                res[name] = None
+                continue
+            node = json.loads(json.dumps(node, default=_clean_scalar))
+            if kind == "date_histogram" and "buckets" in node:
+                for b in node["buckets"]:
+                    us = float(b["key"])
+                    ms = us / 1000.0
+                    b["key"] = ms
+                    b["key_as_string"] = (
+                        pd.Timestamp(int(us), unit="us", tz="UTC")
+                        .strftime("%Y-%m-%dT%H:%M:%SZ"))
+            sub = body.get("aggs")
+            if sub and "buckets" in node:
+                for b in node["buckets"]:
+                    rendered = walk(sub, b)
+                    b.update(rendered)
+            res[name] = node
+        return res
+
+    return walk(aggs_spec, aggs)
+
+
+def render_search_response(resp: SearchResponse, index_id: str, mapping,
+                           sort_fields=(), aggs_spec: Optional[dict] = None,
+                           source_includes: Optional[list[str]] = None,
+                           source_excludes: Optional[list[str]] = None,
+                           scroll_id: Optional[str] = None,
+                           sort_formats: Optional[dict] = None) -> dict:
+    hits = []
+    for _, row in resp.hits.iterrows():
+        h: dict[str, Any] = {"_index": index_id}
+        src = _hit_source(row, mapping)
+        doc_id_field = mapping.doc_id_field
+        if doc_id_field in src:
+            h["_id"] = str(src[doc_id_field])
+        if "_score" in row.index and row.get("_score") is not None:
+            s = row["_score"]
+            h["_score"] = None if (isinstance(s, float) and np.isnan(s)) else (
+                _clean_scalar(np.float64(s)) if s is not None else None)
+        h["_source"] = _filter_source(src, source_includes, source_excludes)
+        if sort_fields:
+            h["sort"] = _sort_values(row, list(sort_fields), mapping,
+                                     sort_formats)
+        hits.append(h)
+    out = {
+        "took": int(resp.elapsed_sec * 1000),
+        "timed_out": False,
+        "hits": {
+            "total": {"value": int(resp.num_hits),
+                      "relation": "eq" if resp.num_hits_exact else "gte"},
+            "hits": hits,
+        },
+    }
+    rendered_aggs = _render_aggs(aggs_spec, resp.aggs, mapping)
+    if rendered_aggs is not None:
+        out["aggregations"] = rendered_aggs
+    if scroll_id is not None:
+        out["_scroll_id"] = scroll_id
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+class EsRestService:
+    """Routes (method, endpoint, params, body) over a registry of indexes,
+    exactly like the reference's REST handlers — minus the HTTP socket."""
+
+    def __init__(self, indexes: dict[str, Index]):
+        self.indexes = dict(indexes)
+        self._scroll_owner: dict[str, str] = {}  # scroll_id -> index name
+
+    # -- registry -------------------------------------------------------
+
+    def _index(self, name: str) -> Index:
+        idx = self.indexes.get(name)
+        if idx is None:
+            raise EsApiError(404, f"index not found: {name}")
+        return idx
+
+    def _match_indexes(self, pattern: str) -> dict[str, Index]:
+        return {n: i for n, i in self.indexes.items()
+                if fnmatch.fnmatch(n, pattern)}
+
+    # -- entry ----------------------------------------------------------
+
+    def request(self, method: str, endpoint: str,
+                params: Optional[dict] = None, body: Any = None,
+                ndjson: Optional[list] = None) -> tuple[int, Any]:
+        params = dict(params or {})
+        endpoint = endpoint.strip("/")
+        if "?" in endpoint:
+            endpoint, qs = endpoint.split("?", 1)
+            params.update(dict(parse_qsl(qs)))
+        try:
+            return 200, self._route(method.upper(), endpoint, params,
+                                    body, ndjson)
+        except EsApiError as e:
+            return e.status, {"status": e.status,
+                              "error": {"reason": e.reason}}
+        except (ValueError, KeyError, TypeError) as e:
+            return 400, {"status": 400,
+                         "error": {"reason": f"Invalid argument: {e}"}}
+
+    # -- routing --------------------------------------------------------
+
+    def _route(self, method: str, endpoint: str, params: dict, body: Any,
+               ndjson: Optional[list]) -> Any:
+        parts = endpoint.split("/")
+        if endpoint == "_msearch":
+            return self._msearch(params, ndjson or body or [])
+        if endpoint == "_search/scroll":
+            return self._scroll_next(params, body or {})
+        if endpoint == "_stats":
+            return self._stats(list(self.indexes))
+        if parts[0] == "_cat" and len(parts) >= 2 and parts[1] == "indices":
+            pattern = parts[2] if len(parts) > 2 else "*"
+            return self._cat_indices(pattern, params)
+        if len(parts) == 2:
+            index, verb = parts
+            if verb == "_search":
+                return self._search(index, params, body or {})
+            if verb == "_count":
+                return self._count(index, params, body or {})
+            if verb == "_stats":
+                return self._stats(list(self._match_indexes(index)))
+            if verb == "_bulk":
+                n = self._index(index).bulk(body)
+                return {"errors": False, "items_indexed": n}
+            if verb == "ingest":
+                docs = body if isinstance(body, list) else [body]
+                n = self._index(index).ingest_docs(docs)
+                return {"num_docs_for_processing": n}
+        raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
+
+    # -- handlers -------------------------------------------------------
+
+    def _apply_params(self, index: Index, params: dict, body: dict) -> dict:
+        """Query-string params q/size/from/sort override the body (the
+        reference's SearchQueryParams extraction, rest_handler.rs)."""
+        body = dict(body)
+        if params.get("q"):
+            dflt = index.config.doc_mapping.default_search_fields
+            body["query"] = {"query_string": {"query": params["q"],
+                                              "fields": list(dflt)}}
+        if params.get("size") is not None:
+            body["size"] = int(params["size"])
+        if params.get("from") is not None:
+            body["from"] = int(params["from"])
+        if params.get("sort"):
+            out = []
+            for piece in str(params["sort"]).split(","):
+                if ":" in piece:
+                    f, o = piece.rsplit(":", 1)
+                    out.append({f: {"order": o}})
+                else:
+                    out.append(piece)
+            body["sort"] = out
+        if params.get("extra_filters"):
+            # quickwit-specific: comma-separated query-language clauses
+            # ANDed onto the request query (rest_handler extra_filters)
+            dflt = index.config.doc_mapping.default_search_fields
+            filters = [{"query_string": {"query": f, "fields": list(dflt)}}
+                       for f in str(params["extra_filters"]).split(",")]
+            base = body.get("query") or {"match_all": {}}
+            body["query"] = {"bool": {"must": [base], "filter": filters}}
+        return body
+
+    def _search(self, index_name: str, params: dict, body: dict) -> dict:
+        index = self._index(index_name)
+        body = self._apply_params(index, params, body)
+        mapping = index.config.doc_mapping
+        kw = es_search_request(body, mapping.default_search_fields)
+        sort_formats = _extract_sort_formats(body)
+        if kw.get("search_after") and kw.get("sort_by"):
+            kw["search_after"] = _coerce_cursor_units(
+                kw["search_after"], _sortfields(kw["sort_by"]), mapping,
+                sort_formats)
+        src_inc = _parse_source_param(params.get("_source_includes"))
+        src_exc = _parse_source_param(params.get("_source_excludes"))
+        scroll = params.get("scroll")
+        if scroll is not None:
+            apsr = str(params.get("allow_partial_search_results", "true"))
+            if apsr.lower() == "false":
+                raise EsApiError(400, "Invalid argument: Quickwit only "
+                                 "supports scroll API with "
+                                 "allow_partial_search_results set to true")
+            query = kw.pop("query", None)
+            resp, sid = index._scroll_manager().start(query, scroll=scroll, **kw)
+            self._scroll_owner[sid] = index_name
+            return render_search_response(
+                resp, index_name, mapping,
+                sort_fields=_sortfields(kw.get("sort_by")),
+                aggs_spec=body.get("aggs") or body.get("aggregations"),
+                source_includes=src_inc, source_excludes=src_exc,
+                scroll_id=sid, sort_formats=sort_formats)
+        resp = IndexSearcher(index.index_dir).search(**kw)
+        if resp.failed_splits and resp.num_hits == 0 and not len(resp.hits):
+            # every split rejected the query — an invalid request (e.g. a
+            # type error on a non-lenient field), not a partial shard
+            # failure; the reference surfaces it as a 400
+            raise EsApiError(400, str(resp.failed_splits[0].get("error")))
+        return render_search_response(
+            resp, index_name, mapping,
+            sort_fields=_sortfields(kw.get("sort_by")),
+            aggs_spec=body.get("aggs") or body.get("aggregations"),
+            source_includes=src_inc, source_excludes=src_exc,
+            sort_formats=sort_formats)
+
+    def _scroll_next(self, params: dict, body: dict) -> dict:
+        sid = body.get("scroll_id") or params.get("scroll_id")
+        if not sid:
+            raise EsApiError(400, "missing scroll_id")
+        owner = self._scroll_owner.get(sid)
+        if owner is None:
+            raise EsApiError(404, f"scroll context {sid!r} expired or unknown")
+        index = self._index(owner)
+        resp, sid2 = index.es_scroll(sid, params.get("scroll") or body.get("scroll"))
+        st = index._scroll_manager()._ctx.get(sid)
+        sort_by = (st.search_kwargs.get("sort_by") if st is not None else None)
+        return render_search_response(
+            resp, owner, index.config.doc_mapping,
+            sort_fields=_sortfields(sort_by), scroll_id=sid2)
+
+    def _count(self, index_name: str, params: dict, body: dict) -> dict:
+        index = self._index(index_name)
+        if params.get("q"):
+            dflt = index.config.doc_mapping.default_search_fields
+            node = parse_query(params["q"], dflt)
+            n = IndexSearcher(index.index_dir).search(node, max_hits=0).num_hits
+        else:
+            n = index.es_count(body)
+        return {"count": int(n)}
+
+    def _msearch(self, params: dict, lines: list) -> dict:
+        if len(lines) % 2:
+            raise EsApiError(400, "_msearch needs header/body line pairs")
+        responses = []
+        for i in range(0, len(lines), 2):
+            header, body = lines[i], lines[i + 1]
+            index_name = header.get("index")
+            if not index_name:
+                raise EsApiError(400, "_msearch header missing `index`")
+            responses.append(self._search(index_name, params, body))
+        return {"responses": responses}
+
+    def _stats(self, names: list[str]) -> dict:
+        all_docs = 0
+        all_store = 0
+        all_segs = 0
+        indices = {}
+        for n in sorted(names):
+            st = self._index(n).es_stats()["_all"]["primaries"]
+            all_docs += st["docs"]["count"]
+            all_store += st["store"]["size_in_bytes"]
+            all_segs += st["segments"]["count"]
+            per = {"docs": dict(st["docs"]), "store": dict(st["store"]),
+                   "segments": dict(st["segments"])}
+            indices[n] = {"primaries": per, "total": json.loads(json.dumps(per))}
+        body = {"docs": {"count": all_docs, "deleted": 0},
+                "store": {"size_in_bytes": all_store},
+                "segments": {"count": all_segs}}
+        return {"_all": {"primaries": body,
+                         "total": json.loads(json.dumps(body))},
+                "indices": indices}
+
+    def _cat_indices(self, pattern: str, params: dict) -> list[dict]:
+        rows = []
+        for n in sorted(self._match_indexes(pattern)):
+            rows.extend(self._index(n).es_cat_indices())
+        h = params.get("h")
+        if h:
+            keep = [c for c in str(h).split(",") if c]
+            rows = [{k: r[k] for k in keep if k in r} for r in rows]
+        if params.get("health"):
+            rows = [r for r in rows if r.get("health") == params["health"]]
+        return rows
+
+
+def _sortfields(sort_by) -> tuple:
+    from quickwit_ray.search.engine import _normalize_sort
+
+    return tuple(_normalize_sort(sort_by))
+
+
+def _extract_sort_formats(body: dict) -> dict:
+    """{field: format} from the ES sort spec ({"f": {"order", "format"}})."""
+    out: dict[str, str] = {}
+    sort = body.get("sort")
+    for s in sort if isinstance(sort, list) else ([sort] if sort else []):
+        if isinstance(s, dict) and len(s) == 1:
+            f, p = next(iter(s.items()))
+            if isinstance(p, dict) and p.get("format"):
+                out[f] = p["format"]
+    return out
+
+
+def _coerce_cursor_units(cursor: tuple, sort_fields, mapping,
+                         sort_formats: dict) -> tuple:
+    """ES search_after values arrive in wire units (epoch millis for dates,
+    nanos under `format: epoch_nanos_int`) — convert to internal micros and
+    quantize to the fast column's precision."""
+    out = []
+    for v, sf in zip(cursor, list(sort_fields)[:2]):
+        try:
+            fm = mapping.resolve_field(sf.field)
+        except KeyError:
+            fm = None
+        if fm is not None and fm.type == "datetime" and isinstance(
+                v, (int, float)) and not isinstance(v, bool):
+            if sort_formats.get(sf.field) == "epoch_nanos_int":
+                us = int(v) // 1000
+            else:
+                from quickwit_ray.functions.datetimes import _unix_to_us
+
+                us = int(_unix_to_us(pd.Series([v]))[0])
+            q = fm.fast_precision_us
+            out.append((us // q) * q if q > 1 else us)
+        else:
+            out.append(v)
+    return tuple(out) + tuple(cursor[len(out):])

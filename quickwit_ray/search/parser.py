@@ -89,6 +89,10 @@ def _parse_bool(toks: _Tokens, dfields) -> Any:
     while True:
         t = toks.peek()
         if t is None or t == ")":
+            if pending_op is not None:
+                # `type:PushEvent OR` — a dangling operator is a syntax
+                # error (the reference parser rejects it with 400)
+                raise ValueError(f"dangling operator {pending_op!r}")
             break
         if t in ("AND", "OR"):
             toks.next()

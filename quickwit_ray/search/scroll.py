@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 DEFAULT_TTL_SEC = 60.0
+MAX_TTL_SEC = 1800.0  # reference cap (root.rs): "scroll TTL period up to 1800 secs"
 MAX_CONTEXTS = 1024
 _TTL_RE = re.compile(r"^(\d+)(ms|s|m|h)?$")
 
@@ -28,12 +29,17 @@ def parse_ttl(ttl: Any) -> float:
     if ttl is None:
         return DEFAULT_TTL_SEC
     if isinstance(ttl, (int, float)):
-        return float(ttl)
-    m = _TTL_RE.match(str(ttl).strip())
-    if not m:
-        raise ValueError(f"bad scroll TTL {ttl!r}")
-    n, unit = int(m.group(1)), m.group(2) or "s"
-    return n * {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}[unit]
+        sec = float(ttl)
+    else:
+        m = _TTL_RE.match(str(ttl).strip())
+        if not m:
+            raise ValueError(f"bad scroll TTL {ttl!r}")
+        n, unit = int(m.group(1)), m.group(2) or "s"
+        sec = n * {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}[unit]
+    if sec > MAX_TTL_SEC:
+        raise ValueError(
+            f"Quickwit only supports scroll TTL period up to {int(MAX_TTL_SEC)} secs")
+    return sec
 
 
 @dataclass
@@ -107,6 +113,9 @@ class ScrollManager:
                                   hits=_empty_hits()), scroll_id
         kw = dict(st.search_kwargs)
         query = kw.pop("query", None)
+        # ES computes aggregations once, on the initial page only —
+        # continuations return hits alone (root.rs scroll handling)
+        kw.pop("aggs", None)
         kw["search_after"] = st.cursor
         resp = self.searcher.search(query, **kw)
         st.cursor = resp.scroll_cursor or st.cursor

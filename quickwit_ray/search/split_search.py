@@ -39,13 +39,21 @@ def _wildcard_to_regex(pattern: str) -> str:
     import re as _re
 
     out = []
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            # `jour\?` — escaped metachar is a literal
+            out.append(_re.escape(pattern[i + 1]))
+            i += 2
+            continue
         if ch == "*":
             out.append(".*")
         elif ch == "?":
             out.append(".")
         else:
             out.append(_re.escape(ch))
+        i += 1
     return "".join(out)
 
 
@@ -165,6 +173,19 @@ class SplitSearcher:
         return self._term_postings_score(node.field, rows[rows >= 0], scoring)
 
     def _eval_TermSetQuery(self, node: TermSetQuery, scoring: bool):
+        jf = self.mapping.resolve_json_path(node.field)
+        if jf is not None:
+            # terms on a json path: each value resolves like a TermQuery
+            # (tokens + numeric/bool literal candidates under path\x01)
+            from quickwit_ray.index.writer import JSON_PATH_SEP
+
+            # ES `terms` is EXACT post-tokenization terms — no analysis of
+            # the query values (terms_query.rs): path\x01value literals only
+            cands = sorted({jf[1] + JSON_PATH_SEP + str(v)
+                            for v in node.values})
+            rows = self.reader.term_rows(jf[0].name, cands)
+            return self._term_postings_score(jf[0].name, rows[rows >= 0],
+                                             scoring, const_score=True)
         rows = self.reader.term_rows(node.field, list(node.values))
         # TermSet is a filter-shaped disjunction: constant score
         return self._term_postings_score(node.field, rows[rows >= 0], scoring,
@@ -173,8 +194,34 @@ class SplitSearcher:
     def _eval_FullTextQuery(self, node: FullTextQuery, scoring: bool):
         jf = self.mapping.resolve_json_path(node.field)
         if jf is not None:
+            from quickwit_ray.index.writer import JSON_PATH_SEP
+
+            toks = tokenize(node.text, jf[0].tokenizer)
+            if not toks and node.zero_terms_match_all:
+                return self._eval_MatchAll(MatchAll(), scoring)
+            prefixed = [jf[1] + JSON_PATH_SEP + t for t in toks]
+            if node.mode == "phrase" and len(toks) > 1:
+                # json tokens of one string value hold consecutive
+                # positions (json_field_tokens), so positional phrase
+                # evaluation works on the path-prefixed terms directly
+                return self._eval_phrase(jf[0].name, prefixed, node.slop,
+                                         scoring)
+            if node.mode in ("bool_prefix", "bool_prefix_and") and toks:
+                return self._eval_bool_prefix(
+                    jf[0].name, prefixed[:-1],
+                    jf[1] + JSON_PATH_SEP + toks[-1],
+                    node.mode == "bool_prefix_and", scoring)
+            if node.mode == "and" and len(toks) > 1:
+                rows = self.reader.term_rows(jf[0].name, prefixed)
+                if (rows < 0).any():
+                    return self._eval_MatchNone(MatchNone(), scoring)
+                return self._eval_and_terms(jf[0].name, jf[0], rows, scoring)
             rows = self._json_term_rows(jf[0], jf[1], node.text)
             return self._term_postings_score(jf[0].name, rows, scoring)
+        if node.lenient and not _has_field(self.mapping, node.field) \
+                and self.mapping.mode != "dynamic":
+            # ES lenient: unknown field matches nothing instead of erroring
+            return self._eval_MatchNone(MatchNone(), scoring)
         fm = self.mapping.resolve_field(node.field)
         if fm.type == "json":
             # bare query on the json root: tokens anywhere in the subtree
@@ -190,22 +237,46 @@ class SplitSearcher:
             return self._eval_MatchNone(MatchNone(), scoring)
         if node.mode == "phrase" and len(terms) > 1:
             return self._eval_phrase(node.field, terms, node.slop, scoring)
+        if node.mode in ("bool_prefix", "bool_prefix_and"):
+            return self._eval_bool_prefix(node.field, terms[:-1], terms[-1],
+                                          node.mode == "bool_prefix_and",
+                                          scoring)
         rows = self.reader.term_rows(node.field, terms)
         if node.mode == "and":
             if (rows < 0).any():
                 return self._eval_MatchNone(MatchNone(), scoring)
             return self._eval_and_terms(node.field, fm, rows, scoring)
-        # OR (default) / bool_prefix (last term as prefix)
-        if node.mode == "bool_prefix":
-            exact, prefix = rows[:-1], terms[-1]
-            mask, scores = self._term_postings_score(node.field, exact[exact >= 0], scoring)
-            prows = self.reader.term_range_rows(node.field, None, None, prefix=prefix)
-            m2, s2 = self._term_postings_score(node.field, prows, scoring, const_score=True)
-            mask |= m2
-            if scores is not None:
-                scores += s2
-            return mask, scores
+        # OR (default)
         return self._term_postings_score(node.field, rows[rows >= 0], scoring)
+
+    def _eval_bool_prefix(self, field: str, exact_terms: list[str],
+                          prefix: str, conjunction: bool, scoring: bool):
+        """match_bool_prefix: every term a term query except the last,
+        which is a prefix — combined SHOULD (default) or MUST when
+        operator=and (match_bool_prefix_query.rs)."""
+        prows = self.reader.term_range_rows(field, None, None, prefix=prefix)
+        pmask, pscores = self._term_postings_score(field, prows, scoring,
+                                                   const_score=True)
+        if not exact_terms:
+            return pmask, pscores
+        rows = self.reader.term_rows(field, exact_terms)
+        if conjunction:
+            if (rows < 0).any() or not pmask.any():
+                return self._eval_MatchNone(MatchNone(), scoring)
+            fm_like = self.mapping.resolve_field(field)
+            emask, escores = self._eval_and_terms(field, fm_like, rows, scoring)
+            mask = emask & pmask
+            scores = None
+            if scoring:
+                scores = np.where(mask, escores + pscores, np.float32(0.0)
+                                  ).astype(np.float32)
+            return mask, scores
+        emask, escores = self._term_postings_score(field, rows[rows >= 0],
+                                                   scoring)
+        mask = emask | pmask
+        if escores is not None:
+            escores += pscores
+        return mask, escores
 
     def _eval_and_terms(self, field: str, fm, rows: np.ndarray, scoring: bool):
         """Conjunction of terms: rarest-first DAAT-AND with BLOCK-SKIP
@@ -369,8 +440,24 @@ class SplitSearcher:
         return md.astype(np.int64), mt.astype(np.int64)
 
     def _eval_PhrasePrefixQuery(self, node: PhrasePrefixQuery, scoring: bool):
+        jf = self.mapping.resolve_json_path(node.field)
+        if jf is not None:
+            from quickwit_ray.index.writer import JSON_PATH_SEP
+
+            toks = tokenize(node.text, node.analyzer or jf[0].tokenizer)
+            if not toks:
+                return self._eval_MatchNone(MatchNone(), scoring)
+            terms = [jf[1] + JSON_PATH_SEP + t for t in toks]
+            prows = self.reader.term_range_rows(
+                jf[0].name, None, None, prefix=terms[-1],
+                limit=node.max_expansions)
+            if len(terms) == 1:
+                return self._term_postings_score(jf[0].name, prows, scoring,
+                                                 const_score=True)
+            return self._eval_phrase(jf[0].name, terms, 0, scoring,
+                                     last_term_rows=prows)
         fm = self.mapping.resolve_field(node.field)
-        terms = tokenize(node.text, fm.tokenizer)
+        terms = tokenize(node.text, node.analyzer or fm.tokenizer)
         if not terms:
             return self._eval_MatchNone(MatchNone(), scoring)
         prows = self.reader.term_range_rows(node.field, None, None, prefix=terms[-1],
@@ -396,8 +483,24 @@ class SplitSearcher:
                 from quickwit_ray.functions.ip import normalize_ip
 
                 return normalize_ip(v)
-            if fm is not None and fm.type == "datetime" and not isinstance(v, (int, np.integer)):
-                return np.int64(pd.Timestamp(v).value // 1000)
+            if fm is not None and fm.type == "datetime":
+                if isinstance(v, (int, np.integer, float)):
+                    # bare numbers auto-detect the epoch unit by magnitude
+                    # (the reference's unix_timestamp input format) —
+                    # 1422748813000 is millis, not micros
+                    from quickwit_ray.functions.datetimes import _unix_to_us
+
+                    us = np.int64(_unix_to_us(pd.Series([v]))[0])
+                else:
+                    us = np.int64(pd.Timestamp(v).value // 1000)
+                # bounds quantize to the fast column's precision, matching
+                # the stored truncation (date_time_type.rs fast_precision)
+                q = fm.fast_precision_us
+                return (us // q) * q if q > 1 else us
+            if (fm is not None and fm.type == "text"
+                    and fm.fast_normalizer == "lowercase"
+                    and isinstance(v, str)):
+                return v.lower()
             if vals.dtype.kind in "iuf" and not isinstance(v, (int, float, np.number)):
                 return float(v)
             return v
@@ -450,24 +553,71 @@ class SplitSearcher:
         return mask, scores
 
     def _eval_WildcardQuery(self, node: WildcardQuery, scoring: bool):
-        # lowercase the pattern only when the field's tokenizer lowercases
-        # its terms (raw keeps case)
-        lower = True
-        if _has_field(self.mapping, node.field):
-            lower = self.mapping.resolve_field(node.field).tokenizer != "raw"
-        pattern = node.pattern.lower() if lower else node.pattern
-        rx = _wildcard_to_regex(pattern)
-        # prefix optimization: literal head narrows the dictionary scan
-        lit = []
-        for ch in pattern:
+        import re as _re
+
+        jf = self.mapping.resolve_json_path(node.field)
+        field = jf[0].name if jf is not None else node.field
+        if jf is not None:
+            tokenizer = jf[0].tokenizer
+        elif _has_field(self.mapping, node.field):
+            tokenizer = self.mapping.resolve_field(node.field).tokenizer
+        else:
+            tokenizer = "default"
+        # The reference normalizes the pattern's LITERAL runs through the
+        # field's tokenizer (wildcard_query.rs): `Jou*al` -> jou.*al, and
+        # an escaped punctuation char (`jour\?`) normalizes away entirely,
+        # leaving the exact term `jour`.
+        segs: list[str] = []  # regex pieces
+        lit: list[str] = []
+
+        def flush_literal():
+            if not lit:
+                return
+            toks = tokenize("".join(lit), tokenizer)
+            segs.append("".join(_re.escape(t) for t in toks))
+            lit.clear()
+
+        i = 0
+        p = node.pattern
+        while i < len(p):
+            ch = p[i]
+            if ch == "\\" and i + 1 < len(p):
+                lit.append(p[i + 1])
+                i += 2
+                continue
             if ch in "*?":
-                break
-            lit.append(ch)
-        prefix = "".join(lit) or None
-        rows = self.reader.term_range_rows(node.field, None, None, prefix=prefix, regex=rx)
-        return self._term_postings_score(node.field, rows, scoring, const_score=True)
+                flush_literal()
+                segs.append(".*" if ch == "*" else ".")
+            else:
+                lit.append(ch)
+            i += 1
+        flush_literal()
+        rx = "".join(segs)
+        # prefix optimization: literal head narrows the dictionary scan
+        m = _re.match(r"^[^.\\\[\](){}+*?|^$]*", rx)
+        prefix = m.group(0) if m else ""
+        if jf is not None:
+            from quickwit_ray.index.writer import JSON_PATH_SEP
+
+            rx = _re.escape(jf[1] + JSON_PATH_SEP) + rx
+            prefix = jf[1] + JSON_PATH_SEP + prefix
+        rows = self.reader.term_range_rows(field, None, None,
+                                           prefix=prefix or None, regex=rx)
+        return self._term_postings_score(field, rows, scoring, const_score=True)
 
     def _eval_RegexQuery(self, node: RegexQuery, scoring: bool):
+        jf = self.mapping.resolve_json_path(node.field)
+        if jf is not None:
+            import re as _re
+
+            from quickwit_ray.index.writer import JSON_PATH_SEP
+
+            prefix = jf[1] + JSON_PATH_SEP
+            rows = self.reader.term_range_rows(
+                jf[0].name, None, None, prefix=prefix,
+                regex=_re.escape(prefix) + node.regex)
+            return self._term_postings_score(jf[0].name, rows, scoring,
+                                             const_score=True)
         rows = self.reader.term_range_rows(node.field, None, None, regex=node.regex)
         return self._term_postings_score(node.field, rows, scoring, const_score=True)
 

@@ -248,9 +248,13 @@ def _docs_to_table(docs: list[dict[str, Any]], mapping) -> pa.Table:
     # Fold dotted keys rooted at a mapped json field into the parent json
     # object (expand_dots semantics, field_mapping_entry.rs:578): `props.k`
     # merges {'k': v} into the `props` column instead of becoming a
-    # standalone column the split writer would silently drop.
+    # standalone column the split writer would silently drop. An EXPLICIT
+    # mapping with the dotted name wins (mapped fields first,
+    # query_builder.rs:84-141) and stays a standalone column.
+    explicit = {f.name for f in mapping.field_mappings}
     dotted = [k for k in keys
-              if "." in k and mapping.resolve_json_path(k) is not None]
+              if "." in k and k not in explicit
+              and mapping.resolve_json_path(k) is not None]
     if dotted:
         keys = [k for k in keys if k not in dotted]
         docs = [dict(d) for d in docs]  # don't mutate caller's docs
