@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["search_or"] = lambda sf: _matching_ids(sf, "text:scan OR text:merge")
     q["search_not"] = lambda sf: _matching_ids(sf, "+text:scan -text:merge")
     q["search_phrase"] = lambda sf: _matching_ids(sf, 'text:"table scan"')
+    q["search_phrase_slop"] = lambda sf: _matching_ids(sf, 'text:"table scan"~2')
     q["search_prefix"] = lambda sf: _matching_ids(sf, "text:mer*")
     q["search_termset"] = lambda sf: _matching_ids(sf, "lang: IN [de fr]")
     q["search_exists"] = lambda sf: _matching_ids(sf, "n_chars:*")
@@ -738,6 +739,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
     q["bulk_ingest_search"] = bulk_ingest_search
 
+    def bulk_workbench_search(sf):
+        """Ingest workbench front (actors/indexer.rs:592-626 commit
+        triggers): MANY tiny _bulk calls accumulate in one open workbench
+        and seal into O(1) splits per commit wave — not one split per
+        call — then search must equal the batch-built oracle."""
+        import json as _json
+        import shutil as _shutil
+
+        from quickwit_ray.api import Index
+        from quickwit_ray.config import IndexSettings, documents_doc_mapping
+
+        idx_dir = _index_dir_for(sf, "documents_wb")
+        done_marker = os.path.join(idx_dir, ".wb_done")
+        if not os.path.exists(done_marker):
+            _shutil.rmtree(idx_dir, ignore_errors=True)
+            idx = Index.create(idx_dir, "docs_wb", documents_doc_mapping(),
+                               IndexSettings(split_num_docs_target=1_000_000))
+            import pyarrow.parquet as _pq
+
+            tbl = _pq.read_table(os.path.join(sf, "documents.parquet"))
+            rows = tbl.to_pylist()
+            with idx.open_ingest_workbench(
+                    commit_timeout_secs=3600,
+                    commit_docs_threshold=2000) as wb:
+                # 100-doc bulks; the docs threshold seals every ~20 calls
+                for off in range(0, len(rows), 100):
+                    lines = []
+                    for r in rows[off: off + 100]:
+                        lines.append('{"index": {}}')
+                        lines.append(_json.dumps(r))
+                    wb.bulk("\n".join(lines), commit_id=f"wb{off}")
+            with open(done_marker, "w") as f:
+                f.write("ok")
+        else:
+            idx = Index.open(idx_dir)
+        resp = idx.search("text:merge", max_hits=1_000_000,
+                          fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["bulk_workbench_search"] = bulk_workbench_search
+
+    def otlp_proto_ingest(sf):
+        """OTLP protobuf wire ingestion (public opentelemetry-proto field
+        numbers, hand-rolled wire decoder — reference accepts OTLP
+        json+protobuf, quickwit-opentelemetry/src/otlp/logs.rs): events
+        rows rendered as ExportLogsServiceRequest protobuf payloads,
+        pushed via ingest_payload('otlp_logs_protobuf'), then searched."""
+        import shutil as _shutil
+
+        import pyarrow.parquet as _pq
+
+        from quickwit_ray.api import Index
+        from quickwit_ray.config import (DocMapping, FieldMapping,
+                                         IndexSettings)
+        from quickwit_ray.sources.ingest import encode_otlp_logs_request
+
+        idx_dir = _index_dir_for(sf, "events_otlp")
+        marker = os.path.join(idx_dir, ".otlp_done")
+        if not os.path.exists(marker):
+            _shutil.rmtree(idx_dir, ignore_errors=True)
+            mapping = DocMapping(
+                field_mappings=(
+                    FieldMapping(name="body", type="text", record="freq",
+                                 fieldnorms=True, stored=True),
+                    FieldMapping(name="service_name", type="text",
+                                 tokenizer="raw", stored=True, fast=True),
+                    FieldMapping(name="severity_number", type="i64",
+                                 stored=True, fast=True),
+                    FieldMapping(name="timestamp_nanos", type="i64",
+                                 stored=True, fast=True)),
+                mode="lenient", doc_id_field="timestamp_nanos",
+                default_search_fields=("body",))
+            idx = Index.create(idx_dir, "events_otlp", mapping,
+                               IndexSettings(split_num_docs_target=1_000_000))
+            tbl = _pq.read_table(os.path.join(sf, "events.parquet"),
+                                 columns=["event_id", "event_type"])
+            eids = tbl.column("event_id").to_pylist()
+            etypes = tbl.column("event_type").to_pylist()
+            for off in range(0, len(eids), 5000):
+                recs = [
+                    # +1 keeps time_unix_nano nonzero (0 falls back to
+                    # observed-now in the OTLP model); undone on output
+                    {"time_unix_nano": int(e) + 1,
+                     "observed_time_unix_nano": int(e) + 1,
+                     "severity_number": 9,
+                     "body": f"{t} happened"}
+                    for e, t in zip(eids[off: off + 5000],
+                                    etypes[off: off + 5000])]
+                wire = encode_otlp_logs_request(recs, "events")
+                idx.ingest_payload(wire, "otlp_logs_protobuf",
+                                   commit_id=f"otlp{off}")
+            with open(marker, "w") as f:
+                f.write("ok")
+        else:
+            idx = Index.open(idx_dir)
+        resp = idx.search("body:click", max_hits=1_000_000,
+                          fetch_fields=["timestamp_nanos"])
+        ts = (resp.hits["timestamp_nanos"].astype("int64") - 1
+              if len(resp.hits) else pd.Series([], dtype="int64"))
+        return pd.DataFrame({"event_id": ts.sort_values().reset_index(drop=True)})
+    q["otlp_proto_ingest"] = otlp_proto_ingest
+
     def agg_range_value(sf):
         s = _searcher(sf, "events")
         resp = s.search("*", max_hits=0, aggs={
@@ -868,6 +970,14 @@ def oracle_sql() -> dict[str, str]:
         "search_or": f"SELECT doc_id FROM documents WHERE {has_token('scan')} OR {has_token('merge')} ORDER BY doc_id",
         "search_not": f"SELECT doc_id FROM documents WHERE {has_token('scan')} AND NOT {has_token('merge')} ORDER BY doc_id",
         "search_phrase": f"SELECT doc_id FROM documents WHERE regexp_matches(lower(text), '{phrase_regex}') ORDER BY doc_id",
+        # exact pairwise slop fold; for a 2-term phrase doc matching reduces
+        # to a positional window join: |pos(scan) - 1 - pos(table)| <= slop
+        "search_phrase_slop": (
+            f"WITH toks AS (SELECT doc_id, unnest({TOKENS}) AS tok, "
+            f"unnest(range(len({TOKENS}))) AS pos FROM documents) "
+            "SELECT DISTINCT a.doc_id FROM toks a JOIN toks b USING (doc_id) "
+            "WHERE a.tok = 'table' AND b.tok = 'scan' "
+            "AND (b.pos - 1 - a.pos) BETWEEN -2 AND 2 ORDER BY doc_id"),
         "search_prefix": f"SELECT doc_id FROM documents WHERE len(list_filter({TOKENS}, x -> x LIKE 'mer%')) > 0 ORDER BY doc_id",
         "search_termset": "SELECT doc_id FROM documents WHERE lang IN ('de','fr') ORDER BY doc_id",
         "search_exists": "SELECT doc_id FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id",
@@ -927,6 +1037,9 @@ def oracle_sql() -> dict[str, str]:
         "scroll_export": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
         "bulk_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "bulk_workbench_search": f"SELECT doc_id FROM documents WHERE {has_token('merge')} ORDER BY doc_id",
+        "otlp_proto_ingest": ("SELECT event_id FROM events WHERE event_type = 'click' "
+                              "ORDER BY event_id"),
         "multi_index_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "search_field_group": f"SELECT doc_id FROM documents WHERE {has_token('scan')} AND {has_token('merge')} ORDER BY doc_id",
         "image_decode_meta": (

@@ -127,6 +127,15 @@ class Index:
         return ingest_docs(self.index_dir, parse_bulk_ndjson(payload),
                            commit_id=commit_id)
 
+    def open_ingest_workbench(self, **kw):
+        """Open an accumulating ingest workbench: many small `_bulk` /
+        push calls buffer into ONE commit wave sealed by the reference's
+        indexer triggers (commit_timeout_secs / docs / bytes —
+        actors/indexer.rs:592-626) instead of one split per call."""
+        from quickwit_ray.sources.ingest import IngestWorkbench
+
+        return IngestWorkbench(self.index_dir, **kw)
+
     def ingest_docs(self, docs: list[dict], *,
                     commit_id: Optional[str] = None) -> int:
         """Push a batch of JSON docs (ingest API analog)."""

@@ -336,9 +336,8 @@ class SplitSearcher:
     def _eval_phrase(self, field: str, terms: list[str], slop: int, scoring: bool,
                      last_term_rows: Optional[np.ndarray] = None):
         """Positional phrase evaluation. slop=0 is fully vectorized via the
-        (doc, pos - i) distinct-term-count trick; slop>0 falls back to an
-        ordered-near per-candidate check (documented divergence from
-        tantivy's move-based slop for exotic cases)."""
+        (doc, pos - i) distinct-term-count trick; slop>0 runs the exact
+        tantivy-style pairwise slop fold (see _sloppy_phrase)."""
         rows = self.reader.term_rows(field, terms[:-1] if last_term_rows is not None else terms)
         if (rows < 0).any():
             return self._eval_MatchNone(MatchNone(), scoring)
@@ -397,15 +396,29 @@ class SplitSearcher:
         return mask, scores
 
     def _sloppy_phrase(self, doc, adj, tix, nterms, slop):
-        """Ordered near-match: for each occurrence of term 0 at adjusted
-        position p, every term i must appear with adjusted position within
-        [p - slop, p + slop].
+        """Tantivy-style slop fold (reference FullTextMode::Phrase{slop},
+        quickwit-query/src/query_ast/full_text_query.rs:140-150, delegating
+        to tantivy's PhraseScorer `intersection_with_slop`): terms fold left
+        to right over ADJUSTED positions (pos - term_index); at each step the
+        occurrences of term i+1 are matched one-to-one against the surviving
+        chain positions with window |chain - right| <= slop, and the matched
+        RIGHT positions become the new chain. Matching is greedy maximal
+        (each right consumes the smallest still-unconsumed chain position in
+        its window — greedy on sorted lists IS maximum matching), so each
+        adjacent pair gets the full slop (no shared budget across pairs) and
+        a transposition costs 2 — Lucene-compatible on the standard cases.
+        The final chain length per doc is the phrase tf used for scoring
+        (tantivy's phrase_count). One-to-one consumption is the load-bearing
+        difference from the round-2 ordered-near approximation: in
+        "a b b c" the single `a` anchors only ONE `b`, so a chain that needs
+        both b's cannot double-spend it.
 
-        Vectorized (round 2): occurrences are encoded as
-        ``doc << 32 | (adj + nterms)`` keys, sorted per term; every base
-        occurrence checks each other term with ONE searchsorted over that
-        term's key array — no per-candidate-doc Python loop (the old
-        pathological case: a sloppy phrase of two stopwords)."""
+        Two passes: (1) a fully vectorized EXISTENCE fold (two searchsorteds
+        per step over (doc << 32 | off) keys) — a proven superset of the
+        exact matches — prunes the candidate docs; (2) the exact greedy
+        consumption pass runs as one Python loop over the surviving right
+        occurrences only (list-based, ~1e7 steps/s; only pathological
+        stopword-slop queries ever see large survivor sets)."""
         order = np.lexsort((adj, tix, doc))
         doc, adj, tix = doc[order], adj[order], tix[order]
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
@@ -420,23 +433,48 @@ class SplitSearcher:
         doc64 = doc[keep].astype(np.int64)
         adj64 = adj[keep].astype(np.int64)
         tixk = tix[keep]
-        off = adj64 + nterms  # adjusted positions are >= -(nterms-1)
-        enc = (doc64 << np.int64(32)) | off
-        base_sel = tixk == 0
-        base_doc = doc64[base_sel]
-        if len(base_doc) == 0:
-            return empty
-        base_off = off[base_sel]
-        lo_keys = (base_doc << np.int64(32)) | np.maximum(base_off - slop, 0)
-        hi_keys = (base_doc << np.int64(32)) | (base_off + slop)
-        ok = np.ones(len(base_doc), bool)
+        # offset so windows never underflow: adjusted >= -(nterms-1)
+        off = adj64 + nterms + slop
+        key = (doc64 << np.int64(32)) | off
+        slop64 = np.int64(slop)
+        # ---- pass 1: vectorized existence fold (superset prefilter) ----
+        left = key[tixk == 0]
         for i in range(1, nterms):
-            ti = enc[tixk == i]  # sorted: stream ordered by (doc, tix, adj)
-            pos = np.searchsorted(ti, lo_keys, side="left")
-            ok &= (pos < len(ti)) & (ti[np.minimum(pos, len(ti) - 1)] <= hi_keys)
+            sel = tixk == i
+            rk = key[sel]
+            pos = np.searchsorted(left, rk - slop64, side="left")
+            ok = (pos < len(left)) & (left[np.minimum(pos, len(left) - 1)] <= rk + slop64)
             if not ok.any():
                 return empty
-        md, mt = np.unique(base_doc[ok], return_counts=True)
+            # surviving right positions become the (superset) chain
+            left = rk[ok]
+        alive = np.unique(left >> np.int64(32))
+        # ---- pass 2: exact greedy one-to-one consumption fold ----
+        keep2 = np.isin(doc64, alive)
+        key2 = key[keep2]
+        tix2 = tixk[keep2]
+        chain = key2[tix2 == 0].tolist()
+        for i in range(1, nterms):
+            rks = key2[tix2 == i]
+            lo = (rks - slop64).tolist()
+            hi = (rks + slop64).tolist()
+            ck = chain
+            nck = len(ck)
+            out = []
+            p = 0
+            rlist = rks.tolist()
+            for k in range(len(rlist)):
+                l = lo[k]
+                while p < nck and ck[p] < l:
+                    p += 1
+                if p < nck and ck[p] <= hi[k]:
+                    out.append(rlist[k])
+                    p += 1
+            if not out:
+                return empty
+            chain = out
+        final_doc = np.asarray(chain, np.int64) >> np.int64(32)
+        md, mt = np.unique(final_doc, return_counts=True)
         return md.astype(np.int64), mt.astype(np.int64)
 
     def _eval_PhrasePrefixQuery(self, node: PhrasePrefixQuery, scoring: bool):

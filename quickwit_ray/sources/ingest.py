@@ -116,7 +116,13 @@ def parse_otlp_logs_json(payload: bytes | str) -> list[dict[str, Any]]:
     (logs.rs:396-505 model: timestamps, service_name from
     resource.attributes['service.name'], severity, body, attributes,
     trace/span ids, resource/scope context)."""
-    obj = json.loads(payload)
+    return _otlp_logs_docs(json.loads(payload))
+
+
+def _otlp_logs_docs(obj: dict) -> list[dict[str, Any]]:
+    """Shared doc builder over the proto-JSON object model — the protobuf
+    wire decoder feeds the SAME structure, so json and protobuf payloads
+    of one export produce identical docs."""
     now_nanos = int(time.time() * 1e9)
     docs = []
     for rl in obj.get("resourceLogs", []):
@@ -160,7 +166,10 @@ def parse_otlp_logs_json(payload: bytes | str) -> list[dict[str, Any]]:
 def parse_otlp_spans_json(payload: bytes | str) -> list[dict[str, Any]]:
     """ExportTraceServiceRequest JSON -> one flat doc per span
     (traces.rs:184-245 model field names)."""
-    obj = json.loads(payload)
+    return _otlp_spans_docs(json.loads(payload))
+
+
+def _otlp_spans_docs(obj: dict) -> list[dict[str, Any]]:
     docs = []
     for rs in obj.get("resourceSpans", []):
         resource_attrs = _extract_attributes(
@@ -197,6 +206,237 @@ def parse_otlp_spans_json(payload: bytes | str) -> list[dict[str, Any]]:
     return docs
 
 
+# ---------------------------------------------------------------------------
+# OTLP protobuf wire-format decoding (public opentelemetry-proto schema)
+# ---------------------------------------------------------------------------
+# A minimal hand-rolled protobuf wire decoder: the OTLP message tree is
+# walked by field number per the PUBLIC opentelemetry-proto .proto files
+# (logs/v1/logs.proto, trace/v1/trace.proto, common/v1/common.proto) and
+# rebuilt as the proto-JSON object model, so the SAME doc builders serve
+# json and protobuf payloads (reference accepts both:
+# quickwit-opentelemetry/src/otlp/traces.rs, logs.rs). No protoc, no
+# generated classes — wire format is varint/fixed/length-delimited only.
+
+import struct as _struct
+
+
+def _pb_varint(buf, i: int) -> tuple[int, int]:
+    shift = out = 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+        if shift > 70:
+            raise ValueError("malformed varint")
+
+
+def _pb_fields(buf):
+    """Yield (field_number, wire_type, value): int for varint, raw bytes
+    for fixed64/fixed32, memoryview for length-delimited."""
+    buf = memoryview(buf)
+    i, n = 0, len(buf)
+    while i < n:
+        tag, i = _pb_varint(buf, i)
+        fn, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _pb_varint(buf, i)
+        elif wt == 1:
+            v = bytes(buf[i:i + 8]); i += 8
+        elif wt == 5:
+            v = bytes(buf[i:i + 4]); i += 4
+        elif wt == 2:
+            ln, i = _pb_varint(buf, i)
+            v = buf[i:i + ln]; i += ln
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        yield fn, wt, v
+
+
+def _pb_str(v) -> str:
+    return bytes(v).decode("utf-8")
+
+
+def _pb_i64(v: int) -> int:
+    """varint -> signed int64 (two's complement, NOT zigzag: OTLP uses
+    plain int64 fields)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _pb_fixed64(v: bytes) -> int:
+    return int.from_bytes(v, "little")
+
+
+def _pb_anyvalue(buf) -> dict:
+    out: dict = {}
+    for fn, _wt, v in _pb_fields(buf):
+        if fn == 1:
+            out = {"stringValue": _pb_str(v)}
+        elif fn == 2:
+            out = {"boolValue": bool(v)}
+        elif fn == 3:
+            out = {"intValue": _pb_i64(v)}
+        elif fn == 4:
+            out = {"doubleValue": _struct.unpack("<d", v)[0]}
+        elif fn == 5:
+            vals = [_pb_anyvalue(x) for f2, _w, x in _pb_fields(v) if f2 == 1]
+            out = {"arrayValue": {"values": vals}}
+        elif fn == 6:
+            vals = [_pb_keyvalue(x) for f2, _w, x in _pb_fields(v) if f2 == 1]
+            out = {"kvlistValue": {"values": vals}}
+        elif fn == 7:
+            out = {"bytesValue": base64.b64encode(bytes(v)).decode()}
+    return out
+
+
+def _pb_keyvalue(buf) -> dict:
+    key, val = "", {}
+    for fn, _wt, v in _pb_fields(buf):
+        if fn == 1:
+            key = _pb_str(v)
+        elif fn == 2:
+            val = _pb_anyvalue(v)
+    return {"key": key, "value": val}
+
+
+def _pb_attr_list(bufs) -> list[dict]:
+    return [_pb_keyvalue(b) for b in bufs]
+
+
+def _pb_resource(buf) -> dict:
+    attrs = [_pb_keyvalue(v) for fn, _w, v in _pb_fields(buf) if fn == 1]
+    return {"attributes": attrs}
+
+
+def _pb_scope(buf) -> dict:
+    out: dict = {}
+    for fn, _wt, v in _pb_fields(buf):
+        if fn == 1:
+            out["name"] = _pb_str(v)
+        elif fn == 2:
+            out["version"] = _pb_str(v)
+        elif fn == 3:
+            out.setdefault("attributes", []).append(_pb_keyvalue(v))
+    return out
+
+
+def _pb_log_record(buf) -> dict:
+    rec: dict = {}
+    attrs: list = []
+    for fn, _wt, v in _pb_fields(buf):
+        if fn == 1:
+            rec["timeUnixNano"] = _pb_fixed64(v)
+        elif fn == 2:
+            rec["severityNumber"] = int(v)
+        elif fn == 3:
+            rec["severityText"] = _pb_str(v)
+        elif fn == 5:
+            rec["body"] = _pb_anyvalue(v)
+        elif fn == 6:
+            attrs.append(_pb_keyvalue(v))
+        elif fn == 8:
+            rec["flags"] = int.from_bytes(v, "little")
+        elif fn == 9:
+            rec["traceId"] = bytes(v).hex()
+        elif fn == 10:
+            rec["spanId"] = bytes(v).hex()
+        elif fn == 11:
+            rec["observedTimeUnixNano"] = _pb_fixed64(v)
+    if attrs:
+        rec["attributes"] = attrs
+    return rec
+
+
+def parse_otlp_logs_proto(payload: bytes) -> list[dict[str, Any]]:
+    """ExportLogsServiceRequest protobuf -> same docs as the JSON parser
+    (logs.proto: LogsData.resource_logs=1; ResourceLogs.resource=1,
+    .scope_logs=2; ScopeLogs.scope=1, .log_records=2)."""
+    resource_logs = []
+    for fn, _wt, v in _pb_fields(payload):
+        if fn != 1:
+            continue
+        rl: dict = {}
+        for f2, _w2, v2 in _pb_fields(v):
+            if f2 == 1:
+                rl["resource"] = _pb_resource(v2)
+            elif f2 == 2:
+                sl: dict = {}
+                for f3, _w3, v3 in _pb_fields(v2):
+                    if f3 == 1:
+                        sl["scope"] = _pb_scope(v3)
+                    elif f3 == 2:
+                        sl.setdefault("logRecords", []).append(
+                            _pb_log_record(v3))
+                rl.setdefault("scopeLogs", []).append(sl)
+        resource_logs.append(rl)
+    return _otlp_logs_docs({"resourceLogs": resource_logs})
+
+
+def _pb_span(buf) -> dict:
+    sp: dict = {}
+    attrs: list = []
+    for fn, _wt, v in _pb_fields(buf):
+        if fn == 1:
+            sp["traceId"] = bytes(v).hex()
+        elif fn == 2:
+            sp["spanId"] = bytes(v).hex()
+        elif fn == 3:
+            sp["traceState"] = _pb_str(v)
+        elif fn == 4:
+            sp["parentSpanId"] = bytes(v).hex()
+        elif fn == 5:
+            sp["name"] = _pb_str(v)
+        elif fn == 6:
+            sp["kind"] = int(v)
+        elif fn == 7:
+            sp["startTimeUnixNano"] = _pb_fixed64(v)
+        elif fn == 8:
+            sp["endTimeUnixNano"] = _pb_fixed64(v)
+        elif fn == 9:
+            attrs.append(_pb_keyvalue(v))
+        elif fn == 11:
+            sp.setdefault("events", []).append(True)
+        elif fn == 13:
+            sp.setdefault("links", []).append(True)
+        elif fn == 15:
+            status: dict = {}
+            for f2, _w2, v2 in _pb_fields(v):
+                if f2 == 2:
+                    status["message"] = _pb_str(v2)
+                elif f2 == 3:
+                    status["code"] = int(v2)
+            sp["status"] = status
+    if attrs:
+        sp["attributes"] = attrs
+    return sp
+
+
+def parse_otlp_spans_proto(payload: bytes) -> list[dict[str, Any]]:
+    """ExportTraceServiceRequest protobuf -> same docs as the JSON parser
+    (trace.proto: TracesData.resource_spans=1; ResourceSpans.resource=1,
+    .scope_spans=2; ScopeSpans.scope=1, .spans=2)."""
+    resource_spans = []
+    for fn, _wt, v in _pb_fields(payload):
+        if fn != 1:
+            continue
+        rs: dict = {}
+        for f2, _w2, v2 in _pb_fields(v):
+            if f2 == 1:
+                rs["resource"] = _pb_resource(v2)
+            elif f2 == 2:
+                ss: dict = {}
+                for f3, _w3, v3 in _pb_fields(v2):
+                    if f3 == 1:
+                        ss["scope"] = _pb_scope(v3)
+                    elif f3 == 2:
+                        ss.setdefault("spans", []).append(_pb_span(v3))
+                rs.setdefault("scopeSpans", []).append(ss)
+        resource_spans.append(rs)
+    return _otlp_spans_docs({"resourceSpans": resource_spans})
+
+
 def decode_input(payload: bytes | str, input_format: str = "json"
                  ) -> list[dict[str, Any]]:
     """Source input-format decode (doc_processor.rs try_into_json_docs)."""
@@ -212,12 +452,46 @@ def decode_input(payload: bytes | str, input_format: str = "json"
         return parse_otlp_logs_json(payload)
     if input_format == "otlp_traces_json":
         return parse_otlp_spans_json(payload)
+    if input_format in ("otlp_logs_protobuf", "otlp_logs_proto"):
+        return parse_otlp_logs_proto(payload)
+    if input_format in ("otlp_traces_protobuf", "otlp_traces_proto"):
+        return parse_otlp_spans_proto(payload)
     raise ValueError(f"unknown input format {input_format!r}")
 
 
 # ---------------------------------------------------------------------------
 # push ingestion into an index
 # ---------------------------------------------------------------------------
+
+def _split_known_keys(keys: list[str], mapping) -> tuple[list[str], list[str]]:
+    """Partition doc keys into (known, unknown-non-meta) for a non-dynamic
+    mapping. Dotted paths are legal only when rooted at a mapped json
+    field; `_id` is bulk-action metadata, never a schema violation."""
+    mapped = {f.name for f in mapping.field_mappings}
+    mapped.add(mapping.doc_id_field)
+
+    def _known(k: str) -> bool:
+        return (k in mapped
+                or ("." in k and mapping.resolve_json_path(k) is not None))
+
+    known = [k for k in keys if _known(k)]
+    unknown = [k for k in keys if not _known(k) and k != "_id"]
+    return known, unknown
+
+
+def validate_push_keys(docs: list[dict[str, Any]], mapping) -> None:
+    """Push-time strict-mode key validation so a bad doc fails the PUSH
+    that carried it, not a later workbench commit holding other callers'
+    docs (reference doc_processor.rs validates per document)."""
+    if mapping.mode != "strict":
+        return
+    keys = sorted({k for d in docs for k in d})
+    _, unknown = _split_known_keys(keys, mapping)
+    if unknown:
+        raise ValueError(
+            f"strict doc mapping: unknown fields {sorted(unknown)[:5]} "
+            "(use mode=lenient to drop them, dynamic to index them)")
+
 
 def _docs_to_table(docs: list[dict[str, Any]], mapping) -> pa.Table:
     """Docs -> an Arrow table restricted to mapped columns (dynamic mode
@@ -230,21 +504,11 @@ def _docs_to_table(docs: list[dict[str, Any]], mapping) -> pa.Table:
                 seen.add(k)
                 keys.append(k)
     if mapping.mode != "dynamic":
-        mapped = {f.name for f in mapping.field_mappings}
-        mapped.add(mapping.doc_id_field)
-
-        def _known(k: str) -> bool:
-            # dotted paths are legal only when rooted at a mapped json field
-            return (k in mapped
-                    or ("." in k and mapping.resolve_json_path(k) is not None))
-
-        # `_id` is bulk-action metadata, never a schema violation
-        unknown = [k for k in keys if not _known(k) and k != "_id"]
+        keys, unknown = _split_known_keys(keys, mapping)
         if unknown and mapping.mode == "strict":
             raise ValueError(
                 f"strict doc mapping: unknown fields {sorted(unknown)[:5]} "
                 "(use mode=lenient to drop them, dynamic to index them)")
-        keys = [k for k in keys if _known(k)]
     # Fold dotted keys rooted at a mapped json field into the parent json
     # object (expand_dots semantics, field_mapping_entry.rs:578): `props.k`
     # merges {'k': v} into the `props` column instead of becoming a
@@ -324,3 +588,202 @@ def ingest_docs(index_dir: str, docs: list[dict[str, Any]], *,
     sm = builder.flush()
     manifest.publish([sm] if sm else [], checkpoint_partition=partition)
     return len(docs)
+
+# ---------------------------------------------------------------------------
+# ingest workbench: accumulate many small pushes into O(1) splits
+# ---------------------------------------------------------------------------
+
+class IngestWorkbench:
+    """Accumulating push-ingest workbench (reference
+    quickwit-indexing/src/actors/indexer.rs:592-626: the Indexer holds an
+    open ``IndexingWorkbench`` and seals it when a commit trigger fires —
+    ``commit_timeout_secs`` since the FIRST buffered doc, a docs
+    threshold, or a memory threshold — instead of cutting one split per
+    ingest request). Many small ``_bulk`` calls therefore produce O(1)
+    splits per commit wave, not O(calls).
+
+    Exactly-once: each push's ``commit_id`` is checked against the
+    manifest checkpoints (and this workbench's pending set) at PUSH time,
+    and every pending commit_id is recorded in the SAME atomic manifest
+    append that publishes the sealed splits (``Manifest.publish_many``).
+    A crash before commit loses only the uncommitted buffer; replaying
+    those bulks into a fresh workbench ingests them exactly once.
+
+    No background thread: the timeout trigger is evaluated on every push
+    and via :meth:`poll` / :meth:`commit` / :meth:`close` — deterministic
+    for tests, and the long-lived-server analog would call ``poll`` from
+    its event loop.
+    """
+
+    def __init__(self, index_dir: str, *,
+                 commit_timeout_secs: float = 60.0,
+                 commit_docs_threshold: int = 100_000,
+                 commit_bytes_threshold: int = 64 << 20):
+        from quickwit_ray.config import IndexConfig
+        from quickwit_ray.state.manifest import Manifest
+
+        self.index_dir = index_dir
+        self.manifest = Manifest(index_dir)
+        if self.manifest.index_config_json is None:
+            raise FileNotFoundError(f"no index at {index_dir}")
+        self.config = IndexConfig.from_json(self.manifest.index_config_json)
+        self.commit_timeout_secs = float(commit_timeout_secs)
+        self.commit_docs_threshold = int(commit_docs_threshold)
+        self.commit_bytes_threshold = int(commit_bytes_threshold)
+        self._docs: list[dict[str, Any]] = []
+        self._bytes = 0
+        self._first_ts: Optional[float] = None
+        self._pending: list[str] = []
+        self.commits = 0
+        self.splits_built = 0
+
+    # -- push fronts (same decode surface as the one-shot functions) -----
+
+    def bulk(self, payload: bytes | str, *, commit_id: Optional[str] = None) -> int:
+        return self.push(parse_bulk_ndjson(payload), commit_id=commit_id)
+
+    def ingest_payload(self, payload: bytes | str, input_format: str = "json",
+                       *, commit_id: Optional[str] = None) -> int:
+        return self.push(decode_input(payload, input_format), commit_id=commit_id)
+
+    def push(self, docs: list[dict[str, Any]], *,
+             commit_id: Optional[str] = None) -> int:
+        """Buffer parsed docs; returns docs queued (0 for a replayed
+        commit_id). Strict-mode key violations raise HERE, so a poison doc
+        fails its own push, not a later commit carrying other pushes."""
+        if commit_id is not None:
+            partition = f"ingest:{commit_id}"
+            if (partition in self._pending
+                    or self.manifest.is_partition_committed(partition)):
+                return 0
+        if docs:
+            validate_push_keys(docs, self.config.doc_mapping)
+        if commit_id is not None:
+            self._pending.append(f"ingest:{commit_id}")
+        if docs:
+            self._docs.extend(docs)
+            self._bytes += sum(len(json.dumps(d, separators=(",", ":"),
+                                              default=str)) for d in docs)
+            if self._first_ts is None:
+                self._first_ts = time.monotonic()
+        n = len(docs)
+        self._maybe_commit()
+        return n
+
+    # -- commit triggers -------------------------------------------------
+
+    def _triggered(self) -> bool:
+        if self._first_ts is None:
+            return False
+        return (len(self._docs) >= self.commit_docs_threshold
+                or self._bytes >= self.commit_bytes_threshold
+                or (time.monotonic() - self._first_ts) >= self.commit_timeout_secs)
+
+    def _maybe_commit(self) -> None:
+        if self._triggered():
+            self.commit()
+
+    def poll(self) -> bool:
+        """Evaluate the timeout trigger outside a push; True if committed."""
+        if self._triggered():
+            self.commit()
+            return True
+        return False
+
+    def commit(self) -> int:
+        """Seal the open workbench: build O(1) splits (chunked only at the
+        index's split_num_docs_target) and publish them with ALL pending
+        commit_ids in one atomic manifest append."""
+        from quickwit_ray.index.writer import SplitBuilder
+
+        docs, cids = self._docs, self._pending
+        self._docs, self._pending = [], []
+        self._bytes, self._first_ts = 0, None
+        if not docs and not cids:
+            return 0
+        sms = []
+        if docs:
+            table = _docs_to_table(docs, self.config.doc_mapping)
+            target = max(1, int(self.config.settings.split_num_docs_target))
+            base = cids[0] if cids else f"ingest:{time.time_ns()}"
+            for i in range(0, table.num_rows, target):
+                builder = SplitBuilder(self.config, self.index_dir,
+                                       f"{base}", i // target)
+                builder.add_batch(table.slice(i, target))
+                sm = builder.flush()
+                if sm:
+                    sms.append(sm)
+        live = [c for c in cids
+                if not self.manifest.is_partition_committed(c)]
+        if not live:
+            live = [f"ingest:{time.time_ns()}"]
+        by: dict[str, list] = {live[0]: sms}
+        for c in live[1:]:
+            by[c] = []
+        self.manifest.publish_many(by)
+        self.commits += 1
+        self.splits_built += len(sms)
+        return len(docs)
+
+    def close(self) -> int:
+        """Commit any remaining buffered docs."""
+        return self.commit()
+
+    def __enter__(self) -> "IngestWorkbench":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+
+
+# ---------------------------------------------------------------------------
+# OTLP protobuf fixture encoder (tests / contract fixtures — the decoder
+# above is independently round-trip-tested against a separately written
+# encoder in tests/test_ingest_api.py)
+# ---------------------------------------------------------------------------
+
+def _pbe_varint(n: int) -> bytes:
+    out = b""
+    n &= (1 << 64) - 1
+    while True:
+        b, n = n & 0x7F, n >> 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _pbe_len(fn: int, payload: bytes) -> bytes:
+    return _pbe_varint(fn << 3 | 2) + _pbe_varint(len(payload)) + payload
+
+
+def _pbe_f64(fn: int, v: int) -> bytes:
+    return _pbe_varint(fn << 3 | 1) + _struct.pack("<Q", v)
+
+
+def encode_otlp_logs_request(records: list[dict[str, Any]],
+                             service_name: str = "unknown_service") -> bytes:
+    """Encode flat log records into an ExportLogsServiceRequest protobuf
+    (one resource, one scope). Record keys: time_unix_nano,
+    severity_number, severity_text, body (str)."""
+    recs = b""
+    for r in records:
+        rec = b""
+        if r.get("time_unix_nano"):
+            rec += _pbe_f64(1, int(r["time_unix_nano"]))
+        if r.get("severity_number"):
+            rec += _pbe_varint(2 << 3 | 0) + _pbe_varint(int(r["severity_number"]))
+        if r.get("severity_text"):
+            rec += _pbe_len(3, str(r["severity_text"]).encode())
+        if r.get("body") is not None:
+            rec += _pbe_len(5, _pbe_len(1, str(r["body"]).encode()))
+        if r.get("observed_time_unix_nano"):
+            rec += _pbe_f64(11, int(r["observed_time_unix_nano"]))
+        recs += _pbe_len(2, rec)
+    scope_logs = _pbe_len(1, b"") + recs
+    kv = (_pbe_len(1, b"service.name")
+          + _pbe_len(2, _pbe_len(1, service_name.encode())))
+    resource = _pbe_len(1, kv)
+    resource_logs = _pbe_len(1, resource) + _pbe_len(2, scope_logs)
+    return _pbe_len(1, resource_logs)

@@ -505,19 +505,30 @@ def test_sloppy_phrase_vectorized_equals_reference_loop(tmp_path):
     s = IndexSearcher(d)
 
     def ref_matches(terms, slop):
+        # Per-doc reference of the exact tantivy-style pairwise slop fold:
+        # greedy maximal one-to-one windowed matching per adjacent pair over
+        # adjusted positions; matched right positions become the chain.
         out = {}
         for did, t in enumerate(texts):
             words = t.split()
             pos = {w: [i for i, x in enumerate(words) if x == w] for w in set(terms)}
             if any(not pos.get(w) for w in terms):
                 continue
-            tf = 0
-            for p in pos[terms[0]]:
-                if all(any(abs((q - i) - p) <= slop for q in pos[terms[i]])
-                       for i in range(1, len(terms))):
-                    tf += 1
-            if tf:
-                out[did] = tf
+            chain = list(pos[terms[0]])
+            for i in range(1, len(terms)):
+                rights = [q - i for q in pos[terms[i]]]
+                nxt, p = [], 0
+                for r in rights:
+                    while p < len(chain) and chain[p] < r - slop:
+                        p += 1
+                    if p < len(chain) and chain[p] <= r + slop:
+                        nxt.append(r)
+                        p += 1
+                chain = nxt
+                if not chain:
+                    break
+            if chain:
+                out[did] = len(chain)
         return out
 
     for terms, slop in [(["the", "quick"], 1), (["the", "fox"], 2),
@@ -527,6 +538,57 @@ def test_sloppy_phrase_vectorized_equals_reference_loop(tmp_path):
         want = ref_matches(terms, slop)
         got = sorted(int(x) for x in r.hits["doc_id"]) if len(r.hits) else []
         assert got == sorted(want), (terms, slop)
+
+
+def test_slop_semantics_goldens(tmp_path):
+    """Pinned asymmetric slop cases for the exact tantivy-style fold:
+    transposition costs 2, and one-to-one consumption means a single
+    anchor occurrence cannot validate two downstream occurrences."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.search.engine import IndexSearcher
+
+    texts = [
+        "bb aa",             # 0: transposed pair
+        "aa bb bb xx xx cc",  # 1: one aa, two bb, far cc — consumption case
+        "aa bb bb xx cc",     # 2: control — cc close enough to the chain
+        "aa bb aa bb",        # 3: tf=2 for "aa bb"
+        "aa bb cc dd",        # 4: tf=1, same length as 3
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "body": texts})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", record="position",
+                         fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("slopg", mapping), execution="local")
+    s = IndexSearcher(d)
+
+    def ids(q):
+        r = s.search(q, max_hits=100, fetch_fields=["doc_id"])
+        return sorted(int(x) for x in r.hits["doc_id"]) if len(r.hits) else []
+
+    # transposition: "aa bb" over "bb aa" needs slop 2, not 1
+    assert 0 not in ids('body:"aa bb"~1')
+    assert 0 in ids('body:"aa bb"~2')
+    # consumption: the single aa anchors only ONE bb; cc@5 (adj 3) is not
+    # within slop 2 of the surviving chain position (0) in doc 1, while in
+    # doc 2 cc@4 (adj 2) is — the round-2 existence fold matched both.
+    three = ids('body:"aa bb cc"~2')
+    assert 1 not in three
+    assert 2 in three
+    # phrase tf feeds BM25: doc 3 (tf=2) outranks doc 4 (tf=1, same length)
+    r = s.search('body:"aa bb"~1', max_hits=10, sort_by="_score",
+                 fetch_fields=["doc_id"])
+    got = [int(x) for x in r.hits["doc_id"]]
+    assert got.index(3) < got.index(4)
 
 
 def test_ray_data_execution_mode(tmp_path, ray_session):

@@ -170,3 +170,316 @@ def test_es_rest_breadth(tmp_path):
     assert stats["indices"]["logs"]["primaries"]["store"]["size_in_bytes"] > 0
     cat = idx.es_cat_indices()
     assert cat[0]["index"] == "logs" and cat[0]["docs.count"] == "1"
+
+
+# ---------------------------------------------------------------------------
+# ingest workbench (actors/indexer.rs:592-626 commit triggers)
+# ---------------------------------------------------------------------------
+
+def _n_splits(idx):
+    from quickwit_ray.state.manifest import Manifest
+
+    return len(Manifest(idx.index_dir).published_splits())
+
+
+def _doc(i):
+    return json.dumps({"index": {}}) + "\n" + json.dumps(
+        {"body": f"workbench doc {i} refused", "service_name": "gw",
+         "severity_number": i, "timestamp_nanos": i})
+
+
+def test_workbench_many_bulks_one_split(tmp_path):
+    """N small bulks buffer into ONE split at close() — not N splits."""
+    idx = _mk_index(tmp_path)
+    with idx.open_ingest_workbench(commit_timeout_secs=3600,
+                                   commit_docs_threshold=10_000) as wb:
+        for i in range(10):
+            assert wb.bulk(_doc(i), commit_id=f"b{i}") == 1
+        # nothing searchable before the commit trigger fires
+        assert idx.search("*", max_hits=0).num_hits == 0
+        assert _n_splits(idx) == 0
+    assert _n_splits(idx) == 1
+    assert idx.search("*", max_hits=0).num_hits == 10
+    assert idx.search("body:refused", max_hits=0).num_hits == 10
+
+
+def test_workbench_docs_threshold_autocommits(tmp_path):
+    idx = _mk_index(tmp_path)
+    wb = idx.open_ingest_workbench(commit_timeout_secs=3600,
+                                   commit_docs_threshold=4)
+    for i in range(7):
+        wb.bulk(_doc(i))
+    # the 4th doc tripped the threshold: one commit wave published
+    assert wb.commits == 1 and _n_splits(idx) == 1
+    assert idx.search("*", max_hits=0).num_hits == 4
+    wb.close()
+    assert _n_splits(idx) == 2
+    assert idx.search("*", max_hits=0).num_hits == 7
+
+
+def test_workbench_timeout_trigger(tmp_path):
+    import time as _t
+
+    idx = _mk_index(tmp_path)
+    wb = idx.open_ingest_workbench(commit_timeout_secs=0.05)
+    wb.bulk(_doc(1))
+    assert not wb.poll() or True  # may or may not have elapsed yet
+    _t.sleep(0.08)
+    assert wb.poll() is True
+    assert idx.search("*", max_hits=0).num_hits == 1
+
+
+def test_workbench_exactly_once_replay(tmp_path):
+    """Kill-mid-wave analog: an uncommitted workbench loses its buffer;
+    replaying the same commit_ids into a fresh workbench ingests exactly
+    once, and committed ids no-op everywhere."""
+    idx = _mk_index(tmp_path)
+    wb = idx.open_ingest_workbench(commit_timeout_secs=3600)
+    wb.bulk(_doc(1), commit_id="w1")
+    wb.bulk(_doc(2), commit_id="w2")
+    # same id within the open workbench: pending -> no-op
+    assert wb.bulk(_doc(1), commit_id="w1") == 0
+    del wb  # crash before commit: buffer lost, nothing published
+    assert idx.search("*", max_hits=0).num_hits == 0
+
+    wb2 = idx.open_ingest_workbench(commit_timeout_secs=3600)
+    assert wb2.bulk(_doc(1), commit_id="w1") == 1
+    assert wb2.bulk(_doc(2), commit_id="w2") == 1
+    assert wb2.close() == 2
+    assert idx.search("*", max_hits=0).num_hits == 2
+
+    # replay after commit: both ids are checkpointed in the manifest
+    wb3 = idx.open_ingest_workbench(commit_timeout_secs=3600)
+    assert wb3.bulk(_doc(1), commit_id="w1") == 0
+    assert wb3.bulk(_doc(2), commit_id="w2") == 0
+    assert wb3.close() == 0
+    assert idx.search("*", max_hits=0).num_hits == 2
+    assert _n_splits(idx) == 1
+
+
+def test_workbench_strict_rejects_at_push(tmp_path):
+    idx = _mk_index(tmp_path, mode="strict")
+    wb = idx.open_ingest_workbench(commit_timeout_secs=3600)
+    wb.bulk(_doc(1))
+    bad = json.dumps({"index": {}}) + "\n" + json.dumps(
+        {"body": "x", "no_such_field": 1})
+    with pytest.raises(ValueError, match="unknown fields"):
+        wb.bulk(bad)
+    # the poison push did not contaminate the open buffer
+    assert wb.close() == 1
+    assert idx.search("*", max_hits=0).num_hits == 1
+
+
+def test_workbench_split_target_chunking(tmp_path):
+    """A commit larger than split_num_docs_target seals multiple splits."""
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", record="freq",
+                         fieldnorms=True, stored=True),
+            FieldMapping(name="timestamp_nanos", type="i64", stored=True,
+                         fast=True)),
+        mode="strict", doc_id_field="timestamp_nanos",
+        default_search_fields=("body",))
+    idx = Index.create(str(tmp_path / "idx2"), "logs2", mapping,
+                       IndexSettings(split_num_docs_target=25))
+    wb = idx.open_ingest_workbench(commit_timeout_secs=3600,
+                                   commit_docs_threshold=10_000)
+    for i in range(60):
+        wb.push([{"body": f"doc {i}", "timestamp_nanos": i}])
+    wb.close()
+    assert _n_splits(idx) == 3
+    assert idx.search("*", max_hits=0).num_hits == 60
+
+
+# ---------------------------------------------------------------------------
+# OTLP protobuf wire decode (public opentelemetry-proto field numbers)
+# ---------------------------------------------------------------------------
+# The encoder below is written INDEPENDENTLY from the decoder, straight off
+# the public .proto files, so a transposed field number in either side
+# fails the round-trip.
+
+import struct as _struct
+
+
+def _ev(n):  # varint
+    out = b""
+    n &= (1 << 64) - 1
+    while True:
+        b, n = n & 0x7F, n >> 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _etag(fn, wt):
+    return _ev(fn << 3 | wt)
+
+
+def _elen(fn, payload: bytes) -> bytes:
+    return _etag(fn, 2) + _ev(len(payload)) + payload
+
+
+def _estr(fn, s: str) -> bytes:
+    return _elen(fn, s.encode())
+
+
+def _ef64(fn, v: int) -> bytes:
+    return _etag(fn, 1) + _struct.pack("<Q", v)
+
+
+def _ef32(fn, v: int) -> bytes:
+    return _etag(fn, 5) + _struct.pack("<I", v)
+
+
+def _evint(fn, v: int) -> bytes:
+    return _etag(fn, 0) + _ev(v)
+
+
+def _e_anyvalue(v) -> bytes:
+    if isinstance(v, str):
+        return _estr(1, v)
+    if isinstance(v, bool):
+        return _evint(2, int(v))
+    if isinstance(v, int):
+        return _evint(3, v)
+    if isinstance(v, float):
+        return _etag(4, 1) + _struct.pack("<d", v)
+    if isinstance(v, list):
+        inner = b"".join(_elen(1, _e_anyvalue(x)) for x in v)
+        return _elen(5, inner)
+    if isinstance(v, dict):
+        inner = b"".join(_elen(1, _e_kv(k, x)) for k, x in v.items())
+        return _elen(6, inner)
+    if isinstance(v, bytes):
+        return _elen(7, v)
+    raise TypeError(type(v))
+
+
+def _e_kv(key, val) -> bytes:
+    return _estr(1, key) + _elen(2, _e_anyvalue(val))
+
+
+def _e_attrs(fn, attrs: dict) -> bytes:
+    return b"".join(_elen(fn, _e_kv(k, v)) for k, v in attrs.items())
+
+
+def _e_resource(attrs: dict) -> bytes:
+    return _e_attrs(1, attrs)
+
+
+def _e_scope(name=None, version=None) -> bytes:
+    out = b""
+    if name:
+        out += _estr(1, name)
+    if version:
+        out += _estr(2, version)
+    return out
+
+
+def test_otlp_logs_proto_matches_json():
+    # logical content with every AnyValue shape; observed timestamps are
+    # explicit so json/proto parses are time-independent
+    rec1 = (_ef64(1, 1_700_000_000_000_000_000)
+            + _evint(2, 17) + _estr(3, "ERROR")
+            + _elen(5, _e_anyvalue("payment failed badly"))
+            + _e_attrs(6, {"code": 502, "ratio": 0.5, "ok": False,
+                           "tags": ["a", "b"], "ctx": {"k": "v"},
+                           "blob": b"\x01\x02", "neg": -7})
+            + _ef32(8, 1)
+            + _elen(9, bytes.fromhex("0102030405060708090a0b0c0d0e0f10"))
+            + _elen(10, bytes.fromhex("0102030405060708"))
+            + _ef64(11, 1_700_000_000_500_000_000))
+    rec2 = (_evint(2, 9) + _elen(5, _e_anyvalue("retry scheduled"))
+            + _ef64(11, 1_700_000_001_000_000_000))
+    scope_logs = (_elen(1, _e_scope("lib", "1.2"))
+                  + _elen(2, rec1) + _elen(2, rec2))
+    resource_logs = (_elen(1, _e_resource({"service.name": "checkout",
+                                           "host": "h1"}))
+                     + _elen(2, scope_logs))
+    wire = _elen(1, resource_logs)
+
+    js = json.dumps({"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "checkout"}},
+            {"key": "host", "value": {"stringValue": "h1"}}]},
+        "scopeLogs": [{
+            "scope": {"name": "lib", "version": "1.2"},
+            "logRecords": [
+                {"timeUnixNano": "1700000000000000000",
+                 "severityText": "ERROR", "severityNumber": 17,
+                 "body": {"stringValue": "payment failed badly"},
+                 "attributes": [
+                     {"key": "code", "value": {"intValue": "502"}},
+                     {"key": "ratio", "value": {"doubleValue": 0.5}},
+                     {"key": "ok", "value": {"boolValue": False}},
+                     {"key": "tags", "value": {"arrayValue": {"values": [
+                         {"stringValue": "a"}, {"stringValue": "b"}]}}},
+                     {"key": "ctx", "value": {"kvlistValue": {"values": [
+                         {"key": "k", "value": {"stringValue": "v"}}]}}},
+                     {"key": "blob", "value": {"bytesValue": "AQI="}},
+                     {"key": "neg", "value": {"intValue": "-7"}}],
+                 "flags": 1,
+                 "traceId": "0102030405060708090a0b0c0d0e0f10",
+                 "spanId": "0102030405060708",
+                 "observedTimeUnixNano": "1700000000500000000"},
+                {"severityNumber": 9,
+                 "body": {"stringValue": "retry scheduled"},
+                 "observedTimeUnixNano": "1700000001000000000"},
+            ]}]}]})
+
+    from quickwit_ray.sources.ingest import parse_otlp_logs_proto
+
+    assert parse_otlp_logs_proto(wire) == parse_otlp_logs_json(js)
+    # and through the decode_input front
+    assert decode_input(wire, "otlp_logs_protobuf") == parse_otlp_logs_json(js)
+
+
+def test_otlp_spans_proto_matches_json():
+    span1 = (_elen(1, b"\xaa" * 16) + _elen(2, b"\xbb" * 8)
+             + _estr(5, "GET /users") + _evint(6, 2)
+             + _ef64(7, 1_000_000_000) + _ef64(8, 4_000_000_000)
+             + _e_attrs(9, {"http.status": 200})
+             + _elen(15, _estr(2, "oops") + _evint(3, 2)))
+    span2 = (_elen(1, b"\xaa" * 16) + _elen(2, b"\xcc" * 8)
+             + _elen(4, b"\xbb" * 8) + _estr(5, "db.query") + _evint(6, 3)
+             + _ef64(7, 2_000_000_000) + _ef64(8, 2_500_000_000))
+    scope_spans = _elen(1, _e_scope("tracer")) + _elen(2, span1) + _elen(2, span2)
+    resource_spans = (_elen(1, _e_resource({"service.name": "api"}))
+                      + _elen(2, scope_spans))
+    wire = _elen(1, resource_spans)
+
+    js = json.dumps({"resourceSpans": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "api"}}]},
+        "scopeSpans": [{"scope": {"name": "tracer"}, "spans": [
+            {"traceId": "aa" * 16, "spanId": "bb" * 8,
+             "name": "GET /users", "kind": 2,
+             "startTimeUnixNano": "1000000000",
+             "endTimeUnixNano": "4000000000",
+             "attributes": [{"key": "http.status",
+                             "value": {"intValue": "200"}}],
+             "status": {"message": "oops", "code": 2}},
+            {"traceId": "aa" * 16, "spanId": "cc" * 8,
+             "parentSpanId": "bb" * 8, "name": "db.query", "kind": 3,
+             "startTimeUnixNano": "2000000000",
+             "endTimeUnixNano": "2500000000"},
+        ]}]}]})
+
+    from quickwit_ray.sources.ingest import parse_otlp_spans_proto
+
+    assert parse_otlp_spans_proto(wire) == parse_otlp_spans_json(js)
+    assert decode_input(wire, "otlp_traces_protobuf") == parse_otlp_spans_json(js)
+
+
+def test_otlp_proto_ingest_end_to_end(tmp_path):
+    idx = _mk_index(tmp_path, mode="dynamic")
+    rec = (_ef64(1, 1) + _evint(2, 17) + _estr(3, "ERROR")
+           + _elen(5, _e_anyvalue("disk full on node"))
+           + _ef64(11, 2))
+    wire = _elen(1, _elen(1, _e_resource({"service.name": "store"}))
+                 + _elen(2, _elen(2, rec)))
+    assert idx.ingest_payload(wire, "otlp_logs_protobuf", commit_id="p1") == 1
+    assert idx.ingest_payload(wire, "otlp_logs_protobuf", commit_id="p1") == 0
+    r = idx.search("body:disk", max_hits=5, fetch_fields=["service_name"])
+    assert r.num_hits == 1 and r.hits["service_name"].iloc[0] == "store"
