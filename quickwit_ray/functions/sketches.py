@@ -23,13 +23,11 @@ def _alpha(m: int) -> float:
 
 
 def hash64(values: np.ndarray) -> np.ndarray:
-    """Stable 64-bit hash of an arbitrary value array."""
-    import pandas as pd
+    """Stable 64-bit hash of an arbitrary value array — pinned vendored
+    qhash1 (functions/stablehash.py), never pandas."""
+    from quickwit_ray.functions.stablehash import hash64 as _h64
 
-    arr = np.asarray(values)
-    if arr.dtype.kind in "OUS":
-        return pd.util.hash_array(arr.astype(object)).astype(np.uint64)
-    return pd.util.hash_array(np.ascontiguousarray(arr)).astype(np.uint64)
+    return _h64(values)
 
 
 HLL_SPARSE_MAX = 4096  # distinct hashes kept exactly before densifying

@@ -163,7 +163,9 @@ def fingerprints(texts, window: int = 8) -> np.ndarray:
     if total == 0:
         return out
     allw = np.fromiter(chain.from_iterable(lists), object, count=total)
-    h = pd.util.hash_array(allw).astype(np.uint64)
+    from quickwit_ray.functions.stablehash import hash_word_stream
+
+    h = hash_word_stream(allw)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     row_of = np.repeat(np.arange(n), counts)
 

@@ -318,10 +318,15 @@ def tokenize_en_stem(text: str) -> list[str]:
 # --- multilang tokenizer (tokenizers/multilang.rs:1-334) --------------------
 # The reference detects the language with `whichlang` and segments CJK text
 # with lindera dictionaries (CcCedict / IPADIC / KoDic). The dictionaries
-# are not available here, so segmentation is APPROXIMATED: Chinese/Japanese
-# text emits one token per CJK/kana character (the chinese_compatible
-# shape); Korean hangul runs split on non-alphanumerics like the reference
-# fallback SimpleTokenizer. The language-prefix override protocol
+# are not available here, so segmentation is APPROXIMATED with overlapping
+# CJK BIGRAMS (the Lucene CJKBigramFilter scheme, dictionary-free): a run
+# of >= 2 CJK/kana chars emits every adjacent pair, a lone char emits
+# itself, non-CJK runs split like the SimpleTokenizer. Most CMN/JPN words
+# are two characters, so bigrams recover most dictionary-word matches the
+# round-2 per-char scheme missed while keeping false matches rare —
+# documented divergence from lindera's exact word boundaries. Korean
+# hangul runs split on non-alphanumerics like the reference fallback
+# SimpleTokenizer. The language-prefix override protocol
 # (`CMN:` / `ENG:` / `JPN:` / `KOR:`, multilang.rs:125-145) and the
 # registered filter chain (RemoveLong(255) + LowerCaser, mod.rs:94-102)
 # are reproduced exactly.
@@ -353,6 +358,35 @@ def detect_lang_script(text: str) -> str:
     return "cmn"
 
 
+_CJK_SINGLE_RE = re.compile(rf"[{_CJK_CLASS}]")
+_CJKKANA_SINGLE_RE = re.compile(rf"[{_CJK_CLASS}{_KANA_CLASS}]")
+
+
+def _cjk_bigrams(tokens: list[str], single_re) -> list[str]:
+    """Collapse runs of single CJK-char tokens into overlapping bigrams
+    (lone char stays a unigram); other tokens pass through in order."""
+    out: list[str] = []
+    run: list[str] = []
+
+    def flush():
+        if len(run) == 1:
+            out.append(run[0])
+        else:
+            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+        run.clear()
+
+    for t in tokens:
+        if len(t) == 1 and single_re.match(t):
+            run.append(t)
+        else:
+            if run:
+                flush()
+            out.append(t)
+    if run:
+        flush()
+    return out
+
+
 def _multilang_raw(text: str) -> list[str]:
     """Token stream BEFORE the filter chain (prefix + dispatch)."""
     lang = None
@@ -365,9 +399,9 @@ def _multilang_raw(text: str) -> list[str]:
     if lang is None:
         lang = detect_lang_script(text)
     if lang == "cmn":
-        return _CHINESE_RE.findall(text)
+        return _cjk_bigrams(_CHINESE_RE.findall(text), _CJK_SINGLE_RE)
     if lang == "jpn":
-        return _JPN_RE.findall(text)
+        return _cjk_bigrams(_JPN_RE.findall(text), _CJKKANA_SINGLE_RE)
     # kor / other: SimpleTokenizer fallback (hangul runs are alphanumeric)
     return _SIMPLE_RE.findall(text)
 

@@ -67,12 +67,14 @@ class BuildStats:
 def _route_partition(batch: pa.Table, key: str, cap: int) -> np.ndarray:
     """Routing expr analog: partition = hash(key value) % cap, overflow ->
     OTHER. (Reference uses SipHash on the routing expr; any stable hash
-    preserves the semantics — documented divergence: hash function.)"""
-    import pandas as pd
+    preserves the semantics — documented divergence: hash function.)
+    Hashes through the PINNED vendored qhash1 (functions/stablehash.py),
+    not pandas, so routing survives library upgrades."""
+    from quickwit_ray.functions.stablehash import hash_strings
 
     vals = batch[key].to_pandas().astype(str)
-    h = pd.util.hash_array(vals.to_numpy(dtype=object)).astype(np.int64)
-    return np.abs(h) % np.int64(cap)
+    h = hash_strings(vals.to_numpy(dtype=object))
+    return (h % np.uint64(cap)).astype(np.int64)
 
 
 class IndexPartitionTask:

@@ -68,7 +68,8 @@ def _emit_partials(batch: pa.Table, *, shard: int, base_doc: int,
     """Stage-1 map: one output row per (field, term[, salt], batch)."""
     config = IndexConfig.from_json(config_json)
     out = {"shard": [], "field": [], "term": [], "salt": [],
-           "doc_ids": [], "tfs": [], "positions": [], "pos_lens": []}
+           "doc_ids": [], "tfs": [], "norms": [], "positions": [],
+           "pos_lens": []}
     for fm in config.doc_mapping.text_fields:
         if fm.name not in batch.column_names:
             continue
@@ -76,6 +77,11 @@ def _emit_partials(batch: pa.Table, *, shard: int, base_doc: int,
                                                     fm.tokenizer)
         if len(tokens) == 0:
             continue
+        # per-doc fieldnorm ids (uint8), shipped per POSTING so the reducer
+        # can compute per-block min-norm score bounds without a second pass
+        nids_local = (fieldnorm_to_id(np.bincount(doc_idx,
+                                                  minlength=batch.num_rows))
+                      if fm.fieldnorms else None)
         codes, uniq = pd.factorize(tokens)
         order = np.lexsort((positions, doc_idx, codes))
         codes_s, docs_s, pos_s = codes[order], doc_idx[order], positions[order]
@@ -118,6 +124,9 @@ def _emit_partials(batch: pa.Table, *, shard: int, base_doc: int,
                 out["salt"].append(ci)
                 out["doc_ids"].append(p_doc[cs:ce].tobytes())
                 out["tfs"].append(tfs[cs:ce].tobytes() if record_freq else b"")
+                out["norms"].append(
+                    nids_local[docs_s[p_starts[cs:ce]]].tobytes()
+                    if nids_local is not None else b"")
                 if record_pos:
                     ps = p_starts[cs]
                     pe = p_starts[ce] if ce < len(p_starts) else len(pos_s)
@@ -134,6 +143,7 @@ def _emit_partials(batch: pa.Table, *, shard: int, base_doc: int,
         "salt": pa.array(out["salt"], pa.int32()),
         "doc_ids": pa.array(out["doc_ids"], pa.binary()),
         "tfs": pa.array(out["tfs"], pa.binary()),
+        "norms": pa.array(out["norms"], pa.binary()),
         "positions": pa.array(out["positions"], pa.binary()),
         "pos_lens": pa.array(out["pos_lens"], pa.binary()),
     })
@@ -195,7 +205,7 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
     any_pos = False
     rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
                             "block_last", "block_max_tf", "block_lens",
-                            "positions", "pos_lens")}
+                            "block_min_norm", "positions", "pos_lens")}
 
     def flush_window() -> None:
         nonlocal any_pos
@@ -221,10 +231,13 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
             sub = sub.iloc[np.argsort(firsts, kind="stable")]
         doc_b = b"".join(sub["doc_ids"])
         tf_b = b"".join(sub["tfs"])
+        norm_b = b"".join(sub["norms"]) if "norms" in sub else b""
         docs = np.frombuffer(doc_b, np.int32)
         tfs = (np.frombuffer(tf_b, np.uint32).astype(np.int64) if tf_b
                else np.ones(len(docs), np.int64))
-        bl, bm, blen = block_meta(docs, tfs)
+        norms = (np.frombuffer(norm_b, np.uint8)
+                 if len(norm_b) == len(docs) else None)
+        bl, bm, blen, bmin = block_meta(docs, tfs, norms)
         d = docs.astype(np.int64)
         deltas = np.empty(len(d), np.int32)
         if len(d):
@@ -239,6 +252,7 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
         rows["block_last"].append(bl)
         rows["block_max_tf"].append(bm)
         rows["block_lens"].append(blen)
+        rows["block_min_norm"].append(bmin)
         rows["positions"].append(b"".join(sub["positions"]))
         rows["pos_lens"].append(b"".join(sub["pos_lens"]))
         if len(rows["field"]) >= TERMS_PER_ROW_GROUP:

@@ -66,18 +66,26 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return d
 
 
-def block_meta(doc_ids: np.ndarray, tfs: Optional[np.ndarray]
-               ) -> tuple[bytes, bytes, bytes]:
-    """(block_last, block_max_tf, block_lens) for one posting list; blocks
-    of BLOCK_SIZE docs (merged splits may carry shorter blocks — the
-    explicit lens column makes block byte-ranges recoverable there)."""
+def block_meta(doc_ids: np.ndarray, tfs: Optional[np.ndarray],
+               norms: Optional[np.ndarray] = None
+               ) -> tuple[bytes, bytes, bytes, bytes]:
+    """(block_last, block_max_tf, block_lens, block_min_norm) for one
+    posting list; blocks of BLOCK_SIZE docs (merged splits may carry
+    shorter blocks — the explicit lens column makes block byte-ranges
+    recoverable there). ``norms`` is the per-POSTING fieldnorm-id array
+    (uint8, parallel to doc_ids); the per-block MIN norm id (= shortest
+    doc, fieldnorm table is monotone) yields a per-block SCORE upper
+    bound at query time that still prunes when tf is flat — the tantivy
+    BlockWAND (fieldnorm, tf) pair analog. b'' when norms is None."""
     n = len(doc_ids)
     if n == 0:
-        return b"", b"", b""
+        return b"", b"", b"", b""
     if n <= BLOCK_SIZE:  # fast path: the overwhelmingly common single block
         last = np.asarray([doc_ids[-1]], np.int32)
         mx = np.asarray([tfs.max() if tfs is not None and len(tfs) else 1], np.int32)
-        return last.tobytes(), mx.tobytes(), np.asarray([n], np.int32).tobytes()
+        mn = (np.asarray([norms.min()], np.uint8).tobytes()
+              if norms is not None and len(norms) else b"")
+        return last.tobytes(), mx.tobytes(), np.asarray([n], np.int32).tobytes(), mn
     starts = np.arange(0, n, BLOCK_SIZE)
     ends = np.minimum(starts + BLOCK_SIZE, n)
     block_last = np.asarray(doc_ids, np.int32)[ends - 1]
@@ -86,7 +94,9 @@ def block_meta(doc_ids: np.ndarray, tfs: Optional[np.ndarray]
         block_max = np.ones(len(starts), np.int32)
     else:
         block_max = np.maximum.reduceat(np.asarray(tfs, np.int64), starts).astype(np.int32)
-    return block_last.tobytes(), block_max.tobytes(), lens.tobytes()
+    bmin = (np.minimum.reduceat(np.asarray(norms, np.uint8), starts).tobytes()
+            if norms is not None and len(norms) else b"")
+    return block_last.tobytes(), block_max.tobytes(), lens.tobytes(), bmin
 
 
 POSTINGS_SCHEMA = pa.schema([
@@ -99,6 +109,7 @@ POSTINGS_SCHEMA = pa.schema([
     ("block_last", pa.binary()),
     ("block_max_tf", pa.binary()),
     ("block_lens", pa.binary()),
+    ("block_min_norm", pa.binary()),
 ])
 
 POSITIONS_SCHEMA = pa.schema([
@@ -321,6 +332,8 @@ class SplitReader:
             cols = ["doc_ids", "tfs", "block_last", "block_max_tf"]
             if "block_lens" in self._pf.schema_arrow.names:
                 cols.append("block_lens")
+            if "block_min_norm" in self._pf.schema_arrow.names:
+                cols.append("block_min_norm")
             if with_positions and self._legacy_positions:
                 cols += ["positions", "pos_lens"]
             tbl = self._pf.read_row_group(rg, columns=cols)
@@ -374,6 +387,12 @@ class SplitReader:
                 "block_last": np.frombuffer(tbl["block_last"][i].as_py() or b"", np.int32),
                 "block_max_tf": np.frombuffer(tbl["block_max_tf"][i].as_py() or b"", np.int32),
                 "block_lens": np.frombuffer(tbl["block_lens"][i].as_py() or b"", np.int32),
+                # valid only when one entry per block (legacy splits and
+                # legacy-mixed merges fail the length check and score unpruned)
+                "block_min_norm": (
+                    np.frombuffer(tbl["block_min_norm"][i].as_py() or b"", np.uint8)
+                    if "block_min_norm" in tbl.column_names
+                    else np.empty(0, np.uint8)),
             }
         self._raw_cache[row] = ent
         if len(self._raw_cache) > 512:

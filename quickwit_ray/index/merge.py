@@ -264,6 +264,11 @@ class _SplitPostingsStream:
         else:
             pt = self._positions_slice(row_start, t.num_rows)
         n = t.num_rows
+        if "block_min_norm" not in t.column_names:
+            # legacy input split: empty per-term bytes; the merged term's
+            # min-norm length check then fails and readers score unpruned
+            t = t.append_column("block_min_norm",
+                               pa.array([b""] * n, pa.binary()))
         t = t.append_column("positions", pt["positions"])
         t = t.append_column("pos_lens", pt["pos_lens"])
         t = t.append_column("_off", pa.array(np.full(n, self.off, np.int32)))
@@ -475,6 +480,8 @@ def _merge_window(big: pa.Table) -> tuple[pa.Table, pa.Table, bool]:
                                           term_starts),
         "block_lens": _collapsed_binary(big["block_lens"].combine_chunks(),
                                         term_starts),
+        "block_min_norm": _collapsed_binary(
+            big["block_min_norm"].combine_chunks(), term_starts),
     }
     table = pa.table(out_cols, schema=POSTINGS_SCHEMA)
     if tfs_col_fixup:
@@ -606,6 +613,56 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
     )
 
 
+def execute_delete_merge(index_dir: str, splits: list[SplitMetadata],
+                         index_id: str, num_merge_ops: int,
+                         tasks: list[dict], last_opstamp: int,
+                         config) -> Optional[SplitMetadata]:
+    """Delete-and-merge (reference merge_executor.rs:342-460): when a
+    planned merge's inputs lag the delete-task opstamp, fold the pending
+    delete queries into the compaction itself — evaluate each input's
+    lagging queries, then rebuild ONE merged split from the surviving
+    docstore rows — so deletion and merging share a single write instead
+    of a standalone rewrite followed by a byte-level merge. Requires the
+    indexed fields to be stored (same docstore-rebuild constraint as
+    index/deletes.py). Returns None when every doc is deleted."""
+    from quickwit_ray.index.format import DOCSTORE_FILE, SplitReader
+    from quickwit_ray.index.writer import SplitBuilder
+    from quickwit_ray.search.parser import parse_query
+    from quickwit_ray.search.split_search import SplitSearcher
+
+    parts = []
+    for sm in splits:
+        sdir = os.path.join(index_dir, "splits", sm.split_id)
+        reader = SplitReader(sdir)
+        pending = [t for t in tasks if t["opstamp"] > sm.delete_opstamp]
+        mask = np.zeros(reader.num_docs, bool)
+        if pending:
+            searcher = SplitSearcher(reader, config.doc_mapping)
+            for t in pending:
+                node = parse_query(t["query"],
+                                   config.doc_mapping.default_search_fields)
+                m, _ = searcher.eval(node, False)
+                mask |= m
+        docstore = pq.read_table(os.path.join(sdir, DOCSTORE_FILE))
+        kept = docstore.filter(pa.array(~mask))
+        if kept.num_rows:
+            parts.append(kept)
+    if not parts:
+        return None
+    merged = pa.concat_tables(parts, promote_options="default")
+    builder = SplitBuilder(
+        config, index_dir,
+        source_partition_id="merge-delete:" + ",".join(s.split_id
+                                                       for s in splits),
+        seq=num_merge_ops)
+    builder.add_batch(merged)
+    sm = builder.flush()
+    if sm is not None:
+        sm.num_merge_ops = num_merge_ops
+        sm.delete_opstamp = last_opstamp
+    return sm
+
+
 def run_merge_pipeline(index_dir: str, *, execution: str = "local",
                        max_concurrency: Optional[int] = None,
                        max_rounds: int = 16) -> int:
@@ -626,6 +683,32 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
         if not ops:
             break
         ops.sort(key=lambda op: op.num_docs)  # smallest-merge-first
+        # delete-at-merge: ops whose inputs lag the delete opstamp fold the
+        # pending delete queries into the compaction rewrite (one write)
+        last_del = manifest.last_delete_opstamp
+        del_tasks = manifest.delete_tasks if last_del else []
+        del_ops = []
+        if last_del:
+            plain = []
+            for op in ops:
+                if any(s.delete_opstamp < last_del for s in op.splits):
+                    del_ops.append(op)
+                else:
+                    plain.append(op)
+            ops = plain
+        for op in del_ops:
+            n_ops = max(s.num_merge_ops for s in op.splits) + 1
+            new_sm = execute_delete_merge(index_dir, list(op.splits),
+                                          config.index_id, n_ops,
+                                          del_tasks, last_del, config)
+            ids = [s.split_id for s in op.splits]
+            if new_sm is None:
+                manifest.mark_for_deletion(ids)
+            else:
+                manifest.publish([new_sm], replaced_split_ids=ids)
+            total += 1
+        if not ops:
+            continue
         if execution == "ray" and len(ops) > 1:
             import ray
 
@@ -651,6 +734,9 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
                                      max(s.num_merge_ops for s in op.splits) + 1)
                        for op in ops]
         for op, new_sm in zip(ops, results):
+            # a plain merge preserves the inputs' delete progress: the
+            # output is only as deleted-up-to as its least-advanced input
+            new_sm.delete_opstamp = min(s.delete_opstamp for s in op.splits)
             manifest.publish([new_sm],
                              replaced_split_ids=[s.split_id for s in op.splits])
         total += len(ops)

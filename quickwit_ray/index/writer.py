@@ -371,7 +371,7 @@ class SplitBuilder:
         field_order = sorted(self._accs)  # postings sorted by (field, term)
         rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
                                 "block_last", "block_max_tf", "block_lens",
-                                "positions", "pos_lens")}
+                                "block_min_norm", "positions", "pos_lens")}
         field_stats: dict[str, dict[str, float]] = {}
         norm_cols: dict[str, np.ndarray] = {}
 
@@ -389,8 +389,10 @@ class SplitBuilder:
                 # f32 division like the reference scorer
                 "avgdl": float(np.float32(total_tokens) / np.float32(max(self.num_docs, 1))),
             }
+            nids = None
             if fm.fieldnorms:
-                norm_cols[f"norm_{fname}"] = fieldnorm_to_id(doc_lens)
+                nids = fieldnorm_to_id(doc_lens)
+                norm_cols[f"norm_{fname}"] = nids
             if not acc.term_ids:
                 continue
             term_ids = np.concatenate(acc.term_ids)
@@ -445,14 +447,20 @@ class SplitBuilder:
                              else np.ones(len(term_starts))).astype(np.int32)
             dfs = term_ends - term_starts
             dfs32 = dfs.astype(np.int32)
+            p_norm = nids[p_doc] if nids is not None else None
+            bmin_per_term = (np.minimum.reduceat(p_norm, term_starts)
+                             if p_norm is not None and len(p_norm) else None)
             for ti, (s, e) in enumerate(zip(term_starts, term_ends)):
                 if dfs[ti] <= BLOCK_SIZE:
                     bl = last_doc_per_term[ti].tobytes()
                     bm = bmax_per_term[ti].tobytes()
                     blen = dfs32[ti].tobytes()
+                    bmin = (bmin_per_term[ti].tobytes()
+                            if bmin_per_term is not None else b"")
                 else:
-                    bl, bm, blen = block_meta(p_doc[s:e],
-                                              tfs_all[s:e] if record_freq else None)
+                    bl, bm, blen, bmin = block_meta(
+                        p_doc[s:e], tfs_all[s:e] if record_freq else None,
+                        p_norm[s:e] if p_norm is not None else None)
                 rows["field"].append(fname)
                 rows["term"].append(sorted_terms[int(p_term[s])])
                 rows["df"].append(int(dfs[ti]))
@@ -462,6 +470,7 @@ class SplitBuilder:
                 rows["block_last"].append(bl)
                 rows["block_max_tf"].append(bm)
                 rows["block_lens"].append(blen)
+                rows["block_min_norm"].append(bmin)
                 if record_pos:
                     rows["positions"].append(
                         pos32[tok_starts_per_term[ti]: tok_ends_per_term[ti]].tobytes())

@@ -64,17 +64,24 @@ def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 
 def content_hashes(texts) -> np.ndarray:
-    """Stable 64-bit content hash per text (exact dedup key)."""
-    return pd.util.hash_array(np.asarray(texts, object)).astype(np.uint64)
+    """Stable 64-bit content hash per text (exact dedup key) — pinned
+    vendored qhash1 (functions/stablehash.py), never pandas."""
+    from quickwit_ray.functions.stablehash import hash_strings
+
+    return hash_strings(np.asarray(texts, object))
 
 
 def word_shingles(text: str, k: int = 5) -> np.ndarray:
     words = (text or "").lower().split()
     if len(words) < k:
-        return pd.util.hash_array(np.asarray([" ".join(words)], object)).astype(np.uint64)
+        from quickwit_ray.functions.stablehash import hash_strings
+
+        return hash_strings(np.asarray([" ".join(words)], object))
     sh = np.asarray([" ".join(words[i: i + k]) for i in range(len(words) - k + 1)],
                     object)
-    return pd.util.hash_array(sh).astype(np.uint64)
+    from quickwit_ray.functions.stablehash import hash_strings
+
+    return hash_strings(sh)
 
 
 def minhash_signatures(texts, k: int = 5, seed: int = 7) -> np.ndarray:
@@ -133,7 +140,9 @@ def simhash64(texts) -> np.ndarray:
     if total == 0:
         return out
     allw = np.fromiter(chain.from_iterable(words_per), object, count=total)
-    h = pd.util.hash_array(allw).astype(np.uint64)
+    from quickwit_ray.functions.stablehash import hash_word_stream
+
+    h = hash_word_stream(allw)
     bit_cols = np.arange(64, dtype=np.uint64)
     bits = ((h[:, None] >> bit_cols) & np.uint64(1)).astype(np.int64)
     nz = counts > 0

@@ -798,7 +798,20 @@ class SplitSearcher:
         bmax = (np.ones(len(lens)) if basic or len(raw["tfs"]) == 0
                 else raw["block_max_tf"].astype(np.float64))
         w = float(idf_fn(df, num_docs)) * (1.0 + K1)
-        ub = w * bmax / (bmax + K1 * (1.0 - B)) * (1.0 + 1e-6)
+        bmin_norm = raw.get("block_min_norm", np.empty(0, np.uint8))
+        if len(bmin_norm) == len(lens) and len(lens) > 0:
+            # per-block (max tf, min fieldnorm) score bound — the tantivy
+            # BlockWAND pair analog: score(max_tf, shortest doc in block)
+            # >= any doc's score in the block. Unlike the tf-only bound
+            # (dl -> 0) this still prunes FLAT-tf lists (stopwords,
+            # record=basic) where doc length is the only score variation.
+            from quickwit_ray.functions.bm25 import id_to_fieldnorm
+
+            dl_min = id_to_fieldnorm(bmin_norm).astype(np.float64)
+            cache = K1 * (1.0 - B + B * dl_min / max(avgdl, 1e-9))
+        else:
+            cache = K1 * (1.0 - B)  # legacy split: dl -> 0 bound
+        ub = w * bmax / (bmax + cache) * (1.0 + 1e-6)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         norms = self.reader.fieldnorm_ids(field)
         deltas = raw["doc_deltas"]
@@ -823,9 +836,13 @@ class SplitSearcher:
             return docs, tfs
 
         order = np.argsort(-ub, kind="stable")
-        # round 1: best-bound blocks covering a few k docs -> threshold
+        # round 1: best-bound blocks covering a few k docs -> threshold.
+        # At least 2k BLOCKS: with min-norm bounds each best block may
+        # contribute only ONE top candidate (its shortest doc), and a
+        # theta built from fewer than k of those can't prune anything.
         covered = np.cumsum(lens[order])
         n1 = int(np.searchsorted(covered, max(4 * k, 1024))) + 1
+        n1 = max(n1, min(len(lens), 2 * k))
         sel1 = order[:n1]
         docs1, tfs1 = decode_blocks(sel1)
         scores1 = bm25_scores(tfs1, norms[docs1], df=df, num_docs=num_docs,

@@ -164,16 +164,19 @@ class PartitionedQueue:
         return out
 
 
-def _build_queue_split(queue_dir: str, partition: int, frm: int, to: int,
+def _build_queue_split(client_factory, partition: int, frm: int, to: int,
                        config_json: dict, index_dir: str) -> str:
     """One Ray task: read a micro-batch offset range and build one split.
     The split id is deterministic in (partition, frm, to), so a retried or
     re-polled range overwrites its own staged artifacts (exactly-once with
-    the manifest's offset checkpoint)."""
+    the manifest's offset checkpoint). ``client_factory`` constructs the
+    queue client INSIDE the task (a broker consumer is not picklable;
+    every task owns its own connection, kafka_source.rs's
+    per-source-consumer model)."""
     from quickwit_ray.index.writer import SplitBuilder
 
     config = IndexConfig.from_json(config_json)
-    queue = PartitionedQueue(queue_dir)
+    queue = client_factory()
     table = queue.read(partition, frm, to)
     builder = SplitBuilder(config, index_dir,
                            f"queue:{partition}:{frm}-{to}", 0)
@@ -197,8 +200,15 @@ def ingest_queue(queue_dir: str, index_dir: str, config: IndexConfig, *,
                  poll_rounds: int = 1,
                  poll_interval_sec: float = 0.0,
                  max_batches_per_wave: Optional[int] = None,
-                 fault_after_commits: Optional[int] = None) -> StreamStats:
+                 fault_after_commits: Optional[int] = None,
+                 client_factory=None) -> StreamStats:
     """Poll the queue and index everything past the committed offsets.
+
+    ``client_factory`` swaps the broker implementation: any zero-arg
+    callable returning an object with the ``PartitionedQueue`` read
+    contract (``num_partitions``, ``end_offset``, ``read``,
+    ``estimate_batch_ranges``) — e.g. ``sources.kafka.KafkaQueueClient``
+    — defaults to the on-disk simulated broker at ``queue_dir``.
 
     One call drains the current backlog ``poll_rounds`` times (a real
     deployment loops forever; tests use 1-2 rounds). Each wave:
@@ -212,7 +222,9 @@ def ingest_queue(queue_dir: str, index_dir: str, config: IndexConfig, *,
     the kill-mid-stream hook for the exactly-once tests.
     """
     t0 = time.time()
-    queue = PartitionedQueue(queue_dir)
+    if client_factory is None:
+        client_factory = lambda: PartitionedQueue(queue_dir)  # noqa: E731
+    queue = client_factory()
     manifest = Manifest(index_dir)
     if manifest.index_config_json is None:
         manifest.create(config.to_json())
@@ -238,12 +250,12 @@ def ingest_queue(queue_dir: str, index_dir: str, config: IndexConfig, *,
             import ray
 
             task = ray.remote(num_cpus=1)(_build_queue_split)
-            futs = [(p, a, b, task.remote(queue_dir, p, a, b, config_json,
-                                          index_dir))
+            futs = [(p, a, b, task.remote(client_factory, p, a, b,
+                                          config_json, index_dir))
                     for (p, a, b) in work]
             results = [(p, a, b, ray.get(f)) for (p, a, b, f) in futs]
         else:
-            results = [(p, a, b, _build_queue_split(queue_dir, p, a, b,
+            results = [(p, a, b, _build_queue_split(client_factory, p, a, b,
                                                     config_json, index_dir))
                        for (p, a, b) in work]
         # commit wave: contiguous ranges per partition collapse into one
@@ -285,7 +297,9 @@ def queue_from_parquet(input_path: str, queue_dir: str, *,
     q = PartitionedQueue.create(queue_dir, num_partitions)
     if partition_col is not None:
         key = tbl[partition_col].to_pandas()
-        pids = pd.util.hash_array(key.to_numpy()) % num_partitions
+        from quickwit_ray.functions.stablehash import hash64 as _h64
+
+        pids = _h64(key.to_numpy()) % np.uint64(num_partitions)
     else:
         pids = np.arange(tbl.num_rows) % num_partitions
     for p in range(num_partitions):

@@ -100,7 +100,9 @@ def test_simhash64_vectorized_matches_reference_loop():
         words = (t or "").lower().split()
         if not words:
             return np.uint64(0)
-        h = pd.util.hash_array(np.asarray(words, object)).astype(np.uint64)
+        from quickwit_ray.functions.stablehash import hash_strings
+
+        h = hash_strings(np.asarray(words, object))
         bit_cols = np.arange(64, dtype=np.uint64)
         bits = ((h[:, None] >> bit_cols) & np.uint64(1)).astype(np.int64)
         v = bits.sum(0) * 2 - len(h)

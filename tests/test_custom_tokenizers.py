@@ -73,14 +73,17 @@ def test_multilang_prefixes_and_detection():
     kor = tokenize("일본입니다. 매우 멋진 단어입니다.", "multilang")
     assert kor[0] == "일본입니다" and len(kor) == 4
     assert tokenize("KOR:일본입니다", "multilang") == ["일본입니다"]
-    # CJK ideographs emit per-char (chinese_compatible approximation of the
-    # reference's lindera segmentation — documented divergence)
+    # CJK runs emit overlapping BIGRAMS (Lucene CJKBigramFilter scheme —
+    # dictionary-free approximation of lindera, documented divergence);
+    # a lone CJK char stays a unigram, non-CJK runs pass through
     cmn = tokenize("地址1，包含無效的字元", "multilang")
-    assert "地" in cmn and "址" in cmn and "1" in cmn
-    # kana per-char
+    assert cmn == ["地址", "1", "包含", "含無", "無效", "效的", "的字", "字元"]
     jpn = tokenize("すもももももももものうち", "multilang")
-    assert jpn[0] == "す" and len(jpn) == 12
-    assert tokenize("JPN:すもも", "multilang") == ["す", "も", "も"]
+    assert jpn[0] == "すも" and len(jpn) == 11
+    assert tokenize("JPN:すもも", "multilang") == ["すも", "もも"]
+    assert tokenize("CMN:山", "multilang") == ["山"]
+    # mixed script: latin words interleave with bigram runs
+    assert tokenize("CMN:abc山水def", "multilang") == ["abc", "山水", "def"]
     # detection dispatches latin text to the default shape, lowercased
     assert tokenize("Just English", "multilang") == ["just", "english"]
     assert tokenize("", "multilang") == []
@@ -134,5 +137,7 @@ def test_multilang_field_end_to_end(tmp_path):
                          fetch_fields=["doc_id"]).hits["doc_id"]) == [0]
     assert list(s.search("body:일본입니다", max_hits=5,
                          fetch_fields=["doc_id"]).hits["doc_id"]) == [1]
-    assert list(s.search("body:地", max_hits=5,
+    # CJK text indexes as bigrams; the query side tokenizes identically
+    assert list(s.search("body:地址", max_hits=5,
                          fetch_fields=["doc_id"]).hits["doc_id"]) == [2]
+    assert s.search("body:地", max_hits=5).num_hits == 0

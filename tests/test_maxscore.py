@@ -203,3 +203,58 @@ def test_blockskip_selected_decode_exact(zipf_index):
     # tfs agree with the full decode at the same docs
     pos = np.searchsorted(docs_full, docs_sel)
     assert (tfs_full[pos] == tfs_sel).all()
+
+
+def test_blockmax_flat_tf_min_norm_prunes(tmp_path):
+    """Flat-tf hot term (tf=1 in every doc): the tf-only bound is identical
+    for every block, but the per-block MIN-fieldnorm score bound prunes
+    blocks holding only long docs. Results must equal naive scoring AND
+    most blocks must be skipped (the round-2 weakness: full-list scoring)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.search.engine import _GLOBAL_READER_CACHE
+    from quickwit_ray.search.split_search import SplitSearcher
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    lens = rng.integers(200, 400, n)
+    short = rng.choice(n, 20, replace=False)
+    lens[short] = rng.integers(5, 9, 20)
+    texts = [("flathot " + " ".join(f"w{rng.integers(0, 5000)}"
+                                    for _ in range(int(l) - 1)))
+             for l in lens]
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()), "body": texts})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", record="freq",
+                         fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", fast=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("flat", mapping,
+                                    IndexSettings(split_num_docs_target=100_000)),
+                execution="local")
+    s = IndexSearcher(d)
+    engine_mod.ENABLE_MAXSCORE = True
+    fast = s.search("body:flathot", max_hits=10, sort_by="_score",
+                    fetch_fields=[])
+    engine_mod.ENABLE_MAXSCORE = False
+    slow = s.search("body:flathot", max_hits=10, sort_by="_score",
+                    fetch_fields=[])
+    engine_mod.ENABLE_MAXSCORE = True
+    assert list(fast.hits["_doc_id"]) == list(slow.hits["_doc_id"])
+    assert np.allclose(fast.hits["sort_key0"], slow.hits["sort_key0"],
+                       rtol=0, atol=0)
+    # pruning evidence: the block-max path decoded far fewer than df docs
+    sm = s.manifest.published_splits()[0]
+    reader = _GLOBAL_READER_CACHE.get(os.path.join(d, "splits", sm.split_id))
+    searcher = SplitSearcher(reader, s.mapping)
+    docs, scores, df = searcher.term_topk_blockmax("body", "flathot", 10)
+    assert df == n
+    assert len(docs) < n // 3, f"decoded {len(docs)} of {n} postings"

@@ -286,3 +286,65 @@ def test_streaming_merge_many_windows(tmp_path):
     # fast-field query + fetch still row-aligned after the merge
     r = s2.search("val:[100 TO 110]", max_hits=100, fetch_fields=["doc_id"])
     assert not r.failed_splits and r.num_hits == 11 * n_files
+
+
+def test_delete_at_merge(tmp_path):
+    """Pending delete tasks fold into a scheduled merge (one write):
+    the merged output excludes matching docs and carries the latest
+    delete opstamp — no standalone rewrite pass needed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.config import (DocMapping, FieldMapping, IndexConfig,
+                                     IndexSettings, MergePolicyConfig)
+    from quickwit_ray.index.build import build_index
+    from quickwit_ray.index.merge import run_merge_pipeline
+    from quickwit_ray.search.engine import IndexSearcher
+    from quickwit_ray.state.manifest import Manifest
+
+    n = 1200
+    langs = np.where(np.arange(n) % 3 == 0, "de", "en")
+    texts = [f"doc number {i} scan" for i in range(n)]
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": texts, "lang": langs.tolist()})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="text", type="text", record="freq",
+                         fieldnorms=True, stored=True),
+            FieldMapping(name="lang", type="text", tokenizer="raw",
+                         stored=True, fast=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("text",))
+    cfg = IndexConfig("delmerge", mapping,
+                      IndexSettings(split_num_docs_target=100_000,
+                                    commit_docs_threshold=200,
+                                    merge_policy=MergePolicyConfig(
+                                        merge_factor=3, max_merge_factor=8,
+                                        min_level_num_docs=400)))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, cfg, execution="local", read_batch_size=200)
+    m = Manifest(d)
+    n_before = len(m.published_splits())
+    assert n_before >= 3
+    m.create_delete_task("lang:de")
+    last = m.last_delete_opstamp
+    n_merges = run_merge_pipeline(d, execution="local")
+    assert n_merges > 0
+    m = Manifest(d)
+    expect = n - int((langs == "de").sum())
+    s = IndexSearcher(d)
+    # every merged output is fully deleted-up-to-date; docs are gone
+    merged = [sm for sm in m.published_splits()
+              if sm.source_partition_id.startswith("merge-delete:")]
+    assert merged and all(sm.delete_opstamp == last for sm in merged)
+    assert s.search("text:scan", max_hits=0).num_hits == expect
+    assert s.search("lang:de", max_hits=0).num_hits == 0
+    # the standalone pass has nothing left to rewrite on merged splits
+    from quickwit_ray.index.deletes import apply_delete_tasks
+
+    changed = apply_delete_tasks(d)
+    s2 = IndexSearcher(d)
+    assert s2.search("text:scan", max_hits=0).num_hits == expect

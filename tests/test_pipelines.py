@@ -232,10 +232,11 @@ def test_search_stream_export_formats(tmp_path):
 
 
 def test_dedup_keepsets_pinned_to_round1(ray_session):
-    """Regression: the round-2 distributed rework (Dataset pairs, label
-    propagation, anti-join) must produce the EXACT keep-sets the round-1
-    driver union-find produced on the sf0.001 fixture. Pinned by count +
-    sha1 of the sorted kept-id list."""
+    """Regression: the distributed dedup (Dataset pairs, label
+    propagation, anti-join) must produce EXACT pinned keep-sets on the
+    sf0.001 fixture (count + sha1 of the sorted kept-id list). Pins date
+    from round 1; simhash re-pinned in round 3 when word hashing moved to
+    the vendored qhash1 (see comment below)."""
     import hashlib
 
     import ray.data
@@ -264,7 +265,12 @@ def test_dedup_keepsets_pinned_to_round1(ray_session):
 
     kept, _ = simhash_dedup(docs, "text", "doc_id", max_hamming=2)
     ids = list(kept.to_pandas()["doc_id"])
-    assert (len(ids), sig(ids)) == (486, "b49dc4aad471291b")
+    # re-pinned when the word hash moved to the vendored qhash1
+    # (functions/stablehash.py): simhash fingerprints are a direct
+    # function of the word hash, so its keep-set legitimately moved
+    # (486 -> 489); minhash/ngram/embedding keep-sets are invariant
+    # because their final verdicts compare real shingle/vector overlap.
+    assert (len(ids), sig(ids)) == (489, "31daa7a69976ee42")
 
     kept, _ = ngram_jaccard_dedup(docs, "text", "doc_id", threshold=0.8)
     ids = list(kept.to_pandas()["doc_id"])
@@ -370,7 +376,9 @@ def test_textstats_vectorized_edge_cases():
         words = (t or "").lower().split()
         if not words:
             return np.uint64(0)
-        h = pd.util.hash_array(np.asarray(words, object)).astype(np.uint64)
+        from quickwit_ray.functions.stablehash import hash_strings
+
+        h = hash_strings(np.asarray(words, object))
         if len(h) >= window:
             roll = np.zeros(len(h) - window + 1, np.uint64)
             for k in range(window):

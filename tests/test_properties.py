@@ -25,18 +25,25 @@ def test_delta_roundtrip(doc_ids):
 def test_block_meta_invariants(doc_ids, tfs):
     docs = np.asarray(sorted(doc_ids), np.int32)
     t = np.asarray((tfs * ((len(docs) // len(tfs)) + 1))[: len(docs)], np.int64)
-    bl, bm, lens = block_meta(docs, t)
+    norms = ((docs * np.int32(37)) % np.int32(256)).astype(np.uint8)
+    bl, bm, lens, bmin = block_meta(docs, t, norms)
     bl_a = np.frombuffer(bl, np.int32)
     bm_a = np.frombuffer(bm, np.int32)
     ln_a = np.frombuffer(lens, np.int32)
+    mn_a = np.frombuffer(bmin, np.uint8)
     assert ln_a.sum() == len(docs)
     assert (ln_a <= BLOCK_SIZE).all() and (ln_a > 0).all()
     assert bl_a[-1] == docs[-1]
-    # per-block invariants: last doc and max tf match a direct computation
+    assert len(mn_a) == len(ln_a)
+    # per-block invariants: last doc / max tf / min norm match a direct
+    # computation
     starts = np.concatenate([[0], np.cumsum(ln_a)[:-1]])
     for i, (s, ln) in enumerate(zip(starts, ln_a)):
         assert bl_a[i] == docs[s + ln - 1]
         assert bm_a[i] == t[s: s + ln].max()
+        assert mn_a[i] == norms[s: s + ln].min()
+    # norms omitted -> empty min-norm bytes (legacy-compatible)
+    assert block_meta(docs, t)[3] == b""
 
 
 @given(st.integers(min_value=0, max_value=2**30))
