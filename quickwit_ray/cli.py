@@ -82,6 +82,13 @@ def main(argv=None) -> int:
     st_.add_argument("--format", default="stats", choices=["stats", "cat",
                                                            "field-caps"])
 
+    sv = sub.add_parser("serve", help="HTTP REST tier (ES-compatible API "
+                        "under /api/v1/_elastic, rest_handler.rs analog)")
+    sv.add_argument("index_dirs", nargs="+",
+                    help="index dirs to register (name = index_id)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=7280)
+
     args = p.parse_args(argv)
     from quickwit_ray.api import Index
 
@@ -153,6 +160,25 @@ def main(argv=None) -> int:
         df = Index.open(args.index_dir).list_terms(
             args.field, prefix=args.prefix, limit=args.limit)
         print(df.to_string())
+    elif args.cmd == "serve":
+        from quickwit_ray.server import SearchServer
+
+        indexes = {}
+        for d in args.index_dirs:
+            idx = Index.open(d)
+            indexes[idx.config.index_id] = idx
+        srv = SearchServer(indexes, args.host, args.port).start()
+        print(f"serving {sorted(indexes)} on "
+              f"http://{args.host}:{srv.port}/api/v1/_elastic/ "
+              "(ctrl-c to stop)")
+        try:
+            import signal
+
+            signal.pause()
+        except (KeyboardInterrupt, AttributeError):
+            pass
+        finally:
+            srv.stop()
     return 0
 
 

@@ -271,9 +271,22 @@ class EsRestService:
         if endpoint == "_msearch":
             return self._msearch(params, ndjson or body or [])
         if endpoint == "_search/scroll":
+            if method == "DELETE":
+                sid = (body or {}).get("scroll_id") or params.get("scroll_id")
+                ok = bool(sid) and any(
+                    i.clear_scroll(sid) for i in self.indexes.values())
+                return {"succeeded": ok, "num_freed": int(ok)}
             return self._scroll_next(params, body or {})
         if endpoint == "_stats":
             return self._stats(list(self.indexes))
+        if endpoint == "_field_caps":
+            out = {"indices": [], "fields": {}}
+            for idx in self.indexes.values():
+                fc = idx.es_field_caps()
+                out["indices"].extend(fc["indices"])
+                for f, caps in fc["fields"].items():
+                    out["fields"].setdefault(f, {}).update(caps)
+            return out
         if parts[0] == "_cat" and len(parts) >= 2 and parts[1] == "indices":
             pattern = parts[2] if len(parts) > 2 else "*"
             return self._cat_indices(pattern, params)
@@ -288,6 +301,8 @@ class EsRestService:
             if verb == "_bulk":
                 n = self._index(index).bulk(body)
                 return {"errors": False, "items_indexed": n}
+            if verb == "_field_caps":
+                return self._index(index).es_field_caps()
             if verb == "ingest":
                 docs = body if isinstance(body, list) else [body]
                 n = self._index(index).ingest_docs(docs)

@@ -1,0 +1,135 @@
+"""HTTP serving tier — the reference's REST surface over a socket.
+
+The reference's primary user surface is `quickwit-serve`'s REST API
+(`quickwit-serve/src/elasticsearch_api/rest_handler.rs:71-294` mounts the
+ES-compatible API under `/api/v1/_elastic`, the native API under
+`/api/v1/{index}`). This module puts the already-complete offline
+dispatcher (`search/es_rest.EsRestService` — the object the ES
+conformance corpus replays against) behind a threaded stdlib HTTP
+server, so every endpoint the dispatcher supports is reachable with
+curl / any ES client pointed at `http://host:port/api/v1/_elastic/...`:
+
+  POST {index}/_search, _count, _msearch, _search/scroll (+ DELETE),
+  POST {index}/_bulk (ndjson), {index}/ingest, GET _stats,
+  _cat/indices, _field_caps.
+
+Design notes for the serving tier at scale: the handler threads share
+ONE EsRestService over ONE registry of `Index` objects, so the
+process-wide SplitReader/posting caches are shared across requests (the
+searcher-cache model, `quickwit-search/src/leaf_cache.rs` analog), and
+`IndexSearcher(execution="ray-data")` inside those indexes fans leaf
+search out over the Ray cluster — the HTTP layer itself stays a thin
+stateless shim, which is exactly what you'd replicate N times behind a
+load balancer.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qsl, urlparse
+
+from quickwit_ray.search.es_rest import EsRestService
+
+ES_PREFIX = "/api/v1/_elastic"
+NATIVE_PREFIX = "/api/v1"
+
+
+def _make_handler(service: EsRestService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet: no per-request stderr
+            pass
+
+        def _dispatch(self) -> None:
+            u = urlparse(self.path)
+            params = dict(parse_qsl(u.query))
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b""
+            path = u.path
+            if path.startswith(ES_PREFIX):
+                path = path[len(ES_PREFIX):]
+            elif path.startswith(NATIVE_PREFIX):
+                path = path[len(NATIVE_PREFIX):]
+            endpoint = path.strip("/")
+            body = None
+            ndjson = None
+            if raw:
+                last = endpoint.rsplit("/", 1)[-1]
+                if last == "_bulk":
+                    body = raw.decode("utf-8")  # ndjson passes through
+                elif last == "_msearch":
+                    ndjson = [json.loads(ln)
+                              for ln in raw.decode("utf-8").split("\n")
+                              if ln.strip()]
+                else:
+                    try:
+                        body = json.loads(raw)
+                    except json.JSONDecodeError:
+                        self._reply(400, {"status": 400, "error": {
+                            "reason": "request body is not valid JSON"}})
+                        return
+            status, payload = service.request(self.command, endpoint,
+                                              params, body, ndjson)
+            self._reply(status, payload)
+
+        def _reply(self, status: int, payload) -> None:
+            data = json.dumps(payload, default=str).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        do_GET = do_POST = do_PUT = do_DELETE = _dispatch
+
+    return Handler
+
+
+class SearchServer:
+    """Threaded HTTP server over a registry of indexes.
+
+    >>> with SearchServer({"docs": Index.open(d)}) as srv:
+    ...     urllib.request.urlopen(f"http://127.0.0.1:{srv.port}"
+    ...                            "/api/v1/_elastic/docs/_search?q=...")
+    """
+
+    def __init__(self, indexes: dict, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.service = EsRestService(indexes)
+        self._httpd = ThreadingHTTPServer((host, port),
+                                          _make_handler(self.service))
+        self._httpd.daemon_threads = True
+        self.host = host
+        self.port = self._httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "SearchServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        name="quickwit-ray-http",
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "SearchServer":
+        return self.start()
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.stop()
+
+
+def serve(indexes: dict, host: str = "127.0.0.1", port: int = 7280):
+    """Blocking entry (CLI `serve`): run until interrupted. Port 7280 is
+    the reference's default REST port."""
+    srv = SearchServer(indexes, host, port)
+    srv.start()
+    return srv

@@ -1,0 +1,127 @@
+"""HTTP serving tier (quickwit_ray/server.py): the ES-compatible REST
+surface over a real socket — search/count/msearch/bulk/scroll/stats/
+field_caps via urllib against an ephemeral-port SearchServer."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from quickwit_ray.api import Index
+from quickwit_ray.config import DocMapping, FieldMapping, IndexSettings
+from quickwit_ray.server import SearchServer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("httpsrv")
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", record="position",
+                         fieldnorms=True, stored=True),
+            FieldMapping(name="lang", type="text", tokenizer="raw",
+                         stored=True, fast=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    idx = Index.create(str(tmp / "idx"), "docs", mapping,
+                       IndexSettings(split_num_docs_target=100_000))
+    lines = []
+    for i in range(30):
+        lines.append('{"index": {}}')
+        lines.append(json.dumps({
+            "body": f"document {i} about {'scans' if i % 3 == 0 else 'merges'}",
+            "lang": "de" if i % 5 == 0 else "en", "doc_id": i}))
+    idx.bulk("\n".join(lines), commit_id="seed")
+    with SearchServer({"docs": idx}) as srv:
+        yield srv
+
+
+def _req(srv, method, path, body=None, ctype="application/json"):
+    data = None
+    if body is not None:
+        data = body.encode() if isinstance(body, str) else json.dumps(body).encode()
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=data, method=method,
+        headers={"Content-Type": ctype})
+    with urllib.request.urlopen(r) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_search_body_and_q_param(server):
+    st, out = _req(server, "POST", "/api/v1/_elastic/docs/_search",
+                   {"query": {"match": {"body": "scans"}}, "size": 100})
+    assert st == 200 and out["hits"]["total"]["value"] == 10
+    assert len(out["hits"]["hits"]) == 10
+    assert out["hits"]["hits"][0]["_source"]["body"].startswith("document")
+    # q= query param, GET
+    st, out = _req(server, "GET", "/api/v1/_elastic/docs/_search?q=merges&size=3")
+    assert st == 200 and out["hits"]["total"]["value"] == 20
+    assert len(out["hits"]["hits"]) == 3
+
+
+def test_count_msearch_stats_cat_fieldcaps(server):
+    st, out = _req(server, "POST", "/api/v1/_elastic/docs/_count",
+                   {"query": {"term": {"lang": "de"}}})
+    assert (st, out["count"]) == (200, 6)
+    nd = "\n".join([json.dumps({"index": "docs"}),
+                    json.dumps({"query": {"match": {"body": "scans"}}}),
+                    json.dumps({"index": "docs"}),
+                    json.dumps({"query": {"match_all": {}}})]) + "\n"
+    st, out = _req(server, "POST", "/api/v1/_elastic/_msearch", nd,
+                   ctype="application/x-ndjson")
+    assert st == 200
+    totals = [r["hits"]["total"]["value"] for r in out["responses"]]
+    assert totals == [10, 30]
+    st, out = _req(server, "GET", "/api/v1/_elastic/_stats")
+    assert st == 200 and out["_all"]["primaries"]["docs"]["count"] == 30
+    st, out = _req(server, "GET", "/api/v1/_elastic/_cat/indices")
+    assert st == 200 and out[0]["docs.count"] == "30"
+    st, out = _req(server, "GET", "/api/v1/_elastic/docs/_field_caps")
+    assert st == 200 and "body" in out["fields"]
+
+
+def test_bulk_roundtrip_over_http(server):
+    payload = "\n".join(['{"index": {}}',
+                         json.dumps({"body": "freshly pushed over http",
+                                     "lang": "en", "doc_id": 1000})])
+    st, out = _req(server, "POST", "/api/v1/_elastic/docs/_bulk", payload,
+                   ctype="application/x-ndjson")
+    assert st == 200 and out["items_indexed"] == 1
+    st, out = _req(server, "GET",
+                   "/api/v1/_elastic/docs/_search?q=freshly")
+    assert out["hits"]["total"]["value"] == 1
+
+
+def test_scroll_over_http(server):
+    st, out = _req(server, "POST",
+                   "/api/v1/_elastic/docs/_search?scroll=1m",
+                   {"query": {"match_all": {}}, "size": 12,
+                    "sort": [{"doc_id": {"order": "asc"}}]})
+    assert st == 200
+    sid = out["_scroll_id"]
+    got = [h["_source"]["doc_id"] for h in out["hits"]["hits"]]
+    while True:
+        st, out = _req(server, "POST", "/api/v1/_elastic/_search/scroll",
+                       {"scroll_id": sid, "scroll": "1m"})
+        assert st == 200
+        page = [h["_source"]["doc_id"] for h in out["hits"]["hits"]]
+        if not page:
+            break
+        got.extend(page)
+        sid = out["_scroll_id"]
+    assert len(got) == len(set(got)) >= 30
+    assert got[:12] == sorted(got)[:12]
+    st, out = _req(server, "DELETE", "/api/v1/_elastic/_search/scroll",
+                   {"scroll_id": sid})
+    assert st == 200
+
+
+def test_error_shapes(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server, "POST", "/api/v1/_elastic/nosuch/_search",
+             {"query": {"match_all": {}}})
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server, "POST", "/api/v1/_elastic/docs/_search", "{not json")
+    assert e.value.code == 400
