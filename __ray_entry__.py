@@ -186,6 +186,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                     dtype="int64")})
     q["agg_terms_lang"] = agg_terms_lang
 
+    def agg_top_hits(sf):
+        """tantivy TopHits metric agg under terms buckets: per language,
+        the 2 largest docs by n_chars (doc_id tie-break), flattened to
+        rows for the oracle compare."""
+        s = _searcher(sf, "documents")
+        resp = s.search("*", max_hits=0, aggs={
+            "by_lang": {"terms": {"field": "lang", "size": 1000},
+                        "aggs": {"top": {"top_hits": {
+                            "size": 2,
+                            "sort": [{"n_chars": {"order": "desc"}},
+                                     {"doc_id": {"order": "asc"}}],
+                            "docvalue_fields": ["doc_id", "n_chars"]}}}}})
+        rows = []
+        for b in resp.aggs["by_lang"]["buckets"]:
+            for h in b["top"]["hits"]["hits"]:
+                rows.append((b["key"], int(h["fields"]["doc_id"][0]),
+                             int(h["fields"]["n_chars"][0])))
+        rows.sort()
+        return pd.DataFrame({
+            "lang": [r[0] for r in rows],
+            "doc_id": pd.Series([r[1] for r in rows], dtype="int64"),
+            "n_chars": pd.Series([r[2] for r in rows], dtype="int64")})
+    q["agg_top_hits"] = agg_top_hits
+
     def agg_stats_nchars(sf):
         s = _searcher(sf, "documents")
         resp = s.search("*", max_hits=0, aggs={
@@ -992,6 +1016,11 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_export": ("SELECT user_id, value FROM events WHERE event_type = 'click' "
                                  "ORDER BY user_id, value"),
         "agg_terms_lang": "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count FROM documents GROUP BY lang",
+        "agg_top_hits": (
+            "SELECT lang, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn "
+            "FROM documents) WHERE rn <= 2 ORDER BY lang, doc_id"),
         "multi_index_aggs": "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang ORDER BY lang",
         "search_json_path": ("SELECT event_id FROM events "
                              "WHERE json_extract(props, '$.k') = '69' ORDER BY event_id"),

@@ -22,7 +22,7 @@ import pyarrow as pa
 MAX_BUCKETS = 65_000
 
 _METRICS = {"avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
-            "percentiles", "cardinality"}
+            "percentiles", "cardinality", "top_hits"}
 _BUCKETS = {"terms", "histogram", "date_histogram", "range"}
 
 _INTERVALS_MS = {
@@ -47,6 +47,72 @@ def _parse_offset(v, kind: str) -> float:
         sign = -1 if v.startswith("-") else 1
         return sign * parse_fixed_interval(v.lstrip("+-"))
     return float(v)
+
+
+def _th_sort_spec(body: dict) -> tuple[list[str], list[bool]]:
+    fields, descs = [], []
+    for s_ in body.get("sort") or []:
+        if isinstance(s_, dict):
+            (f, o), = s_.items()
+            order = o.get("order", "desc") if isinstance(o, dict) else o
+        else:
+            f, order = s_, "desc"
+        fields.append(f)
+        descs.append(str(order) == "desc")
+    return fields, descs
+
+
+def _th_docvalue_fields(body: dict) -> list[str]:
+    out = []
+    for f in body.get("docvalue_fields") or []:
+        out.append(f["field"] if isinstance(f, dict) else f)
+    return out
+
+
+def _top_hits_partial(body: dict, searcher, mask: np.ndarray) -> dict:
+    """Per-split top_hits partial (tantivy's TopHits metric aggregation,
+    passed through by the reference): top-`size` docs by the fast-field
+    sort spec, with requested docvalue fields. Mergeable: the root keeps
+    the global top `size` of the per-split partials."""
+    size = int(body.get("size", 3))
+    fields, descs = _th_sort_spec(body)
+    docs = np.nonzero(mask)[0]
+    total = int(len(docs))
+    if total == 0 or not fields:
+        return {"total": total, "hits": []}
+    keys = []
+    for f, desc in zip(fields, descs):
+        v = _field_values(searcher, f, mask)
+        if v.dtype.kind not in "iufb":
+            # strings sort via their ordinal codes (unique is sorted)
+            _, v = np.unique(v.astype(str), return_inverse=True)
+        v = v.astype(np.float64)
+        keys.append(-v if desc else v)
+    order = np.lexsort(keys[::-1])[:size]  # first sort field is primary
+    top = docs[order]
+    sort_cols = [_field_values(searcher, f, mask)[order] for f in fields]
+    dv = {f: _field_values(searcher, f, mask)[order]
+          for f in _th_docvalue_fields(body)}
+    hits = []
+    for i in range(len(top)):
+        hits.append({
+            "sort": [_clean_agg_scalar(c[i]) for c in sort_cols],
+            "fields": {f: [_clean_agg_scalar(vals[i])]
+                       for f, vals in dv.items()},
+        })
+    return {"total": total, "hits": hits}
+
+
+def _clean_agg_scalar(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.str_):
+        return str(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    return v
 
 
 def _field_values(searcher, field: str, mask: np.ndarray) -> np.ndarray:
@@ -91,6 +157,8 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
             vb, wb = qs.state()
             out[name] = {"qs_values": vb, "qs_weights": wb,
                          "percents": body.get("percents", [1, 5, 25, 50, 75, 95, 99])}
+        elif kind == "top_hits":
+            out[name] = _top_hits_partial(body, searcher, mask)
         elif kind == "terms":
             vals = _field_values(searcher, body["field"], mask)
             exploded = _explode_multivalued(vals)
@@ -255,6 +323,13 @@ def _sub_partial(sub: dict, searcher, mask: np.ndarray, member_pos: np.ndarray,
 # driver-side merge + final rendering
 # ---------------------------------------------------------------------------
 
+class _NegStr(str):
+    """Order-reversing string wrapper for descending string sort keys."""
+
+    def __lt__(self, other):  # type: ignore[override]
+        return str.__gt__(self, other)
+
+
 def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
     out: dict[str, Any] = {}
     for name, spec in aggs.items():
@@ -301,6 +376,28 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
                 out[name] = {"values": [{"key": float(p),
                                          "value": qs.percentile(p)}
                                         for p in percents]}
+        elif kind == "top_hits":
+            size = int(body.get("size", 3))
+            _fields, descs = _th_sort_spec(body)
+            all_hits = [h for s in states for h in s["hits"]]
+
+            def srt_key(h):
+                out_k = []
+                for v, d in zip(h["sort"], descs):
+                    if isinstance(v, str):
+                        # lexicographic; desc needs an order-reversing
+                        # transform that keeps string comparison
+                        out_k.append(_NegStr(v) if d else v)
+                    else:
+                        x = float(v) if v is not None else float("-inf")
+                        out_k.append(-x if d else x)
+                return tuple(out_k)
+
+            all_hits.sort(key=srt_key)
+            total = sum(int(s["total"]) for s in states)
+            out[name] = {"hits": {
+                "total": {"value": total, "relation": "eq"},
+                "hits": all_hits[:size]}}
         elif kind == "terms":
             merged: dict[str, dict] = {}
             for s in states:

@@ -237,3 +237,66 @@ def test_scroll_ttl_cap():
 def test_empty_sources_column_roundtrip(shop_idx):
     # lenient extra column with a list type must not break ingest
     assert shop_idx.search("attrs.tags:a", max_hits=10).num_hits == 1
+
+
+def test_top_hits_agg(tmp_path):
+    """tantivy TopHits metric agg (passed through by the reference):
+    top-level and nested under terms, merged across several splits,
+    verified against a pandas recomputation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.config import (DocMapping, FieldMapping, IndexConfig,
+                                     IndexSettings)
+    from quickwit_ray.index.build import build_index
+    from quickwit_ray.search.engine import IndexSearcher
+
+    rng = np.random.default_rng(17)
+    n = 900
+    langs = rng.choice(["de", "en", "fr"], n)
+    nch = rng.integers(10, 5000, n)
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "lang": langs.tolist(),
+                    "n_chars": pa.array(nch, pa.int64()),
+                    "text": [f"doc {i}" for i in range(n)]})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="text", type="text", record="freq"),
+            FieldMapping(name="lang", type="text", tokenizer="raw",
+                         fast=True),
+            FieldMapping(name="n_chars", type="i64", fast=True),
+            FieldMapping(name="doc_id", type="i64", fast=True, stored=True)),
+        doc_id_field="doc_id", default_search_fields=("text",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("th", mapping,
+                                    IndexSettings(split_num_docs_target=100_000,
+                                                  commit_docs_threshold=250)),
+                execution="local", read_batch_size=250)
+    s = IndexSearcher(d)
+    th = {"size": 2,
+          "sort": [{"n_chars": {"order": "desc"}},
+                   {"doc_id": {"order": "asc"}}],
+          "docvalue_fields": ["doc_id"]}
+    r = s.search("*", max_hits=0, aggs={
+        "top": {"top_hits": th},
+        "by_lang": {"terms": {"field": "lang"},
+                    "aggs": {"top": {"top_hits": dict(th)}}}})
+    df = pd.DataFrame({"lang": langs, "n_chars": nch,
+                       "doc_id": np.arange(n)})
+    want = df.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(2)
+    got = r.aggs["top"]["hits"]
+    assert got["total"]["value"] == n
+    assert [h["fields"]["doc_id"][0] for h in got["hits"]] == list(want["doc_id"])
+    assert [h["sort"][0] for h in got["hits"]] == list(want["n_chars"])
+    for b in r.aggs["by_lang"]["buckets"]:
+        sub = df[df["lang"] == b["key"]].sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]).head(2)
+        ids = [h["fields"]["doc_id"][0] for h in b["top"]["hits"]["hits"]]
+        assert ids == list(sub["doc_id"]), b["key"]
+        assert b["top"]["hits"]["total"]["value"] == int(
+            (langs == b["key"]).sum())
