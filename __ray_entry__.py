@@ -645,6 +645,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
     q["queue_ingest_search"] = queue_ingest_search
 
+    def mq_ingest_search(sf):
+        """Message-ack queue source (SQS/PubSub model, queue_sources/
+        design.md): documents delivered as at-least-once ndjson MESSAGES
+        with visibility timeouts; shard-tracked exactly-once with a crash
+        injected in the publish->ack window, then resumed by a second
+        pipeline token. Search must match the batch oracle."""
+        import json
+        import shutil
+        import time as _time
+
+        import pyarrow.parquet as _pq
+
+        from quickwit_ray.config import (IndexConfig, IndexSettings,
+                                         documents_doc_mapping)
+        from quickwit_ray.search.engine import IndexSearcher
+        from quickwit_ray.sources.mq import (LocalMessageQueue,
+                                             ingest_message_queue)
+
+        idx_dir = _index_dir_for(sf, "documents_mq")
+        qdir = idx_dir + "-queue"
+        cfg = IndexConfig("docs_mq", documents_doc_mapping(),
+                          IndexSettings(split_num_docs_target=1_000_000))
+        done_marker = os.path.join(idx_dir, ".mq_done")
+        if not os.path.exists(done_marker):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            shutil.rmtree(qdir, ignore_errors=True)
+            mq = LocalMessageQueue(qdir)
+            tbl = _pq.read_table(os.path.join(sf, "documents.parquet"))
+            rows = tbl.to_pylist()
+            n_msgs = 6
+            step = max(1, (len(rows) + n_msgs - 1) // n_msgs)
+            for k in range(0, len(rows), step):
+                payload = "\n".join(
+                    json.dumps(r) for r in rows[k:k + step]).encode()
+                mq.send(f"file-{k // step:04d}", payload, "ndjson")
+            try:
+                ingest_message_queue(mq, idx_dir, cfg, token="pipeA",
+                                     visibility_sec=0.05,
+                                     fault_before_ack=True)
+            except RuntimeError:
+                pass  # injected crash between publish and ack
+            _time.sleep(0.15)  # lease expiry -> broker redelivers
+            ingest_message_queue(mq, idx_dir, cfg, token="pipeB",
+                                 poll_rounds=3)
+            assert mq.size() == 0
+            with open(done_marker, "w") as f:
+                f.write("ok")
+        s = IndexSearcher(idx_dir)
+        resp = s.search("text:scan", max_hits=1_000_000, fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["mq_ingest_search"] = mq_ingest_search
+
     def scroll_export(sf):
         """Page the full result set through TTL'd scroll contexts
         (scroll_context.rs analog): every page is fetched via the ES
@@ -1064,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_then_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "shuffle_build_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "queue_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "mq_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "scroll_export": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
         "bulk_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",

@@ -103,6 +103,11 @@ class Manifest:
         # quickwit-janitor/src/actors/delete_task_planner.rs):
         # [{"opstamp": int, "query": str}]
         self.delete_tasks: list[dict[str, Any]] = []
+        # message-queue shard ownership (queue_sources/shared_state.rs:
+        # shard id = message content id, token = pipeline publish token):
+        # {shard_id: {"token": str, "ts": float}}; COMPLETION is the
+        # "mq:{shard_id}" checkpoint, transactional with split publish
+        self.shards: dict[str, dict[str, Any]] = {}
         self._log_entries = 0
         self._conn = None
         # backend auto-detection: a metastore.db marks the SQL backend (the
@@ -127,6 +132,7 @@ class Manifest:
                            for s in obj["splits"]}
             self.checkpoints = obj.get("checkpoints", {})
             self.delete_tasks = obj.get("delete_tasks", [])
+            self.shards = obj.get("shards", {})
         if os.path.exists(self.log_path):
             with open(self.log_path, "rb") as f:
                 raw = f.read()
@@ -173,6 +179,15 @@ class Manifest:
             if not any(t["opstamp"] == op["opstamp"] for t in self.delete_tasks):
                 self.delete_tasks.append({"opstamp": op["opstamp"],
                                           "query": op["query"]})
+        elif kind == "shard_open":
+            self.shards.setdefault(op["id"], {"token": op["token"],
+                                              "ts": op["ts"]})
+        elif kind == "shard_acquire":
+            self.shards[op["id"]] = {"token": op["token"], "ts": op["ts"]}
+        elif kind == "shard_prune":
+            for i in op["ids"]:
+                self.shards.pop(i, None)
+                self.checkpoints.pop(f"mq:{i}", None)
         else:  # pragma: no cover — forward compat
             raise ValueError(f"unknown manifest op {kind!r}")
 
@@ -185,6 +200,7 @@ class Manifest:
     CREATE TABLE IF NOT EXISTS splits (split_id TEXT PRIMARY KEY, json TEXT);
     CREATE TABLE IF NOT EXISTS checkpoints (partition TEXT PRIMARY KEY, json TEXT);
     CREATE TABLE IF NOT EXISTS delete_tasks (opstamp INTEGER PRIMARY KEY, query TEXT);
+    CREATE TABLE IF NOT EXISTS shards (shard_id TEXT PRIMARY KEY, json TEXT);
     """
 
     def _sql(self):
@@ -209,6 +225,8 @@ class Manifest:
         for o, q in con.execute(
                 "SELECT opstamp, query FROM delete_tasks ORDER BY opstamp"):
             self.delete_tasks.append({"opstamp": int(o), "query": q})
+        for sid, j in con.execute("SELECT shard_id, json FROM shards"):
+            self.shards[sid] = json.loads(j)
 
     def _apply_sql(self, op: dict[str, Any]) -> None:
         """One op = one ACID transaction. Split rows are re-serialized from
@@ -247,6 +265,17 @@ class Manifest:
                 con.execute(
                     "INSERT OR IGNORE INTO delete_tasks VALUES (?, ?)",
                     (op["opstamp"], op["query"]))
+            elif kind == "shard_open":
+                con.execute("INSERT OR IGNORE INTO shards VALUES (?, ?)",
+                            (op["id"], json.dumps(self.shards[op["id"]])))
+            elif kind == "shard_acquire":
+                con.execute("INSERT OR REPLACE INTO shards VALUES (?, ?)",
+                            (op["id"], json.dumps(self.shards[op["id"]])))
+            elif kind == "shard_prune":
+                con.executemany("DELETE FROM shards WHERE shard_id = ?",
+                                [(i,) for i in op["ids"]])
+                con.executemany("DELETE FROM checkpoints WHERE partition = ?",
+                                [(f"mq:{i}",) for i in op["ids"]])
             else:  # pragma: no cover
                 raise ValueError(f"unknown manifest op {kind!r}")
 
@@ -277,6 +306,7 @@ class Manifest:
             "splits": [s.to_json() for s in self.splits.values()],
             "checkpoints": self.checkpoints,
             "delete_tasks": self.delete_tasks,
+            "shards": self.shards,
         }
 
     def _compact(self) -> None:
@@ -314,8 +344,57 @@ class Manifest:
                 con.executemany(
                     "INSERT INTO delete_tasks VALUES (?, ?)",
                     [(t["opstamp"], t["query"]) for t in self.delete_tasks])
+                con.execute("DELETE FROM shards")
+                con.executemany(
+                    "INSERT INTO shards VALUES (?, ?)",
+                    [(sid, json.dumps(v)) for sid, v in self.shards.items()])
             return
         _atomic_write_json(self.path, self._snapshot_obj())
+
+    # -- message-queue shard ownership (queue_sources/shared_state.rs) ----
+
+    def open_shard(self, shard_id: str, token: str) -> str:
+        """First-caller-wins ownership claim (OpenShards analog): records
+        (shard_id -> token) if unclaimed and returns the OWNING token —
+        the caller proceeds only when it equals its own."""
+        cur = self.shards.get(shard_id)
+        if cur is not None:
+            return cur["token"]
+        op = {"op": "shard_open", "id": shard_id, "token": token,
+              "ts": time.time()}
+        self._apply(op)
+        self._append(op)
+        return token
+
+    def acquire_shard(self, shard_id: str, token: str) -> None:
+        """Steal a stale shard (AcquireShards analog). Subject to the same
+        documented race as the reference: two pipelines may acquire
+        concurrently and one loses at commit time (the mq checkpoint
+        no-ops the duplicate publish)."""
+        op = {"op": "shard_acquire", "id": shard_id, "token": token,
+              "ts": time.time()}
+        self._apply(op)
+        self._append(op)
+
+    def shard_info(self, shard_id: str) -> Optional[dict[str, Any]]:
+        return self.shards.get(shard_id)
+
+    def is_shard_completed(self, shard_id: str) -> bool:
+        return f"mq:{shard_id}" in self.checkpoints
+
+    def prune_shards(self, older_than_sec: float) -> int:
+        """GC shard rows (and their completion checkpoints) older than the
+        deduplication window (design.md 'Cleanup of old shards'): bounds
+        the table; a duplicate delivery AFTER the window would reprocess —
+        the documented trade."""
+        before = time.time() - older_than_sec
+        ids = [k for k, v in self.shards.items() if v["ts"] < before]
+        if not ids:
+            return 0
+        op = {"op": "shard_prune", "ids": ids}
+        self._apply(op)
+        self._append(op)
+        return len(ids)
 
     def create_delete_task(self, query: str) -> int:
         """Record a stored delete query; returns its opstamp."""
