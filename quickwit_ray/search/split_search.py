@@ -736,29 +736,59 @@ class SplitSearcher:
             bm25_max_score(1.0 if basic else float(self.reader.max_tf[r]),
                            float(self.reader.df[r]), num_docs, avgdl)
             for r in rows])
+        from quickwit_ray.functions.bm25 import (B, K1, id_to_fieldnorm,
+                                                 idf as idf_fn)
+
         order = np.argsort(-ubs, kind="stable")
         rows, ubs = rows[order], ubs[order]
-        postings = self.reader.read_postings(rows)
         norms = self.reader.fieldnorm_ids(field)
         rem_after = np.concatenate([np.cumsum(ubs[::-1])[::-1][1:], [0.0]])
         # cross-split sharing: start at the global kth hint instead of -inf
         theta = -np.inf if theta0 is None else float(theta0)
         eps = 1e-6
         for i, r in enumerate(rows):
-            p = postings[int(r)]
-            docs = p["doc_ids"]
+            df_i = float(self.reader.df[int(r)])
+            raw = self.reader.read_postings_raw(int(r))
+            lens_b = raw["block_lens"].astype(np.int64)
+            bmin_norm = raw.get("block_min_norm", np.empty(0, np.uint8))
+            ub_doc = None
+            if len(lens_b) and lens_b.sum() == df_i:
+                docs = np.cumsum(raw["doc_deltas"].astype(np.int64))
+                tfs_raw = raw["tfs"]
+                tfs = (np.ones(len(docs), np.int64)
+                       if basic or len(tfs_raw) == 0
+                       else tfs_raw.astype(np.int64))
+                if len(bmin_norm) == len(lens_b):
+                    # per-block (max tf, min fieldnorm) score bound — same
+                    # pair as term_topk_blockmax: strictly tighter than the
+                    # term-level ubs[i], so the candidate test below prunes
+                    # at 128-doc-block granularity (stopword blocks full of
+                    # long docs drop out even when tf is flat)
+                    bmax = (np.ones(len(lens_b))
+                            if basic or len(tfs_raw) == 0
+                            else raw["block_max_tf"].astype(np.float64))
+                    dl_min = id_to_fieldnorm(bmin_norm).astype(np.float64)
+                    cache = K1 * (1.0 - B + B * dl_min / max(avgdl, 1e-9))
+                    w = float(idf_fn(df_i, num_docs)) * (1.0 + K1)
+                    ub_doc = np.repeat(w * bmax / (bmax + cache)
+                                       * (1.0 + 1e-6), lens_b)
+            else:  # legacy split without block_lens
+                p = self.reader.read_postings([int(r)])[int(r)]
+                docs = p["doc_ids"]
+                tfs = np.ones(len(docs), np.int64) if basic else p["tfs"]
             if len(docs) == 0:
                 continue
-            tfs = np.ones(len(docs), np.int64) if basic else p["tfs"]
-            ub_tot = float(ubs[i] + rem_after[i])
             if theta == -np.inf:
                 docs_s, tfs_s = docs, tfs
             else:
                 # a doc (seen or new) can only reach the current kth-best
-                # score if its accumulated score + this-and-remaining terms'
-                # upper bounds clears theta; everything else only needs the
-                # match mask, not the BM25 arithmetic + fieldnorm gathers
-                sel = scores[docs].astype(np.float64) + ub_tot >= theta - eps
+                # score if its accumulated score + this term's (block-level
+                # when available) + remaining terms' upper bounds clears
+                # theta; everything else only needs the match mask, not the
+                # BM25 arithmetic + fieldnorm gathers
+                bound = ((ubs[i] if ub_doc is None else ub_doc)
+                         + rem_after[i])
+                sel = scores[docs].astype(np.float64) + bound >= theta - eps
                 docs_s, tfs_s = docs[sel], tfs[sel]
             mask[docs] = True
             if len(docs_s):

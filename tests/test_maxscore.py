@@ -258,3 +258,72 @@ def test_blockmax_flat_tf_min_norm_prunes(tmp_path):
     docs, scores, df = searcher.term_topk_blockmax("body", "flathot", 10)
     assert df == n
     assert len(docs) < n // 3, f"decoded {len(docs)} of {n} postings"
+
+
+def test_or_flat_tf_block_bounds_prune(tmp_path):
+    """Disjunction of two flat-tf hot terms: the term-level upper bound is
+    the same for every posting, so only the per-block min-fieldnorm bound
+    can spare long-doc blocks from BM25 scoring. Top-k and counts must
+    equal naive scoring, and most matched docs must keep partial scores."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.search.ast import FullTextQuery
+    from quickwit_ray.search.engine import _GLOBAL_READER_CACHE
+    from quickwit_ray.search.split_search import SplitSearcher
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    lens = rng.integers(200, 400, n)
+    short = rng.choice(n, 20, replace=False)
+    lens[short] = rng.integers(5, 9, 20)
+    texts = [("flata flatb " + " ".join(f"w{rng.integers(0, 5000)}"
+                                        for _ in range(int(l) - 2)))
+             for l in lens]
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()), "body": texts})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", record="freq",
+                         fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", fast=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("flator", mapping,
+                                    IndexSettings(split_num_docs_target=100_000)),
+                execution="local")
+    s = IndexSearcher(d)
+    q = FullTextQuery("body", "flata flatb", mode="or")
+    engine_mod.ENABLE_MAXSCORE = True
+    fast = s.search(q, max_hits=10, sort_by="_score", fetch_fields=[])
+    engine_mod.ENABLE_MAXSCORE = False
+    slow = s.search(q, max_hits=10, sort_by="_score", fetch_fields=[])
+    engine_mod.ENABLE_MAXSCORE = True
+    assert fast.num_hits == slow.num_hits == n
+    assert list(fast.hits["_doc_id"]) == list(slow.hits["_doc_id"])
+    assert np.allclose(fast.hits["sort_key0"], slow.hits["sort_key0"],
+                       rtol=1e-6, atol=1e-9)
+    sm = s.manifest.published_splits()[0]
+    reader = _GLOBAL_READER_CACHE.get(os.path.join(d, "splits", sm.split_id))
+    searcher = SplitSearcher(reader, s.mapping)
+    mask_f, scores_f = searcher.eval(q, True)
+    # cross-split kth sharing scenario: theta0 is the true kth two-term
+    # score (another split already collected k hits at that level). The
+    # term-level bound (dl -> 0) cannot prune ANY posting here — both
+    # flat-tf terms bound to the same value and 2x that clears theta —
+    # but the per-block min-fieldnorm bound prunes every long-doc block.
+    kth = float(np.partition(scores_f[mask_f], mask_f.sum() - 10)
+                [mask_f.sum() - 10])
+    mask_p, scores_p = searcher.eval_or_topk_pruned(
+        "body", ["flata", "flatb"], 10, theta0=kth)
+    assert (mask_p == mask_f).all()
+    # the surfaced top-10 (docs clearing theta0) carry exact full scores
+    surv = scores_p >= kth - 1e-6
+    assert (surv & mask_p).sum() >= 10
+    assert np.allclose(scores_p[surv], scores_f[surv], rtol=1e-6, atol=1e-9)
+    spared = (scores_p[mask_p] < scores_f[mask_p] - 1e-9).mean()
+    assert spared > 0.9, f"only {spared:.0%} of docs spared full scoring"
