@@ -42,6 +42,9 @@ class FieldMapping:
     # Concatenate field (field_mapping_entry.rs:672-700): indexes tokens
     # from these source columns into THIS inverted field (never stored)
     sources: tuple = ()
+    # Concatenate option: also fold every DYNAMIC (unmapped) column's
+    # values into this field (field_mapping_entry.rs include_dynamic_fields)
+    include_dynamic_fields: bool = False
     # datetime input formats (date_time_format.rs:29-36) used when the
     # source column is a string/number instead of a native timestamp;
     # () -> rfc3339 then unix_timestamp
@@ -95,6 +98,25 @@ class DocMapping:
             from quickwit_ray.functions.tokenizers import register_custom_tokenizers
 
             register_custom_tokenizers(self.tokenizers)
+        # tag fields participate in the split-pruning semi-join, so only
+        # whole-value types are allowed (default_doc_mapper tag rules,
+        # replayed by tag_fields/0001_allowed_types.yaml: raw text, u64,
+        # i64; tokenized text / f64 / bool / json / ip / bytes / datetime
+        # / dynamic are rejected) — any other tag would make the manifest
+        # tag sets meaningless
+        for t in self.tag_fields:
+            try:
+                fm = self.field(t)
+            except KeyError:
+                raise ValueError(f"unknown tag field {t!r}")
+            if fm.type == "text":
+                if fm.tokenizer != "raw":
+                    raise ValueError(
+                        f"tag field {t!r} must use the raw tokenizer "
+                        f"(got {fm.tokenizer!r})")
+            elif fm.type not in ("u64", "i64"):
+                raise ValueError(
+                    f"type {fm.type!r} is not allowed for tag field {t!r}")
 
     def field(self, name: str) -> FieldMapping:
         for fm in self.field_mappings:
@@ -208,6 +230,107 @@ class IndexConfig:
             store_binary_columns=st.get("store_binary_columns", True),
         )
         return IndexConfig(index_id=obj["index_id"], doc_mapping=mapping, settings=settings)
+
+
+def index_config_from_api_json(obj: dict[str, Any]) -> IndexConfig:
+    """Build an IndexConfig from the PUBLIC index-creation payload (the
+    reference's `POST /api/v1/indexes` body: version / index_id /
+    doc_mapping / search_settings, serde shapes from
+    quickwit-config/src/index_config/serialize.rs and
+    quickwit-doc-mapper/src/default_doc_mapper/field_mapping_entry.rs).
+
+    Differences from `IndexConfig.from_json` (our own round-trip format):
+    the API default mode is dynamic, `fast` may be a bool or a
+    ``{normalizer}`` object, `object` fields flatten to a json column
+    (path queries reach the subtree the same way), and `concatenate`
+    fields carry ``concatenate_fields`` + ``include_dynamic_fields``.
+    Raises ValueError on invalid configs (the HTTP 400 class)."""
+    dm = obj.get("doc_mapping") or {}
+    fms: list[FieldMapping] = []
+    for f in dm.get("field_mappings", ()):
+        f = dict(f)
+        name = f["name"]
+        ftype = f.get("type", "text")
+        fast = f.get("fast", False)
+        fast_normalizer = "raw"
+        if isinstance(fast, dict):
+            fast_normalizer = fast.get("normalizer", "raw")
+            fast = True
+        common = dict(indexed=f.get("indexed", True),
+                      stored=f.get("stored", True), fast=bool(fast))
+        if ftype == "text":
+            fms.append(FieldMapping(
+                name, "text", tokenizer=f.get("tokenizer", "default"),
+                record=f.get("record", "basic"),
+                fieldnorms=f.get("fieldnorms", False),
+                fast_normalizer=fast_normalizer, **common))
+        elif ftype in ("u64", "i64", "f64", "bool", "ip", "bytes"):
+            fms.append(FieldMapping(name, ftype, **common))
+        elif ftype == "datetime":
+            fms.append(FieldMapping(
+                name, "datetime",
+                input_formats=tuple(f.get("input_formats", ())),
+                fast_precision=f.get("fast_precision", "seconds"),
+                **common))
+        elif ftype in ("json", "object"):
+            # object subtrees index/store through a json column; the
+            # declared children only refine path semantics the json
+            # column already provides (exists / path term / fast path)
+            fms.append(FieldMapping(
+                name, "json", record=f.get("record", "basic"),
+                tokenizer=f.get("tokenizer", "default"), **common))
+        elif ftype == "concatenate":
+            fms.append(FieldMapping(
+                name, "text", tokenizer=f.get("tokenizer", "default"),
+                record=f.get("record", "basic"),
+                sources=tuple(f.get("concatenate_fields", ())),
+                include_dynamic_fields=f.get("include_dynamic_fields",
+                                             False),
+                indexed=True, stored=False))
+        else:
+            raise ValueError(f"unknown field type {ftype!r}")
+    ss = obj.get("search_settings") or {}
+    defaults = tuple(ss.get("default_search_fields",
+                            dm.get("default_search_fields", ())))
+    explicit = [fm.name for fm in fms]
+    # default_search_fields validate at index creation
+    # (default_doc_mapper build: unknown fields and unindexed targets
+    # are config errors, replayed by 0002_invalid_default_fields.yaml)
+    mode = dm.get("mode", "dynamic")
+    dynamic_indexed = (dm.get("dynamic_mapping") or {}).get("indexed", True)
+    by_name = {fm.name: fm for fm in fms}
+    for f in defaults:
+        fm = by_name.get(f)
+        if fm is None and "." in f:
+            # a dotted default may address a json subtree — but only when
+            # the root actually is a json field
+            root = by_name.get(f.split(".", 1)[0])
+            if root is not None:
+                if root.type != "json" or not root.indexed:
+                    raise ValueError(
+                        f"unknown default search field `{f}`")
+                continue
+        if fm is not None:
+            if not fm.indexed:
+                raise ValueError(
+                    f"default search field `{f}` is not indexed")
+            continue
+        if mode != "dynamic":
+            raise ValueError(f"unknown default search field `{f}`")
+        if not dynamic_indexed:
+            raise ValueError(
+                f"default search field `{f}` is not indexed")
+    mapping = DocMapping(
+        field_mappings=tuple(fms),
+        mode=dm.get("mode", "dynamic"),  # the API default (doc_mapping.rs)
+        timestamp_field=dm.get("timestamp_field"),
+        tag_fields=tuple(dm.get("tag_fields", ())),
+        doc_id_field=dm.get("timestamp_field") or (explicit[0] if explicit
+                                                   else "doc"),
+        default_search_fields=defaults,
+        tokenizers=tuple(dm.get("tokenizers", ())),
+    )
+    return IndexConfig(index_id=obj["index_id"], doc_mapping=mapping)
 
 
 def pages_doc_mapping() -> DocMapping:

@@ -32,6 +32,25 @@ def _unix_to_us(vals: pd.Series) -> np.ndarray:
     return out
 
 
+def datetime_value_to_us(v) -> int:
+    """Query-side coercion of ONE datetime bound/term to epoch µs.
+
+    Numbers — including all-digit strings straight from the query-language
+    parser, e.g. ``ts:>=1684993002`` — are unix timestamps with the unit
+    auto-detected by magnitude (the reference's lenient
+    `quickwit_datetime::parse_date_time_str`); anything else parses as a
+    date string (rfc3339 and the common `2023/05/25`-style variants)."""
+    if isinstance(v, str):
+        t = v.strip()
+        try:
+            v = float(t) if ("." in t or "e" in t.lower()) else int(t)
+        except ValueError:
+            pass
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return int(_unix_to_us(pd.Series([v]))[0])
+    return int(pd.Timestamp(v).value // 1000)
+
+
 def parse_datetimes(values: Iterable, input_formats: Sequence[str] = ("rfc3339",)
                     ) -> np.ndarray:
     """Parse a column of datetime-ish values to epoch µs (float64 with NaN

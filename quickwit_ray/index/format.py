@@ -485,6 +485,14 @@ class SplitReader:
             return None
         return np.asarray(self._fastfields[name].combine_chunks().is_valid())
 
+    def docstore_columns(self) -> list[str]:
+        """Column names present in this split's doc store (mapped stored
+        fields + the dynamic-mode catch-all columns)."""
+        if getattr(self, "_docstore_cols", None) is None:
+            pf = pq.ParquetFile(os.path.join(self.split_dir, DOCSTORE_FILE))
+            self._docstore_cols = list(pf.schema_arrow.names)
+        return self._docstore_cols
+
     def fetch_docs(self, doc_ids: np.ndarray, columns: Optional[list[str]] = None) -> pa.Table:
         """Doc-store point lookups for hit rendering (fetch_docs.rs:41-267).
         Reads only the parquet row groups containing the requested rows
@@ -492,6 +500,12 @@ class SplitReader:
         blocks, not the whole store."""
         ids = np.asarray(doc_ids, np.int64)
         pf = pq.ParquetFile(os.path.join(self.split_dir, DOCSTORE_FILE))
+        if columns is not None:
+            # tolerate columns a given split predates (schema widened by
+            # later dynamic ingests): absent columns surface as nulls at
+            # the pandas concat layer
+            present = set(pf.schema_arrow.names)
+            columns = [c for c in columns if c in present]
         md = pf.metadata
         rg_sizes = np.asarray([md.row_group(i).num_rows
                                for i in range(md.num_row_groups)], np.int64)

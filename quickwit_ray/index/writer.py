@@ -133,6 +133,69 @@ def _tokenize_list_column(col, tokenizer: str):
     return row, tokens, positions
 
 
+def _concat_column_tokens(col, tokenizer: str, is_json: bool):
+    """Token stream one concatenate SOURCE column contributes
+    (field_mapping_entry.rs concatenate + the concat_fields rest scenario):
+    strings tokenize with the CONCAT field's tokenizer (not the source
+    field's), bool/int/float values index as single verbatim tokens
+    regardless of tokenizer, and json sources contribute their leaf
+    values WITHOUT path prefixes (paths don't exist in a concat field).
+    Returns (doc_idx, tokens, positions)."""
+    import json as _json
+
+    from quickwit_ray.functions.tokenizers import tokenize as _tok
+
+    atype = col.type if hasattr(col, "type") else None
+    if not is_json and atype is not None and pa.types.is_string(atype):
+        return tokenize_batch(col.to_pylist(), tokenizer)
+    if not is_json and atype is not None and (
+            pa.types.is_list(atype) or pa.types.is_large_list(atype)):
+        return _tokenize_list_column(col.combine_chunks(), tokenizer)
+    idxs, toks = [], []
+
+    def _scalar(i: int, val) -> None:
+        if isinstance(val, bool):
+            idxs.append(i)
+            toks.append("true" if val else "false")
+        elif isinstance(val, (int, float, np.integer, np.floating)):
+            idxs.append(i)
+            toks.append(_json.dumps(val))
+        elif val is not None:
+            for tk in _tok(str(val), tokenizer):
+                idxs.append(i)
+                toks.append(tk)
+
+    for i, v in enumerate(col.to_pylist()):
+        if v is None:
+            continue
+        if is_json:
+            try:
+                obj = _json.loads(v) if isinstance(v, str) else v
+            except (ValueError, TypeError):
+                continue
+            stack = [obj]
+            while stack:
+                val = stack.pop()
+                if isinstance(val, dict):
+                    stack.extend(val.values())
+                elif isinstance(val, list):
+                    stack.extend(val)
+                else:
+                    _scalar(i, val)
+        else:
+            _scalar(i, v)
+    doc_idx = np.asarray(idxs, np.int32)
+    tokens = np.asarray(toks, object)
+    positions = np.zeros(len(doc_idx), np.int32)
+    if len(doc_idx):
+        change = np.r_[True, doc_idx[1:] != doc_idx[:-1]]
+        starts = np.flatnonzero(change)
+        positions = np.arange(len(doc_idx), dtype=np.int32)
+        positions -= np.repeat(positions[starts],
+                               np.diff(np.r_[starts, len(doc_idx)]))
+    return doc_idx, tokens, positions
+
+
 def _coerce_datetime(col, fm) -> pa.ChunkedArray:
     """Parse a non-timestamp datetime column (string / unix number) to
     timestamp[us] using the mapping's input_formats (multi-format parsing,
@@ -221,12 +284,20 @@ class SplitBuilder:
                 # Concatenate field: token streams of several source
                 # columns merged under one inverted field; positions are
                 # offset per source so phrases never match across sources
+                sources = [s for s in fm.sources if s in batch.column_names]
+                if getattr(fm, "include_dynamic_fields", False):
+                    mapped = {f.name for f in self.mapping.field_mappings}
+                    sources += [c for c in batch.column_names
+                                if c not in mapped and c not in sources]
                 parts = []
-                for si, src in enumerate(fm.sources):
-                    if src not in batch.column_names:
-                        continue
-                    di, tk, ps = tokenize_batch(batch[src].to_pylist(),
-                                                fm.tokenizer)
+                for si, src in enumerate(sources):
+                    try:
+                        src_fm = self.mapping.field(src)
+                    except KeyError:
+                        src_fm = None
+                    di, tk, ps = _concat_column_tokens(
+                        batch[src], fm.tokenizer,
+                        src_fm is not None and src_fm.type == "json")
                     parts.append((di, tk, ps + np.int32(si * 1_000_000)))
                 if parts:
                     doc_idx = np.concatenate([p[0] for p in parts])
@@ -283,9 +354,20 @@ class SplitBuilder:
             acc.positions.append(positions)
             self.est_bytes += len(tokens) * 12
 
-        # 2. fast fields + docstore + timestamp/tag tracking
+        # 2. fast fields + docstore + timestamp/tag tracking.
+        # INDEXED scalar fields persist their column even when fast=false:
+        # the reference indexes them as term postings; the columnar analog
+        # of those postings IS this column (term/range queries scan it),
+        # so `indexed: true, fast: false` must still be queryable
+        # (tag_fields/0002_negative_tags.yaml hits a non-fast u64 tag)
+        fast_like = {f.name: f for f in self.mapping.fast_fields}
+        for f in self.mapping.field_mappings:
+            if (f.indexed and f.name not in fast_like
+                    and f.type in ("u64", "i64", "f64", "bool",
+                                   "datetime", "ip")):
+                fast_like[f.name] = f
         fast_cols = {}
-        for fm in self.mapping.fast_fields:
+        for fm in fast_like.values():
             if fm.name in batch.column_names:
                 col = batch[fm.name]
                 if fm.type == "datetime":

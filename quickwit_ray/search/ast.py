@@ -167,15 +167,14 @@ def extract_timestamp_bounds(node: Any, ts_field: str) -> tuple[Optional[int], O
     def to_us(v: Any) -> Optional[int]:
         if v is None:
             return None
-        if isinstance(v, (int, float)):
-            # bare numbers auto-detect the epoch unit by magnitude (the
-            # reference's unix_timestamp semantics) — an ES range bound of
-            # 1422748813000 is millis, and pruning in raw micros would
-            # wrongly discard every split
-            from quickwit_ray.functions.datetimes import _unix_to_us
+        # bare numbers (including digit strings from the query parser)
+        # auto-detect the epoch unit by magnitude (the reference's
+        # unix_timestamp semantics) — an ES range bound of 1422748813000
+        # is millis, and pruning in raw micros would wrongly discard
+        # every split
+        from quickwit_ray.functions.datetimes import datetime_value_to_us
 
-            return int(_unix_to_us(pd.Series([v]))[0])
-        return int(pd.Timestamp(v).value // 1000)
+        return datetime_value_to_us(v)
 
     if isinstance(node, RangeQuery) and node.field == ts_field:
         lo = to_us(node.gte) if node.gte is not None else (

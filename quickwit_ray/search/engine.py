@@ -599,13 +599,21 @@ class IndexSearcher:
                     request: SearchRequest) -> pd.DataFrame:
         """fetch_docs phase: group top hits by split, point-lookup doc-store
         rows, keep the merged order."""
+        dynamic_extra = fetch_fields is None and self.mapping.mode == "dynamic"
         if fetch_fields is None:
             fetch_fields = [f.name for f in self.mapping.stored_fields
                             if f.type != "bytes"]
+        mapped = {f.name for f in self.mapping.field_mappings}
         pieces = []
         for split_dir, grp in hits.groupby("_split_dir", sort=False):
             reader = _GLOBAL_READER_CACHE.get(str(split_dir))
             cols = [c for c in fetch_fields]
+            if dynamic_extra:
+                # dynamic-mode hits render their catch-all columns too
+                # (the doc store keeps unmapped fields; doc_mapper.rs
+                # dynamic field)
+                cols += [c for c in reader.docstore_columns()
+                         if c not in mapped and c not in cols]
             tbl = reader.fetch_docs(grp["_doc_id"].to_numpy(), columns=cols)
             sub = tbl.to_pandas()
             sub.index = grp.index

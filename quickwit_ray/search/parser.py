@@ -39,9 +39,12 @@ _TOKEN_RE = re.compile(r"""
     \s*(
         \( | \) | \[ | \] | \{ | \} |
         "(?:[^"\\]|\\.)*"(?:~\d+)? |
+        '(?:[^'\\]|\\.)*'(?:~\d+)? |
         AND\b | OR\b | NOT\b | TO\b | IN\b |
         [+\-] |
-        [^\s()\[\]{}:]+ (?: : (?: "(?:[^"\\]|\\.)*"(?:~\d+)? | \[ | \{ | [^\s()\[\]{}]* ) )?
+        [^\s()\[\]{}:]+ (?: : (?: "(?:[^"\\]|\\.)*"(?:~\d+)?
+                                | '(?:[^'\\]|\\.)*'(?:~\d+)?
+                                | \[ | \{ | [^\s()\[\]{}]* ) )?
     )""", re.VERBOSE)
 
 
@@ -107,18 +110,22 @@ def _parse_bool(toks: _Tokens, dfields) -> Any:
             toks.next()
             occur = "-"
         clause = _parse_group(toks, dfields)
-        if pending_op == "AND":
-            # promote the previous bare clause to must as well
-            if last_sink is should and should:
-                must.append(should.pop())
-            must.append(clause)
-            last_sink = must
-        elif occur == "+":
+        # an explicit occur prefix wins over the pending operator:
+        # `a AND -b` / `NOT a AND NOT b` put b (and a) in must_not —
+        # a pure-negative query implicitly matches everything else
+        # (qw_search_api/0002_negative_search.yaml)
+        if occur == "+":
             must.append(clause)
             last_sink = must
         elif occur == "-":
             must_not.append(clause)
             last_sink = must_not
+        elif pending_op == "AND":
+            # promote the previous bare clause to must as well
+            if last_sink is should and should:
+                must.append(should.pop())
+            must.append(clause)
+            last_sink = must
         elif pending_op == "OR":
             if last_sink is must and must:
                 should.append(must.pop())
@@ -148,16 +155,21 @@ def _parse_group(toks: _Tokens, dfields) -> Any:
 
 
 def _strip_quotes(v: str) -> tuple[str, int]:
+    # both "..." and '...' delimit phrases (tantivy query grammar)
     slop = 0
     m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:~(\d+))?$', v)
     if m:
         slop = int(m.group(2) or 0)
         return m.group(1).replace('\\"', '"'), slop
+    m = re.match(r"^'((?:[^'\\]|\\.)*)'(?:~(\d+))?$", v)
+    if m:
+        slop = int(m.group(2) or 0)
+        return m.group(1).replace("\\'", "'"), slop
     return v, slop
 
 
 def _parse_term_expr(tok: str, toks: _Tokens, dfields) -> Any:
-    if ":" in tok and not tok.startswith('"'):
+    if ":" in tok and not tok.startswith(('"', "'")):
         field, _, value = tok.partition(":")
     else:
         field, value = None, tok
@@ -205,7 +217,7 @@ def _parse_term_expr(tok: str, toks: _Tokens, dfields) -> Any:
             op, v = m.groups()
             key = {"<": "lt", "<=": "lte", ">": "gt", ">=": "gte"}[op]
             return RangeQuery(field_name, **{key: v})
-        if value.startswith('"'):
+        if value.startswith(('"', "'")):
             phrase, slop = _strip_quotes(value)
             if phrase.endswith("*"):
                 return PhrasePrefixQuery(field_name, phrase[:-1])

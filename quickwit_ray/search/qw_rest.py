@@ -1,0 +1,162 @@
+"""Quickwit-native REST surface (offline dispatcher).
+
+Mirrors the reference's index-management + search handlers
+(`quickwit-serve/src/index_api/rest_handler.rs` and
+`search_api/rest_handler.rs`: ``POST /indexes``, ``DELETE
+/indexes/{id}``, ``POST /{index}/ingest``, ``GET /{index}/search``)
+minus the HTTP socket — the same (method, endpoint, params, body,
+ndjson) -> (status, payload) contract as ``EsRestService``, used by the
+offline replay of the reference's rest-api-tests native suites
+(qw_search_api / tag_fields / default_search_fields / concat_fields).
+
+Indexes are created on demand under a root directory from the PUBLIC
+index-config JSON (`config.index_config_from_api_json`); invalid
+configs surface as HTTP 400 exactly where the reference's serde /
+validation layer rejects them.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import os
+from typing import Any, Optional
+from urllib.parse import parse_qsl
+
+from quickwit_ray.api import Index
+from quickwit_ray.config import index_config_from_api_json
+from quickwit_ray.search.es_rest import EsApiError, _clean_scalar, _hit_source
+
+
+class QwRestService:
+    """Routes the native API over a directory-backed index registry."""
+
+    def __init__(self, root_dir: str):
+        self.root_dir = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+        self.indexes: dict[str, Index] = {}
+
+    # -- entry ----------------------------------------------------------
+
+    def request(self, method: str, endpoint: str,
+                params: Optional[dict] = None, body: Any = None,
+                ndjson: Optional[list] = None) -> tuple[int, Any]:
+        params = dict(params or {})
+        endpoint = endpoint.strip("/")
+        if "?" in endpoint:
+            endpoint, qs = endpoint.split("?", 1)
+            params.update(dict(parse_qsl(qs)))
+        try:
+            return 200, self._route(method.upper(), endpoint, params,
+                                    body, ndjson)
+        except EsApiError as e:
+            # the native REST error body is {"message": ...}
+            # (quickwit-serve rest error format)
+            return e.status, {"message": e.reason}
+        except (ValueError, KeyError, TypeError) as e:
+            return 400, {"message": f"Invalid argument: {e}"}
+
+    # -- routing --------------------------------------------------------
+
+    def _route(self, method: str, endpoint: str, params: dict, body: Any,
+               ndjson: Optional[list]) -> Any:
+        parts = endpoint.split("/")
+        if parts[0] == "indexes":
+            if method == "POST" and len(parts) == 1:
+                return self._create(body or {})
+            if method == "DELETE" and len(parts) == 2:
+                return self._delete(parts[1])
+            if method == "GET" and len(parts) == 2:
+                idx = self._index(parts[1])
+                return {"index_config": idx.config.to_json()}
+            raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
+        if len(parts) == 2 and parts[1] == "ingest" and method == "POST":
+            return self._ingest(parts[0], ndjson or [])
+        if len(parts) == 2 and parts[1] == "search":
+            return self._search(parts[0], params,
+                                body if isinstance(body, dict) else {})
+        raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
+
+    def _index(self, name: str) -> Index:
+        idx = self.indexes.get(name)
+        if idx is None:
+            raise EsApiError(404, f"index not found: {name}")
+        return idx
+
+    # -- index management ----------------------------------------------
+
+    def _create(self, body: dict) -> dict:
+        cfg = index_config_from_api_json(body)
+        if cfg.index_id in self.indexes:
+            raise EsApiError(400, f"index {cfg.index_id!r} already exists")
+        d = os.path.join(self.root_dir, cfg.index_id)
+        shutil.rmtree(d, ignore_errors=True)
+        self.indexes[cfg.index_id] = Index.create(d, cfg.index_id,
+                                                  cfg.doc_mapping,
+                                                  settings=cfg.settings)
+        return {"index_config": {"index_id": cfg.index_id}}
+
+    def _delete(self, name: str) -> dict:
+        idx = self.indexes.pop(name, None)
+        if idx is None:
+            raise EsApiError(404, f"index not found: {name}")
+        shutil.rmtree(os.path.join(self.root_dir, name), ignore_errors=True)
+        return {"acknowledged": True}
+
+    # -- ingest ---------------------------------------------------------
+
+    def _ingest(self, name: str, docs: list) -> dict:
+        idx = self._index(name)
+        ts_field = idx.config.doc_mapping.timestamp_field
+        valid = []
+        rejected = 0
+        for d in docs:
+            if not isinstance(d, dict):
+                rejected += 1
+                continue
+            # the doc processor rejects docs missing the timestamp field
+            # (doc_processor.rs: a time-series index needs every doc on
+            # the time axis for split pruning)
+            if ts_field and d.get(ts_field) is None:
+                rejected += 1
+                continue
+            valid.append(d)
+        if valid:
+            idx.ingest_docs(valid)
+        return {"num_docs_for_processing": len(docs),
+                "num_rejected_docs": rejected}
+
+    # -- search ---------------------------------------------------------
+
+    def _search(self, name: str, params: dict, body: dict) -> dict:
+        idx = self._index(name)
+        q = params.get("query", body.get("query", "*"))
+        kw: dict[str, Any] = {}
+        mh = params.get("max_hits", body.get("max_hits"))
+        kw["max_hits"] = int(mh) if mh is not None else 20
+        so = params.get("start_offset", body.get("start_offset"))
+        if so is not None:
+            kw["start_offset"] = int(so)
+        # the public API takes unix SECONDS; fast columns hold micros
+        for p in ("start_timestamp", "end_timestamp"):
+            v = params.get(p, body.get(p))
+            if v is not None:
+                kw[p] = int(v) * 1_000_000
+        sort = params.get("sort_by", params.get("sort_by_field",
+                                                body.get("sort_by")))
+        if sort:
+            # "+field,-other" strings; engine._normalize_sort handles the
+            # +/- prefixes with the reference's default (bare = desc)
+            kw["sort_by"] = [p.strip() for p in str(sort).split(",")
+                             if p.strip()]
+        resp = idx.search(q, **kw)
+        hits = []
+        for _, row in resp.hits.iterrows():
+            src = _hit_source(row, idx.config.doc_mapping)
+            hits.append({k: _clean_scalar(v) for k, v in src.items()})
+        return {
+            "num_hits": int(resp.num_hits),
+            "hits": hits,
+            "elapsed_time_micros": int(resp.elapsed_sec * 1e6),
+            "errors": [],
+        }

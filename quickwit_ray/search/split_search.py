@@ -135,8 +135,10 @@ class SplitSearcher:
             from quickwit_ray.functions.ip import normalize_ip
 
             value = normalize_ip(value)
-        elif fm.type == "datetime" and not isinstance(value, (int, float)):
-            value = np.int64(pd.Timestamp(value).value // 1000)
+        elif fm.type == "datetime":
+            from quickwit_ray.functions.datetimes import datetime_value_to_us
+
+            value = np.int64(datetime_value_to_us(value))
         elif vals.dtype.kind in "iuf":
             value = float(value)
         elif vals.dtype.kind == "b":
@@ -522,15 +524,14 @@ class SplitSearcher:
 
                 return normalize_ip(v)
             if fm is not None and fm.type == "datetime":
-                if isinstance(v, (int, np.integer, float)):
-                    # bare numbers auto-detect the epoch unit by magnitude
-                    # (the reference's unix_timestamp input format) —
-                    # 1422748813000 is millis, not micros
-                    from quickwit_ray.functions.datetimes import _unix_to_us
+                # bare numbers (including digit strings from the query
+                # parser) auto-detect the epoch unit by magnitude (the
+                # reference's unix_timestamp input format) —
+                # 1422748813000 is millis, not micros
+                from quickwit_ray.functions.datetimes import (
+                    datetime_value_to_us)
 
-                    us = np.int64(_unix_to_us(pd.Series([v]))[0])
-                else:
-                    us = np.int64(pd.Timestamp(v).value // 1000)
+                us = np.int64(datetime_value_to_us(v))
                 # bounds quantize to the fast column's precision, matching
                 # the stored truncation (date_time_type.rs fast_precision)
                 q = fm.fast_precision_us

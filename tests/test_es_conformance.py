@@ -360,3 +360,37 @@ def test_aggregations_suite(es_service):
                            default_endpoint="aggregations/_search",
                            skip=set(_AGG_SKIP))
     assert not failures, "\n".join(failures)
+
+
+# ---------------------------------------------------------------------------
+# native-API suites: setup AND scenarios replay through QwRestService
+# (the reference's index-management + /{index}/search handlers), so index
+# creation, validation 400s and ingest run the same path the YAML drives
+# ---------------------------------------------------------------------------
+
+# {suite: {file: {step_index: reason}}}
+_NATIVE_SKIP: dict[str, dict[str, dict[int, str]]] = {}
+
+NATIVE_SUITES = {
+    "qw_search_api": ["0001_ts_range.yaml", "0002_negative_search.yaml",
+                      "0003_exists_search.yaml"],
+    "tag_fields": ["0001_allowed_types.yaml", "0002_negative_tags.yaml"],
+    "default_search_fields": ["0001_default_fields.yaml",
+                              "0002_invalid_default_fields.yaml"],
+    "concat_fields": ["0001_concat_field.yaml"],
+}
+
+
+@pytest.mark.parametrize("suite", sorted(NATIVE_SUITES))
+def test_native_api_suite(suite, tmp_path):
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    service = QwRestService(str(tmp_path / "indexes"))
+    setup = os.path.join(SCENARII, suite, "_setup.quickwit.yaml")
+    failures = replay_file(service, setup)
+    assert not failures, "setup: " + "\n".join(failures)
+    for fname in NATIVE_SUITES[suite]:
+        skip = _NATIVE_SKIP.get(suite, {}).get(fname, {})
+        failures = replay_file(service, os.path.join(SCENARII, suite, fname),
+                               skip=set(skip))
+        assert not failures, f"{fname}: " + "\n".join(failures)

@@ -193,7 +193,10 @@ def test_merge_splices_missing_per_doc_files(tmp_path):
     mapping = DocMapping(
         field_mappings=(
             FieldMapping(name="msg", type="text", record="freq", fieldnorms=True),
-            FieldMapping(name="doc_id", type="i64", stored=True),
+            # indexed=False so split B (no `val` column) writes NO fast
+            # columns at all — indexed scalars now always persist theirs
+            FieldMapping(name="doc_id", type="i64", stored=True,
+                         indexed=False),
             FieldMapping(name="val", type="i64", fast=True)),
         doc_id_field="doc_id", default_search_fields=("msg",))
     index_dir = str(tmp_path / "idx")
