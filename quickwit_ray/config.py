@@ -92,6 +92,14 @@ class DocMapping:
     # ({"name", "type": simple|ngram|regex|source_code|multilang,
     #   "min_gram"/"max_gram"/"prefix_only", "pattern", "filters": [...]},)
     tokenizers: tuple = ()
+    # dynamic-mode catch-all field options (doc_mapping.rs dynamic_mapping:
+    # how unmapped columns index). Defaults match the implicit mapping
+    # used since round 1 (record=freq keeps split artifacts stable).
+    dynamic_tokenizer: str = "default"
+    dynamic_record: str = "freq"
+    dynamic_indexed: bool = True
+    dynamic_fast: bool = False
+    dynamic_fast_normalizer: str = "raw"
 
     def __post_init__(self) -> None:
         if self.tokenizers:
@@ -141,8 +149,13 @@ class DocMapping:
             return self.field(name)
         except KeyError:
             if self.mode == "dynamic":
-                return FieldMapping(name=name, type="text", tokenizer="default",
-                                    record="freq", fieldnorms=True, stored=True)
+                return FieldMapping(
+                    name=name, type="text",
+                    tokenizer=self.dynamic_tokenizer,
+                    record=self.dynamic_record, fieldnorms=True,
+                    stored=True, indexed=self.dynamic_indexed,
+                    fast=self.dynamic_fast,
+                    fast_normalizer=self.dynamic_fast_normalizer)
             raise
 
     @property
@@ -218,6 +231,11 @@ class IndexConfig:
             doc_id_field=dm.get("doc_id_field", "url"),
             default_search_fields=tuple(dm.get("default_search_fields", ())),
             tokenizers=tuple(dm.get("tokenizers", ())),
+            dynamic_tokenizer=dm.get("dynamic_tokenizer", "default"),
+            dynamic_record=dm.get("dynamic_record", "freq"),
+            dynamic_indexed=dm.get("dynamic_indexed", True),
+            dynamic_fast=dm.get("dynamic_fast", False),
+            dynamic_fast_normalizer=dm.get("dynamic_fast_normalizer", "raw"),
         )
         st = obj.get("settings", {})
         mp = st.get("merge_policy", {})
@@ -320,6 +338,12 @@ def index_config_from_api_json(obj: dict[str, Any]) -> IndexConfig:
         if not dynamic_indexed:
             raise ValueError(
                 f"default search field `{f}` is not indexed")
+    dyn = dm.get("dynamic_mapping") or {}
+    dyn_fast = dyn.get("fast", False)
+    dyn_fast_norm = "raw"
+    if isinstance(dyn_fast, dict):
+        dyn_fast_norm = dyn_fast.get("normalizer", "raw")
+        dyn_fast = True
     mapping = DocMapping(
         field_mappings=tuple(fms),
         mode=dm.get("mode", "dynamic"),  # the API default (doc_mapping.rs)
@@ -329,6 +353,11 @@ def index_config_from_api_json(obj: dict[str, Any]) -> IndexConfig:
                                                    else "doc"),
         default_search_fields=defaults,
         tokenizers=tuple(dm.get("tokenizers", ())),
+        dynamic_tokenizer=dyn.get("tokenizer", "default"),
+        dynamic_record=dyn.get("record", "freq"),
+        dynamic_indexed=dyn.get("indexed", True),
+        dynamic_fast=bool(dyn_fast),
+        dynamic_fast_normalizer=dyn_fast_norm,
     )
     return IndexConfig(index_id=obj["index_id"], doc_mapping=mapping)
 

@@ -196,6 +196,53 @@ def _concat_column_tokens(col, tokenizer: str, is_json: bool):
     return doc_idx, tokens, positions
 
 
+def _json_fast_path_columns(col, root: str, normalizer: str,
+                            n_rows: int) -> dict[str, pa.Array]:
+    """Scalar leaf paths of a json fast column -> dotted typed arrays
+    (`actor` -> {"actor.id": int64[...], "actor.login": string[...]}).
+    Multi-valued paths keep the FIRST value per row (fast-field sort/agg
+    semantics need one value; full multi-value access goes through the
+    doc store)."""
+    import json as _json
+
+    paths: dict[str, list] = {}
+    present: dict[str, int] = {}
+    for i, v in enumerate(col.to_pylist()):
+        if v is None:
+            continue
+        try:
+            obj = _json.loads(v) if isinstance(v, str) else v
+        except (ValueError, TypeError):
+            continue
+        if not isinstance(obj, dict):
+            continue
+        stack = [(root, obj)]
+        while stack:
+            path, val = stack.pop()
+            if isinstance(val, dict):
+                for k, sv in val.items():
+                    stack.append((f"{path}.{k}", sv))
+            elif isinstance(val, list):
+                if val:
+                    stack.append((path, val[0]))
+            elif val is not None and not isinstance(val, (dict, list)):
+                lst = paths.get(path)
+                if lst is None:
+                    lst = paths[path] = [None] * n_rows
+                if lst[i] is None:
+                    if isinstance(val, str) and normalizer == "lowercase":
+                        val = val.lower()
+                    lst[i] = val
+    out = {}
+    for path, lst in paths.items():
+        try:
+            out[path] = pa.array(lst)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            out[path] = pa.array([None if v is None else str(v)
+                                  for v in lst], pa.string())
+    return out
+
+
 def _coerce_datetime(col, fm) -> pa.ChunkedArray:
     """Parse a non-timestamp datetime column (string / unix number) to
     timestamp[us] using the mapping's input_formats (multi-format parsing,
@@ -265,7 +312,7 @@ class SplitBuilder:
         out = list(self.mapping.text_fields)
         out += [f for f in self.mapping.field_mappings
                 if f.type == "json" and f.indexed]
-        if self.mapping.mode == "dynamic":
+        if self.mapping.mode == "dynamic" and self.mapping.dynamic_indexed:
             mapped = {f.name for f in self.mapping.field_mappings}
             for i, col in enumerate(batch.column_names):
                 if col not in mapped and pa.types.is_string(batch.schema.types[i]):
@@ -370,6 +417,14 @@ class SplitBuilder:
         for fm in fast_like.values():
             if fm.name in batch.column_names:
                 col = batch[fm.name]
+                if fm.type == "json":
+                    # json fast field = one dotted fast column per scalar
+                    # leaf path (tantivy's columnar json fast fields) so
+                    # sort/agg on `actor.id` works without a flat mapping
+                    for cname, arr in _json_fast_path_columns(
+                            col, fm.name, fm.fast_normalizer, n).items():
+                        fast_cols[cname] = arr
+                    continue
                 if fm.type == "datetime":
                     if not pa.types.is_timestamp(
                             col.type if not isinstance(col, pa.ChunkedArray)
@@ -390,6 +445,23 @@ class SplitBuilder:
                 elif fm.type == "text" and fm.fast_normalizer == "lowercase":
                     col = pc.utf8_lower(col)
                 fast_cols[fm.name] = col
+        if self.mapping.mode == "dynamic" and self.mapping.dynamic_fast:
+            # dynamic_mapping.fast: unmapped scalar columns persist fast
+            # values too (sorting/aggregating on dynamic paths,
+            # doc_mapping.rs dynamic_mapping)
+            mapped = {f.name for f in self.mapping.field_mappings}
+            for i, cname in enumerate(batch.column_names):
+                if cname in mapped or cname in fast_cols:
+                    continue
+                t = batch.schema.types[i]
+                col = batch[cname]
+                if pa.types.is_string(t):
+                    if self.mapping.dynamic_fast_normalizer == "lowercase":
+                        col = pc.utf8_lower(col)
+                    fast_cols[cname] = col
+                elif (pa.types.is_integer(t) or pa.types.is_floating(t)
+                      or pa.types.is_boolean(t) or pa.types.is_timestamp(t)):
+                    fast_cols[cname] = col
         if fast_cols:
             self._fast_chunks.append(pa.table(fast_cols))
 

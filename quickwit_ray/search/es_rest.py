@@ -13,9 +13,10 @@ rest-api-tests conformance corpus replays against it offline
 from __future__ import annotations
 
 import fnmatch
+import os
 import json
 from typing import Any, Optional
-from urllib.parse import parse_qsl
+from urllib.parse import parse_qsl, unquote
 
 import numpy as np
 import pandas as pd
@@ -27,12 +28,24 @@ from quickwit_ray.search.parser import parse_query
 
 
 class EsApiError(Exception):
-    """Maps to a non-2xx REST response."""
+    """Maps to a non-2xx REST response. ``type`` and ``extra`` feed the
+    ES error object (`{"error": {"type", "reason", ...}}`)."""
 
-    def __init__(self, status: int, reason: str):
+    def __init__(self, status: int, reason: str, type: Optional[str] = None,
+                 extra: Optional[dict] = None):
         super().__init__(reason)
         self.status = status
         self.reason = reason
+        self.type = type
+        self.extra = extra or {}
+
+    def body(self) -> dict:
+        err: dict[str, Any] = {}
+        if self.type:
+            err["type"] = self.type
+        err["reason"] = self.reason
+        err.update(self.extra)
+        return {"status": self.status, "error": err}
 
 
 # ---------------------------------------------------------------------------
@@ -117,7 +130,40 @@ def _hit_source(row: pd.Series, mapping) -> dict:
             except ValueError:
                 pass
         src[col] = _clean_scalar(v)
-    return src
+    return _nest_dotted(src)
+
+
+def _nest_dotted(src: dict) -> dict:
+    """Re-nest dotted stored columns into objects for `_source` rendering
+    (`actor.login` -> {"actor": {"login": ...}}) — the inverse of the
+    ingest-side struct flattening (expand_dots); the reference renders the
+    dynamic doc as nested JSON. Keys whose path collides with a non-object
+    value stay flat."""
+    if not any("." in k for k in src):
+        return src
+    out: dict[str, Any] = {}
+    for k, v in src.items():
+        if "." not in k:
+            out.setdefault(k, v)
+    for k, v in src.items():
+        if "." not in k:
+            continue
+        parts = k.split(".")
+        d: Any = out
+        ok = True
+        for p in parts[:-1]:
+            nxt = d.get(p)
+            if nxt is None:
+                nxt = d[p] = {}
+            elif not isinstance(nxt, dict):
+                ok = False
+                break
+            d = nxt
+        if ok:
+            d.setdefault(parts[-1], v)
+        else:
+            out[k] = v
+    return out
 
 
 def _sort_values(row: pd.Series, sort_fields, mapping,
@@ -185,12 +231,25 @@ def render_search_response(resp: SearchResponse, index_id: str, mapping,
                            source_includes: Optional[list[str]] = None,
                            source_excludes: Optional[list[str]] = None,
                            scroll_id: Optional[str] = None,
-                           sort_formats: Optional[dict] = None) -> dict:
+                           sort_formats: Optional[dict] = None,
+                           index_prefix_map: Optional[dict] = None,
+                           mapping_by_index: Optional[dict] = None) -> dict:
     hits = []
     for _, row in resp.hits.iterrows():
-        h: dict[str, Any] = {"_index": index_id}
-        src = _hit_source(row, mapping)
-        doc_id_field = mapping.doc_id_field
+        iname, m = index_id, mapping
+        if index_prefix_map:
+            # federated search: attribute each hit to ITS index by split
+            # directory (multi.py routes the fetch the same way)
+            sd = str(row.get("_split_dir", ""))
+            for pref, n in index_prefix_map.items():
+                if sd.startswith(pref):
+                    iname = n
+                    if mapping_by_index:
+                        m = mapping_by_index.get(n, mapping)
+                    break
+        h: dict[str, Any] = {"_index": iname}
+        src = _hit_source(row, m)
+        doc_id_field = m.doc_id_field
         if doc_id_field in src:
             h["_id"] = str(src[doc_id_field])
         if "_score" in row.index and row.get("_score") is not None:
@@ -199,7 +258,7 @@ def render_search_response(resp: SearchResponse, index_id: str, mapping,
                 _clean_scalar(np.float64(s)) if s is not None else None)
         h["_source"] = _filter_source(src, source_includes, source_excludes)
         if sort_fields:
-            h["sort"] = _sort_values(row, list(sort_fields), mapping,
+            h["sort"] = _sort_values(row, list(sort_fields), m,
                                      sort_formats)
         hits.append(h)
     out = {
@@ -230,6 +289,10 @@ class EsRestService:
     def __init__(self, indexes: dict[str, Index]):
         self.indexes = dict(indexes)
         self._scroll_owner: dict[str, str] = {}  # scroll_id -> index name
+        # federated scrolls: scroll_id -> {names, kw, pos, sort_formats}.
+        # Pages re-execute the merged search at an advancing offset (the
+        # single-index path keeps real cached scroll contexts).
+        self._multi_scroll: dict[str, dict] = {}
 
     # -- registry -------------------------------------------------------
 
@@ -243,13 +306,42 @@ class EsRestService:
         return {n: i for n, i in self.indexes.items()
                 if fnmatch.fnmatch(n, pattern)}
 
+    def _resolve_targets(self, expr: str) -> list[str]:
+        """ES index-target expression (root.rs index-id-pattern
+        resolution): comma-separated items, each a name, a wildcard
+        pattern, or a `-pattern` exclusion removing already-selected
+        names. A wildcard may match nothing; a CONCRETE missing name is a
+        404 (`multi-indices/0001` semantics)."""
+        selected: dict[str, None] = {}
+        for item in str(expr).split(","):
+            item = item.strip()
+            if not item:
+                continue
+            if item.startswith("-"):
+                pat = item[1:]
+                for n in [n for n in selected if fnmatch.fnmatch(n, pat)]:
+                    del selected[n]
+                continue
+            if "*" in item or "?" in item:
+                for n in self.indexes:
+                    if fnmatch.fnmatch(n, item):
+                        selected[n] = None
+            elif item in self.indexes:
+                selected[item] = None
+            else:
+                raise EsApiError(
+                    404, f"no such index [{item}]",
+                    type="index_not_found_exception",
+                    extra={"index": item})
+        return list(selected)
+
     # -- entry ----------------------------------------------------------
 
     def request(self, method: str, endpoint: str,
                 params: Optional[dict] = None, body: Any = None,
                 ndjson: Optional[list] = None) -> tuple[int, Any]:
         params = dict(params or {})
-        endpoint = endpoint.strip("/")
+        endpoint = unquote(endpoint).strip("/")
         if "?" in endpoint:
             endpoint, qs = endpoint.split("?", 1)
             params.update(dict(parse_qsl(qs)))
@@ -257,8 +349,7 @@ class EsRestService:
             return 200, self._route(method.upper(), endpoint, params,
                                     body, ndjson)
         except EsApiError as e:
-            return e.status, {"status": e.status,
-                              "error": {"reason": e.reason}}
+            return e.status, e.body()
         except (ValueError, KeyError, TypeError) as e:
             return 400, {"status": 400,
                          "error": {"reason": f"Invalid argument: {e}"}}
@@ -293,16 +384,31 @@ class EsRestService:
         if len(parts) == 2:
             index, verb = parts
             if verb == "_search":
-                return self._search(index, params, body or {})
+                if index in self.indexes:
+                    return self._search(index, params, body or {})
+                return self._search_multi(self._resolve_targets(index),
+                                          params, body or {})
             if verb == "_count":
-                return self._count(index, params, body or {})
+                if index in self.indexes:
+                    return self._count(index, params, body or {})
+                names = self._resolve_targets(index)
+                return {"count": sum(self._count(n, params, body or {})
+                                     ["count"] for n in names)}
             if verb == "_stats":
                 return self._stats(list(self._match_indexes(index)))
             if verb == "_bulk":
                 n = self._index(index).bulk(body)
                 return {"errors": False, "items_indexed": n}
             if verb == "_field_caps":
-                return self._index(index).es_field_caps()
+                if index in self.indexes:
+                    return self._index(index).es_field_caps()
+                out = {"indices": [], "fields": {}}
+                for n in self._resolve_targets(index):
+                    fc = self.indexes[n].es_field_caps()
+                    out["indices"].extend(fc["indices"])
+                    for f, caps in fc["fields"].items():
+                        out["fields"].setdefault(f, {}).update(caps)
+                return out
             if verb == "ingest":
                 docs = body if isinstance(body, list) else [body]
                 n = self._index(index).ingest_docs(docs)
@@ -312,11 +418,14 @@ class EsRestService:
     # -- handlers -------------------------------------------------------
 
     def _apply_params(self, index: Index, params: dict, body: dict) -> dict:
+        return self._apply_params_d(
+            index.config.doc_mapping.default_search_fields, params, body)
+
+    def _apply_params_d(self, dflt, params: dict, body: dict) -> dict:
         """Query-string params q/size/from/sort override the body (the
         reference's SearchQueryParams extraction, rest_handler.rs)."""
         body = dict(body)
         if params.get("q"):
-            dflt = index.config.doc_mapping.default_search_fields
             body["query"] = {"query_string": {"query": params["q"],
                                               "fields": list(dflt)}}
         if params.get("size") is not None:
@@ -335,7 +444,6 @@ class EsRestService:
         if params.get("extra_filters"):
             # quickwit-specific: comma-separated query-language clauses
             # ANDed onto the request query (rest_handler extra_filters)
-            dflt = index.config.doc_mapping.default_search_fields
             filters = [{"query_string": {"query": f, "fields": list(dflt)}}
                        for f in str(params["extra_filters"]).split(",")]
             base = body.get("query") or {"match_all": {}}
@@ -383,10 +491,80 @@ class EsRestService:
             source_includes=src_inc, source_excludes=src_exc,
             sort_formats=sort_formats)
 
+    def _search_multi(self, names: list[str], params: dict,
+                      body: dict) -> dict:
+        """Federated `_search` over several indexes (root.rs multi-index
+        resolution; `multi-indices` conformance suite): one merged result
+        with per-hit `_index` attribution. An empty target set is valid
+        (0 hits, no aggregations key)."""
+        import uuid
+
+        from quickwit_ray.search.multi import search_indexes
+
+        indexes = [self.indexes[n] for n in names]
+        dflt = (indexes[0].config.doc_mapping.default_search_fields
+                if indexes else ())
+        mapping0 = indexes[0].config.doc_mapping if indexes else None
+        body = self._apply_params_d(dflt, params, body)
+        kw = es_search_request(body, dflt)
+        sort_formats = _extract_sort_formats(body)
+        if kw.get("search_after") and kw.get("sort_by") and mapping0:
+            kw["search_after"] = _coerce_cursor_units(
+                kw["search_after"], _sortfields(kw["sort_by"]), mapping0,
+                sort_formats)
+        src_inc = _parse_source_param(params.get("_source_includes"))
+        src_exc = _parse_source_param(params.get("_source_excludes"))
+        aggs_spec = body.get("aggs") or body.get("aggregations")
+        resp = search_indexes([i.index_dir for i in indexes], **kw)
+        prefix_map = {os.path.join(i.index_dir, "splits") + os.sep: n
+                      for n, i in zip(names, indexes)}
+        mapping_map = {n: i.config.doc_mapping
+                       for n, i in zip(names, indexes)}
+        sid = None
+        if params.get("scroll") is not None:
+            sid = "fed-" + uuid.uuid4().hex
+            self._multi_scroll[sid] = {
+                "names": list(names), "kw": dict(kw),
+                "pos": (kw.get("start_offset", 0) or 0)
+                       + kw.get("max_hits", 10),
+                "sort_formats": sort_formats}
+            if len(self._multi_scroll) > 256:  # bounded contexts
+                self._multi_scroll.pop(next(iter(self._multi_scroll)))
+        return render_search_response(
+            resp, names[0] if names else "", mapping0,
+            sort_fields=_sortfields(kw.get("sort_by")),
+            aggs_spec=aggs_spec, source_includes=src_inc,
+            source_excludes=src_exc, scroll_id=sid,
+            sort_formats=sort_formats, index_prefix_map=prefix_map,
+            mapping_by_index=mapping_map)
+
+    def _multi_scroll_next(self, sid: str, st: dict) -> dict:
+        from quickwit_ray.search.multi import search_indexes
+
+        names = [n for n in st["names"] if n in self.indexes]
+        indexes = [self.indexes[n] for n in names]
+        kw = dict(st["kw"])
+        kw["start_offset"] = st["pos"]
+        st["pos"] += kw.get("max_hits", 10)
+        resp = search_indexes([i.index_dir for i in indexes], **kw)
+        prefix_map = {os.path.join(i.index_dir, "splits") + os.sep: n
+                      for n, i in zip(names, indexes)}
+        mapping_map = {n: i.config.doc_mapping
+                       for n, i in zip(names, indexes)}
+        mapping0 = indexes[0].config.doc_mapping if indexes else None
+        return render_search_response(
+            resp, names[0] if names else "", mapping0,
+            sort_fields=_sortfields(kw.get("sort_by")), scroll_id=sid,
+            sort_formats=st.get("sort_formats"),
+            index_prefix_map=prefix_map, mapping_by_index=mapping_map)
+
     def _scroll_next(self, params: dict, body: dict) -> dict:
         sid = body.get("scroll_id") or params.get("scroll_id")
         if not sid:
             raise EsApiError(400, "missing scroll_id")
+        st = self._multi_scroll.get(sid)
+        if st is not None:
+            return self._multi_scroll_next(sid, st)
         owner = self._scroll_owner.get(sid)
         if owner is None:
             raise EsApiError(404, f"scroll context {sid!r} expired or unknown")

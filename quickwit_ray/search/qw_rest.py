@@ -21,7 +21,7 @@ import json
 import shutil
 import os
 from typing import Any, Optional
-from urllib.parse import parse_qsl
+from urllib.parse import parse_qsl, unquote
 
 from quickwit_ray.api import Index
 from quickwit_ray.config import index_config_from_api_json
@@ -29,12 +29,22 @@ from quickwit_ray.search.es_rest import EsApiError, _clean_scalar, _hit_source
 
 
 class QwRestService:
-    """Routes the native API over a directory-backed index registry."""
+    """Routes the native API over a directory-backed index registry.
 
-    def __init__(self, root_dir: str):
+    ES-shaped endpoints (`_bulk`, `{index}/_search`, `_msearch`, ...)
+    fall through to an embedded :class:`EsRestService` sharing the SAME
+    live registry — one service serves both API roots, exactly like the
+    reference's single server mounting /api/v1 and /api/v1/_elastic."""
+
+    def __init__(self, root_dir: str,
+                 extra_indexes: Optional[dict] = None):
         self.root_dir = root_dir
         os.makedirs(root_dir, exist_ok=True)
-        self.indexes: dict[str, Index] = {}
+        self.indexes: dict[str, Index] = dict(extra_indexes or {})
+        from quickwit_ray.search.es_rest import EsRestService
+
+        self.es = EsRestService({})
+        self.es.indexes = self.indexes  # shared live registry
 
     # -- entry ----------------------------------------------------------
 
@@ -42,10 +52,16 @@ class QwRestService:
                 params: Optional[dict] = None, body: Any = None,
                 ndjson: Optional[list] = None) -> tuple[int, Any]:
         params = dict(params or {})
-        endpoint = endpoint.strip("/")
+        endpoint = unquote(endpoint).strip("/")
         if "?" in endpoint:
             endpoint, qs = endpoint.split("?", 1)
             params.update(dict(parse_qsl(qs)))
+        parts = endpoint.split("/")
+        if parts[0].startswith("_") or (
+                len(parts) >= 2 and parts[1].startswith("_")):
+            # ES-shaped endpoint -> the embedded ES dispatcher (its own
+            # error-body format)
+            return self.es.request(method, endpoint, params, body, ndjson)
         try:
             return 200, self._route(method.upper(), endpoint, params,
                                     body, ndjson)

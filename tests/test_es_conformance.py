@@ -381,6 +381,28 @@ NATIVE_SUITES = {
 }
 
 
+def test_multi_indices_suite(es_service, tmp_path):
+    """es_compatibility/multi-indices: native index creation (dynamic
+    fast mapping + strict object mapping) then federated ES `_search`
+    over comma/wildcard/exclusion targets, multi-index scroll and
+    cross-index aggregations. The 104-hit step needs the 100-doc
+    gharchive index in the same registry (the reference environment runs
+    all suites against one cluster)."""
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    d = os.path.join(SCENARII, "es_compatibility", "multi-indices")
+    service = QwRestService(
+        str(tmp_path / "indexes"),
+        extra_indexes={"gharchive": es_service["es_compat"].indexes["gharchive"]})
+    failures = replay_file(service, os.path.join(d, "_setup.quickwit.yaml"))
+    assert not failures, "setup: " + "\n".join(failures)
+    for fname in ["0001-muti_indices_query.yaml",
+                  "0002-muti_indices_scroll.yaml",
+                  "0003-multi_indices_aggs.yaml"]:
+        failures = replay_file(service, os.path.join(d, fname))
+        assert not failures, f"{fname}: " + "\n".join(failures)
+
+
 @pytest.mark.parametrize("suite", sorted(NATIVE_SUITES))
 def test_native_api_suite(suite, tmp_path):
     from quickwit_ray.search.qw_rest import QwRestService
