@@ -288,6 +288,10 @@ class EsRestService:
 
     def __init__(self, indexes: dict[str, Index]):
         self.indexes = dict(indexes)
+        # optional hook: called with an unknown index name on `_bulk`;
+        # returns a freshly created Index (index-template auto-create,
+        # QwRestService wires this) or None
+        self.index_factory = None
         self._scroll_owner: dict[str, str] = {}  # scroll_id -> index name
         # federated scrolls: scroll_id -> {names, kw, pos, sort_formats}.
         # Pages re-execute the merged search at an advancing offset (the
@@ -359,6 +363,27 @@ class EsRestService:
     def _route(self, method: str, endpoint: str, params: dict, body: Any,
                ndjson: Optional[list]) -> Any:
         parts = endpoint.split("/")
+        if endpoint == "":
+            # root info (elasticsearch_api es_compat_cluster_info_handler)
+            return {"name": "quickwit", "cluster_name": "quickwit",
+                    "version": {"number": "7.17.0",
+                                "distribution": "quickwit",
+                                "build_date": "2026-01-01T00:00:00Z"},
+                    "tagline": "You Know, for Search"}
+        if endpoint == "_cluster/health":
+            return {"cluster_name": "quickwit", "status": "green",
+                    "timed_out": False,
+                    "number_of_nodes": 1, "number_of_data_nodes": 1}
+        if parts[0] == "_resolve" and len(parts) == 3 and parts[1] == "index":
+            names = sorted(self._match_indexes(parts[2]))
+            return {"indices": [{"name": n, "attributes": ["open"]}
+                                for n in names],
+                    "aliases": [], "data_streams": []}
+        if method == "DELETE" and len(parts) == 1 \
+                and not parts[0].startswith("_"):
+            return self._delete_indices(parts[0], params)
+        if endpoint == "_bulk":
+            return self._es_bulk(None, ndjson, body)
         if endpoint == "_msearch":
             return self._msearch(params, ndjson or body or [])
         if endpoint == "_search/scroll":
@@ -397,8 +422,7 @@ class EsRestService:
             if verb == "_stats":
                 return self._stats(list(self._match_indexes(index)))
             if verb == "_bulk":
-                n = self._index(index).bulk(body)
-                return {"errors": False, "items_indexed": n}
+                return self._es_bulk(index, ndjson, body)
             if verb == "_field_caps":
                 if index in self.indexes:
                     return self._index(index).es_field_caps()
@@ -585,6 +609,125 @@ class EsRestService:
         else:
             n = index.es_count(body)
         return {"count": int(n)}
+
+    def _delete_indices(self, expr: str, params: dict) -> dict:
+        """ES `DELETE /{targets}` (rest_handler es_compat_delete_index):
+        comma/wildcard targets; a concrete missing name is a 404 unless
+        `ignore_unavailable=true`."""
+        ignore = str(params.get("ignore_unavailable", "false")
+                     ).lower() == "true"
+        victims: dict[str, None] = {}
+        for item in expr.split(","):
+            item = item.strip()
+            if not item:
+                continue
+            if "*" in item or "?" in item:
+                for n in self._match_indexes(item):
+                    victims[n] = None
+            elif item in self.indexes:
+                victims[item] = None
+            elif not ignore:
+                raise EsApiError(404, f"no such index [{item}]",
+                                 type="index_not_found_exception",
+                                 extra={"index": item})
+        for n in victims:
+            self.indexes.pop(n, None)
+        return {"acknowledged": True}
+
+    def _es_bulk(self, default_index: Optional[str],
+                 ndjson: Optional[list], body: Any) -> dict:
+        """ES `_bulk` with per-item statuses (elasticsearch_api/bulk.rs +
+        the `bulk` conformance suite): 201 per indexed doc, per-item 400
+        `document_parsing_exception` on a doc the mapping rejects,
+        per-item 404 `index_not_found_exception` (after consulting
+        ``index_factory`` for template auto-creation), request-level 400
+        for malformed action lines and missing-index validation."""
+        import time as _time
+
+        from quickwit_ray.sources.ingest import validate_doc_fields
+
+        t0 = _time.monotonic()
+        lines = list(ndjson) if ndjson is not None else []
+        if not lines and body is not None:
+            payload = body.decode() if isinstance(body, bytes) else str(body)
+            lines = [json.loads(ln) for ln in payload.split("\n")
+                     if ln.strip()]
+        # -- parse action/doc pairs ------------------------------------
+        ops: list[tuple[str, Optional[str], Optional[str], dict]] = []
+        i = 0
+        while i < len(lines):
+            line = lines[i]
+            lineno = i + 1
+            i += 1
+            if (not isinstance(line, dict) or len(line) != 1
+                    or next(iter(line)) not in ("index", "create")):
+                found = (next(iter(line)) if isinstance(line, dict) and line
+                         else str(line)[:40])
+                raise EsApiError(
+                    400,
+                    f"Malformed action/metadata line [{lineno}], expected "
+                    f"one of [create, index] but found [{found}]",
+                    type="illegal_argument_exception")
+            action, meta = next(iter(line.items()))
+            meta = meta if isinstance(meta, dict) else {}
+            # the next line is ALWAYS the document for index/create
+            doc = lines[i] if i < len(lines) else {}
+            i += 1
+            ops.append((action, meta.get("_index", default_index),
+                        meta.get("_id"),
+                        doc if isinstance(doc, dict) else {}))
+        # -- request-level validation (ES collects ALL missing-index
+        # actions before rejecting the whole request) ------------------
+        missing = [k + 1 for k, (_, name, _, _) in enumerate(ops)
+                   if not name]
+        if missing:
+            raise EsApiError(
+                400,
+                "Validation Failed: " + "".join(
+                    f"{m}: index is missing;" for m in missing),
+                type="action_request_validation_exception")
+        # -- per-item processing ---------------------------------------
+        items: list[dict] = []
+        errors = False
+        to_ingest: dict[str, list[dict]] = {}
+        for action, name, _id, doc in ops:
+            item: dict[str, Any] = {"_index": name}
+            if _id is not None:
+                item["_id"] = str(_id)
+            idx = self.indexes.get(name)
+            if idx is None and self.index_factory is not None:
+                idx = self.index_factory(name)
+                if idx is not None:
+                    self.indexes[name] = idx
+            if idx is None:
+                errors = True
+                item["status"] = 404
+                item["error"] = {
+                    "type": "index_not_found_exception",
+                    "reason": f"no such index [{name}]",
+                    "index": name}
+                items.append({action: item})
+                continue
+            err = validate_doc_fields(doc, idx.config.doc_mapping)
+            if err is not None:
+                errors = True
+                item["status"] = 400
+                item["error"] = {"type": "document_parsing_exception",
+                                 "reason": err}
+                items.append({action: item})
+                continue
+            d = dict(doc)
+            if _id is not None:
+                d["_id"] = _id
+            to_ingest.setdefault(name, []).append(d)
+            item["status"] = 201
+            item["result"] = "created"
+            items.append({action: item})
+        # one ingest (= one split before merges) per target index
+        for name, docs in to_ingest.items():
+            self.indexes[name].ingest_docs(docs)
+        return {"took": int((_time.monotonic() - t0) * 1000),
+                "errors": errors, "items": items}
 
     def _msearch(self, params: dict, lines: list) -> dict:
         if len(lines) % 2:

@@ -45,6 +45,10 @@ class QwRestService:
 
         self.es = EsRestService({})
         self.es.indexes = self.indexes  # shared live registry
+        self.es.index_factory = self._auto_create
+        # index templates (index_template.rs): pattern-matched configs
+        # that auto-create an index on first ingest to a matching name
+        self.templates: dict[str, dict] = {}
 
     # -- entry ----------------------------------------------------------
 
@@ -57,8 +61,10 @@ class QwRestService:
             endpoint, qs = endpoint.split("?", 1)
             params.update(dict(parse_qsl(qs)))
         parts = endpoint.split("/")
-        if parts[0].startswith("_") or (
-                len(parts) >= 2 and parts[1].startswith("_")):
+        if (endpoint == "" or parts[0].startswith("_")
+                or (len(parts) >= 2 and parts[1].startswith("_"))
+                or (method.upper() == "DELETE" and len(parts) == 1
+                    and parts[0] not in ("indexes", "templates"))):
             # ES-shaped endpoint -> the embedded ES dispatcher (its own
             # error-body format)
             return self.es.request(method, endpoint, params, body, ndjson)
@@ -86,6 +92,25 @@ class QwRestService:
                 idx = self._index(parts[1])
                 return {"index_config": idx.config.to_json()}
             raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
+        if parts[0] == "templates":
+            if method == "POST" and len(parts) == 1:
+                tid = (body or {}).get("template_id")
+                if not tid:
+                    raise EsApiError(400, "template_id is required")
+                self.templates[tid] = dict(body)
+                return {"template_id": tid}
+            if method == "DELETE" and len(parts) == 2:
+                if self.templates.pop(parts[1], None) is None:
+                    raise EsApiError(404,
+                                     f"template not found: {parts[1]}")
+                return {"acknowledged": True}
+            if method == "GET" and len(parts) == 2:
+                t = self.templates.get(parts[1])
+                if t is None:
+                    raise EsApiError(404,
+                                     f"template not found: {parts[1]}")
+                return t
+            raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
         if len(parts) == 2 and parts[1] == "ingest" and method == "POST":
             return self._ingest(parts[0], ndjson or [])
         if len(parts) == 2 and parts[1] == "search":
@@ -111,6 +136,25 @@ class QwRestService:
                                                   cfg.doc_mapping,
                                                   settings=cfg.settings)
         return {"index_config": {"index_id": cfg.index_id}}
+
+    def _auto_create(self, name: str) -> Optional[Index]:
+        """Index-template auto-creation hook for `_bulk` to an unknown
+        index: the first template whose pattern matches the name creates
+        it with the template's doc mapping."""
+        import fnmatch
+
+        for tpl in self.templates.values():
+            if any(fnmatch.fnmatch(name, p)
+                   for p in tpl.get("index_id_patterns", ())):
+                cfg = index_config_from_api_json(
+                    {"index_id": name,
+                     "doc_mapping": tpl.get("doc_mapping") or {},
+                     "search_settings": tpl.get("search_settings")})
+                d = os.path.join(self.root_dir, name)
+                shutil.rmtree(d, ignore_errors=True)
+                return Index.create(d, name, cfg.doc_mapping,
+                                    settings=cfg.settings)
+        return None
 
     def _delete(self, name: str) -> dict:
         idx = self.indexes.pop(name, None)

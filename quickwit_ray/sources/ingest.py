@@ -479,6 +479,40 @@ def _split_known_keys(keys: list[str], mapping) -> tuple[list[str], list[str]]:
     return known, unknown
 
 
+def validate_doc_fields(doc: dict[str, Any], mapping) -> Optional[str]:
+    """Per-document type validation for the ES `_bulk` item path (the
+    reference's doc processor parses each doc against the mapping and
+    reports a per-item `document_parsing_exception`). Returns an error
+    string, or None when the doc parses."""
+    for fm in mapping.field_mappings:
+        v = doc.get(fm.name)
+        if v is None:
+            continue
+        if fm.type == "datetime":
+            if isinstance(v, (int, float)):
+                continue
+            from quickwit_ray.functions.datetimes import parse_datetimes
+
+            formats = fm.input_formats or ("rfc3339", "unix_timestamp")
+            import numpy as _np
+
+            us = parse_datetimes([v], formats)
+            if _np.isnan(us[0]):
+                return (f"failed to parse datetime field `{fm.name}` "
+                        f"with value `{v}`")
+        elif fm.type in ("u64", "i64", "f64"):
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                try:
+                    float(v)
+                except (TypeError, ValueError):
+                    return (f"failed to parse {fm.type} field `{fm.name}` "
+                            f"with value `{v}`")
+            if fm.type == "u64" and isinstance(v, int) and v < 0:
+                return (f"failed to parse u64 field `{fm.name}` "
+                        f"with value `{v}`")
+    return None
+
+
 def validate_push_keys(docs: list[dict[str, Any]], mapping) -> None:
     """Push-time strict-mode key validation so a bad doc fails the PUSH
     that carried it, not a later workbench commit holding other callers'

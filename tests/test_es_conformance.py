@@ -312,6 +312,8 @@ ES_COMPAT_FILES = [
     "0022-source.yaml",
     "0023-extra_filters.yaml",
     "0025-msearch.yaml",
+    "0026-resolve.yaml",
+    "0027-cluster-health.yaml",
 ]
 
 # step-level skips with documented divergence reasons:
@@ -400,6 +402,46 @@ def test_multi_indices_suite(es_service, tmp_path):
                   "0002-muti_indices_scroll.yaml",
                   "0003-multi_indices_aggs.yaml"]:
         failures = replay_file(service, os.path.join(d, fname))
+        assert not failures, f"{fname}: " + "\n".join(failures)
+
+
+def test_delete_indices_suite(tmp_path):
+    """es_compatibility/0024: ES DELETE /{targets} with comma lists,
+    ignore_unavailable, and 404 on concrete missing names — native
+    creation + ES deletion through the combined dispatcher."""
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    service = QwRestService(str(tmp_path / "indexes"))
+    failures = replay_file(service,
+                           os.path.join(ES_COMPAT, "0024-delete_indices.yaml"))
+    assert not failures, "\n".join(failures)
+
+
+def test_info_suite(es_service):
+    """es_compatibility_info/0001: the ES root info payload."""
+    path = os.path.join(SCENARII, "es_compatibility_info", "0001-info.yaml")
+    failures = replay_file(es_service["es_compat"], path, default_endpoint="")
+    assert not failures, "\n".join(failures)
+
+
+def test_bulk_suite(tmp_path):
+    """es_compatibility/bulk: per-item `_bulk` statuses (201 / 400
+    document_parsing_exception / 404 index_not_found_exception),
+    request-level malformed-action and index-missing 400s, PUT support,
+    and index-template auto-creation on first ingest."""
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    d = os.path.join(SCENARII, "es_compatibility", "bulk")
+    service = QwRestService(str(tmp_path / "indexes"))
+    failures = replay_file(service, os.path.join(d, "_setup.quickwit.yaml"))
+    assert not failures, "setup: " + "\n".join(failures)
+    for fname in ["0001-happy-path.yaml", "0002-malformed-action.yaml",
+                  "0003-validation-failed-index-missing.yaml",
+                  "0004-put-request.yaml",
+                  "0005-document-parsing-exception.yaml",
+                  "0006-partial-index-not-found.yaml"]:
+        failures = replay_file(service, os.path.join(d, fname),
+                               default_endpoint="_bulk")
         assert not failures, f"{fname}: " + "\n".join(failures)
 
 

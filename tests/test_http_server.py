@@ -87,7 +87,8 @@ def test_bulk_roundtrip_over_http(server):
                                      "lang": "en", "doc_id": 1000})])
     st, out = _req(server, "POST", "/api/v1/_elastic/docs/_bulk", payload,
                    ctype="application/x-ndjson")
-    assert st == 200 and out["items_indexed"] == 1
+    assert st == 200 and not out["errors"]
+    assert out["items"][0]["index"]["status"] == 201
     st, out = _req(server, "GET",
                    "/api/v1/_elastic/docs/_search?q=freshly")
     assert out["hits"]["total"]["value"] == 1
