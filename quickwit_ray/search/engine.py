@@ -62,8 +62,10 @@ class SearchResponse:
         """search_after cursor = last hit's sort tuple (root.rs:342-441)."""
         if self.hits is None or not len(self.hits):
             return None
+        from quickwit_ray.search.sortkeys import py_scalar
+
         last = self.hits.iloc[-1]
-        return (float(last["sort_key0"]), float(last["sort_key1"]),
+        return (py_scalar(last["sort_key0"]), py_scalar(last["sort_key1"]),
                 str(last["_split_id"]), int(last["_doc_id"]))
 
 
@@ -325,15 +327,11 @@ def merge_partial_hits(partials: list[dict], request: SearchRequest,
                                      "sort_key0", "sort_key1"])
     df = pd.concat(frames, ignore_index=True)
     sfs = (list(request.sort_fields) or [SortField("_doc", "desc")])[:2]
-    orders = [sf.order for sf in sfs]
-    by = ["sort_key0"] + (["sort_key1"] if len(sfs) > 1 else [])
-    asc = [o == "asc" for o in orders]
-    # tie-break split_id then doc_id, both in the primary sort direction
-    by += ["_split_id", "_doc_id"]
-    asc += [orders[0] == "asc", orders[0] == "asc"]
-    df = df.sort_values(by=by, ascending=asc, kind="mergesort").reset_index(drop=True)
-    lo = request.start_offset
-    return df.iloc[lo: lo + request.max_hits].reset_index(drop=True)
+    # exact comparator over Python scalars — float64 would corrupt
+    # i64/u64 sort keys beyond 2^53 (sortkeys.py)
+    from quickwit_ray.search.sortkeys import exact_hit_sort
+
+    return exact_hit_sort(df, sfs, request.start_offset, request.max_hits)
 
 
 class IndexSearcher:

@@ -277,13 +277,17 @@ def es_search_request(body: dict, default_fields: Sequence[str] = ()) -> dict:
         kwargs["aggs"] = body.get("aggs") or body.get("aggregations")
     if body.get("search_after"):
         # ES coerces string cursor values to the sort field's type
-        # ("search_after": ["5688"] behaves like [5688])
+        # ("search_after": ["5688"] behaves like [5688]) — int when
+        # integral so u64/i64-magnitude cursors stay exact
         def _coerce_cursor(v):
             if isinstance(v, str):
                 try:
-                    return float(v)
+                    return int(v)
                 except ValueError:
-                    return v
+                    try:
+                        return float(v)
+                    except ValueError:
+                        return v
             return v
 
         kwargs["search_after"] = tuple(_coerce_cursor(v)

@@ -187,7 +187,14 @@ def _sort_values(row: pd.Series, sort_fields, mapping,
             else:
                 out.append(int(v) // 1000)
         else:
-            out.append(_clean_scalar(np.float64(v)))
+            from quickwit_ray.search.sortkeys import py_scalar
+
+            v = py_scalar(v)
+            # exact ints/bools stay themselves (i64::MAX must
+            # round-trip); floats render through the integer-collapse
+            # cleanup
+            out.append(v if isinstance(v, int)  # bool is an int subclass
+                       else _clean_scalar(np.float64(v)))
     return out
 
 

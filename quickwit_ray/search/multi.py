@@ -54,16 +54,13 @@ def search_indexes(index_dirs: list[str], query: Any = None, *,
     if frames:
         df = pd.concat(frames, ignore_index=True)
         # comparator: sort keys in direction, then (split_id, doc_id) in
-        # the primary direction (collector.rs:1086-1184)
-        sfs = _normalize_sort(sort_by)
-        asc0 = bool(sfs) and sfs[0].order == "asc"  # default sort: desc doc id
-        asc1 = (sfs[1].order == "asc") if len(sfs) > 1 else asc0
-        df = (df.sort_values(by=["sort_key0", "sort_key1",
-                                 "_split_id", "_doc_id"],
-                             ascending=[asc0, asc1, asc0, asc0],
-                             kind="mergesort")
-                .iloc[start_offset: start_offset + max_hits]
-                .reset_index(drop=True))
+        # the primary direction (collector.rs:1086-1184) — exact Python
+        # scalars, not float64 (sortkeys.py)
+        from quickwit_ray.search.ast import SortField
+        from quickwit_ray.search.sortkeys import exact_hit_sort
+
+        sfs = (_normalize_sort(sort_by) or [SortField("_doc", "desc")])[:2]
+        df = exact_hit_sort(df, sfs, start_offset, max_hits)
     else:
         df = _empty_hits()
     # fetch phase: route each hit to its OWN index by its split directory

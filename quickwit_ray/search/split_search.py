@@ -923,71 +923,80 @@ class SplitSearcher:
         (sort_key0, sort_key1, split_id, doc_id) — the GlobalDocAddress
         analog — or a keys-only 2-tuple (strictly-after semantics, ties
         excluded)."""
+        from quickwit_ray.search.sortkeys import SortColumn
+
         docs = np.nonzero(mask)[0]
         if len(docs) == 0:
-            return docs, np.empty(0), np.empty(0)
+            return docs, np.empty(0, object), np.empty(0, object)
         sfs = (list(sort_fields) or [SortField("_doc", "desc")])[:2]
-        keys, orders = [], []
+        cols: list[SortColumn] = []
+        orders = []
         for sf in sfs:
             if sf.field == "_score":
                 v = (scores[docs] if scores is not None
                      else np.zeros(len(docs), np.float32)).astype(np.float64)
+                cols.append(SortColumn.from_numpy(v))
             elif sf.field == "_doc":
-                v = docs.astype(np.float64)
+                cols.append(SortColumn.from_numpy(docs.astype(np.int64)))
             else:
-                v = self._fast_values(sf.field)[docs].astype(np.float64)
-            keys.append(v)
+                try:
+                    arr = self.reader.fast_field_arrow(sf.field)
+                except KeyError:
+                    arr = None
+                cols.append(SortColumn.from_arrow(arr, docs))
             orders.append(sf.order)
         # top-k preselection: when the match set is much larger than k,
-        # argpartition on the primary key (keeping ALL boundary ties so the
-        # doc-id tie-break stays exact) before the exact lexsort
+        # argpartition on the primary key's order encoding (keeping ALL
+        # boundary ties so the doc-id tie-break stays exact)
         if search_after is None and len(docs) > max(4 * k, 1024) and k > 0:
-            primary = keys[0] if orders[0] == "asc" else -keys[0]
+            primary = cols[0].order_enc(orders[0] == "desc")
             kth = np.partition(primary, k - 1)[k - 1]
             keep = primary <= kth
             if keep.sum() <= max(8 * k, 2048):
-                docs = docs[keep]
-                keys = [v[keep] for v in keys]
-        # trailing tie-break: doc id compared in the primary sort direction
+                sel = np.nonzero(keep)[0]
+                docs = docs[sel]
+                cols = [c.subset(sel) for c in cols]
+        # lexsort over the uint64 order encodings (nulls last in either
+        # direction); trailing tie-break = doc id in the primary direction
+        lex_keys = [c.order_enc(o == "desc")
+                    for c, o in zip(cols, orders)]
         if sfs[-1].field != "_doc":
-            keys.append(docs.astype(np.float64))
-            orders.append(orders[0])
-        # lexsort: last key = primary; negate for descending
-        order = np.lexsort([(-v if o == "desc" else v)
-                            for v, o in zip(reversed(keys), reversed(orders))])
-        docs_sorted = docs[order]
-        key0 = keys[0][order]
-        key1 = keys[1][order] if len(sfs) > 1 else np.zeros(len(order))
+            d = SortColumn.from_numpy(docs.astype(np.int64))
+            lex_keys.append(d.order_enc(orders[0] == "desc"))
+        order = np.lexsort(list(reversed(lex_keys)))
         if search_after is not None:
             primary_desc = orders[0] == "desc"
-
-            def after(vals, cur, desc):
-                return (vals < cur) if desc else (vals > cur)
-
             cursor = tuple(search_after)
-            c_k0 = float(cursor[0])
-            c_k1 = float(cursor[1]) if len(cursor) > 1 else 0.0
-            eq0 = key0 == c_k0
-            m = after(key0, c_k0, orders[0] == "desc")
+            a0, e0 = cols[0].after_eq(cursor[0], primary_desc)
+            m = a0
             if len(sfs) > 1:
-                m |= eq0 & after(key1, c_k1, orders[1] == "desc")
-                eqk = eq0 & (key1 == c_k1)
+                a1, e1 = cols[1].after_eq(
+                    cursor[1] if len(cursor) > 1 else None,
+                    orders[1] == "desc")
+                m = m | (e0 & a1)
+                eqk = e0 & e1
             else:
-                eqk = eq0
+                eqk = e0
             if len(cursor) >= 4:
                 # address tie-break mirrors merge_partial_hits: split_id
                 # then doc_id, both compared in the primary sort direction
-                c_split, c_doc = str(cursor[2]), float(cursor[3])
+                c_split, c_doc = str(cursor[2]), int(cursor[3])
                 if split_id != c_split:
                     split_after = ((split_id < c_split) if primary_desc
                                    else (split_id > c_split))
                     if split_after:
-                        m |= eqk
+                        m = m | eqk
                 else:
-                    tie = docs_sorted.astype(np.float64)
-                    m |= eqk & after(tie, c_doc, primary_desc)
-            docs_sorted, key0, key1 = docs_sorted[m], key0[m], key1[m]
-        return docs_sorted[:k], key0[:k], key1[:k]
+                    tie = ((docs < c_doc) if primary_desc
+                           else (docs > c_doc))
+                    m = m | (eqk & tie)
+            order = order[m[order]]
+        order = order[:k]
+        docs_sorted = docs[order]
+        key0 = cols[0].exact(order)
+        key1 = (cols[1].exact(order) if len(sfs) > 1
+                else np.zeros(len(order), object))
+        return docs_sorted, key0, key1
 
 
 def _has_field(mapping: DocMapping, name: str) -> bool:

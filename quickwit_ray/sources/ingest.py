@@ -584,7 +584,12 @@ def _docs_to_table(docs: list[dict[str, Any]], mapping) -> pa.Table:
                     if v is not None else None for v in vals]
             cols[k] = pa.array(vals, pa.string())
         else:
-            cols[k] = pa.array(vals)
+            try:
+                cols[k] = pa.array(vals)
+            except (OverflowError, pa.ArrowInvalid):
+                # ints beyond i64 (the u64 upper half, e.g. 18e18 doc
+                # ids) overflow arrow's default int64 inference
+                cols[k] = pa.array(vals, pa.uint64())
     # mapped-but-absent fields become typed null columns: strict mode
     # rejects UNKNOWN doc keys, not missing ones
     typed_null = {"text": pa.string(), "i64": pa.int64(), "u64": pa.uint64(),

@@ -15,8 +15,6 @@ the scenarios sort/range/aggregate on, and a stored `_source` json column
 (the reference's store_source) for verbatim `_source` rendering.
 
 Documented divergences (steps skipped via _SKIP, reason inline):
-  * float64 sort keys — search_after at u64/i64 extreme magnitudes loses
-    precision (the search_after edge-case suite is not replayed).
   * `_cat/indices` size expectations assume tantivy file sizes and the
     otel default indexes — not comparable byte-for-byte.
 """
@@ -421,6 +419,23 @@ def test_info_suite(es_service):
     """es_compatibility_info/0001: the ES root info payload."""
     path = os.path.join(SCENARII, "es_compatibility_info", "0001-info.yaml")
     failures = replay_file(es_service["es_compat"], path, default_endpoint="")
+    assert not failures, "\n".join(failures)
+
+
+def test_search_after_edge_cases_suite(tmp_path):
+    """search_after/0001: exact typed sort keys — u64/i64/f64 values at
+    full precision (i64::MAX, 18e18-range u64), cross-type search_after
+    coercion (f64 cursor on u64 column, out-of-domain saturation), and a
+    dynamic column whose type differs per split (u64/f64/i64/bool)."""
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    d = os.path.join(SCENARII, "search_after")
+    service = QwRestService(str(tmp_path / "indexes"))
+    failures = replay_file(service, os.path.join(d, "_setup.quickwit.yaml"))
+    assert not failures, "setup: " + "\n".join(failures)
+    failures = replay_file(service,
+                           os.path.join(d, "0001-search_after_edge_case.yaml"),
+                           default_endpoint="search_after/_search")
     assert not failures, "\n".join(failures)
 
 
