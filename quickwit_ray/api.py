@@ -155,23 +155,29 @@ class Index:
 
     # -- ES REST surface breadth (rest_handler.rs:71-294) ----------------
 
-    _ES_TYPES = {"text": "text", "i64": "long", "u64": "unsigned_long",
-                 "f64": "double", "bool": "boolean", "datetime": "date",
-                 "bytes": "binary", "ip": "ip", "json": "object"}
+    def list_field_entries(self, fields: Optional[list[str]] = None,
+                           start_timestamp: Optional[int] = None,
+                           end_timestamp: Optional[int] = None) -> list[dict]:
+        """Per-(field, type) listing merged across time-pruned splits
+        (list_fields.rs); timestamps in seconds."""
+        from quickwit_ray.search.listers import list_field_entries
 
-    def es_field_caps(self) -> dict:
-        """ES `_field_caps` shape over the doc mapping."""
-        fields = {}
+        return list_field_entries(self.index_dir, fields,
+                                  start_timestamp, end_timestamp)
+
+    def es_field_caps(self, fields: Optional[list[str]] = None,
+                      start_timestamp: Optional[int] = None,
+                      end_timestamp: Optional[int] = None) -> dict:
+        """ES `_field_caps` from per-split field metadata
+        (field_capability.rs conversion; Str fields report keyword AND
+        text). Timestamp filters prune splits, so a field only present
+        in pruned splits disappears."""
+        from quickwit_ray.search.listers import es_field_caps_response
+
         m = Manifest(self.index_dir)
-        for f in self.config.doc_mapping.field_mappings:
-            es_t = self._ES_TYPES.get(f.type, "keyword")
-            fields[f.name] = {es_t: {
-                "type": es_t,
-                "metadata_field": False,
-                "searchable": bool(f.indexed),
-                "aggregatable": bool(f.fast),
-            }}
-        return {"indices": [m.index_config_json["index_id"]], "fields": fields}
+        index_id = m.index_config_json["index_id"]
+        return es_field_caps_response({index_id: self.list_field_entries(
+            fields, start_timestamp, end_timestamp)})
 
     def es_stats(self) -> dict:
         """ES `_stats` shape: doc counts + store bytes from the manifest."""

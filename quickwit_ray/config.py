@@ -100,6 +100,10 @@ class DocMapping:
     dynamic_indexed: bool = True
     dynamic_fast: bool = False
     dynamic_fast_normalizer: str = "raw"
+    # store each doc's serialized-JSON byte length as the aggregatable
+    # `_doc_length` fast field (doc_mapping.rs store_document_size /
+    # DOCUMENT_SIZE_FIELD_NAME); never rendered in _source
+    store_document_size: bool = False
 
     def __post_init__(self) -> None:
         if self.tokenizers:
@@ -236,6 +240,7 @@ class IndexConfig:
             dynamic_indexed=dm.get("dynamic_indexed", True),
             dynamic_fast=dm.get("dynamic_fast", False),
             dynamic_fast_normalizer=dm.get("dynamic_fast_normalizer", "raw"),
+            store_document_size=dm.get("store_document_size", False),
         )
         st = obj.get("settings", {})
         mp = st.get("merge_policy", {})
@@ -358,6 +363,7 @@ def index_config_from_api_json(obj: dict[str, Any]) -> IndexConfig:
         dynamic_indexed=dyn.get("indexed", True),
         dynamic_fast=bool(dyn_fast),
         dynamic_fast_normalizer=dyn_fast_norm,
+        store_document_size=bool(dm.get("store_document_size", False)),
     )
     return IndexConfig(index_id=obj["index_id"], doc_mapping=mapping)
 

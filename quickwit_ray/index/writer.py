@@ -315,7 +315,11 @@ class SplitBuilder:
         if self.mapping.mode == "dynamic" and self.mapping.dynamic_indexed:
             mapped = {f.name for f in self.mapping.field_mappings}
             for i, col in enumerate(batch.column_names):
-                if col not in mapped and pa.types.is_string(batch.schema.types[i]):
+                t = batch.schema.types[i]
+                if (pa.types.is_list(t) or pa.types.is_large_list(t)):
+                    t = t.value_type  # string arrays tokenize per element
+                if col not in mapped and (pa.types.is_string(t)
+                                          or pa.types.is_large_string(t)):
                     out.append(self.mapping.resolve_field(col))
         return out
 
@@ -445,6 +449,11 @@ class SplitBuilder:
                 elif fm.type == "text" and fm.fast_normalizer == "lowercase":
                     col = pc.utf8_lower(col)
                 fast_cols[fm.name] = col
+        if (getattr(self.mapping, "store_document_size", False)
+                and "_doc_length" in batch.column_names):
+            # `_doc_length` is a fast-only schema field (doc_mapper_impl
+            # document_size_field): aggregatable, never indexed/stored
+            fast_cols["_doc_length"] = batch["_doc_length"]
         if self.mapping.mode == "dynamic" and self.mapping.dynamic_fast:
             # dynamic_mapping.fast: unmapped scalar columns persist fast
             # values too (sorting/aggregating on dynamic paths,
@@ -462,6 +471,19 @@ class SplitBuilder:
                 elif (pa.types.is_integer(t) or pa.types.is_floating(t)
                       or pa.types.is_boolean(t) or pa.types.is_timestamp(t)):
                     fast_cols[cname] = col
+                elif pa.types.is_list(t) or pa.types.is_large_list(t):
+                    # multi-valued dynamic column (JSON array value):
+                    # persisted as a list fast column; aggs explode it
+                    vt = t.value_type
+                    if pa.types.is_string(vt):
+                        if self.mapping.dynamic_fast_normalizer == "lowercase":
+                            arr = col.combine_chunks()
+                            col = pa.ListArray.from_arrays(
+                                arr.offsets, pc.utf8_lower(arr.values))
+                        fast_cols[cname] = col
+                    elif (pa.types.is_integer(vt) or pa.types.is_floating(vt)
+                          or pa.types.is_boolean(vt)):
+                        fast_cols[cname] = col
         if fast_cols:
             self._fast_chunks.append(pa.table(fast_cols))
 
@@ -493,7 +515,8 @@ class SplitBuilder:
                         and (self.config.settings.store_binary_columns or f.type != "bytes")]
         if self.mapping.mode == "dynamic":
             mapped = {f.name for f in self.mapping.field_mappings}
-            stored_names += [c for c in batch.column_names if c not in mapped]
+            stored_names += [c for c in batch.column_names
+                             if c not in mapped and c != "_doc_length"]
         store_tbl = batch.select(stored_names)
         if self._docstore_writer is None:
             os.makedirs(self._tmp_dir, exist_ok=True)
@@ -512,6 +535,86 @@ class SplitBuilder:
         s = self.config.settings
         seal_docs = s.commit_docs_threshold or s.split_num_docs_target
         return self.num_docs >= seal_docs or self.est_bytes >= s.heap_size_bytes
+
+    def _fields_metadata(self, fast: Optional[pa.Table]) -> list[dict]:
+        """Per-split field listing (packager.rs:290-370 fields_metadata /
+        `serialize_split_fields`): one entry per (field name, value type)
+        PRESENT in this split, with searchable/aggregatable flags. Dynamic
+        and json leaf paths report their concrete value types; a float
+        column holding coerced JSON ints additionally reports the int type
+        as searchable-but-not-aggregatable (tantivy columnar coercion —
+        the es_field_capabilities `mixed` scenario). Consumed by
+        `Index.es_field_caps` merged across time-pruned splits."""
+        m = self.mapping
+        mapped = {f.name: f for f in m.field_mappings}
+        type_map = {"text": "str", "i64": "i64", "u64": "u64", "f64": "f64",
+                    "bool": "bool", "datetime": "date", "bytes": "bytes",
+                    "ip": "ip"}
+        entries: dict[tuple[str, str], list[bool]] = {}
+
+        def add(name: str, typ: str, searchable: bool, aggregatable: bool):
+            cur = entries.setdefault((name, typ), [False, False])
+            cur[0] |= bool(searchable)
+            cur[1] |= bool(aggregatable)
+
+        json_roots = [f.name for f in m.field_mappings if f.type == "json"]
+        dyn_searchable = m.mode == "dynamic" and m.dynamic_indexed
+        dyn_aggregatable = m.mode == "dynamic" and m.dynamic_fast
+        # mapped fields are SCHEMA-declared: present in every split even
+        # with no values (tantivy segment schema), unlike dynamic paths
+        for fm in m.field_mappings:
+            if fm.type == "json":
+                continue
+            add(fm.name, type_map.get(fm.type, "str"), fm.indexed, fm.fast)
+        covered: set[str] = {f.name for f in m.field_mappings}
+        if getattr(m, "store_document_size", False):
+            add("_doc_length", "u64", False, True)
+            covered.add("_doc_length")
+        for cname in (fast.column_names if fast is not None else []):
+            col = fast[cname]
+            if cname in covered:
+                continue
+            if col.null_count == len(col):
+                continue  # dynamic/json path with no values: not present
+            covered.add(cname)
+            root = next((r for r in json_roots
+                         if cname.startswith(r + ".")), None)
+            if root is not None:
+                searchable = bool(mapped[root].indexed)
+                aggregatable = bool(mapped[root].fast)
+            else:
+                searchable, aggregatable = dyn_searchable, dyn_aggregatable
+            t = col.type
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                t = t.value_type
+                col = pa.chunked_array([col.combine_chunks().values])
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                add(cname, "str", searchable, aggregatable)
+            elif pa.types.is_boolean(t):
+                add(cname, "bool", searchable, aggregatable)
+            elif pa.types.is_timestamp(t):
+                add(cname, "date", searchable, aggregatable)
+            elif pa.types.is_integer(t):
+                add(cname, "i64", searchable, aggregatable)
+            elif pa.types.is_floating(t):
+                vals = col.drop_null().to_numpy(zero_copy_only=False)
+                integral = vals == np.floor(vals)
+                if len(vals) and integral.any() and not integral.all():
+                    add(cname, "i64", searchable, False)
+                add(cname, "f64", searchable, aggregatable)
+        # inverted-only fields (no fast column): mapped non-fast text,
+        # dynamic strings with dynamic_mapping.fast=false, concat fields.
+        # json ROOT fields are skipped (ListFieldType::Json => continue)
+        for fname in self._accs:
+            if fname in covered or fname in json_roots:
+                continue
+            fm = mapped.get(fname)
+            if fm is not None:  # mapped fields already schema-declared
+                continue
+            add(fname, "str", True, dyn_aggregatable)
+        return [{"name": n, "type": t,
+                 "searchable": s, "aggregatable": a}
+                for (n, t), (s, a) in sorted(entries.items())]
 
     def flush(self) -> Optional[SplitMetadata]:
         if self.num_docs == 0:
@@ -649,6 +752,11 @@ class SplitBuilder:
         tags = {t: sorted(str(v) for v in vals)
                 for t, vals in self._tags.items()
                 if t not in self._tag_overflow and vals}
+        try:
+            fields_meta = self._fields_metadata(
+                fast if self._fast_chunks else None)
+        except Exception:  # field-caps metadata must never fail a build
+            fields_meta = []
         write_footer(self._tmp_dir, {
             "split_id": self.split_id,
             "index_id": self.config.index_id,
@@ -656,6 +764,7 @@ class SplitBuilder:
             "field_stats": field_stats,
             "time_range": [self._ts_min, self._ts_max],
             "tags": tags,
+            "fields": fields_meta,
         })
         # atomic publish of the artifact dir
         if os.path.exists(self.split_dir):

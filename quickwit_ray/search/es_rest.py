@@ -403,13 +403,7 @@ class EsRestService:
         if endpoint == "_stats":
             return self._stats(list(self.indexes))
         if endpoint == "_field_caps":
-            out = {"indices": [], "fields": {}}
-            for idx in self.indexes.values():
-                fc = idx.es_field_caps()
-                out["indices"].extend(fc["indices"])
-                for f, caps in fc["fields"].items():
-                    out["fields"].setdefault(f, {}).update(caps)
-            return out
+            return self._field_caps(list(self.indexes), params)
         if parts[0] == "_cat" and len(parts) >= 2 and parts[1] == "indices":
             pattern = parts[2] if len(parts) > 2 else "*"
             return self._cat_indices(pattern, params)
@@ -431,15 +425,9 @@ class EsRestService:
             if verb == "_bulk":
                 return self._es_bulk(index, ndjson, body)
             if verb == "_field_caps":
-                if index in self.indexes:
-                    return self._index(index).es_field_caps()
-                out = {"indices": [], "fields": {}}
-                for n in self._resolve_targets(index):
-                    fc = self.indexes[n].es_field_caps()
-                    out["indices"].extend(fc["indices"])
-                    for f, caps in fc["fields"].items():
-                        out["fields"].setdefault(f, {}).update(caps)
-                return out
+                names = ([index] if index in self.indexes
+                         else self._resolve_targets(index))
+                return self._field_caps(names, params)
             if verb == "ingest":
                 docs = body if isinstance(body, list) else [body]
                 n = self._index(index).ingest_docs(docs)
@@ -447,6 +435,23 @@ class EsRestService:
         raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
 
     # -- handlers -------------------------------------------------------
+
+    def _field_caps(self, names: list[str], params: dict) -> dict:
+        """Cross-index `_field_caps` (field_capability.rs): `fields`
+        comma list with `*` wildcards, start/end_timestamp split-pruning
+        filters (seconds, non-ES extension)."""
+        from quickwit_ray.search.listers import es_field_caps_response
+
+        fields = None
+        if params.get("fields"):
+            fields = [p for p in str(params["fields"]).split(",") if p]
+        lo = (int(params["start_timestamp"])
+              if params.get("start_timestamp") not in (None, "") else None)
+        hi = (int(params["end_timestamp"])
+              if params.get("end_timestamp") not in (None, "") else None)
+        return es_field_caps_response(
+            {n: self.indexes[n].list_field_entries(fields, lo, hi)
+             for n in names})
 
     def _apply_params(self, index: Index, params: dict, body: dict) -> dict:
         return self._apply_params_d(

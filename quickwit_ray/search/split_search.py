@@ -124,6 +124,20 @@ class SplitSearcher:
             scores = (scores * np.float32(node.boost)).astype(np.float32)
         return mask, scores
 
+    def _dynamic_value_kind(self, field: str) -> str:
+        """dtype kind of an UNMAPPED dynamic field's fast column in THIS
+        split ('' when absent/string/list) — dynamic numeric/bool values
+        are matched against the column, not the term dictionary, and the
+        column type can differ per split (doc_mapper dynamic typing)."""
+        if self.mapping.mode != "dynamic" or _has_field(self.mapping, field):
+            return ""
+        try:
+            vals = self._fast_values(field)
+        except (KeyError, ValueError):
+            return ""
+        k = getattr(vals.dtype, "kind", "")
+        return k if k in "iufb" else ""
+
     def _value_equality(self, field: str, value, scoring: bool):
         """Exact match on a non-text indexed field = fast-field equality
         filter (numeric/bool/datetime terms have no postings)."""
@@ -140,7 +154,13 @@ class SplitSearcher:
 
             value = np.int64(datetime_value_to_us(value))
         elif vals.dtype.kind in "iuf":
-            value = float(value)
+            try:
+                value = float(value)
+            except (TypeError, ValueError):
+                # non-numeric text against a numeric column matches nothing
+                n = self.reader.num_docs
+                return (np.zeros(n, bool),
+                        np.zeros(n, np.float32) if scoring else None)
         elif vals.dtype.kind == "b":
             value = str(value).lower() in ("true", "1", "yes")
         mask = vals == value
@@ -171,6 +191,8 @@ class SplitSearcher:
                 return self._value_equality(node.field, value, scoring)
             if fm.tokenizer in ("raw_lowercase", "lowercase"):
                 value = value.lower()
+        elif self._dynamic_value_kind(node.field):
+            return self._value_equality(node.field, value, scoring)
         rows = self.reader.term_rows(node.field, [value])
         return self._term_postings_score(node.field, rows[rows >= 0], scoring)
 
@@ -224,6 +246,9 @@ class SplitSearcher:
                 and self.mapping.mode != "dynamic":
             # ES lenient: unknown field matches nothing instead of erroring
             return self._eval_MatchNone(MatchNone(), scoring)
+        if self._dynamic_value_kind(node.field):
+            # dynamic numeric/bool column: `field:123` = equality filter
+            return self._value_equality(node.field, node.text, scoring)
         fm = self.mapping.resolve_field(node.field)
         if fm.type == "json":
             # bare query on the json root: tokens anywhere in the subtree

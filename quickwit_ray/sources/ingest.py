@@ -599,6 +599,13 @@ def _docs_to_table(docs: list[dict[str, Any]], mapping) -> pa.Table:
     for f in mapping.field_mappings:
         if f.name not in cols:
             cols[f.name] = pa.nulls(len(docs), typed_null.get(f.type, pa.string()))
+    if getattr(mapping, "store_document_size", False):
+        # per-doc serialized-JSON byte length (doc_mapper_impl.rs:549-551,
+        # `document_len = json_doc.len()`); parsed dicts re-serialize with
+        # the canonical separators the NDJSON producer used
+        cols["_doc_length"] = pa.array(
+            [len(json.dumps(d, default=str).encode()) for d in docs],
+            pa.uint64())
     return pa.table(cols)
 
 

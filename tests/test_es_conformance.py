@@ -439,6 +439,40 @@ def test_search_after_edge_cases_suite(tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_doc_len_suite(tmp_path):
+    """aggregations/0002: `store_document_size` persists each doc's
+    serialized-JSON byte length as the aggregatable `_doc_length` fast
+    field (sum == 952.0 over the setup corpus), and `_doc_length` never
+    appears in rendered `_source`."""
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    d = os.path.join(SCENARII, "aggregations")
+    service = QwRestService(str(tmp_path / "indexes"))
+    failures = replay_file(service, os.path.join(d, "_setup.quickwit.yaml"))
+    assert not failures, "setup: " + "\n".join(failures)
+    failures = replay_file(service, os.path.join(d, "0002-doc-len.yaml"),
+                           default_endpoint="aggregations/_search")
+    assert not failures, "\n".join(failures)
+
+
+def test_field_capabilities_suite(tmp_path):
+    """es_field_capabilities/0001: per-split field metadata merged across
+    time-pruned splits — dynamic per-type entries (long+double for a
+    cross-split mixed column, keyword+text for strings, long
+    searchable-but-not-aggregatable for ints coerced into a double
+    column), `fields=` wildcards, index-wildcard targets with per-entry
+    `indices` attribution, 404 for missing exact names."""
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    d = os.path.join(SCENARII, "es_field_capabilities")
+    service = QwRestService(str(tmp_path / "indexes"))
+    failures = replay_file(service, os.path.join(d, "_setup.quickwit.yaml"))
+    assert not failures, "setup: " + "\n".join(failures)
+    failures = replay_file(service,
+                           os.path.join(d, "0001-field-capabilities.yaml"))
+    assert not failures, "\n".join(failures)
+
+
 def test_bulk_suite(tmp_path):
     """es_compatibility/bulk: per-item `_bulk` statuses (201 / 400
     document_parsing_exception / 404 index_not_found_exception),
