@@ -261,7 +261,14 @@ def ingest_queue(queue_dir: str, index_dir: str, config: IndexConfig, *,
         # commit wave: contiguous ranges per partition collapse into one
         # delta; splits of a partition publish together with its offset
         by_partition: dict[str, tuple[list[SplitMetadata], int, int]] = {}
-        for p, a, b, sj in sorted(results, key=lambda r: (r[0], r[1])):
+
+        def _pos_key(v):
+            # int offsets (Kafka/file queue) and opaque string positions
+            # (Kinesis/Pulsar) sort uniformly: Beginning(int) first
+            return (1, v) if isinstance(v, str) else (0, v)
+
+        for p, a, b, sj in sorted(results,
+                                  key=lambda r: (r[0], _pos_key(r[1]))):
             sm_json = json.loads(sj)
             sms: list[SplitMetadata] = (
                 [SplitMetadata.from_json(sm_json)] if sm_json else [])

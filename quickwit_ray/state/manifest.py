@@ -452,13 +452,20 @@ class Manifest:
             self._apply(op)
             self._append(op)
 
-    def source_offset(self, partition: str) -> int:
-        """Committed stream offset for a queue partition (0 = nothing
-        committed). Offsets live in the same checkpoint map the batch
-        builds use, so batch and stream ingestion share one transactional
-        publish path (checkpoint.rs:170-188 SourceCheckpoint analog)."""
+    def source_offset(self, partition: str):
+        """Committed stream position for a queue partition (0 = nothing
+        committed). Positions are ints (Kafka/file-queue record offsets)
+        or OPAQUE ORDERED STRINGS (the reference's `Position` bytestring,
+        position.rs:31-68 — Kinesis sequence numbers, Pulsar message ids;
+        producers zero-pad so lexicographic order == stream order).
+        Offsets live in the same checkpoint map the batch builds use, so
+        batch and stream ingestion share one transactional publish path
+        (checkpoint.rs:170-188 SourceCheckpoint analog)."""
         cp = self.checkpoints.get(partition)
-        return int(cp.get("offset", 0)) if cp else 0
+        if not cp:
+            return 0
+        off = cp.get("offset", 0)
+        return off if isinstance(off, str) else int(off)
 
     def publish_stream(self, by_partition: dict[str, tuple[list["SplitMetadata"], int, int]]) -> None:
         """Atomic publish of streaming micro-batches with their offset
@@ -473,9 +480,17 @@ class Manifest:
         """
         op: dict[str, Any] = {"op": "publish", "splits": [], "replaced": [],
                               "checkpoints": {}}
+
+        def ge(a, b) -> bool:
+            # position order: int 0 == Beginning < every opaque string;
+            # like kinds compare natively (opaque producers zero-pad)
+            if isinstance(a, str) != isinstance(b, str):
+                return isinstance(a, str)  # a opaque, b Beginning(0)
+            return a >= b
+
         for pid, (sms, frm, to) in by_partition.items():
             cur = self.source_offset(pid)
-            if cur >= to:
+            if ge(cur, to):
                 continue  # duplicate commit = no-op
             if cur != frm:
                 raise ValueError(
@@ -483,7 +498,8 @@ class Manifest:
                     f"committed {cur}, delta [{frm}, {to})")
             op["splits"].extend(sm.to_json() for sm in sms)
             op["checkpoints"][pid] = {"committed_at": time.time(),
-                                      "offset": int(to)}
+                                      "offset": (to if isinstance(to, str)
+                                                 else int(to))}
         if op["checkpoints"]:
             self._apply(op)
             self._append(op)
