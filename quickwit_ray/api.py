@@ -222,6 +222,21 @@ class Index:
     def gc(self, grace_period_secs: float = 0.0) -> list[str]:
         return garbage_collect(self.index_dir, grace_period_secs)
 
+    def clear(self) -> int:
+        """Reset the index to empty keeping its config (`quickwit index
+        clear` / index_api `PUT /indexes/{id}/clear`): drops all splits,
+        checkpoints, delete tasks and shards atomically, then removes the
+        artifact dirs. Returns the number of splits dropped."""
+        import os
+        import shutil
+
+        ids = Manifest(self.index_dir).clear()
+        for sid in ids:
+            d = os.path.join(self.index_dir, "splits", sid)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        return len(ids)
+
     def create_delete_task(self, query: str) -> int:
         return Manifest(self.index_dir).create_delete_task(query)
 

@@ -82,6 +82,24 @@ def main(argv=None) -> int:
     st_.add_argument("--format", default="stats", choices=["stats", "cat",
                                                            "field-caps"])
 
+    cl = sub.add_parser("clear", help="drop all splits + checkpoints, "
+                        "keep the index config (`quickwit index clear`)")
+    cl.add_argument("index_dir")
+
+    sp = sub.add_parser("split", help="split inspection "
+                        "(`quickwit split list/describe/extract`)")
+    spsub = sp.add_subparsers(dest="split_cmd", required=True)
+    sl = spsub.add_parser("list", help="published splits with metadata")
+    sl.add_argument("index_dir")
+    sd = spsub.add_parser("describe", help="one split's footer + files")
+    sd.add_argument("index_dir")
+    sd.add_argument("split_id")
+    se = spsub.add_parser("extract", help="copy a split's artifact files "
+                          "to a directory (`tool extract-split`)")
+    se.add_argument("index_dir")
+    se.add_argument("split_id")
+    se.add_argument("out_dir")
+
     sv = sub.add_parser("serve", help="HTTP REST tier (ES-compatible API "
                         "under /api/v1/_elastic, rest_handler.rs analog)")
     sv.add_argument("index_dirs", nargs="+",
@@ -160,6 +178,35 @@ def main(argv=None) -> int:
         df = Index.open(args.index_dir).list_terms(
             args.field, prefix=args.prefix, limit=args.limit)
         print(df.to_string())
+    elif args.cmd == "clear":
+        n = Index.open(args.index_dir).clear()
+        print(f"cleared index: dropped {n} splits")
+    elif args.cmd == "split":
+        import os
+
+        idx = Index.open(args.index_dir)
+        if args.split_cmd == "list":
+            print(json.dumps(idx.describe()["splits"], indent=2))
+        else:
+            d = os.path.join(args.index_dir, "splits", args.split_id)
+            if not os.path.isdir(d):
+                print(f"no such split {args.split_id}", file=sys.stderr)
+                return 1
+            if args.split_cmd == "describe":
+                with open(os.path.join(d, "footer.json")) as f:
+                    footer = json.load(f)
+                footer["files"] = {fn: os.path.getsize(os.path.join(d, fn))
+                                   for fn in sorted(os.listdir(d))}
+                print(json.dumps(footer, indent=2))
+            else:  # extract
+                import shutil
+
+                os.makedirs(args.out_dir, exist_ok=True)
+                for fn in sorted(os.listdir(d)):
+                    shutil.copy2(os.path.join(d, fn),
+                                 os.path.join(args.out_dir, fn))
+                print(f"extracted {len(os.listdir(d))} files to "
+                      f"{args.out_dir}")
     elif args.cmd == "serve":
         from quickwit_ray.server import SearchServer
 

@@ -311,21 +311,26 @@ def merge_partial_hits(partials: list[dict], request: SearchRequest,
     """Merge per-split top-k lists with the reference comparator
     (collector.rs:1086-1184): compare sort keys in sort direction, then
     GlobalDocAddress (split_id, doc_id) in the SAME direction."""
-    frames = []
-    for p in partials:
-        if len(p["doc_ids"]) == 0:
-            continue
-        frames.append(pd.DataFrame({
-            "_split_id": split_ids[p["split_dir"]],
-            "_split_dir": p["split_dir"],
-            "_doc_id": p["doc_ids"],
-            "sort_key0": p["sort_key0"],
-            "sort_key1": p["sort_key1"],
-        }))
-    if not frames:
+    parts = [p for p in partials if len(p["doc_ids"])]
+    if not parts:
         return pd.DataFrame(columns=["_split_id", "_split_dir", "_doc_id",
                                      "sort_key0", "sort_key1"])
-    df = pd.concat(frames, ignore_index=True)
+    counts = [len(p["doc_ids"]) for p in parts]
+    # one frame from concatenated arrays (candidate set is <= splits * k)
+    df = pd.DataFrame({
+        "_split_id": np.repeat(np.asarray(
+            [split_ids[p["split_dir"]] for p in parts], object), counts),
+        "_split_dir": np.repeat(np.asarray(
+            [p["split_dir"] for p in parts], object), counts),
+        "_doc_id": np.concatenate(
+            [np.asarray(p["doc_ids"]) for p in parts]),
+        # dtype follows the parts: pure-float score keys stay float64
+        # (callers np.allclose them), int/str exact keys are object
+        "sort_key0": np.concatenate(
+            [np.asarray(p["sort_key0"]) for p in parts]),
+        "sort_key1": np.concatenate(
+            [np.asarray(p["sort_key1"]) for p in parts]),
+    })
     sfs = (list(request.sort_fields) or [SortField("_doc", "desc")])[:2]
     # exact comparator over Python scalars — float64 would corrupt
     # i64/u64 sort keys beyond 2^53 (sortkeys.py)

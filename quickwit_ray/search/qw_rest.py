@@ -91,6 +91,15 @@ class QwRestService:
             if method == "GET" and len(parts) == 2:
                 idx = self._index(parts[1])
                 return {"index_config": idx.config.to_json()}
+            if method == "PUT" and len(parts) == 3 and parts[2] == "clear":
+                # index_api clear handler: drop splits + checkpoints,
+                # keep the config
+                n = self._index(parts[1]).clear()
+                return {"acknowledged": True, "num_splits_dropped": n}
+            if method == "GET" and len(parts) == 3 and parts[2] == "describe":
+                return self._index(parts[1]).describe()
+            if method == "GET" and len(parts) == 3 and parts[2] == "splits":
+                return {"splits": self._index(parts[1]).describe()["splits"]}
             raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
         if parts[0] == "templates":
             if method == "POST" and len(parts) == 1:

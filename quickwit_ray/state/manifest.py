@@ -188,6 +188,14 @@ class Manifest:
             for i in op["ids"]:
                 self.shards.pop(i, None)
                 self.checkpoints.pop(f"mq:{i}", None)
+        elif kind == "clear":
+            # `index clear` (index_api clear handler): all splits, source
+            # checkpoints, delete tasks and shards drop in ONE op; the
+            # index config survives
+            self.splits = {}
+            self.checkpoints = {}
+            self.delete_tasks = []
+            self.shards = {}
         else:  # pragma: no cover — forward compat
             raise ValueError(f"unknown manifest op {kind!r}")
 
@@ -276,6 +284,11 @@ class Manifest:
                                 [(i,) for i in op["ids"]])
                 con.executemany("DELETE FROM checkpoints WHERE partition = ?",
                                 [(f"mq:{i}",) for i in op["ids"]])
+            elif kind == "clear":
+                con.execute("DELETE FROM splits")
+                con.execute("DELETE FROM checkpoints")
+                con.execute("DELETE FROM delete_tasks")
+                con.execute("DELETE FROM shards")
             else:  # pragma: no cover
                 raise ValueError(f"unknown manifest op {kind!r}")
 
@@ -503,6 +516,18 @@ class Manifest:
         if op["checkpoints"]:
             self._apply(op)
             self._append(op)
+
+    def clear(self) -> list[str]:
+        """Reset the index to empty (`quickwit index clear` /
+        index_api clear handler): every split, source checkpoint, delete
+        task and shard drops in one atomic op; the index config and id
+        survive. Returns the dropped split ids so the caller can delete
+        their artifact dirs."""
+        ids = list(self.splits)
+        op = {"op": "clear"}
+        self._apply(op)
+        self._append(op)
+        return ids
 
     def mark_for_deletion(self, split_ids: Iterable[str]) -> None:
         op = {"op": "mark_for_deletion", "split_ids": list(split_ids)}

@@ -355,6 +355,73 @@ def test_cli_bulk_queue_stats(tmp_path, capsys):
     assert '"num_hits": 1' in capsys.readouterr().out
 
 
+def test_cli_split_and_clear(tmp_path, capsys):
+    """`split list/describe/extract` + `clear` (quickwit index clear /
+    split CLI analogs): inspection shapes, artifact extraction, and the
+    atomic splits+checkpoints reset preserving the index config."""
+    import json as _json
+    import os
+
+    from quickwit_ray.api import Index
+    from quickwit_ray.cli import main as cli_main
+    from quickwit_ray.state.manifest import Manifest
+
+    d = str(tmp_path / "idx")
+    assert cli_main(["create", d, "--index-id", "docs",
+                     "--mapping", "documents"]) == 0
+    capsys.readouterr()
+    idx = Index.open(d)
+    idx.bulk("\n".join([
+        '{"index": {}}',
+        _json.dumps({"doc_id": 1, "text": "clear me later", "lang": "en",
+                     "source": "s", "n_chars": 14})]))
+    assert cli_main(["split", "list", d]) == 0
+    splits = _json.loads(capsys.readouterr().out)
+    assert len(splits) == 1 and splits[0]["num_docs"] == 1
+    sid = splits[0]["split_id"]
+    assert cli_main(["split", "describe", d, sid]) == 0
+    footer = _json.loads(capsys.readouterr().out)
+    assert footer["num_docs"] == 1 and "postings.parquet" in footer["files"]
+    out_dir = str(tmp_path / "extracted")
+    assert cli_main(["split", "extract", d, sid, out_dir]) == 0
+    capsys.readouterr()
+    assert os.path.exists(os.path.join(out_dir, "footer.json"))
+    # clear: splits + checkpoints drop, config survives, re-ingest works
+    assert cli_main(["clear", d]) == 0
+    assert "dropped 1 splits" in capsys.readouterr().out
+    m = Manifest(d)
+    assert not m.published_splits() and not m.checkpoints
+    assert idx.search("*", max_hits=0).num_hits == 0
+    idx.ingest_docs([{"doc_id": 2, "text": "fresh start", "lang": "en",
+                      "source": "s", "n_chars": 11}])
+    assert idx.search("text:fresh", max_hits=0).num_hits == 1
+
+
+def test_rest_clear_and_describe(tmp_path):
+    """Native REST `PUT /indexes/{id}/clear` + describe/splits routes."""
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    svc = QwRestService(str(tmp_path / "ix"))
+    st, _ = svc.request("POST", "indexes/", None, {
+        "version": "0.8", "index_id": "c1",
+        "doc_mapping": {"mode": "dynamic", "field_mappings": []}})
+    assert st == 200
+    st, _ = svc.request("POST", "c1/ingest", {"commit": "force"}, None,
+                        [{"body": "to be cleared"}])
+    assert st == 200
+    st, r = svc.request("GET", "indexes/c1/describe", None, None)
+    assert st == 200 and r["num_docs"] == 1
+    st, r = svc.request("GET", "indexes/c1/splits", None, None)
+    assert st == 200 and len(r["splits"]) == 1
+    st, r = svc.request("PUT", "indexes/c1/clear", None, None)
+    assert st == 200 and r["num_splits_dropped"] == 1
+    st, r = svc.request("GET", "c1/_search", None,
+                        {"query": {"match_all": {}}})
+    assert st == 200 and r["hits"]["total"]["value"] == 0
+    st, _ = svc.request("PUT", "indexes/missing/clear", None, None)
+    assert st == 404
+
+
 def test_multi_index_search(tmp_path):
     """Federated search over two indexes == one index over the union
     (root.rs multi-index resolution)."""
