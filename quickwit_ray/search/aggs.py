@@ -14,7 +14,7 @@ Limits mirror the reference defaults: max 65_000 buckets per request
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -120,6 +120,81 @@ def _field_values(searcher, field: str, mask: np.ndarray) -> np.ndarray:
     return vals[mask[: len(vals)]] if len(vals) else vals
 
 
+def _terms_order_spec(body: dict, sub: Optional[dict]):
+    """Parse a terms-agg ``order`` clause. Returns None for the default
+    (_count desc) or (target, metric_kind, ascending) where target is
+    "_key"/"_count" (metric_kind None) or a single-valued sub-agg name.
+    ES terms `order` semantics; the find-trace-ids collector
+    (quickwit-search/src/find_trace_ids_collector.rs) is the reference
+    use: terms(trace_id) ordered by max(span_start_timestamp_nanos)."""
+    o = body.get("order")
+    if o is None:
+        return None
+    if isinstance(o, list):
+        if len(o) != 1:
+            raise ValueError("terms order: only one criterion is supported")
+        o = o[0]
+    if not isinstance(o, dict) or len(o) != 1:
+        raise ValueError(f"unsupported terms order {o!r}")
+    ((target, direction),) = o.items()
+    asc = str(direction) == "asc"
+    if target in ("_count", "_key", "_term"):
+        return ("_key" if target == "_term" else target, None, asc)
+    if sub and target in sub:
+        m_kind = next(k for k in sub[target] if k != "aggs")
+        if m_kind in ("avg", "sum", "min", "max", "value_count"):
+            return (target, m_kind, asc)
+        raise ValueError(
+            f"terms order target {target!r} is not a single-value metric")
+    raise ValueError(f"terms order target {target!r} is not a sub-agg")
+
+
+def _metric_order_value(m_kind: str, st: dict):
+    """Order key from a (merged or per-split) metric partial state."""
+    if not st or st.get("count", 0) == 0:
+        return None
+    if m_kind == "avg":
+        return st["sum"] / st["count"]
+    if m_kind == "sum":
+        return st["sum"]
+    if m_kind == "value_count":
+        return st["count"]
+    return st[m_kind]
+
+
+def _terms_sort_key(order_spec, numeric: bool):
+    """Sort key for (key, value_or_none, doc_count) bucket triples.
+    Missing order values sort last in either direction; ties break by
+    ascending key (ES tie-break)."""
+    target, _m, asc = order_spec
+
+    def keyfn(triple):
+        key, val, count = triple
+        kkey = _bucket_key_typed(key, numeric)
+        if target == "_key":
+            return kkey if asc else _reverse_key(kkey)
+        v = count if target == "_count" else val
+        if v is None:
+            return (1, 0.0, kkey)
+        return (0, float(v) if asc else -float(v), kkey)
+    return keyfn
+
+
+def _bucket_key_typed(key: str, numeric: bool):
+    if numeric:
+        try:
+            return float(key)
+        except ValueError:
+            pass
+    return key
+
+
+def _reverse_key(k):
+    if isinstance(k, str):
+        return _NegStr(k)
+    return -k
+
+
 def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
     """One split's partial agg state for a (possibly nested) agg request."""
     out: dict[str, Any] = {}
@@ -202,10 +277,26 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
             # under-reported (doc_count_error_upper_bound contribution)
             split_size = (body.get("split_size") or body.get("segment_size")
                           or body.get("shard_size"))
+            order_spec = _terms_order_spec(body, sub)
             if split_size is not None and len(buckets) > int(split_size):
-                ordered = sorted(buckets.items(),
-                                 key=lambda kv: (-kv[1]["doc_count"], kv[0]))
-                error = ordered[int(split_size)][1]["doc_count"]
+                if order_spec is None:
+                    ordered = sorted(buckets.items(),
+                                     key=lambda kv: (-kv[1]["doc_count"], kv[0]))
+                    error = ordered[int(split_size)][1]["doc_count"]
+                else:
+                    # custom order: truncate by the same criterion the
+                    # merge will use, computed from this split's partial
+                    # state (the find-trace-ids collector keeps the
+                    # per-split top num_traces by max timestamp the same
+                    # way). No doc_count error bound applies.
+                    target, m_kind, _asc = order_spec
+                    triples = [
+                        (k, _metric_order_value(m_kind, b.get("aggs", {})
+                                                .get(target, {}))
+                         if m_kind else None, b["doc_count"])
+                        for k, b in buckets.items()]
+                    triples.sort(key=_terms_sort_key(order_spec, numeric))
+                    ordered = [(k, buckets[k]) for k, _v, _c in triples]
                 buckets = dict(ordered[: int(split_size)])
             out[name] = {"buckets": buckets, "size": int(body.get("size", 10)),
                          "total": total, "error": error,
@@ -407,8 +498,21 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
                     if "aggs" in b:
                         tgt["partials"].append(b["aggs"])
             size = int(body.get("size", 10))
-            ordered = sorted(merged.items(), key=lambda kv: (-kv[1]["doc_count"], kv[0]))
             numeric = any(s.get("numeric_keys") for s in states)
+            order_spec = _terms_order_spec(body, sub)
+            if order_spec is None:
+                ordered = sorted(merged.items(),
+                                 key=lambda kv: (-kv[1]["doc_count"], kv[0]))
+            else:
+                target, m_kind, _asc = order_spec
+                triples = [
+                    (k, _metric_order_value(
+                        m_kind, _merge_metric([p[target] for p in b["partials"]
+                                               if target in p]))
+                     if m_kind else None, b["doc_count"])
+                    for k, b in merged.items()]
+                triples.sort(key=_terms_sort_key(order_spec, numeric))
+                ordered = [(k, merged[k]) for k, _v, _c in triples]
             buckets = []
             for key, b in ordered[:size]:
                 k = key

@@ -169,11 +169,40 @@ def parse_otlp_spans_json(payload: bytes | str) -> list[dict[str, Any]]:
     return _otlp_spans_docs(json.loads(payload))
 
 
+#: quickwit's SpanFingerprint separator (traces.rs:441-447): service
+#: name, span-kind digit, and span name joined by NUL.
+SPAN_FINGERPRINT_SEP = "\x00"
+
+_STATUS_CODES = {0: "unset", 1: "ok", 2: "error",
+                 "STATUS_CODE_UNSET": "unset", "STATUS_CODE_OK": "ok",
+                 "STATUS_CODE_ERROR": "error"}
+
+
+def span_fingerprint(service_name: str, span_kind: int, span_name: str) -> str:
+    """service\\0kind\\0name concatenation (traces.rs SpanFingerprint::new)."""
+    return (f"{service_name}{SPAN_FINGERPRINT_SEP}{int(span_kind)}"
+            f"{SPAN_FINGERPRINT_SEP}{span_name}")
+
+
+def _span_status(status: dict) -> dict:
+    """OTLP Status -> {'code': unset|ok|error[, 'message']} exactly as the
+    reference serializes SpanStatus (traces.rs:509-560; the code enum is
+    snake_case per opentelemetry.proto.trace.v1 serde)."""
+    code = _STATUS_CODES.get(status.get("code", 0), "unset")
+    out: dict[str, Any] = {"code": code}
+    msg = status.get("message")
+    if msg and code == "error":
+        out["message"] = msg
+    return out
+
+
 def _otlp_spans_docs(obj: dict) -> list[dict[str, Any]]:
     docs = []
     for rs in obj.get("resourceSpans", []):
-        resource_attrs = _extract_attributes(
-            (rs.get("resource") or {}).get("attributes", []))
+        resource = rs.get("resource") or {}
+        resource_attrs = _extract_attributes(resource.get("attributes", []))
+        # service.name moves out of the attribute map into its own column
+        # (traces.rs Resource::from_otlp)
         service_name = resource_attrs.pop("service.name", "unknown_service")
         if not isinstance(service_name, str):
             service_name = "unknown_service"
@@ -183,25 +212,59 @@ def _otlp_spans_docs(obj: dict) -> list[dict[str, Any]]:
                 start = int(sp.get("startTimeUnixNano", 0) or 0)
                 end = int(sp.get("endTimeUnixNano", 0) or 0)
                 parent = _hex_id(sp.get("parentSpanId"))
+                span_name = sp.get("name") or "unknown"
+                span_kind = int(sp.get("kind", 0) or 0)
+                events = [{
+                    "event_timestamp_nanos": int(ev.get("timeUnixNano", 0) or 0),
+                    "event_name": ev.get("name") or "",
+                    "event_attributes": _extract_attributes(
+                        ev.get("attributes", [])),
+                    "event_dropped_attributes_count": int(
+                        ev.get("droppedAttributesCount", 0) or 0),
+                } for ev in sp.get("events", []) or []]
+                links = [{
+                    "link_trace_id": _hex_id(lk.get("traceId")),
+                    "link_span_id": _hex_id(lk.get("spanId")),
+                    "link_trace_state": lk.get("traceState") or None,
+                    "link_attributes": _extract_attributes(
+                        lk.get("attributes", [])),
+                    "link_dropped_attributes_count": int(
+                        lk.get("droppedAttributesCount", 0) or 0),
+                } for lk in sp.get("links", []) or []]
                 docs.append({
                     "trace_id": _hex_id(sp.get("traceId")),
                     "trace_state": sp.get("traceState") or None,
                     "service_name": service_name,
                     "resource_attributes": resource_attrs,
+                    "resource_dropped_attributes_count": int(
+                        resource.get("droppedAttributesCount", 0) or 0),
                     "scope_name": scope.get("name") or None,
                     "scope_version": scope.get("version") or None,
+                    "scope_attributes": _extract_attributes(
+                        scope.get("attributes", [])),
+                    "scope_dropped_attributes_count": int(
+                        scope.get("droppedAttributesCount", 0) or 0),
                     "span_id": _hex_id(sp.get("spanId")),
                     "parent_span_id": parent,
-                    "span_kind": int(sp.get("kind", 0) or 0),
-                    "span_name": sp.get("name") or "",
+                    "span_kind": span_kind,
+                    "span_name": span_name,
+                    "span_fingerprint": span_fingerprint(
+                        service_name, span_kind, span_name),
                     "span_start_timestamp_nanos": start,
                     "span_end_timestamp_nanos": end,
                     "span_duration_millis": max((end - start) // 1_000_000, 0),
                     "span_attributes": _extract_attributes(sp.get("attributes", [])),
-                    "span_status": (sp.get("status") or {}).get("code", 0),
+                    "span_dropped_attributes_count": int(
+                        sp.get("droppedAttributesCount", 0) or 0),
+                    "span_dropped_events_count": int(
+                        sp.get("droppedEventsCount", 0) or 0),
+                    "span_dropped_links_count": int(
+                        sp.get("droppedLinksCount", 0) or 0),
+                    "span_status": _span_status(sp.get("status") or {}),
                     "is_root": parent is None,
-                    "events_count": len(sp.get("events", []) or []),
-                    "links_count": len(sp.get("links", []) or []),
+                    "events": events,
+                    "event_names": [ev["event_name"] for ev in events],
+                    "links": links,
                 })
     return docs
 
@@ -306,8 +369,13 @@ def _pb_attr_list(bufs) -> list[dict]:
 
 
 def _pb_resource(buf) -> dict:
-    attrs = [_pb_keyvalue(v) for fn, _w, v in _pb_fields(buf) if fn == 1]
-    return {"attributes": attrs}
+    out: dict = {}
+    for fn, _wt, v in _pb_fields(buf):
+        if fn == 1:
+            out.setdefault("attributes", []).append(_pb_keyvalue(v))
+        elif fn == 2:
+            out["droppedAttributesCount"] = int(v)
+    return out
 
 
 def _pb_scope(buf) -> dict:
@@ -319,6 +387,8 @@ def _pb_scope(buf) -> dict:
             out["version"] = _pb_str(v)
         elif fn == 3:
             out.setdefault("attributes", []).append(_pb_keyvalue(v))
+        elif fn == 4:
+            out["droppedAttributesCount"] = int(v)
     return out
 
 
@@ -374,6 +444,40 @@ def parse_otlp_logs_proto(payload: bytes) -> list[dict[str, Any]]:
     return _otlp_logs_docs({"resourceLogs": resource_logs})
 
 
+def _pb_span_event(buf) -> dict:
+    """trace.proto Span.Event: time_unix_nano=1 (fixed64), name=2,
+    attributes=3, dropped_attributes_count=4."""
+    ev: dict = {}
+    for fn, _wt, v in _pb_fields(buf):
+        if fn == 1:
+            ev["timeUnixNano"] = _pb_fixed64(v)
+        elif fn == 2:
+            ev["name"] = _pb_str(v)
+        elif fn == 3:
+            ev.setdefault("attributes", []).append(_pb_keyvalue(v))
+        elif fn == 4:
+            ev["droppedAttributesCount"] = int(v)
+    return ev
+
+
+def _pb_span_link(buf) -> dict:
+    """trace.proto Span.Link: trace_id=1, span_id=2, trace_state=3,
+    attributes=4, dropped_attributes_count=5."""
+    lk: dict = {}
+    for fn, _wt, v in _pb_fields(buf):
+        if fn == 1:
+            lk["traceId"] = bytes(v).hex()
+        elif fn == 2:
+            lk["spanId"] = bytes(v).hex()
+        elif fn == 3:
+            lk["traceState"] = _pb_str(v)
+        elif fn == 4:
+            lk.setdefault("attributes", []).append(_pb_keyvalue(v))
+        elif fn == 5:
+            lk["droppedAttributesCount"] = int(v)
+    return lk
+
+
 def _pb_span(buf) -> dict:
     sp: dict = {}
     attrs: list = []
@@ -396,10 +500,16 @@ def _pb_span(buf) -> dict:
             sp["endTimeUnixNano"] = _pb_fixed64(v)
         elif fn == 9:
             attrs.append(_pb_keyvalue(v))
+        elif fn == 10:
+            sp["droppedAttributesCount"] = int(v)
         elif fn == 11:
-            sp.setdefault("events", []).append(True)
+            sp.setdefault("events", []).append(_pb_span_event(v))
+        elif fn == 12:
+            sp["droppedEventsCount"] = int(v)
         elif fn == 13:
-            sp.setdefault("links", []).append(True)
+            sp.setdefault("links", []).append(_pb_span_link(v))
+        elif fn == 14:
+            sp["droppedLinksCount"] = int(v)
         elif fn == 15:
             status: dict = {}
             for f2, _w2, v2 in _pb_fields(v):

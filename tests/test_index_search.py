@@ -230,6 +230,41 @@ def test_aggregations(docs_index):
     _ = truth
 
 
+def test_terms_agg_custom_order(docs_index):
+    """ES terms `order` — by sub-agg metric (the find-trace-ids collector
+    pattern: terms ordered by max timestamp) and by _key."""
+    s = IndexSearcher(docs_index)
+    t = pq.read_table(DOCS, columns=["lang", "n_chars"]).to_pandas()
+
+    resp = s.search("*", max_hits=0, aggs={
+        "langs": {"terms": {"field": "lang", "size": 3,
+                            "order": {"longest": "desc"}},
+                  "aggs": {"longest": {"max": {"field": "n_chars"}}}}})
+    got = [(b["key"], b["longest"]["value"])
+           for b in resp.aggs["langs"]["buckets"]]
+    truth = (t.groupby("lang")["n_chars"].max()
+             .reset_index().sort_values(["n_chars", "lang"],
+                                        ascending=[False, True]))
+    want = [(r.lang, float(r.n_chars)) for r in truth.head(3).itertuples()]
+    assert got == want
+
+    # order by key ascending; and per-split truncation keeps the custom
+    # order exact when split_size covers the per-split distinct keys
+    resp2 = s.search("*", max_hits=0, aggs={
+        "langs": {"terms": {"field": "lang", "size": 2,
+                            "order": {"_key": "asc"}}}})
+    keys = [b["key"] for b in resp2.aggs["langs"]["buckets"]]
+    assert keys == sorted(t["lang"].unique())[:2]
+
+    resp3 = s.search("*", max_hits=0, aggs={
+        "langs": {"terms": {"field": "lang", "size": 3, "split_size": 50,
+                            "order": {"longest": "desc"}},
+                  "aggs": {"longest": {"max": {"field": "n_chars"}}}}})
+    got3 = [(b["key"], b["longest"]["value"])
+            for b in resp3.aggs["langs"]["buckets"]]
+    assert got3 == want
+
+
 def test_resume_idempotent(tmp_path, docs_index):
     """Re-running build over the same input is a no-op (checkpoints)."""
     from quickwit_ray.config import documents_doc_mapping

@@ -134,6 +134,55 @@ def test_parse_otlp_spans():
     assert child["parent_span_id"] == "bb" * 8
     assert root["span_duration_millis"] == 3000
     assert root["span_attributes"] == {"http.status": 200}
+    # QwSpan parity fields (traces.rs Span::from_otlp)
+    assert root["span_fingerprint"] == "api\x002\x00GET /users"
+    assert root["span_status"] == {"code": "unset"}
+    assert root["events"] == [] and root["links"] == []
+    assert root["event_names"] == []
+
+
+def test_parse_otlp_span_events_links_status():
+    payload = json.dumps({
+        "resourceSpans": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "api"}},
+                {"key": "host", "value": {"stringValue": "h1"}}],
+                "droppedAttributesCount": 3},
+            "scopeSpans": [{"spans": [
+                {"traceId": "aa" * 16, "spanId": "bb" * 8,
+                 "kind": 3,
+                 "startTimeUnixNano": "1000000000",
+                 "endTimeUnixNano": "1500000000",
+                 "status": {"code": 2, "message": "boom"},
+                 "droppedEventsCount": 1,
+                 "events": [
+                     {"timeUnixNano": "1100000000", "name": "exception",
+                      "attributes": [{"key": "exception.type",
+                                      "value": {"stringValue": "IOError"}}],
+                      "droppedAttributesCount": 2}],
+                 "links": [
+                     {"traceId": "dd" * 16, "spanId": "ee" * 8,
+                      "traceState": "k=v",
+                      "attributes": [{"key": "rel",
+                                      "value": {"stringValue": "retry"}}]}]},
+            ]}]}]})
+    (d,) = parse_otlp_spans_json(payload)
+    # empty span names default to "unknown" (traces.rs from_otlp)
+    assert d["span_name"] == "unknown"
+    assert d["span_fingerprint"] == "api\x003\x00unknown"
+    assert d["resource_attributes"] == {"host": "h1"}
+    assert d["resource_dropped_attributes_count"] == 3
+    assert d["span_status"] == {"code": "error", "message": "boom"}
+    assert d["span_dropped_events_count"] == 1
+    assert d["events"] == [{
+        "event_timestamp_nanos": 1100000000, "event_name": "exception",
+        "event_attributes": {"exception.type": "IOError"},
+        "event_dropped_attributes_count": 2}]
+    assert d["event_names"] == ["exception"]
+    assert d["links"] == [{
+        "link_trace_id": "dd" * 16, "link_span_id": "ee" * 8,
+        "link_trace_state": "k=v", "link_attributes": {"rel": "retry"},
+        "link_dropped_attributes_count": 0}]
 
 
 def test_plaintext_and_ndjson_decode():
@@ -436,10 +485,16 @@ def test_otlp_logs_proto_matches_json():
 
 
 def test_otlp_spans_proto_matches_json():
+    event = (_ef64(1, 1_100_000_000) + _estr(2, "exception")
+             + _e_attrs(3, {"exception.type": "IOError"}) + _evint(4, 2))
+    link = (_elen(1, b"\xdd" * 16) + _elen(2, b"\xee" * 8)
+            + _estr(3, "k=v") + _e_attrs(4, {"rel": "retry"}))
     span1 = (_elen(1, b"\xaa" * 16) + _elen(2, b"\xbb" * 8)
              + _estr(5, "GET /users") + _evint(6, 2)
              + _ef64(7, 1_000_000_000) + _ef64(8, 4_000_000_000)
              + _e_attrs(9, {"http.status": 200})
+             + _evint(10, 1) + _elen(11, event) + _evint(12, 3)
+             + _elen(13, link) + _evint(14, 4)
              + _elen(15, _estr(2, "oops") + _evint(3, 2)))
     span2 = (_elen(1, b"\xaa" * 16) + _elen(2, b"\xcc" * 8)
              + _elen(4, b"\xbb" * 8) + _estr(5, "db.query") + _evint(6, 3)
@@ -459,6 +514,16 @@ def test_otlp_spans_proto_matches_json():
              "endTimeUnixNano": "4000000000",
              "attributes": [{"key": "http.status",
                              "value": {"intValue": "200"}}],
+             "droppedAttributesCount": 1, "droppedEventsCount": 3,
+             "droppedLinksCount": 4,
+             "events": [{"timeUnixNano": "1100000000", "name": "exception",
+                         "attributes": [{"key": "exception.type",
+                                         "value": {"stringValue": "IOError"}}],
+                         "droppedAttributesCount": 2}],
+             "links": [{"traceId": "dd" * 16, "spanId": "ee" * 8,
+                        "traceState": "k=v",
+                        "attributes": [{"key": "rel",
+                                        "value": {"stringValue": "retry"}}]}],
              "status": {"message": "oops", "code": 2}},
             {"traceId": "aa" * 16, "spanId": "cc" * 8,
              "parentSpanId": "bb" * 8, "name": "db.query", "kind": 3,
