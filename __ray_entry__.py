@@ -697,6 +697,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
     q["mq_ingest_search"] = mq_ingest_search
 
+    def wal_ingest_search(sf):
+        """Ingest-v2 WAL analog (ingester.rs + mrecordlog): doc batches are
+        persisted+fsynced to per-shard record logs (the ack point), the
+        ingester is 'crashed' and restarted mid-push, the indexing consumer
+        is killed mid-wave, then resumed — and the WAL is truncated up to
+        the published positions. Search must match the batch oracle."""
+        import shutil
+
+        import pyarrow.parquet as _pq
+
+        from quickwit_ray.config import (IndexConfig, IndexSettings,
+                                         documents_doc_mapping)
+        from quickwit_ray.search.engine import IndexSearcher
+        from quickwit_ray.sources.wal import IngestWal, index_wal
+        from quickwit_ray.state.manifest import Manifest
+
+        idx_dir = _index_dir_for(sf, "documents_wal")
+        cfg = IndexConfig("docs_wal", documents_doc_mapping(),
+                          IndexSettings(split_num_docs_target=1_000_000))
+        done_marker = os.path.join(idx_dir, ".wal_done")
+        if not os.path.exists(done_marker):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            Manifest(idx_dir).create(cfg.to_json())
+            rows = _pq.read_table(
+                os.path.join(sf, "documents.parquet")).to_pylist()
+            half = len(rows) // 2
+            wal = IngestWal(idx_dir, num_shards=3)
+            for k in range(0, half, 200):
+                wal.persist(rows[k:min(k + 200, half)])
+            del wal  # ingester crash: acked batches are fsynced-durable
+            wal2 = IngestWal(idx_dir, num_shards=3)
+            for k in range(half, len(rows), 200):
+                wal2.persist(rows[k:k + 200])
+            wal2.close()
+            try:
+                index_wal(idx_dir, execution="local",
+                          max_batch_bytes=64 << 10, max_batches_per_wave=2,
+                          fault_after_commits=1)
+            except RuntimeError:
+                pass  # injected consumer kill mid-wave
+            while index_wal(idx_dir, execution="local",
+                            max_batch_bytes=64 << 10).num_docs:
+                pass
+            with open(done_marker, "w") as f:
+                f.write("ok")
+        s = IndexSearcher(idx_dir)
+        resp = s.search("text:merge", max_hits=1_000_000,
+                        fetch_fields=["doc_id"])
+        return _ids_df(resp.hits["doc_id"] if len(resp.hits) else [])
+    q["wal_ingest_search"] = wal_ingest_search
+
     def scroll_export(sf):
         """Page the full result set through TTL'd scroll contexts
         (scroll_context.rs analog): every page is fetched via the ES
@@ -1041,6 +1092,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the 'scan' oracle and scroll is covered by the ES conformance
     # replay). All 62 still replay in tools/check_contract.py.
     tail = [
+        # wal_ingest_search is oracle-checked in check_contract.py but is
+        # the 4th exactly-once-ingestion query sharing a token oracle with
+        # queue/mq/bulk — driver-capped out rather than displacing one of
+        # the 50 distinct-semantics head entries.
+        "wal_ingest_search",
         "shuffle_build_search", "scroll_export",
         "search_bm25_topk", "snippet_highlight", "agg_percentiles",
         "agg_cardinality", "dedup_minhash", "dedup_simhash", "dedup_ngram",
@@ -1137,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "scroll_export": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
         "bulk_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "wal_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('merge')} ORDER BY doc_id",
         "bulk_workbench_search": f"SELECT doc_id FROM documents WHERE {has_token('merge')} ORDER BY doc_id",
         "otlp_proto_ingest": ("SELECT event_id FROM events WHERE event_type = 'click' "
                               "ORDER BY event_id"),

@@ -143,6 +143,21 @@ class Index:
 
         return ingest_docs(self.index_dir, docs, commit_id=commit_id)
 
+    def open_wal(self, **kw):
+        """Open the durable ingest-v2 WAL front (ingester.rs analog):
+        ``persist(docs)`` fsyncs doc batches to per-shard record logs and
+        acks; :meth:`index_wal` later indexes + truncates them."""
+        from quickwit_ray.sources.wal import IngestWal
+
+        return IngestWal(self.index_dir, **kw)
+
+    def index_wal(self, **kw):
+        """Index every acked-but-unindexed WAL record exactly once, then
+        truncate the logs up to the published positions."""
+        from quickwit_ray.sources.wal import index_wal
+
+        return index_wal(self.index_dir, **kw)
+
     def ingest_payload(self, payload: bytes | str, input_format: str = "json",
                        *, commit_id: Optional[str] = None) -> int:
         """Decode + ingest a raw payload in any supported source input

@@ -165,7 +165,8 @@ class PartitionedQueue:
 
 
 def _build_queue_split(client_factory, partition: int, frm: int, to: int,
-                       config_json: dict, index_dir: str) -> str:
+                       config_json: dict, index_dir: str,
+                       checkpoint_prefix: str = "queue") -> str:
     """One Ray task: read a micro-batch offset range and build one split.
     The split id is deterministic in (partition, frm, to), so a retried or
     re-polled range overwrites its own staged artifacts (exactly-once with
@@ -179,7 +180,7 @@ def _build_queue_split(client_factory, partition: int, frm: int, to: int,
     queue = client_factory()
     table = queue.read(partition, frm, to)
     builder = SplitBuilder(config, index_dir,
-                           f"queue:{partition}:{frm}-{to}", 0)
+                           f"{checkpoint_prefix}:{partition}:{frm}-{to}", 0)
     if table.num_rows:
         builder.add_batch(table)
     sm = builder.flush()
@@ -201,7 +202,8 @@ def ingest_queue(queue_dir: str, index_dir: str, config: IndexConfig, *,
                  poll_interval_sec: float = 0.0,
                  max_batches_per_wave: Optional[int] = None,
                  fault_after_commits: Optional[int] = None,
-                 client_factory=None) -> StreamStats:
+                 client_factory=None,
+                 checkpoint_prefix: str = "queue") -> StreamStats:
     """Poll the queue and index everything past the committed offsets.
 
     ``client_factory`` swaps the broker implementation: any zero-arg
@@ -237,7 +239,7 @@ def ingest_queue(queue_dir: str, index_dir: str, config: IndexConfig, *,
         # plan this wave: (partition, frm, to) work items
         work: list[tuple[int, int, int]] = []
         for p in range(queue.num_partitions):
-            frm = manifest.source_offset(f"queue:{p}")
+            frm = manifest.source_offset(f"{checkpoint_prefix}:{p}")
             for (a, b) in queue.estimate_batch_ranges(p, frm, max_batch_bytes):
                 work.append((p, a, b))
         if max_batches_per_wave is not None:
@@ -251,12 +253,14 @@ def ingest_queue(queue_dir: str, index_dir: str, config: IndexConfig, *,
 
             task = ray.remote(num_cpus=1)(_build_queue_split)
             futs = [(p, a, b, task.remote(client_factory, p, a, b,
-                                          config_json, index_dir))
+                                          config_json, index_dir,
+                                          checkpoint_prefix))
                     for (p, a, b) in work]
             results = [(p, a, b, ray.get(f)) for (p, a, b, f) in futs]
         else:
             results = [(p, a, b, _build_queue_split(client_factory, p, a, b,
-                                                    config_json, index_dir))
+                                                    config_json, index_dir,
+                                                    checkpoint_prefix))
                        for (p, a, b) in work]
         # commit wave: contiguous ranges per partition collapse into one
         # delta; splits of a partition publish together with its offset
@@ -272,7 +276,7 @@ def ingest_queue(queue_dir: str, index_dir: str, config: IndexConfig, *,
             sm_json = json.loads(sj)
             sms: list[SplitMetadata] = (
                 [SplitMetadata.from_json(sm_json)] if sm_json else [])
-            key = f"queue:{p}"
+            key = f"{checkpoint_prefix}:{p}"
             if key in by_partition:
                 prev_sms, frm0, to0 = by_partition[key]
                 assert to0 == a, "micro-batch ranges must be contiguous"

@@ -1,0 +1,409 @@
+"""Ingest-v2 write-ahead-log ingestion (persist -> ack -> index -> truncate).
+
+Re-expresses the reference's ingest v2 durability model
+(`quickwit-ingest/src/ingest_v2/ingester.rs` — a router sends doc batches
+to an ingester which PERSISTS them to a per-shard `mrecordlog` WAL and
+only then acks the client; the indexing pipeline later consumes the shard
+as a source, publishes splits with the shard position in the checkpoint,
+and the WAL is truncated up to the published position) on this repo's
+manifest checkpoints:
+
+  * :class:`RecordLog` — a segmented append-only framed record log (the
+    `mrecordlog` analog): frames of ``[u32 len][u32 crc32][payload]`` in
+    ``seg-<first_position>.log`` files. Positions are record ordinals.
+    The single WRITER repairs a torn tail at open (this log has exactly
+    one writer — unlike the manifest log, whose readers must never
+    truncate). ``truncate_upto`` deletes whole sealed segments; position
+    continuity across a full truncation survives via a marker file.
+  * :class:`IngestWal` — the ingester front: ``persist(docs)`` appends
+    ONE framed ndjson record per doc batch to a round-robin-routed shard
+    and fsyncs BEFORE returning — the ack point. A crash after an ack
+    never loses the batch.
+  * :func:`index_wal` — the indexing consumer: drives the existing
+    queue-source wave machinery (`sources/queue.py::ingest_queue`, i.e.
+    micro-batch planning, deterministic split ids, atomic
+    splits+position publish) over a queue-contract adapter
+    (:class:`WalQueueClient`, shards = partitions, committed position =
+    manifest checkpoint ``wal:{shard}``), then truncates each shard's
+    log up to its published position. A crash between publish and
+    truncate only delays GC — replay skips committed positions.
+
+Scale notes: the WAL is a per-ingester local-disk structure in the
+reference; here each shard directory is independent, so shards can live
+on different nodes' local disks and the consumer fans out one Ray task
+per micro-batch exactly like the queue source.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+import zlib
+from typing import Any, Iterator, Optional
+
+import pyarrow as pa
+
+_HDR = struct.Struct("<II")  # (payload_len, crc32(payload))
+_SEG_GLOB = "seg-*.log"
+
+
+def _seg_path(log_dir: str, first_pos: int) -> str:
+    return os.path.join(log_dir, f"seg-{first_pos:020d}.log")
+
+
+class RecordLog:
+    """Segmented append-only framed record log; positions are ordinals.
+
+    Single-writer: construct one writer per directory. Readers may scan
+    concurrently (frames are append-only and crc-checked).
+    """
+
+    def __init__(self, log_dir: str, *, segment_bytes: int = 64 << 20):
+        self.log_dir = log_dir
+        self.segment_bytes = int(segment_bytes)
+        os.makedirs(log_dir, exist_ok=True)
+        self._segs: list[tuple[int, int, str]] = []  # (first_pos, count, path)
+        self._fh = None
+        self._cur_first = 0
+        self._scan()
+
+    # -- open / repair -----------------------------------------------------
+
+    def _scan(self) -> None:
+        """Index existing segments; repair a torn tail in the LAST segment
+        (only the last can be torn — rotation seals earlier files)."""
+        paths = sorted(glob.glob(os.path.join(self.log_dir, _SEG_GLOB)))
+        segs = []
+        for i, path in enumerate(paths):
+            first = int(os.path.basename(path)[4:-4])
+            count = self._count_records(path, repair=(i == len(paths) - 1))
+            segs.append((first, count, path))
+        self._segs = segs
+        marker = os.path.join(self.log_dir, "truncated.json")
+        if not segs and os.path.exists(marker):
+            with open(marker) as f:
+                self._cur_first = int(json.load(f)["next_pos"])
+        elif segs:
+            first, count, _ = segs[-1]
+            self._cur_first = first + count
+
+    @staticmethod
+    def _count_records(path: str, *, repair: bool) -> int:
+        """Count complete frames; with ``repair``, additionally crc-verify
+        payloads and truncate a torn tail (partial frame or crc mismatch
+        from a crash mid-append — only the writer's LAST segment can be
+        torn; sealed segments are counted by a seek-only header walk)."""
+        size = os.path.getsize(path)
+        n, off = 0, 0
+        with open(path, "rb") as f:
+            while off + _HDR.size <= size:
+                ln, crc = _HDR.unpack(f.read(_HDR.size))
+                if off + _HDR.size + ln > size:
+                    break  # partial payload
+                if repair:
+                    payload = f.read(ln)
+                    if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+                        break  # torn frame: everything after is suspect
+                else:
+                    f.seek(ln, os.SEEK_CUR)
+                off += _HDR.size + ln
+                n += 1
+        if repair and off < size:
+            with open(path, "r+b") as f:
+                f.truncate(off)
+        return n
+
+    # -- writer ------------------------------------------------------------
+
+    def end_pos(self) -> int:
+        return self._cur_first if not self._segs else (
+            self._segs[-1][0] + self._segs[-1][1])
+
+    def append(self, payload: bytes) -> int:
+        """Append one record; returns its position. Not fsynced — call
+        :meth:`sync` at the ack point."""
+        pos = self.end_pos()
+        if self._fh is None or self._fh_size() >= self.segment_bytes:
+            self._rotate(pos)
+        frame = _HDR.pack(len(payload), zlib.crc32(payload) & 0xFFFFFFFF)
+        self._fh.write(frame + payload)
+        first, count, path = self._segs[-1]
+        self._segs[-1] = (first, count + 1, path)
+        return pos
+
+    def _fh_size(self) -> int:
+        return self._fh.tell() if self._fh else 0
+
+    def _rotate(self, first_pos: int) -> None:
+        if self._fh is not None:
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
+            self._fh.close()
+        path = _seg_path(self.log_dir, first_pos)
+        self._fh = open(path, "ab")
+        self._fh.seek(0, os.SEEK_END)
+        if not self._segs or self._segs[-1][2] != path:
+            self._segs.append((first_pos, self._count_if_existing(path), path))
+
+    @staticmethod
+    def _count_if_existing(path: str) -> int:
+        # re-opening the live segment of a prior writer (restart path)
+        if os.path.getsize(path) == 0:
+            return 0
+        return RecordLog._count_records(path, repair=False)
+
+    def sync(self) -> None:
+        if self._fh is not None:
+            self._fh.flush()
+            os.fsync(self._fh.fileno())
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self.sync()
+            self._fh.close()
+            self._fh = None
+
+    # -- reader ------------------------------------------------------------
+
+    def read_from(self, frm: int, to: Optional[int] = None
+                  ) -> Iterator[tuple[int, bytes]]:
+        """Yield ``(position, payload)`` for records in ``[frm, to)``."""
+        end = self.end_pos() if to is None else to
+        for first, count, path in self._segs:
+            if first + count <= frm or first >= end:
+                continue
+            pos = first
+            with open(path, "rb") as f:
+                for _ in range(count):
+                    ln, crc = _HDR.unpack(f.read(_HDR.size))
+                    payload = f.read(ln)
+                    if pos >= end:
+                        return
+                    if pos >= frm:
+                        if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+                            raise IOError(
+                                f"crc mismatch at position {pos} in {path}")
+                        yield pos, payload
+                    pos += 1
+
+    def frame_sizes_from(self, frm: int) -> Iterator[tuple[int, int]]:
+        """Yield ``(position, payload_bytes)`` without reading payloads
+        (seek-based header walk — micro-batch planning)."""
+        for first, count, path in self._segs:
+            if first + count <= frm:
+                continue
+            pos = first
+            with open(path, "rb") as f:
+                for _ in range(count):
+                    ln, _crc = _HDR.unpack(f.read(_HDR.size))
+                    if pos >= frm:
+                        yield pos, ln
+                    f.seek(ln, os.SEEK_CUR)
+                    pos += 1
+
+    # -- truncation (GC after publish) --------------------------------------
+
+    def truncate_upto(self, pos: int) -> int:
+        """Delete whole segments entirely below ``pos`` (records < pos are
+        eligible for GC — they are published). Returns segments removed.
+        Keeps position continuity when ALL segments go via a marker."""
+        if pos >= self.end_pos() and self._fh is not None:
+            # seal the live segment so it can be removed too
+            self._fh.close()
+            self._fh = None
+        keep, removed = [], 0
+        for first, count, path in self._segs:
+            if first + count <= pos:
+                os.remove(path)
+                removed += 1
+            else:
+                keep.append((first, count, path))
+        self._segs = keep
+        if not keep:
+            self._cur_first = max(self._cur_first, pos)
+            tmp = os.path.join(self.log_dir, ".truncated.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"next_pos": self._cur_first}, f)
+            os.replace(tmp, os.path.join(self.log_dir, "truncated.json"))
+        return removed
+
+
+# ---------------------------------------------------------------------------
+# ingester front
+# ---------------------------------------------------------------------------
+
+def _shard_dir(index_dir: str, source_id: str, shard: int) -> str:
+    return os.path.join(index_dir, "wal", source_id, f"shard-{shard:04d}")
+
+
+class IngestWal:
+    """Durable push-ingest front: ``persist`` appends + fsyncs a doc batch
+    to a shard WAL and returns the ack position. Routing is round-robin
+    over ``num_shards`` (the reference router picks open shards by
+    ingester load; round-robin is the single-node analog)."""
+
+    def __init__(self, index_dir: str, *, source_id: str = "_ingest-api",
+                 num_shards: int = 2, segment_bytes: int = 64 << 20,
+                 fsync: bool = True):
+        self.index_dir = index_dir
+        self.source_id = source_id
+        self.num_shards = int(num_shards)
+        self.fsync = fsync
+        self._logs = [RecordLog(_shard_dir(index_dir, source_id, k),
+                                segment_bytes=segment_bytes)
+                      for k in range(self.num_shards)]
+        self._rr = 0
+
+    def persist(self, docs: list[dict[str, Any]],
+                shard: Optional[int] = None) -> tuple[int, int]:
+        """Durably persist one doc batch; returns ``(shard, position)``.
+        The return IS the ack: the batch survives any crash after this."""
+        if shard is None:
+            shard = self._rr % self.num_shards
+            self._rr += 1
+        payload = "\n".join(
+            json.dumps(d, separators=(",", ":"), default=str)
+            for d in docs).encode()
+        log = self._logs[shard]
+        pos = log.append(payload)
+        if self.fsync:
+            log.sync()
+        return shard, pos
+
+    def persist_payload(self, payload: bytes | str,
+                        input_format: str = "json",
+                        shard: Optional[int] = None) -> tuple[int, int]:
+        from quickwit_ray.sources.ingest import decode_input
+
+        return self.persist(decode_input(payload, input_format), shard=shard)
+
+    def end_position(self, shard: int) -> int:
+        return self._logs[shard].end_pos()
+
+    def close(self) -> None:
+        for log in self._logs:
+            log.close()
+
+
+def _decode_record(payload: bytes) -> list[dict[str, Any]]:
+    return [json.loads(line) for line in payload.decode().splitlines() if line]
+
+
+# ---------------------------------------------------------------------------
+# indexing consumer (queue-contract adapter + truncate-after-publish)
+# ---------------------------------------------------------------------------
+
+class WalQueueClient:
+    """Adapter exposing an index's WAL shards through the
+    ``PartitionedQueue`` read contract (``num_partitions`` /
+    ``end_offset`` / ``read`` / ``estimate_batch_ranges``) so
+    ``ingest_queue`` can consume them unchanged. Constructed inside each
+    Ray task (cheap: directory listing + manifest config read)."""
+
+    def __init__(self, index_dir: str, source_id: str = "_ingest-api"):
+        from quickwit_ray.config import IndexConfig
+        from quickwit_ray.state.manifest import Manifest
+
+        self.index_dir = index_dir
+        self.source_id = source_id
+        base = os.path.join(index_dir, "wal", source_id)
+        shards = sorted(glob.glob(os.path.join(base, "shard-*")))
+        self.num_partitions = len(shards)
+        cfg_json = Manifest(index_dir).index_config_json
+        self._mapping = (IndexConfig.from_json(cfg_json).doc_mapping
+                         if cfg_json else None)
+
+    def _log(self, partition: int) -> RecordLog:
+        # read-only use: the scan repairs nothing unless it is the writer's
+        # own torn tail, which a consumer on the same node may also own
+        return RecordLog(_shard_dir(self.index_dir, self.source_id, partition))
+
+    def end_offset(self, partition: int) -> int:
+        return self._log(partition).end_pos()
+
+    def read(self, partition: int, from_offset: int,
+             to_offset: Optional[int] = None) -> pa.Table:
+        from quickwit_ray.sources.ingest import _docs_to_table
+
+        docs: list[dict[str, Any]] = []
+        for _pos, payload in self._log(partition).read_from(from_offset,
+                                                            to_offset):
+            docs.extend(_decode_record(payload))
+        if not docs:
+            return pa.table({})
+        return _docs_to_table(docs, self._mapping)
+
+    def estimate_batch_ranges(self, partition: int, from_offset: int,
+                              max_batch_bytes: int) -> list[tuple[int, int]]:
+        out: list[tuple[int, int]] = []
+        start, acc = None, 0
+        last = from_offset
+        for pos, nbytes in self._log(partition).frame_sizes_from(from_offset):
+            if start is None:
+                start = pos
+            if acc and acc + nbytes > max_batch_bytes:
+                out.append((start, pos))
+                start, acc = pos, 0
+            acc += nbytes
+            last = pos + 1
+        if start is not None and start < last:
+            out.append((start, last))
+        return out
+
+
+def index_wal(index_dir: str, config=None, *,
+              source_id: str = "_ingest-api",
+              max_batch_bytes: int = 5 << 20,
+              execution: str = "ray",
+              max_batches_per_wave: Optional[int] = None,
+              fault_after_commits: Optional[int] = None,
+              truncate: bool = True):
+    """Index every acked-but-unindexed WAL record, then truncate.
+
+    Exactly-once end to end: ``persist`` acks only after fsync; this
+    consumer publishes splits + shard positions in one atomic manifest
+    write per wave (``Manifest.publish_stream`` refuses gaps and no-ops
+    replays); truncation runs strictly AFTER publish, so a crash anywhere
+    leaves either unindexed-but-durable records or published-but-not-yet-
+    GCed segments — never loss, never duplication.
+    """
+    from quickwit_ray.config import IndexConfig
+    from quickwit_ray.sources.queue import ingest_queue
+    from quickwit_ray.state.manifest import Manifest
+
+    if config is None:
+        cfg_json = Manifest(index_dir).index_config_json
+        if cfg_json is None:
+            raise FileNotFoundError(f"no index at {index_dir}")
+        config = IndexConfig.from_json(cfg_json)
+    prefix = f"wal.{source_id}"
+    factory = _WalClientFactory(index_dir, source_id)
+    stats = ingest_queue(index_dir, index_dir, config,
+                         max_batch_bytes=max_batch_bytes,
+                         execution=execution,
+                         max_batches_per_wave=max_batches_per_wave,
+                         fault_after_commits=fault_after_commits,
+                         client_factory=factory,
+                         checkpoint_prefix=prefix)
+    if truncate:
+        manifest = Manifest(index_dir)
+        client = factory()
+        for p in range(client.num_partitions):
+            pos = manifest.source_offset(f"{prefix}:{p}")
+            if isinstance(pos, int) and pos > 0:
+                RecordLog(_shard_dir(index_dir, source_id, p)
+                          ).truncate_upto(pos)
+    return stats
+
+
+class _WalClientFactory:
+    """Picklable zero-arg factory for Ray tasks."""
+
+    def __init__(self, index_dir: str, source_id: str):
+        self.index_dir = index_dir
+        self.source_id = source_id
+
+    def __call__(self) -> WalQueueClient:
+        return WalQueueClient(self.index_dir, self.source_id)

@@ -1,0 +1,174 @@
+"""Ingest-v2 WAL: persist->ack durability, torn-tail repair, exactly-once
+indexing, truncate-after-publish GC (reference semantics:
+quickwit-ingest/src/ingest_v2/ingester.rs + mrecordlog)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from quickwit_ray.config import IndexConfig, IndexSettings, documents_doc_mapping
+from quickwit_ray.search.engine import IndexSearcher
+from quickwit_ray.sources.wal import IngestWal, RecordLog, index_wal
+from quickwit_ray.state.manifest import Manifest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _cfg():
+    return IndexConfig("documents", documents_doc_mapping(),
+                       IndexSettings(split_num_docs_target=10_000))
+
+
+def _make_index(path: str) -> str:
+    m = Manifest(path)
+    m.create(_cfg().to_json())
+    return path
+
+
+def _doc_rows(n=500):
+    t = pq.read_table(DOCS).slice(0, n)
+    return [dict(zip(t.column_names, row))
+            for row in zip(*(c.to_pylist() for c in t.columns))]
+
+
+# -- RecordLog -------------------------------------------------------------
+
+def test_recordlog_roundtrip_and_rotation(tmp_path):
+    log = RecordLog(str(tmp_path / "l"), segment_bytes=64)
+    payloads = [f"rec-{i}".encode() * (i + 1) for i in range(20)]
+    for i, p in enumerate(payloads):
+        assert log.append(p) == i
+    log.sync()
+    assert log.end_pos() == 20
+    # rotation produced multiple segments (64-byte budget)
+    assert len(glob.glob(str(tmp_path / "l" / "seg-*.log"))) > 1
+    got = list(log.read_from(0))
+    assert [p for _, p in got] == payloads
+    assert [pos for pos, _ in got] == list(range(20))
+    # ranged read
+    assert [p for _, p in log.read_from(5, 9)] == payloads[5:9]
+    # header-only size walk matches payload lengths
+    sizes = dict(log.frame_sizes_from(3))
+    assert sizes[7] == len(payloads[7])
+    log.close()
+    # reopen: positions continue
+    log2 = RecordLog(str(tmp_path / "l"), segment_bytes=64)
+    assert log2.end_pos() == 20
+    assert log2.append(b"after-restart") == 20
+
+
+def test_recordlog_torn_tail_repaired(tmp_path):
+    log = RecordLog(str(tmp_path / "l"))
+    for i in range(5):
+        log.append(f"record-{i}".encode())
+    log.close()
+    path = glob.glob(str(tmp_path / "l" / "seg-*.log"))[0]
+    # simulate a crash mid-append: chop the last frame in half
+    size = os.path.getsize(path)
+    with open(path, "r+b") as f:
+        f.truncate(size - 4)
+    log2 = RecordLog(str(tmp_path / "l"))
+    assert log2.end_pos() == 4  # torn record dropped by writer repair
+    assert [p for _, p in log2.read_from(0)] == \
+        [f"record-{i}".encode() for i in range(4)]
+    # the position is reused for the next append (it was never acked)
+    assert log2.append(b"replacement") == 4
+
+
+def test_recordlog_truncate_upto(tmp_path):
+    log = RecordLog(str(tmp_path / "l"), segment_bytes=32)
+    for i in range(12):
+        log.append(f"payload-{i:02d}".encode())
+    log.sync()
+    removed = log.truncate_upto(7)
+    assert removed >= 1
+    # records >= the first kept segment's start survive; none below are lost
+    remaining = [pos for pos, _ in log.read_from(0)]
+    assert remaining[-1] == 11 and min(remaining) <= 7
+    # full truncation keeps position continuity via the marker
+    log.truncate_upto(12)
+    assert log.end_pos() == 12
+    assert log.append(b"x") == 12
+    log.close()
+    assert RecordLog(str(tmp_path / "l")).end_pos() == 13
+
+
+# -- IngestWal + index_wal ---------------------------------------------------
+
+def test_wal_persist_index_search(tmp_path):
+    idx = _make_index(str(tmp_path / "idx"))
+    wal = IngestWal(idx, num_shards=3)
+    rows = _doc_rows(500)
+    for i in range(0, 500, 40):  # 13 small acked batches
+        shard, pos = wal.persist(rows[i:i + 40])
+        assert 0 <= shard < 3 and pos >= 0
+    wal.close()
+    st = index_wal(idx, execution="local", max_batch_bytes=32 << 10)
+    assert st.num_docs == 500
+    s = IndexSearcher(idx)
+    r = s.search("*", max_hits=600, fetch_fields=["doc_id"])
+    assert sorted(r.hits["doc_id"]) == list(range(500))
+    # published positions reached each shard's head; WAL segments GCed
+    m = Manifest(idx)
+    for p in range(3):
+        assert m.source_offset(f"wal._ingest-api:{p}") > 0
+    assert glob.glob(os.path.join(idx, "wal", "_ingest-api",
+                                  "shard-*", "seg-*.log")) == []
+    # re-consume after truncation: no new docs, no new splits
+    before = sorted(x.split_id for x in m.published_splits())
+    st2 = index_wal(idx, execution="local")
+    assert st2.num_docs == 0
+    assert sorted(x.split_id for x in Manifest(idx).published_splits()) == before
+
+
+def test_wal_replay_after_crash_exactly_once(tmp_path):
+    """Acked batches survive a 'crash' (fresh IngestWal), and a consumer
+    killed mid-wave resumes without loss or duplication."""
+    idx = _make_index(str(tmp_path / "idx"))
+    rows = _doc_rows(500)
+    wal = IngestWal(idx, num_shards=2)
+    for i in range(0, 300, 30):
+        wal.persist(rows[i:i + 30])
+    del wal  # crash: acked records must be durable (fsynced)
+    # restart the ingester, keep pushing
+    wal2 = IngestWal(idx, num_shards=2)
+    for i in range(300, 500, 30):
+        wal2.persist(rows[i:i + 30])
+    wal2.close()
+    # consumer killed after the first commit wave
+    with pytest.raises(RuntimeError, match="injected fault"):
+        index_wal(idx, execution="local", max_batch_bytes=4 << 10,
+                  max_batches_per_wave=2, fault_after_commits=1)
+    partial = sum(s.num_docs for s in Manifest(idx).published_splits())
+    assert 0 < partial < 500
+    # resume drains the rest exactly once
+    while True:
+        st = index_wal(idx, execution="local", max_batch_bytes=4 << 10)
+        if st.num_docs == 0:
+            break
+    s = IndexSearcher(idx)
+    r = s.search("*", max_hits=600, fetch_fields=["doc_id"])
+    assert sorted(r.hits["doc_id"]) == list(range(500))
+
+
+def test_wal_ray_execution_matches_batch(tmp_path, ray_session):
+    from quickwit_ray.index.build import build_index
+
+    idx = _make_index(str(tmp_path / "idx"))
+    wal = IngestWal(idx, num_shards=2)
+    rows = _doc_rows(400)
+    for i in range(0, 400, 100):
+        wal.persist(rows[i:i + 100])
+    wal.close()
+    index_wal(idx, execution="ray", max_batch_bytes=64 << 10)
+    batch_dir = str(tmp_path / "batch")
+    build_index(DOCS, batch_dir, _cfg(), execution="local")
+    s_wal, s_batch = IndexSearcher(idx), IndexSearcher(batch_dir)
+    for q in ("text:scan", "lang: IN [de fr]"):
+        a = s_wal.search(q, max_hits=600, fetch_fields=["doc_id"])
+        b = s_batch.search(q, max_hits=600, fetch_fields=["doc_id"])
+        got = sorted(a.hits["doc_id"])
+        want = sorted(d for d in b.hits["doc_id"] if d < 400)
+        assert got == want
