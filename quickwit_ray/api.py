@@ -231,6 +231,50 @@ class Index:
             "pri.store.size": str(stats["store"]["size_in_bytes"]),
         }]
 
+    def update_config(self, new_config: Optional[IndexConfig] = None, *,
+                      api_json: Optional[dict] = None,
+                      doc_mapping=None, settings=None) -> IndexConfig:
+        """Update the index config in place (`quickwit index update` /
+        `PUT /api/v1/indexes/{id}`, rest handler update_index). Accepts a
+        full :class:`IndexConfig`, the public API JSON payload, or just a
+        replacement doc_mapping/settings. Validates against the
+        reference's update rules (`index_config/serialize.rs:73-151` via
+        ``validate_config_update``: index_id/timestamp_field immutable,
+        tokenizers superset, no type flips). Existing splits are NOT
+        reindexed; already-open searchers keep their loaded config —
+        reopen to pick up the change."""
+        from quickwit_ray.config import (index_config_from_api_json,
+                                         validate_config_update)
+
+        current = self.config
+        if api_json is not None:
+            new_config = index_config_from_api_json(api_json)
+        if new_config is None:
+            from dataclasses import replace
+
+            new_config = replace(
+                current,
+                **({"doc_mapping": doc_mapping} if doc_mapping else {}),
+                **({"settings": settings} if settings else {}))
+        validate_config_update(current, new_config)
+        Manifest(self.index_dir).update_config(new_config.to_json())
+        return new_config
+
+    def apply_retention(self, retention_secs: Optional[float] = None,
+                        now: Optional[float] = None) -> list[str]:
+        """Drop splits whose time range fully predates now - retention
+        (janitor retention_policy_execution.rs). Uses the config's
+        ``settings.retention_secs`` when no explicit period is given;
+        no-op (returns []) if neither is set."""
+        from quickwit_ray.index.build import apply_retention
+
+        if retention_secs is None:
+            retention_secs = self.config.settings.retention_secs
+        if retention_secs is None:
+            return []
+        kw = {"now": now} if now is not None else {}
+        return apply_retention(self.index_dir, retention_secs, **kw)
+
     def merge(self, execution: str = "local") -> int:
         return run_merge_pipeline(self.index_dir, execution=execution)
 

@@ -10,6 +10,7 @@ configs are shipped to workers inside closures / actor constructors.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -204,6 +205,10 @@ class IndexSettings:
     batch_size: int = 8192
     # store the raw html/bytes column in the docstore (wide records; off by default)
     store_binary_columns: bool = True
+    # retention policy (index_config/mod.rs RetentionPolicy — period after
+    # which splits whose time range fully predates now-period are dropped);
+    # None = keep forever. Applied by Index.apply_retention / the janitor.
+    retention_secs: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -251,6 +256,7 @@ class IndexConfig:
             merge_policy=MergePolicyConfig(**mp) if mp else MergePolicyConfig(),
             batch_size=st.get("batch_size", 8192),
             store_binary_columns=st.get("store_binary_columns", True),
+            retention_secs=st.get("retention_secs"),
         )
         return IndexConfig(index_id=obj["index_id"], doc_mapping=mapping, settings=settings)
 
@@ -365,7 +371,83 @@ def index_config_from_api_json(obj: dict[str, Any]) -> IndexConfig:
         dynamic_fast_normalizer=dyn_fast_norm,
         store_document_size=bool(dm.get("store_document_size", False)),
     )
-    return IndexConfig(index_id=obj["index_id"], doc_mapping=mapping)
+    settings = IndexSettings()
+    ret = obj.get("retention")
+    if ret:
+        settings = IndexSettings(
+            retention_secs=parse_period_secs(ret["period"]))
+    return IndexConfig(index_id=obj["index_id"], doc_mapping=mapping,
+                       settings=settings)
+
+
+def parse_period_secs(v: Any) -> int:
+    """Humanized retention period -> seconds (the reference accepts
+    humantime strings in ``retention.period``, index_config/mod.rs
+    RetentionPolicy; we take the common units plus bare ints)."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(s|sec|secs|seconds?|m|min|mins|minutes?|h|hours?"
+        r"|d|days?|w|weeks?)\s*", str(v))
+    if not m:
+        raise ValueError(f"unparseable retention period {v!r}")
+    n = int(m.group(1))
+    unit = m.group(2)[0]
+    return n * {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 7 * 86400}[unit]
+
+
+def validate_config_update(current: IndexConfig, new: IndexConfig) -> None:
+    """Validate an index-config update against the reference's rules
+    (quickwit-config/src/index_config/serialize.rs:73-151
+    `load_index_config_update`):
+
+      * ``index_id`` cannot change (index_uri is our index_dir — fixed by
+        construction);
+      * ``doc_mapping.timestamp_field`` cannot change (split pruning and
+        time-sorted skipping key on it);
+      * custom ``tokenizers`` must remain a SUPERSET of the current ones
+        (old splits were built with them; queries must still tokenize);
+      * the new mapping must itself build coherently (constructing the
+        dataclasses runs that validation).
+
+    Stricter than the reference (documented divergence): a same-named
+    field may not change ``type``. The reference versions doc mappings
+    per split (doc_mapping_uid) and searches old splits with their old
+    mapper; our readers use the current mapping for query typing, so a
+    type flip would misread old splits' columns. New fields, dropped
+    fields, search settings, mode and all IndexSettings are updatable —
+    existing splits are never reindexed (reference semantics).
+    """
+    errors: list[str] = []
+    if new.index_id != current.index_id:
+        errors.append(f"`index_id` cannot be updated "
+                      f"({current.index_id!r} -> {new.index_id!r})")
+    if new.doc_mapping.timestamp_field != current.doc_mapping.timestamp_field:
+        errors.append(
+            "`doc_mapping.timestamp_field` cannot be updated "
+            f"({current.doc_mapping.timestamp_field!r} -> "
+            f"{new.doc_mapping.timestamp_field!r})")
+    if new.doc_mapping.doc_id_field != current.doc_mapping.doc_id_field:
+        errors.append("`doc_mapping.doc_id_field` cannot be updated")
+    cur_toks = {json.dumps(t, sort_keys=True)
+                for t in current.doc_mapping.tokenizers}
+    new_toks = {json.dumps(t, sort_keys=True)
+                for t in new.doc_mapping.tokenizers}
+    if not cur_toks <= new_toks:
+        errors.append("`doc_mapping.tokenizers` must be a superset of "
+                      "previously available tokenizers")
+    cur_fields = {f.name: f for f in current.doc_mapping.field_mappings}
+    for f in new.doc_mapping.field_mappings:
+        old = cur_fields.get(f.name)
+        if old is not None and old.type != f.type:
+            errors.append(f"field `{f.name}` cannot change type "
+                          f"({old.type!r} -> {f.type!r}); add a new field "
+                          "instead (existing splits are not reindexed)")
+    if errors:
+        raise ValueError("invalid index config update:\n  " +
+                         "\n  ".join(errors))
 
 
 def pages_doc_mapping() -> DocMapping:

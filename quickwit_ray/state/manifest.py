@@ -158,6 +158,8 @@ class Manifest:
         kind = op["op"]
         if kind == "create":
             self.index_config_json = op["index_config"]
+        elif kind == "update_config":
+            self.index_config_json = op["index_config"]
         elif kind == "publish":
             for sj in op.get("splits", ()):
                 sm = SplitMetadata.from_json(sj)
@@ -243,7 +245,7 @@ class Manifest:
         con = self._sql()
         kind = op["op"]
         with con:
-            if kind == "create":
+            if kind in ("create", "update_config"):
                 con.execute("INSERT OR REPLACE INTO meta VALUES ('index_config', ?)",
                             (json.dumps(op["index_config"]),))
             elif kind == "publish":
@@ -430,6 +432,17 @@ class Manifest:
         # snapshot immediately: manifest.json presence is the "index
         # exists" signal for Index.open and the reader caches
         self._compact()
+
+    def update_config(self, index_config_json: dict[str, Any]) -> None:
+        """Replace the stored index config (`quickwit index update` /
+        metastore ``update_index`` analog). Validation of what may change
+        lives in ``config.validate_config_update`` — the manifest records
+        whatever the API layer approved. Existing splits are untouched
+        (the reference's update semantics: no reindex; old splits keep the
+        artifacts built under the old mapping)."""
+        op = {"op": "update_config", "index_config": index_config_json}
+        self._apply(op)
+        self._append(op)
 
     def publish(self, new_splits: Iterable[SplitMetadata],
                 replaced_split_ids: Iterable[str] = (),
