@@ -26,16 +26,26 @@ class Index:
     @staticmethod
     def create(index_dir: str, index_id: str, doc_mapping: DocMapping,
                settings: Optional[IndexSettings] = None,
-               metastore: str = "file") -> "Index":
-        """``metastore="sqlite"`` stores the manifest in an ACID sqlite DB
-        (the reference's SQL/postgres metastore option) instead of the
-        append-log file; both speak the same Manifest API."""
+               metastore: str = "file",
+               metastore_dsn: Optional[str] = None) -> "Index":
+        """``metastore="sqlite"`` stores the manifest in an ACID sqlite DB;
+        ``metastore="postgres"`` stores it in a SHARED PostgreSQL database
+        (the reference's postgres metastore: one DB hosts many indexes,
+        rows scoped by index_uid) reached via ``metastore_dsn`` — a
+        ``metastore.json`` pointer pins the DSN so later opens resolve the
+        same server. All backends speak the same Manifest API."""
         # auto-detecting probe first: creating with a DIFFERENT backend
         # over an existing index must fail, not shadow/orphan it
         probe = Manifest(index_dir)
         if probe.index_config_json is not None:
             raise FileExistsError(f"index already exists at {index_dir}")
-        manifest = Manifest(index_dir, backend=metastore)
+        if metastore == "postgres":
+            if metastore_dsn is None:
+                raise ValueError("metastore='postgres' needs metastore_dsn")
+            from quickwit_ray.state.sql import write_pointer
+
+            write_pointer(index_dir, metastore_dsn)
+        manifest = Manifest(index_dir, backend=metastore, dsn=metastore_dsn)
         if manifest.index_config_json is not None:
             raise FileExistsError(f"index already exists at {index_dir}")
         config = IndexConfig(index_id=index_id, doc_mapping=doc_mapping,

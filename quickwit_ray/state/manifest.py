@@ -77,6 +77,17 @@ def _atomic_write_json(path: str, obj: Any) -> None:
 COMPACT_EVERY = 64  # log entries between snapshot compactions
 
 
+def _index_uid(index_dir: str) -> str:
+    """Deterministic per-index uid scoping rows in a SHARED postgres
+    database (the reference's index_uid, postgres/metastore.rs). Derived
+    from the artifact path so every Manifest(index_dir) resolves the same
+    rows without extra coordination."""
+    import hashlib
+
+    return hashlib.sha1(
+        os.path.abspath(index_dir).encode()).hexdigest()[:16]
+
+
 class Manifest:
     """Driver-side single-writer manifest for one index.
 
@@ -90,7 +101,8 @@ class Manifest:
     (crash mid-append) is ignored; replaying ops already folded into the
     snapshot is idempotent."""
 
-    def __init__(self, index_dir: str, backend: Optional[str] = None):
+    def __init__(self, index_dir: str, backend: Optional[str] = None,
+                 dsn: Optional[str] = None):
         self.index_dir = index_dir
         self.path = os.path.join(index_dir, "manifest.json")
         self.log_path = os.path.join(index_dir, "manifest.log")
@@ -109,14 +121,26 @@ class Manifest:
         # "mq:{shard_id}" checkpoint, transactional with split publish
         self.shards: dict[str, dict[str, Any]] = {}
         self._log_entries = 0
-        self._conn = None
-        # backend auto-detection: a metastore.db marks the SQL backend (the
-        # postgres-metastore analog, quickwit-metastore/src/metastore/
-        # postgres — real ACID transactions instead of the append-log)
-        self._backend = backend or ("sqlite" if os.path.exists(self.db_path)
-                                    else "file")
-        if self._backend == "sqlite":
-            if os.path.exists(self.db_path):
+        self._store = None
+        self._dsn = dsn
+        # backend auto-detection: a metastore.json pointer marks a shared
+        # PostgreSQL metastore (quickwit-metastore/src/metastore/postgres);
+        # a metastore.db marks the per-index sqlite DB; else the
+        # append-log file backend. SQL backends get real ACID
+        # transactions instead of the append-log.
+        if backend is None:
+            from quickwit_ray.state.sql import read_pointer
+
+            ptr = read_pointer(index_dir)
+            if ptr is not None:
+                backend = ptr.get("backend", "postgres")
+            elif os.path.exists(self.db_path):
+                backend = "sqlite"
+            else:
+                backend = "file"
+        self._backend = backend
+        if self._backend in ("sqlite", "postgres"):
+            if self._backend == "postgres" or os.path.exists(self.db_path):
                 self._load_sql()
         elif os.path.exists(self.path) or os.path.exists(self.log_path):
             self._load()
@@ -201,101 +225,99 @@ class Manifest:
         else:  # pragma: no cover — forward compat
             raise ValueError(f"unknown manifest op {kind!r}")
 
-    # -- SQL backend driver (sqlite standing in for the reference's
-    # postgres metastore; same transactional semantics: one op = one
-    # ACID transaction, state survives without snapshot/compaction) ------
-
-    _DDL = """
-    CREATE TABLE IF NOT EXISTS meta (key TEXT PRIMARY KEY, value TEXT);
-    CREATE TABLE IF NOT EXISTS splits (split_id TEXT PRIMARY KEY, json TEXT);
-    CREATE TABLE IF NOT EXISTS checkpoints (partition TEXT PRIMARY KEY, json TEXT);
-    CREATE TABLE IF NOT EXISTS delete_tasks (opstamp INTEGER PRIMARY KEY, query TEXT);
-    CREATE TABLE IF NOT EXISTS shards (shard_id TEXT PRIMARY KEY, json TEXT);
-    """
+    # -- SQL backend driver (sqlite file DB, or a shared PostgreSQL
+    # server via state/sql.py — the reference's postgres metastore; same
+    # transactional semantics either way: one op = one ACID transaction,
+    # state survives without snapshot/compaction) ------------------------
 
     def _sql(self):
-        import sqlite3
+        from quickwit_ray.state.sql import SqlStore, connect_dsn, read_pointer
 
-        if self._conn is None:
-            os.makedirs(self.index_dir, exist_ok=True)
-            self._conn = sqlite3.connect(self.db_path)
-            self._conn.execute("PRAGMA journal_mode=WAL")
-            self._conn.executescript(self._DDL)
-        return self._conn
+        if self._store is None:
+            if self._backend == "postgres":
+                ptr = read_pointer(self.index_dir)
+                dsn = self._dsn or (ptr or {}).get("dsn")
+                if dsn is None:
+                    raise FileNotFoundError(
+                        f"no metastore.json pointer at {self.index_dir}")
+                uid = (ptr or {}).get("index_uid") or _index_uid(self.index_dir)
+                self._store = SqlStore(connect_dsn(dsn), "postgres", uid)
+            else:
+                import sqlite3
+
+                os.makedirs(self.index_dir, exist_ok=True)
+                conn = sqlite3.connect(self.db_path)
+                conn.execute("PRAGMA journal_mode=WAL")
+                self._store = SqlStore(conn, "sqlite")
+            self._store.create_tables()
+        return self._store
 
     def _load_sql(self) -> None:
-        con = self._sql()
-        for (v,) in con.execute("SELECT value FROM meta WHERE key='index_config'"):
-            self.index_config_json = json.loads(v)
-        for (j,) in con.execute("SELECT json FROM splits"):
+        st = self._sql()
+        for k, v in st.select_all("meta"):
+            if k == "index_config":
+                self.index_config_json = json.loads(v)
+        for _sid, j in st.select_all("splits"):
             sm = SplitMetadata.from_json(json.loads(j))
             self.splits[sm.split_id] = sm
-        for p, j in con.execute("SELECT partition, json FROM checkpoints"):
+        for p, j in st.select_all("checkpoints"):
             self.checkpoints[p] = json.loads(j)
-        for o, q in con.execute(
-                "SELECT opstamp, query FROM delete_tasks ORDER BY opstamp"):
+        for o, q in st.select_all("delete_tasks", order_by="opstamp"):
             self.delete_tasks.append({"opstamp": int(o), "query": q})
-        for sid, j in con.execute("SELECT shard_id, json FROM shards"):
+        for sid, j in st.select_all("shards"):
             self.shards[sid] = json.loads(j)
 
     def _apply_sql(self, op: dict[str, Any]) -> None:
         """One op = one ACID transaction. Split rows are re-serialized from
         the in-memory state (already updated by _apply), so state-changing
         ops like replacement marking stay consistent."""
-        con = self._sql()
+        st = self._sql()
         kind = op["op"]
-        with con:
+        with st.tx() as cur:
             if kind in ("create", "update_config"):
-                con.execute("INSERT OR REPLACE INTO meta VALUES ('index_config', ?)",
-                            (json.dumps(op["index_config"]),))
+                st.upsert(cur, "meta",
+                          ("index_config", json.dumps(op["index_config"])))
             elif kind == "publish":
                 for sj in op.get("splits", ()):
                     sid = sj["split_id"]
-                    con.execute("INSERT OR REPLACE INTO splits VALUES (?, ?)",
-                                (sid, json.dumps(self.splits[sid].to_json())))
+                    st.upsert(cur, "splits",
+                              (sid, json.dumps(self.splits[sid].to_json())))
                 for sid in op.get("replaced", ()):
                     if sid in self.splits:
-                        con.execute(
-                            "INSERT OR REPLACE INTO splits VALUES (?, ?)",
-                            (sid, json.dumps(self.splits[sid].to_json())))
+                        st.upsert(cur, "splits",
+                                  (sid, json.dumps(self.splits[sid].to_json())))
                 for pid in op.get("checkpoints", {}):
-                    con.execute(
-                        "INSERT OR REPLACE INTO checkpoints VALUES (?, ?)",
-                        (pid, json.dumps(self.checkpoints[pid])))
+                    st.upsert(cur, "checkpoints",
+                              (pid, json.dumps(self.checkpoints[pid])))
             elif kind == "mark_for_deletion":
                 for sid in op["split_ids"]:
                     if sid in self.splits:
-                        con.execute(
-                            "INSERT OR REPLACE INTO splits VALUES (?, ?)",
-                            (sid, json.dumps(self.splits[sid].to_json())))
+                        st.upsert(cur, "splits",
+                                  (sid, json.dumps(self.splits[sid].to_json())))
             elif kind == "delete_splits":
-                con.executemany("DELETE FROM splits WHERE split_id = ?",
-                                [(sid,) for sid in op["split_ids"]])
+                for sid in op["split_ids"]:
+                    st.delete_where_pk(cur, "splits", sid)
             elif kind == "delete_task":
-                con.execute(
-                    "INSERT OR IGNORE INTO delete_tasks VALUES (?, ?)",
-                    (op["opstamp"], op["query"]))
+                st.insert_ignore(cur, "delete_tasks",
+                                 (op["opstamp"], op["query"]))
             elif kind == "shard_open":
-                con.execute("INSERT OR IGNORE INTO shards VALUES (?, ?)",
-                            (op["id"], json.dumps(self.shards[op["id"]])))
+                st.insert_ignore(cur, "shards",
+                                 (op["id"], json.dumps(self.shards[op["id"]])))
             elif kind == "shard_acquire":
-                con.execute("INSERT OR REPLACE INTO shards VALUES (?, ?)",
-                            (op["id"], json.dumps(self.shards[op["id"]])))
+                st.upsert(cur, "shards",
+                          (op["id"], json.dumps(self.shards[op["id"]])))
             elif kind == "shard_prune":
-                con.executemany("DELETE FROM shards WHERE shard_id = ?",
-                                [(i,) for i in op["ids"]])
-                con.executemany("DELETE FROM checkpoints WHERE partition = ?",
-                                [(f"mq:{i}",) for i in op["ids"]])
+                for i in op["ids"]:
+                    st.delete_where_pk(cur, "shards", i)
+                    st.delete_where_pk(cur, "checkpoints", f"mq:{i}")
             elif kind == "clear":
-                con.execute("DELETE FROM splits")
-                con.execute("DELETE FROM checkpoints")
-                con.execute("DELETE FROM delete_tasks")
-                con.execute("DELETE FROM shards")
+                for t in ("splits", "checkpoints", "delete_tasks", "shards"):
+                    st.delete_all(cur, t)
             else:  # pragma: no cover
                 raise ValueError(f"unknown manifest op {kind!r}")
 
     def _append(self, op: dict[str, Any]) -> None:
-        if self._backend == "sqlite":
+        if self._backend in ("sqlite", "postgres"):
             self._apply_sql(op)
             return
         os.makedirs(self.index_dir, exist_ok=True)
@@ -327,9 +349,9 @@ class Manifest:
     def _compact(self) -> None:
         """Snapshot + truncate the log, both via atomic rename. A crash
         between the two leaves snapshot + stale log: replay is idempotent,
-        so the state converges either way. (No-op for the SQL backend —
+        so the state converges either way. (No-op for the SQL backends —
         transactions ARE the durable state.)"""
-        if self._backend == "sqlite":
+        if self._backend in ("sqlite", "postgres"):
             return
         _atomic_write_json(self.path, self._snapshot_obj())
         fd, tmp = tempfile.mkstemp(dir=self.index_dir, prefix=".log-")
@@ -339,30 +361,25 @@ class Manifest:
 
     def _commit(self) -> None:
         """Full-snapshot commit (kept for the rare whole-state rewrites)."""
-        if self._backend == "sqlite":
-            con = self._sql()
-            with con:
-                con.execute("DELETE FROM splits")
-                con.execute("DELETE FROM checkpoints")
-                con.execute("DELETE FROM delete_tasks")
+        if self._backend in ("sqlite", "postgres"):
+            st = self._sql()
+            with st.tx() as cur:
+                for t in ("splits", "checkpoints", "delete_tasks", "shards"):
+                    st.delete_all(cur, t)
                 if self.index_config_json is not None:
-                    con.execute(
-                        "INSERT OR REPLACE INTO meta VALUES ('index_config', ?)",
-                        (json.dumps(self.index_config_json),))
-                con.executemany(
-                    "INSERT INTO splits VALUES (?, ?)",
-                    [(s.split_id, json.dumps(s.to_json()))
-                     for s in self.splits.values()])
-                con.executemany(
-                    "INSERT INTO checkpoints VALUES (?, ?)",
-                    [(p, json.dumps(c)) for p, c in self.checkpoints.items()])
-                con.executemany(
-                    "INSERT INTO delete_tasks VALUES (?, ?)",
-                    [(t["opstamp"], t["query"]) for t in self.delete_tasks])
-                con.execute("DELETE FROM shards")
-                con.executemany(
-                    "INSERT INTO shards VALUES (?, ?)",
-                    [(sid, json.dumps(v)) for sid, v in self.shards.items()])
+                    st.upsert(cur, "meta",
+                              ("index_config",
+                               json.dumps(self.index_config_json)))
+                for s in self.splits.values():
+                    st.upsert(cur, "splits",
+                              (s.split_id, json.dumps(s.to_json())))
+                for p, c in self.checkpoints.items():
+                    st.upsert(cur, "checkpoints", (p, json.dumps(c)))
+                for t in self.delete_tasks:
+                    st.upsert(cur, "delete_tasks",
+                              (t["opstamp"], t["query"]))
+                for sid, v in self.shards.items():
+                    st.upsert(cur, "shards", (sid, json.dumps(v)))
             return
         _atomic_write_json(self.path, self._snapshot_obj())
 
