@@ -306,6 +306,85 @@ class Index:
                 shutil.rmtree(d)
         return len(ids)
 
+    # -- declarative sources (source-config.md; CLI `quickwit source
+    # create/delete/enable/disable/reset-checkpoint`) ---------------------
+
+    def add_source(self, source_config: dict) -> dict:
+        """Attach a declarative source config (validated + normalized);
+        returns the stored config. ``ingest_source`` runs it."""
+        from quickwit_ray.config import validate_source_config
+
+        cfg = validate_source_config(source_config)
+        Manifest(self.index_dir).add_source(cfg)
+        return cfg
+
+    def list_sources(self) -> list[dict]:
+        return list(Manifest(self.index_dir).sources.values())
+
+    def delete_source(self, source_id: str) -> None:
+        Manifest(self.index_dir).delete_source(source_id)
+
+    def toggle_source(self, source_id: str, enable: bool) -> None:
+        Manifest(self.index_dir).toggle_source(source_id, enable)
+
+    def reset_source_checkpoint(self, source_id: str) -> int:
+        return Manifest(self.index_dir).reset_source_checkpoint(source_id)
+
+    def ingest_source(self, source_id: str, *, execution: str = "ray",
+                      client_factory=None, **kw):
+        """Run one configured source to drain its current backlog.
+
+        Broker-backed types (queue/kafka/kinesis/pulsar) poll through the
+        offset-checkpointed queue machinery under the source-scoped
+        checkpoint prefix ``src.{source_id}`` (so reset-checkpoint can
+        target it); ``mq``/``sqs``/``pub_sub`` use the message-ack
+        coordinator; ``file`` builds from the configured parquet inputs;
+        ``wal`` indexes the record logs; ``ingest-api``/``void`` are
+        push-based / no-ops. ``client_factory`` overrides the broker
+        client (tests; real deployments build one from ``params``)."""
+        m = Manifest(self.index_dir)
+        src = m.sources.get(source_id)
+        if src is None:
+            raise KeyError(f"no source {source_id!r}")
+        if not src.get("enabled", True):
+            return None
+        stype, params = src["source_type"], src.get("params", {})
+        if stype in ("ingest-api", "void"):
+            return None
+        if stype == "file":
+            return self.ingest(params["filepath"], execution=execution, **kw)
+        if stype == "wal":
+            from quickwit_ray.sources.wal import index_wal
+
+            return index_wal(self.index_dir, execution=execution,
+                             source_id=params.get("wal_source_id",
+                                                  "_ingest-api"), **kw)
+        if stype in ("mq", "sqs", "pub_sub"):
+            from quickwit_ray.sources.mq import ingest_message_queue
+
+            if client_factory is None:
+                raise ValueError(
+                    f"source_type {stype!r} needs a broker client "
+                    "(pass client_factory; SDKs are not installed here)")
+            return ingest_message_queue(
+                client_factory(), self.index_dir, self.config,
+                token=kw.pop("token", f"src-{source_id}"), **kw)
+        # offset-checkpointed queue family
+        from quickwit_ray.sources.queue import ingest_queue
+
+        if client_factory is None:
+            if stype != "queue":
+                raise ValueError(
+                    f"source_type {stype!r} needs a broker client "
+                    "(pass client_factory; SDKs are not installed here)")
+            qdir = params["queue_dir"]
+        else:
+            qdir = params.get("queue_dir", self.index_dir)
+        return ingest_queue(qdir, self.index_dir, self.config,
+                            execution=execution,
+                            client_factory=client_factory,
+                            checkpoint_prefix=f"src.{source_id}", **kw)
+
     def create_delete_task(self, query: str) -> int:
         return Manifest(self.index_dir).create_delete_task(query)
 

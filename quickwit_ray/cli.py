@@ -101,11 +101,35 @@ def main(argv=None) -> int:
     se.add_argument("out_dir")
 
     sv = sub.add_parser("serve", help="HTTP REST tier (ES-compatible API "
-                        "under /api/v1/_elastic, rest_handler.rs analog)")
+                        "under /api/v1/_elastic + native index API under "
+                        "/api/v1/indexes, rest_handler.rs analog)")
     sv.add_argument("index_dirs", nargs="+",
                     help="index dirs to register (name = index_id)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=7280)
+    sv.add_argument("--index-root-dir", default=None,
+                    help="enable POST /api/v1/indexes creation under "
+                         "this directory")
+
+    so = sub.add_parser("source", help="declarative source configs "
+                        "(quickwit source create/list/delete/toggle/"
+                        "reset-checkpoint)")
+    so.add_argument("index_dir")
+    sosub = so.add_subparsers(dest="source_cmd", required=True)
+    soc = sosub.add_parser("create", help="attach a source config")
+    soc.add_argument("--config", required=True,
+                     help="source config JSON (inline or @file)")
+    sosub.add_parser("list", help="list configured sources")
+    sod = sosub.add_parser("delete")
+    sod.add_argument("source_id")
+    sot = sosub.add_parser("toggle")
+    sot.add_argument("source_id")
+    sot.add_argument("--disable", action="store_true")
+    sor = sosub.add_parser("reset-checkpoint")
+    sor.add_argument("source_id")
+    soi = sosub.add_parser("ingest", help="drain a configured source")
+    soi.add_argument("source_id")
+    soi.add_argument("--local", action="store_true")
 
     args = p.parse_args(argv)
     from quickwit_ray.api import Index
@@ -207,6 +231,32 @@ def main(argv=None) -> int:
                                  os.path.join(args.out_dir, fn))
                 print(f"extracted {len(os.listdir(d))} files to "
                       f"{args.out_dir}")
+    elif args.cmd == "source":
+        idx = Index.open(args.index_dir)
+        if args.source_cmd == "create":
+            raw = args.config
+            if raw.startswith("@"):
+                with open(raw[1:]) as f:
+                    raw = f.read()
+            print(json.dumps(idx.add_source(json.loads(raw))))
+        elif args.source_cmd == "list":
+            print(json.dumps(idx.list_sources(), indent=2))
+        elif args.source_cmd == "delete":
+            idx.delete_source(args.source_id)
+            print(f"deleted source {args.source_id}")
+        elif args.source_cmd == "toggle":
+            idx.toggle_source(args.source_id, not args.disable)
+            print(f"{'disabled' if args.disable else 'enabled'} "
+                  f"{args.source_id}")
+        elif args.source_cmd == "reset-checkpoint":
+            n = idx.reset_source_checkpoint(args.source_id)
+            print(f"removed {n} checkpoints")
+        elif args.source_cmd == "ingest":
+            if not args.local:
+                _ray_up(args.num_cpus)
+            st = idx.ingest_source(
+                args.source_id, execution="local" if args.local else "ray")
+            print(json.dumps({"num_docs": getattr(st, "num_docs", 0)}))
     elif args.cmd == "serve":
         from quickwit_ray.server import SearchServer
 
@@ -214,7 +264,8 @@ def main(argv=None) -> int:
         for d in args.index_dirs:
             idx = Index.open(d)
             indexes[idx.config.index_id] = idx
-        srv = SearchServer(indexes, args.host, args.port).start()
+        srv = SearchServer(indexes, args.host, args.port,
+                           index_root_dir=args.index_root_dir).start()
         print(f"serving {sorted(indexes)} on "
               f"http://{args.host}:{srv.port}/api/v1/_elastic/ "
               "(ctrl-c to stop)")

@@ -450,6 +450,38 @@ def validate_config_update(current: IndexConfig, new: IndexConfig) -> None:
                          "\n  ".join(errors))
 
 
+# source types accepted by declarative source configs (the reference's
+# source-config.md: file / kafka / kinesis / pulsar / pub_sub / sqs /
+# ingest-api / void; "queue" and "mq" are this repo's simulated brokers,
+# "wal" the ingest-v2 record-log source)
+SOURCE_TYPES = {"file", "kafka", "kinesis", "pulsar", "pub_sub", "sqs",
+                "queue", "mq", "wal", "ingest-api", "void"}
+RESERVED_SOURCE_IDS = {"_ingest-api", "_ingest", "_ingest-cli"}
+
+
+def validate_source_config(obj: dict[str, Any]) -> dict[str, Any]:
+    """Validate + normalize a source config payload (source-config.md;
+    source_config/serialize.rs: source_id character rules, reserved ids,
+    known source types). Returns the normalized config."""
+    sid = obj.get("source_id")
+    if not sid or not isinstance(sid, str):
+        raise ValueError("source config needs a `source_id`")
+    if sid in RESERVED_SOURCE_IDS or sid.startswith("_"):
+        raise ValueError(f"source_id {sid!r} is reserved")
+    if not all(c.isalnum() or c in "-_." for c in sid):
+        raise ValueError(f"invalid source_id {sid!r}")
+    stype = obj.get("source_type")
+    if stype not in SOURCE_TYPES:
+        raise ValueError(f"unknown source_type {stype!r} "
+                         f"(expected one of {sorted(SOURCE_TYPES)})")
+    params = obj.get("params") or {}
+    if not isinstance(params, dict):
+        raise ValueError("`params` must be an object")
+    return {"source_id": sid, "source_type": stype, "params": params,
+            "enabled": bool(obj.get("enabled", True)),
+            "num_pipelines": int(obj.get("num_pipelines", 1))}
+
+
 def pages_doc_mapping() -> DocMapping:
     """Doc mapping for the canonical Common-Crawl-style ``pages`` table
     (BASELINE.json input_hint): (url, warc_ts, html, text, lang)."""

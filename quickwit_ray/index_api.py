@@ -1,0 +1,191 @@
+"""Native REST API — index + source management and native search.
+
+Re-expresses the reference's non-ES REST surface
+(`quickwit-serve/src/index_api/rest_handler.rs`: GET/POST /indexes,
+GET/PUT/DELETE /indexes/{id}, PUT /indexes/{id}/clear, GET .../describe,
+source CRUD + toggle + reset-checkpoint; and
+`quickwit-serve/src/search_api/rest_handler.rs`: GET {index}/search with
+query/max_hits/start_offset/sort_by/timestamps) over the same registry of
+:class:`Index` objects the ES dispatcher serves. The two services SHARE
+the registry dict, so an index created here is immediately searchable via
+the ES endpoints too.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+from quickwit_ray.api import Index
+from quickwit_ray.search.es_rest import EsApiError, _hit_source
+from quickwit_ray.state.manifest import Manifest
+
+
+class IndexApiService:
+    """Routes (method, endpoint, params, body) for the native API.
+
+    ``indexes`` is the SHARED registry (pass the EsRestService's dict,
+    not a copy). ``index_root_dir`` is where POST /indexes materializes
+    new index directories (default_index_root_uri analog); creation is
+    rejected when unset.
+    """
+
+    def __init__(self, indexes: dict[str, Index],
+                 index_root_dir: Optional[str] = None):
+        self.indexes = indexes
+        self.index_root_dir = index_root_dir
+
+    # -- entry ------------------------------------------------------------
+
+    def request(self, method: str, endpoint: str,
+                params: Optional[dict] = None,
+                body: Any = None) -> tuple[int, Any]:
+        try:
+            return 200, self._route(method.upper(), endpoint.strip("/"),
+                                    dict(params or {}), body)
+        except EsApiError as e:
+            return e.status, e.body()
+        except (ValueError, KeyError, TypeError) as e:
+            return 400, {"status": 400,
+                         "error": {"reason": f"Invalid argument: {e}"}}
+
+    def handles(self, endpoint: str) -> bool:
+        parts = endpoint.strip("/").split("/")
+        return parts[0] == "indexes" or (
+            len(parts) >= 2 and parts[1] == "search")
+
+    # -- routing ----------------------------------------------------------
+
+    def _route(self, method: str, endpoint: str, params: dict,
+               body: Any) -> Any:
+        parts = endpoint.split("/")
+        if parts[0] == "indexes":
+            return self._route_indexes(method, parts[1:], params, body)
+        if len(parts) == 2 and parts[1] == "search":
+            return self._search(parts[0], params, body or {})
+        raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
+
+    def _route_indexes(self, method: str, parts: list[str], params: dict,
+                       body: Any) -> Any:
+        if not parts or parts == [""]:
+            if method == "GET":
+                return [self._metadata(n) for n in sorted(self.indexes)]
+            if method == "POST":
+                return self._create(body or {})
+        elif len(parts) == 1:
+            name = parts[0]
+            if method == "GET":
+                return self._metadata(self._name(name))
+            if method == "PUT":
+                idx = self._idx(name)
+                idx.update_config(api_json=body or {})
+                return self._metadata(name)
+            if method == "DELETE":
+                return self._delete(name)
+        elif len(parts) == 2 and parts[1] == "clear" and method == "PUT":
+            self._idx(parts[0]).clear()
+            return {"acknowledged": True}
+        elif len(parts) == 2 and parts[1] == "describe" and method == "GET":
+            return self._idx(parts[0]).describe()
+        elif len(parts) >= 2 and parts[1] == "sources":
+            return self._route_sources(method, parts[0], parts[2:], body)
+        raise EsApiError(
+            400, f"unsupported endpoint indexes/{'/'.join(parts)!r}")
+
+    def _route_sources(self, method: str, name: str, rest: list[str],
+                       body: Any) -> Any:
+        idx = self._idx(name)
+        if not rest:
+            if method == "GET":
+                return idx.list_sources()
+            if method == "POST":
+                return idx.add_source(body or {})
+        elif len(rest) == 1:
+            if method == "DELETE":
+                idx.delete_source(rest[0])
+                return {"acknowledged": True}
+            if method == "GET":
+                src = Manifest(idx.index_dir).sources.get(rest[0])
+                if src is None:
+                    raise EsApiError(404, f"no source {rest[0]!r}")
+                return src
+        elif len(rest) == 2 and rest[1] == "toggle" and method == "PUT":
+            idx.toggle_source(rest[0], bool((body or {}).get("enable", True)))
+            return {"acknowledged": True}
+        elif len(rest) == 2 and rest[1] == "reset-checkpoint" \
+                and method == "PUT":
+            n = idx.reset_source_checkpoint(rest[0])
+            return {"acknowledged": True, "checkpoints_removed": n}
+        raise EsApiError(400, "unsupported sources endpoint")
+
+    # -- handlers ----------------------------------------------------------
+
+    def _name(self, name: str) -> str:
+        if name not in self.indexes:
+            raise EsApiError(404, f"index not found: {name}",
+                             type="index_not_found_exception")
+        return name
+
+    def _idx(self, name: str) -> Index:
+        return self.indexes[self._name(name)]
+
+    def _metadata(self, name: str) -> dict:
+        m = Manifest(self.indexes[name].index_dir)
+        return {
+            "version": "0.8",
+            "index_config": m.index_config_json,
+            "checkpoint": m.checkpoints,
+            "sources": list(m.sources.values()),
+        }
+
+    def _create(self, payload: dict) -> dict:
+        from quickwit_ray.config import index_config_from_api_json
+
+        if self.index_root_dir is None:
+            raise EsApiError(400, "index creation is disabled: the server "
+                             "was started without an index root dir")
+        cfg = index_config_from_api_json(payload)
+        if cfg.index_id in self.indexes:
+            raise EsApiError(400, f"index {cfg.index_id!r} already exists")
+        d = os.path.join(self.index_root_dir, cfg.index_id)
+        idx = Index.create(d, cfg.index_id, cfg.doc_mapping,
+                           settings=cfg.settings)
+        self.indexes[cfg.index_id] = idx
+        return self._metadata(cfg.index_id)
+
+    def _delete(self, name: str) -> dict:
+        idx = self.indexes.pop(self._name(name))
+        shutil.rmtree(idx.index_dir, ignore_errors=True)
+        return {"acknowledged": True}
+
+    def _search(self, name: str, params: dict, body: dict) -> dict:
+        """Native search endpoint (search_api/rest_handler.rs
+        SearchRequestQueryString -> SearchResponseRest). GET query params
+        or an equivalent JSON body."""
+        idx = self._idx(name)
+        p = {**body, **params}
+        sort_by = p.get("sort_by") or p.get("sort_by_field")
+        kw: dict[str, Any] = {
+            "max_hits": int(p.get("max_hits", 20)),
+            "start_offset": int(p.get("start_offset", 0)),
+        }
+        if sort_by:
+            kw["sort_by"] = [s for s in str(sort_by).split(",") if s]
+        for t in ("start_timestamp", "end_timestamp"):
+            if p.get(t) is not None:
+                kw[t] = int(p[t])
+        if p.get("snippet_fields"):
+            kw["snippet_fields"] = tuple(str(p["snippet_fields"]).split(","))
+        resp = idx.search(p.get("query", "*"), **kw)
+        mapping = idx.config.doc_mapping
+        hits = [_hit_source(row, mapping) for _, row in resp.hits.iterrows()]
+        out = {
+            "num_hits": int(resp.num_hits),
+            "hits": hits,
+            "elapsed_time_micros": int(resp.elapsed_sec * 1e6),
+            "errors": [str(f) for f in resp.failed_splits],
+        }
+        if resp.aggs is not None:
+            out["aggregations"] = resp.aggs
+        return out

@@ -37,7 +37,7 @@ ES_PREFIX = "/api/v1/_elastic"
 NATIVE_PREFIX = "/api/v1"
 
 
-def _make_handler(service: EsRestService):
+def _make_handler(service: EsRestService, index_service=None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -50,11 +50,26 @@ def _make_handler(service: EsRestService):
             n = int(self.headers.get("Content-Length") or 0)
             raw = self.rfile.read(n) if n else b""
             path = u.path
-            if path.startswith(ES_PREFIX):
+            is_es = path.startswith(ES_PREFIX)
+            if is_es:
                 path = path[len(ES_PREFIX):]
             elif path.startswith(NATIVE_PREFIX):
                 path = path[len(NATIVE_PREFIX):]
             endpoint = path.strip("/")
+            # native API (index/source management + {index}/search) — only
+            # for non-_elastic paths the native service claims
+            if (not is_es and index_service is not None
+                    and index_service.handles(endpoint)):
+                try:
+                    body = json.loads(raw) if raw else None
+                except json.JSONDecodeError:
+                    self._reply(400, {"status": 400, "error": {
+                        "reason": "request body is not valid JSON"}})
+                    return
+                status, payload = index_service.request(
+                    self.command, endpoint, params, body)
+                self._reply(status, payload)
+                return
             body = None
             ndjson = None
             if raw:
@@ -98,10 +113,16 @@ class SearchServer:
     """
 
     def __init__(self, indexes: dict, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, index_root_dir: Optional[str] = None):
+        from quickwit_ray.index_api import IndexApiService
+
         self.service = EsRestService(indexes)
-        self._httpd = ThreadingHTTPServer((host, port),
-                                          _make_handler(self.service))
+        # the native service SHARES the ES service's registry dict, so an
+        # index created via POST /indexes is immediately ES-searchable
+        self.index_service = IndexApiService(self.service.indexes,
+                                             index_root_dir=index_root_dir)
+        self._httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(self.service, self.index_service))
         self._httpd.daemon_threads = True
         self.host = host
         self.port = self._httpd.server_address[1]
@@ -127,9 +148,10 @@ class SearchServer:
         self.stop()
 
 
-def serve(indexes: dict, host: str = "127.0.0.1", port: int = 7280):
+def serve(indexes: dict, host: str = "127.0.0.1", port: int = 7280,
+          index_root_dir: Optional[str] = None):
     """Blocking entry (CLI `serve`): run until interrupted. Port 7280 is
     the reference's default REST port."""
-    srv = SearchServer(indexes, host, port)
+    srv = SearchServer(indexes, host, port, index_root_dir=index_root_dir)
     srv.start()
     return srv

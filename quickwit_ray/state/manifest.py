@@ -120,6 +120,9 @@ class Manifest:
         # {shard_id: {"token": str, "ts": float}}; COMPLETION is the
         # "mq:{shard_id}" checkpoint, transactional with split publish
         self.shards: dict[str, dict[str, Any]] = {}
+        # declarative source configs (source-config.md; metastore
+        # add_source/delete_source/toggle_source): {source_id: config}
+        self.sources: dict[str, dict[str, Any]] = {}
         self._log_entries = 0
         self._store = None
         self._dsn = dsn
@@ -157,6 +160,7 @@ class Manifest:
             self.checkpoints = obj.get("checkpoints", {})
             self.delete_tasks = obj.get("delete_tasks", [])
             self.shards = obj.get("shards", {})
+            self.sources = obj.get("sources", {})
         if os.path.exists(self.log_path):
             with open(self.log_path, "rb") as f:
                 raw = f.read()
@@ -214,6 +218,16 @@ class Manifest:
             for i in op["ids"]:
                 self.shards.pop(i, None)
                 self.checkpoints.pop(f"mq:{i}", None)
+        elif kind == "source_add":
+            self.sources[op["source"]["source_id"]] = op["source"]
+        elif kind == "source_delete":
+            self.sources.pop(op["source_id"], None)
+        elif kind == "source_toggle":
+            if op["source_id"] in self.sources:
+                self.sources[op["source_id"]]["enabled"] = bool(op["enable"])
+        elif kind == "checkpoint_reset":
+            for k in op["keys"]:
+                self.checkpoints.pop(k, None)
         elif kind == "clear":
             # `index clear` (index_api clear handler): all splits, source
             # checkpoints, delete tasks and shards drop in ONE op; the
@@ -222,6 +236,8 @@ class Manifest:
             self.checkpoints = {}
             self.delete_tasks = []
             self.shards = {}
+            # source CONFIGS survive a clear (only data/state drops),
+            # matching the config-survives semantics of the index config
         else:  # pragma: no cover — forward compat
             raise ValueError(f"unknown manifest op {kind!r}")
 
@@ -266,6 +282,8 @@ class Manifest:
             self.delete_tasks.append({"opstamp": int(o), "query": q})
         for sid, j in st.select_all("shards"):
             self.shards[sid] = json.loads(j)
+        for sid, j in st.select_all("sources"):
+            self.sources[sid] = json.loads(j)
 
     def _apply_sql(self, op: dict[str, Any]) -> None:
         """One op = one ACID transaction. Split rows are re-serialized from
@@ -310,6 +328,19 @@ class Manifest:
                 for i in op["ids"]:
                     st.delete_where_pk(cur, "shards", i)
                     st.delete_where_pk(cur, "checkpoints", f"mq:{i}")
+            elif kind == "source_add":
+                sid = op["source"]["source_id"]
+                st.upsert(cur, "sources", (sid, json.dumps(op["source"])))
+            elif kind == "source_delete":
+                st.delete_where_pk(cur, "sources", op["source_id"])
+            elif kind == "source_toggle":
+                sid = op["source_id"]
+                if sid in self.sources:
+                    st.upsert(cur, "sources",
+                              (sid, json.dumps(self.sources[sid])))
+            elif kind == "checkpoint_reset":
+                for k in op["keys"]:
+                    st.delete_where_pk(cur, "checkpoints", k)
             elif kind == "clear":
                 for t in ("splits", "checkpoints", "delete_tasks", "shards"):
                     st.delete_all(cur, t)
@@ -344,6 +375,7 @@ class Manifest:
             "checkpoints": self.checkpoints,
             "delete_tasks": self.delete_tasks,
             "shards": self.shards,
+            "sources": self.sources,
         }
 
     def _compact(self) -> None:
@@ -364,7 +396,8 @@ class Manifest:
         if self._backend in ("sqlite", "postgres"):
             st = self._sql()
             with st.tx() as cur:
-                for t in ("splits", "checkpoints", "delete_tasks", "shards"):
+                for t in ("splits", "checkpoints", "delete_tasks", "shards",
+                          "sources"):
                     st.delete_all(cur, t)
                 if self.index_config_json is not None:
                     st.upsert(cur, "meta",
@@ -380,6 +413,8 @@ class Manifest:
                               (t["opstamp"], t["query"]))
                 for sid, v in self.shards.items():
                     st.upsert(cur, "shards", (sid, json.dumps(v)))
+                for sid, v in self.sources.items():
+                    st.upsert(cur, "sources", (sid, json.dumps(v)))
             return
         _atomic_write_json(self.path, self._snapshot_obj())
 
@@ -427,6 +462,45 @@ class Manifest:
         self._apply(op)
         self._append(op)
         return len(ids)
+
+    # -- declarative source configs (metastore add_source/delete_source/
+    # toggle_source, quickwit-metastore index_metadata.rs) ----------------
+
+    def add_source(self, source_config: dict[str, Any]) -> None:
+        sid = source_config["source_id"]
+        if sid in self.sources:
+            raise ValueError(f"source {sid!r} already exists")
+        op = {"op": "source_add", "source": source_config}
+        self._apply(op)
+        self._append(op)
+
+    def delete_source(self, source_id: str) -> None:
+        if source_id not in self.sources:
+            raise KeyError(f"no source {source_id!r}")
+        op = {"op": "source_delete", "source_id": source_id}
+        self._apply(op)
+        self._append(op)
+
+    def toggle_source(self, source_id: str, enable: bool) -> None:
+        if source_id not in self.sources:
+            raise KeyError(f"no source {source_id!r}")
+        op = {"op": "source_toggle", "source_id": source_id,
+              "enable": bool(enable)}
+        self._apply(op)
+        self._append(op)
+
+    def reset_source_checkpoint(self, source_id: str) -> int:
+        """Drop every committed checkpoint of one source (the reference's
+        PUT .../sources/{id}/reset-checkpoint): the next ingestion run
+        re-reads the source from the beginning. Returns keys removed."""
+        prefix = f"src.{source_id}:"
+        keys = [k for k in self.checkpoints if k.startswith(prefix)]
+        if not keys:
+            return 0
+        op = {"op": "checkpoint_reset", "keys": keys}
+        self._apply(op)
+        self._append(op)
+        return len(keys)
 
     def create_delete_task(self, query: str) -> int:
         """Record a stored delete query; returns its opstamp."""

@@ -66,6 +66,7 @@ _SQLITE_DDL = [
     "CREATE TABLE IF NOT EXISTS checkpoints (partition TEXT PRIMARY KEY, json TEXT)",
     "CREATE TABLE IF NOT EXISTS delete_tasks (opstamp INTEGER PRIMARY KEY, query TEXT)",
     "CREATE TABLE IF NOT EXISTS shards (shard_id TEXT PRIMARY KEY, json TEXT)",
+    "CREATE TABLE IF NOT EXISTS sources (source_id TEXT PRIMARY KEY, json TEXT)",
 ]
 
 # reference layout: one database, rows scoped by index_uid
@@ -81,13 +82,17 @@ _PG_DDL = [
     " BIGINT NOT NULL, query TEXT, PRIMARY KEY (index_uid, opstamp))",
     "CREATE TABLE IF NOT EXISTS shards (index_uid TEXT NOT NULL, shard_id TEXT"
     " NOT NULL, json TEXT, PRIMARY KEY (index_uid, shard_id))",
+    "CREATE TABLE IF NOT EXISTS sources (index_uid TEXT NOT NULL, source_id"
+    " TEXT NOT NULL, json TEXT, PRIMARY KEY (index_uid, source_id))",
 ]
 
 _PK = {"meta": "key", "splits": "split_id", "checkpoints": "partition",
-       "delete_tasks": "opstamp", "shards": "shard_id"}
+       "delete_tasks": "opstamp", "shards": "shard_id",
+       "sources": "source_id"}
 _COLS = {"meta": ("key", "value"), "splits": ("split_id", "json"),
          "checkpoints": ("partition", "json"),
-         "delete_tasks": ("opstamp", "query"), "shards": ("shard_id", "json")}
+         "delete_tasks": ("opstamp", "query"), "shards": ("shard_id", "json"),
+         "sources": ("source_id", "json")}
 
 
 class SqlStore:

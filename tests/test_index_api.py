@@ -1,0 +1,202 @@
+"""Native REST API: index + source management and native search
+(reference quickwit-serve/src/index_api/rest_handler.rs and
+search_api/rest_handler.rs), served over HTTP and exercised offline."""
+
+import json
+import urllib.request
+
+import pyarrow.parquet as pq
+import pytest
+
+from quickwit_ray.api import Index
+from quickwit_ray.config import IndexSettings, documents_doc_mapping
+from quickwit_ray.index_api import IndexApiService
+from quickwit_ray.server import SearchServer
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _mk(tmp_path, name="docs"):
+    idx = Index.create(str(tmp_path / name), name, documents_doc_mapping(),
+                       settings=IndexSettings(split_num_docs_target=10_000))
+    idx.ingest_docs(pq.read_table(DOCS).slice(0, 100).to_pylist(),
+                    commit_id="seed")
+    return idx
+
+
+# -- offline service ---------------------------------------------------------
+
+def test_index_lifecycle_via_service(tmp_path):
+    svc = IndexApiService({}, index_root_dir=str(tmp_path / "root"))
+    payload = {
+        "version": "0.8", "index_id": "logs",
+        "doc_mapping": {"field_mappings": [
+            {"name": "msg", "type": "text"},
+            {"name": "level", "type": "text", "tokenizer": "raw",
+             "fast": True},
+        ], "mode": "dynamic"},
+    }
+    st, meta = svc.request("POST", "indexes", body=payload)
+    assert st == 200 and meta["index_config"]["index_id"] == "logs"
+    # duplicate create rejected
+    st, _ = svc.request("POST", "indexes", body=payload)
+    assert st == 400
+    # listed + readable
+    st, lst = svc.request("GET", "indexes")
+    assert st == 200 and len(lst) == 1
+    st, got = svc.request("GET", "indexes/logs")
+    assert st == 200 and got["index_config"]["index_id"] == "logs"
+    # update via PUT (add a field)
+    payload["doc_mapping"]["field_mappings"].append(
+        {"name": "svc", "type": "text", "tokenizer": "raw"})
+    st, upd = svc.request("PUT", "indexes/logs", body=payload)
+    assert st == 200
+    names = [f["name"] for f in
+             upd["index_config"]["doc_mapping"]["field_mappings"]]
+    assert "svc" in names
+    # ingest + native search
+    svc.indexes["logs"].ingest_docs(
+        [{"msg": "boot ok", "level": "info"},
+         {"msg": "disk failing", "level": "error"}], commit_id="x")
+    st, resp = svc.request("GET", "logs/search",
+                           params={"query": "level:error"})
+    assert st == 200 and resp["num_hits"] == 1
+    assert resp["hits"][0]["msg"] == "disk failing"
+    # clear keeps config, drops docs
+    st, _ = svc.request("PUT", "indexes/logs/clear")
+    assert st == 200
+    st, resp = svc.request("GET", "logs/search", params={"query": "*"})
+    assert resp["num_hits"] == 0
+    # delete removes registry + artifacts
+    st, _ = svc.request("DELETE", "indexes/logs")
+    assert st == 200
+    st, _ = svc.request("GET", "indexes/logs")
+    assert st == 404
+
+
+def test_native_search_params(tmp_path):
+    idx = _mk(tmp_path)
+    svc = IndexApiService({"docs": idx})
+    st, r = svc.request("GET", "docs/search", params={
+        "query": "*", "max_hits": "5", "sort_by": "-n_chars"})
+    assert st == 200 and len(r["hits"]) == 5 and r["num_hits"] == 100
+    lens = [h["n_chars"] for h in r["hits"]]
+    assert lens == sorted(lens, reverse=True)
+    st2, r2 = svc.request("GET", "docs/search", params={
+        "query": "*", "max_hits": "5", "start_offset": "5",
+        "sort_by": "-n_chars"})
+    assert max(h["n_chars"] for h in r2["hits"]) <= min(lens)
+
+
+# -- sources ------------------------------------------------------------------
+
+def test_source_crud_and_reset_checkpoint(tmp_path):
+    from quickwit_ray.sources.queue import PartitionedQueue
+    import pyarrow as pa
+
+    idx = _mk(tmp_path, "src")
+    qdir = str(tmp_path / "q")
+    q = PartitionedQueue.create(qdir, 2)
+    tbl = pq.read_table(DOCS).slice(100, 80)
+    q.append(0, tbl.slice(0, 40))
+    q.append(1, tbl.slice(40, 40))
+    cfg = idx.add_source({"source_id": "broker-a", "source_type": "queue",
+                          "params": {"queue_dir": qdir}})
+    assert cfg["enabled"] is True
+    # duplicates / reserved / unknown types rejected
+    with pytest.raises(ValueError):
+        idx.add_source({"source_id": "broker-a", "source_type": "queue"})
+    with pytest.raises(ValueError):
+        idx.add_source({"source_id": "_ingest-api", "source_type": "queue"})
+    with pytest.raises(ValueError):
+        idx.add_source({"source_id": "x", "source_type": "carrier-pigeon"})
+    # drain the backlog through the configured source
+    st = idx.ingest_source("broker-a", execution="local")
+    assert st.num_docs == 80
+    assert idx.search("*", max_hits=500).num_hits == 180
+    # checkpoints live under the source-scoped prefix; re-poll no-ops
+    assert idx.ingest_source("broker-a", execution="local").num_docs == 0
+    # disabled source does not run
+    idx.toggle_source("broker-a", False)
+    assert idx.ingest_source("broker-a", execution="local") is None
+    idx.toggle_source("broker-a", True)
+    # reset-checkpoint -> the backlog replays (duplicate docs expected:
+    # the reference semantics re-read the source from the beginning)
+    n = idx.reset_source_checkpoint("broker-a")
+    assert n == 2
+    assert idx.ingest_source("broker-a", execution="local").num_docs == 80
+    # delete
+    idx.delete_source("broker-a")
+    assert idx.list_sources() == []
+    with pytest.raises(KeyError):
+        idx.ingest_source("broker-a")
+
+
+def test_source_config_survives_reopen_and_clear(tmp_path):
+    idx = _mk(tmp_path, "persist")
+    idx.add_source({"source_id": "s1", "source_type": "file",
+                    "params": {"filepath": DOCS}})
+    idx.clear()
+    got = Index.open(idx.index_dir).list_sources()
+    assert [s["source_id"] for s in got] == ["s1"]
+
+
+def test_file_source_ingest(tmp_path):
+    idx = Index.create(str(tmp_path / "f"), "f", documents_doc_mapping(),
+                       settings=IndexSettings(split_num_docs_target=10_000))
+    idx.add_source({"source_id": "drop-dir", "source_type": "file",
+                    "params": {"filepath": DOCS}})
+    idx.ingest_source("drop-dir", execution="local")
+    assert idx.search("*", max_hits=0).num_hits == 500
+
+
+# -- over HTTP ----------------------------------------------------------------
+
+def _http(method, url, payload=None):
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_native_api_over_http(tmp_path):
+    idx = _mk(tmp_path, "webdocs")
+    with SearchServer({"webdocs": idx},
+                      index_root_dir=str(tmp_path / "root")) as srv:
+        base = f"http://127.0.0.1:{srv.port}/api/v1"
+        st, lst = _http("GET", f"{base}/indexes")
+        assert st == 200 and lst[0]["index_config"]["index_id"] == "webdocs"
+        st, r = _http("GET", f"{base}/webdocs/search?query=*&max_hits=3")
+        assert st == 200 and len(r["hits"]) == 3
+        # source CRUD over HTTP
+        st, src = _http("POST", f"{base}/indexes/webdocs/sources",
+                        {"source_id": "api-src", "source_type": "ingest-api"})
+        assert st == 200 and src["source_id"] == "api-src"
+        st, got = _http("GET", f"{base}/indexes/webdocs/sources")
+        assert [s["source_id"] for s in got] == ["api-src"]
+        st, _ = _http("PUT",
+                      f"{base}/indexes/webdocs/sources/api-src/toggle",
+                      {"enable": False})
+        assert st == 200
+        st, one = _http("GET", f"{base}/indexes/webdocs/sources/api-src")
+        assert one["enabled"] is False
+        st, _ = _http("DELETE", f"{base}/indexes/webdocs/sources/api-src")
+        assert st == 200
+        # create an index over HTTP, then ES-search it (shared registry)
+        st, _ = _http("POST", f"{base}/indexes", {
+            "version": "0.8", "index_id": "fresh",
+            "doc_mapping": {"field_mappings": [
+                {"name": "t", "type": "text"}], "mode": "dynamic"}})
+        assert st == 200
+        st, es = _http("POST", f"{base}/_elastic/fresh/_search",
+                       {"query": {"match_all": {}}})
+        assert st == 200 and es["hits"]["total"]["value"] == 0
+        # ES surface still routes (regression guard for dispatch order)
+        st, es2 = _http("POST", f"{base}/_elastic/webdocs/_search",
+                        {"query": {"match_all": {}}, "size": 1})
+        assert st == 200 and es2["hits"]["total"]["value"] == 100
