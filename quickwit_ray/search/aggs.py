@@ -203,7 +203,9 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
         body = spec[kind]
         sub = spec.get("aggs")
         if kind in ("avg", "sum", "min", "max", "value_count", "stats", "extended_stats"):
-            v = _field_values(searcher, body["field"], mask).astype(np.float64)
+            v = _with_missing(
+                _field_values(searcher, body["field"], mask).astype(np.float64),
+                body)
             v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
             out[name] = {
                 "count": int(len(v)),
@@ -216,8 +218,10 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
             from quickwit_ray.functions.sketches import HyperLogLog
 
             hll = HyperLogLog()
-            # missing values don't count toward the cardinality
-            vals = _drop_missing(_field_values(searcher, body["field"], mask))
+            # missing values don't count toward the cardinality (unless a
+            # `missing` substitute is configured)
+            vals = _drop_missing(_with_missing(
+                _field_values(searcher, body["field"], mask), body))
             if vals.dtype.kind in "iu":
                 # one split may surface the column as int (no nulls) and
                 # another as float (nulls) — hash one canonical dtype
@@ -228,19 +232,24 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
             from quickwit_ray.functions.sketches import QuantileSketch
 
             qs = QuantileSketch()
-            qs.add(_field_values(searcher, body["field"], mask).astype(np.float64))
+            qs.add(_with_missing(
+                _field_values(searcher, body["field"], mask).astype(np.float64),
+                body))
             vb, wb = qs.state()
             out[name] = {"qs_values": vb, "qs_weights": wb,
                          "percents": body.get("percents", [1, 5, 25, 50, 75, 95, 99])}
         elif kind == "top_hits":
             out[name] = _top_hits_partial(body, searcher, mask)
         elif kind == "terms":
-            vals = _field_values(searcher, body["field"], mask)
+            vals = _with_missing(
+                _field_values(searcher, body["field"], mask), body)
             exploded = _explode_multivalued(vals)
             numeric = False
             if exploded is None:  # single-valued path
                 arrow_col = None
-                if vals.dtype.kind == "f":
+                # (the exact-u64 Arrow path would bypass the `missing`
+                # substitution, so it only serves missing-free requests)
+                if vals.dtype.kind == "f" and body.get("missing") is None:
                     getter = getattr(searcher.reader, "fast_field_arrow", None)
                     arrow_col = getter(body["field"]) if getter else None
                 if arrow_col is not None and pa.types.is_integer(arrow_col.type):
@@ -348,6 +357,26 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
         else:
             raise ValueError(f"unsupported aggregation kind {kind!r}")
     return out
+
+
+def _with_missing(vals: np.ndarray, body: dict) -> np.ndarray:
+    """Apply the ``missing`` parameter (aggregation.md terms/metric aggs:
+    docs without a value are treated as if they had the given one)."""
+    mv = body.get("missing")
+    if mv is None:
+        return vals
+    if vals.dtype == object:
+        out = vals.copy()
+        probe = next((x for x in out if x is not None), None)
+        is_multi = isinstance(probe, (list, tuple, np.ndarray))
+        for i in np.nonzero(~_valid_mask(out))[0]:
+            out[i] = [mv] if is_multi else mv
+        return out
+    if vals.dtype.kind == "f":
+        out = vals.astype(np.float64).copy()
+        out[np.isnan(out)] = float(mv)
+        return out
+    return vals  # int/uint/bool fast columns carry no nulls
 
 
 def _explode_multivalued(vals: np.ndarray):

@@ -1,0 +1,89 @@
+"""`missing` aggregation parameter (reference docs/reference/
+aggregation.md: terms + every metric agg treat docs without a value as
+if they had the configured one)."""
+
+import pytest
+
+from quickwit_ray.api import Index
+from quickwit_ray.config import (
+    DocMapping,
+    FieldMapping,
+    IndexSettings,
+)
+
+
+@pytest.fixture()
+def idx(tmp_path):
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="genre", type="text", tokenizer="raw",
+                         fast=True, fast_normalizer="raw"),
+            FieldMapping(name="price", type="f64", fast=True),
+            FieldMapping(name="doc_id", type="i64", fast=True),
+        ),
+        mode="lenient", doc_id_field="doc_id",
+        default_search_fields=("genre",),
+    )
+    ix = Index.create(str(tmp_path / "m"), "m", mapping,
+                      settings=IndexSettings(split_num_docs_target=1000))
+    ix.ingest_docs([
+        {"doc_id": 0, "genre": "jazz", "price": 10.0},
+        {"doc_id": 1, "genre": "rock", "price": 20.0},
+        {"doc_id": 2, "price": 30.0},               # genre missing
+        {"doc_id": 3, "genre": "jazz"},              # price missing
+        {"doc_id": 4},                               # both missing
+    ], commit_id="a")
+    return ix
+
+
+def _buckets(resp, name):
+    return {b["key"]: b["doc_count"]
+            for b in resp.aggs[name]["buckets"]}
+
+
+def test_terms_missing_substitution(idx):
+    r = idx.search("*", max_hits=0, aggs={
+        "g": {"terms": {"field": "genre", "missing": "NO_DATA"}}})
+    assert _buckets(r, "g") == {"jazz": 2, "rock": 1, "NO_DATA": 2}
+    # without the param, missing docs don't bucket
+    r2 = idx.search("*", max_hits=0, aggs={
+        "g": {"terms": {"field": "genre"}}})
+    assert _buckets(r2, "g") == {"jazz": 2, "rock": 1}
+
+
+def test_metric_missing_substitution(idx):
+    r = idx.search("*", max_hits=0, aggs={
+        "avg_p": {"avg": {"field": "price", "missing": 100.0}},
+        "n": {"value_count": {"field": "price", "missing": 0}},
+        "mx": {"max": {"field": "price", "missing": "45.5"}},
+    })
+    # prices: 10, 20, 30, 100, 100
+    assert r.aggs["avg_p"]["value"] == pytest.approx(52.0)
+    assert r.aggs["n"]["value"] == 5
+    assert r.aggs["mx"]["value"] == pytest.approx(45.5)
+
+
+def test_cardinality_missing(idx):
+    r = idx.search("*", max_hits=0, aggs={
+        "c": {"cardinality": {"field": "genre", "missing": "NO_DATA"}},
+        "c0": {"cardinality": {"field": "genre"}},
+    })
+    assert r.aggs["c"]["value"] == 3
+    assert r.aggs["c0"]["value"] == 2
+
+
+def test_terms_missing_numeric_field(idx):
+    r = idx.search("*", max_hits=0, aggs={
+        "p": {"terms": {"field": "price", "missing": 0.0}}})
+    got = _buckets(r, "p")
+    assert got.get(0.0, got.get("0.0")) == 2
+
+
+def test_missing_with_sub_agg(idx):
+    r = idx.search("*", max_hits=0, aggs={
+        "g": {"terms": {"field": "genre", "missing": "NO_DATA"},
+              "aggs": {"avg_p": {"avg": {"field": "price"}}}}})
+    by = {b["key"]: b for b in r.aggs["g"]["buckets"]}
+    # NO_DATA bucket holds docs 2 (price 30) and 4 (no price)
+    assert by["NO_DATA"]["doc_count"] == 2
+    assert by["NO_DATA"]["avg_p"]["value"] == pytest.approx(30.0)
