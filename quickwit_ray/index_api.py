@@ -22,6 +22,14 @@ from quickwit_ray.search.es_rest import EsApiError, _hit_source
 from quickwit_ray.state.manifest import Manifest
 
 
+class RawResponse:
+    """Non-JSON payload (the stream endpoint's CSV / RowBinary bytes)."""
+
+    def __init__(self, data: bytes, content_type: str):
+        self.data = data
+        self.content_type = content_type
+
+
 class IndexApiService:
     """Routes (method, endpoint, params, body) for the native API.
 
@@ -55,6 +63,8 @@ class IndexApiService:
         return parts[0] == "indexes" or (
             len(parts) >= 2 and parts[1] == "search")
 
+    # kept in sync with _route: "{index}/search" and "{index}/search/stream"
+
     # -- routing ----------------------------------------------------------
 
     def _route(self, method: str, endpoint: str, params: dict,
@@ -64,6 +74,8 @@ class IndexApiService:
             return self._route_indexes(method, parts[1:], params, body)
         if len(parts) == 2 and parts[1] == "search":
             return self._search(parts[0], params, body or {})
+        if len(parts) == 3 and parts[1:] == ["search", "stream"]:
+            return self._search_stream(parts[0], params)
         raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
 
     def _route_indexes(self, method: str, parts: list[str], params: dict,
@@ -158,6 +170,47 @@ class IndexApiService:
         idx = self.indexes.pop(self._name(name))
         shutil.rmtree(idx.index_dir, ignore_errors=True)
         return {"acknowledged": True}
+
+    def _search_stream(self, name: str, params: dict) -> RawResponse:
+        """Fast-field export endpoint (search_api/rest_handler.rs
+        search_stream_handler: query + fast_field + output_format
+        csv|click_house_row_binary + timestamp bounds). The underlying
+        pipeline fans one Ray task per split and streams Arrow blocks;
+        the HTTP shim drains them into the response body."""
+        from quickwit_ray.pipelines.search_stream import (
+            export_rowbinary,
+            search_stream_index,
+        )
+        from quickwit_ray.search.ast import BoolQuery, RangeQuery
+        from quickwit_ray.search.engine import IndexSearcher
+
+        idx = self._idx(name)
+        fast_field = params.get("fast_field")
+        if not fast_field:
+            raise EsApiError(400, "`fast_field` is required")
+        searcher = IndexSearcher(idx.index_dir)
+        node = searcher._resolve_query(params.get("query", "*"))
+        lo = params.get("start_timestamp")
+        hi = params.get("end_timestamp")
+        if lo is not None or hi is not None:
+            ts = idx.config.doc_mapping.timestamp_field
+            if ts is None:
+                raise EsApiError(400, "index has no timestamp field")
+            rng = RangeQuery(ts,
+                             gte=int(lo) if lo is not None else None,
+                             lt=int(hi) if hi is not None else None)
+            node = BoolQuery(must=(node,), filter=(rng,))
+        ds = search_stream_index(idx.index_dir, node, [fast_field])
+        df = ds.to_pandas()
+        fmt = params.get("output_format", "csv")
+        if fmt in ("click_house_row_binary", "clickhouse_row_binary"):
+            return RawResponse(export_rowbinary(df, fast_field),
+                               "application/octet-stream")
+        if fmt != "csv":
+            raise EsApiError(400, f"unknown output_format {fmt!r}")
+        # reference CSV output: bare values, no header
+        return RawResponse(
+            df.to_csv(index=False, header=False).encode(), "text/csv")
 
     def _search(self, name: str, params: dict, body: dict) -> dict:
         """Native search endpoint (search_api/rest_handler.rs

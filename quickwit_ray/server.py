@@ -92,9 +92,15 @@ def _make_handler(service: EsRestService, index_service=None):
             self._reply(status, payload)
 
         def _reply(self, status: int, payload) -> None:
-            data = json.dumps(payload, default=str).encode("utf-8")
+            from quickwit_ray.index_api import RawResponse
+
+            if isinstance(payload, RawResponse):
+                data, ctype = payload.data, payload.content_type
+            else:
+                data = json.dumps(payload, default=str).encode("utf-8")
+                ctype = "application/json"
             self.send_response(status)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)

@@ -150,6 +150,33 @@ def test_file_source_ingest(tmp_path):
     assert idx.search("*", max_hits=0).num_hits == 500
 
 
+def test_search_stream_endpoint(tmp_path, ray_session):
+    import struct
+
+    idx = _mk(tmp_path, "stream")
+    svc = IndexApiService({"stream": idx})
+    st, raw = svc.request("GET", "stream/search/stream", params={
+        "query": "text:scan", "fast_field": "doc_id"})
+    assert st == 200 and raw.content_type == "text/csv"
+    got = sorted(int(x) for x in raw.data.decode().split())
+    want = sorted(idx.search("text:scan", max_hits=1000,
+                             fetch_fields=["doc_id"]).hits["doc_id"])
+    assert got == want
+    # ClickHouse RowBinary: packed little-endian i64, no header
+    st, rb = svc.request("GET", "stream/search/stream", params={
+        "query": "text:scan", "fast_field": "doc_id",
+        "output_format": "click_house_row_binary"})
+    assert st == 200 and rb.content_type == "application/octet-stream"
+    vals = struct.unpack(f"<{len(rb.data) // 8}q", rb.data)
+    assert sorted(vals) == want
+    # required param + unknown format are 400s
+    st, _ = svc.request("GET", "stream/search/stream", params={"query": "*"})
+    assert st == 400
+    st, _ = svc.request("GET", "stream/search/stream", params={
+        "fast_field": "doc_id", "output_format": "xml"})
+    assert st == 400
+
+
 # -- over HTTP ----------------------------------------------------------------
 
 def _http(method, url, payload=None):
