@@ -13,6 +13,7 @@ the ES endpoints too.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from typing import Any, Optional
@@ -60,10 +61,15 @@ class IndexApiService:
 
     def handles(self, endpoint: str) -> bool:
         parts = endpoint.strip("/").split("/")
-        return parts[0] == "indexes" or (
-            len(parts) >= 2 and parts[1] == "search")
+        return (parts[0] in ("indexes", "otlp")
+                or (len(parts) >= 2 and parts[1] in ("search", "search-plan",
+                                                     "otlp")))
 
-    # kept in sync with _route: "{index}/search" and "{index}/search/stream"
+    @staticmethod
+    def wants_raw_body(endpoint: str) -> bool:
+        """OTLP endpoints take protobuf (or JSON) BYTES — the HTTP layer
+        must not pre-parse the body."""
+        return "otlp/" in endpoint.strip("/") + "/"
 
     # -- routing ----------------------------------------------------------
 
@@ -76,6 +82,12 @@ class IndexApiService:
             return self._search(parts[0], params, body or {})
         if len(parts) == 3 and parts[1:] == ["search", "stream"]:
             return self._search_stream(parts[0], params)
+        if len(parts) == 2 and parts[1] == "search-plan":
+            return self._search_plan(parts[0], params, body or {})
+        if parts[0] == "otlp" and len(parts) == 3 and parts[1] == "v1":
+            return self._otlp(None, parts[2], body, params)
+        if len(parts) == 4 and parts[1] == "otlp" and parts[2] == "v1":
+            return self._otlp(parts[0], parts[3], body, params)
         raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
 
     def _route_indexes(self, method: str, parts: list[str], params: dict,
@@ -102,6 +114,13 @@ class IndexApiService:
             return self._idx(parts[0]).describe()
         elif len(parts) >= 2 and parts[1] == "sources":
             return self._route_sources(method, parts[0], parts[2:], body)
+        elif len(parts) == 2 and parts[1] == "splits" and method == "GET":
+            return self._splits(parts[0], params)
+        elif len(parts) == 3 and parts[1] == "splits" \
+                and parts[2] == "mark-for-deletion" and method == "PUT":
+            ids = (body or {}).get("split_ids", [])
+            Manifest(self._idx(parts[0]).index_dir).mark_for_deletion(ids)
+            return {"acknowledged": True}
         raise EsApiError(
             400, f"unsupported endpoint indexes/{'/'.join(parts)!r}")
 
@@ -170,6 +189,91 @@ class IndexApiService:
         idx = self.indexes.pop(self._name(name))
         shutil.rmtree(idx.index_dir, ignore_errors=True)
         return {"acknowledged": True}
+
+    def _splits(self, name: str, params: dict) -> dict:
+        """Split listing resource (index_api/split_resource.rs: optional
+        split-state and timestamp-overlap filters)."""
+        m = Manifest(self._idx(name).index_dir)
+        states = params.get("split_states")
+        wanted = ({s.strip().lower() for s in str(states).split(",")}
+                  if states else None)
+        lo = params.get("start_timestamp")
+        hi = params.get("end_timestamp")
+        if wanted is None or wanted == {"published"}:
+            splits = m.list_splits(int(lo) if lo is not None else None,
+                                   int(hi) if hi is not None else None)
+        else:
+            splits = [s for s in m.splits.values()
+                      if s.split_state.lower() in wanted]
+        out = [s.to_json() for s in splits]
+        return {"splits": out, "total": len(out)}
+
+    def _search_plan(self, name: str, params: dict, body: dict) -> dict:
+        """Query planning metadata (search_api search-plan handlers): how
+        many splits the request would touch after time/tag pruning."""
+        from quickwit_ray.search.ast import (
+            extract_tags,
+            extract_timestamp_bounds,
+        )
+        from quickwit_ray.search.engine import IndexSearcher
+
+        idx = self._idx(name)
+        p = {**body, **params}
+        s = IndexSearcher(idx.index_dir)
+        node = s._resolve_query(p.get("query", "*"))
+        lo = int(p["start_timestamp"]) if p.get("start_timestamp") is not None else None
+        hi = int(p["end_timestamp"]) if p.get("end_timestamp") is not None else None
+        ts = idx.config.doc_mapping.timestamp_field
+        if ts:
+            qlo, qhi = extract_timestamp_bounds(node, ts)
+            if qlo is not None:
+                lo = qlo if lo is None else max(lo, qlo)
+            if qhi is not None:
+                hi = qhi if hi is None else min(hi, qhi)
+        tags = extract_tags(node, idx.config.doc_mapping.tag_fields)
+        all_splits = s.manifest.published_splits()
+        pruned = s.manifest.list_splits(lo, hi, tags)
+        return {
+            "quickwit_query_ast": repr(node),
+            "num_splits_total": len(all_splits),
+            "num_splits_after_pruning": len(pruned),
+            "split_ids": sorted(x.split_id for x in pruned),
+            "start_timestamp": lo, "end_timestamp": hi,
+        }
+
+    def _otlp(self, name: Optional[str], signal: str, body: Any,
+              params: dict) -> dict:
+        """OTLP HTTP ingest (otlp_api/rest_handler.rs: POST
+        [{index}/]otlp/v1/logs|traces, protobuf or JSON payload; default
+        index ids otel-logs-v0_9 / otel-traces-v0_9)."""
+        from quickwit_ray.sources.ingest import (
+            parse_otlp_logs_json,
+            parse_otlp_logs_proto,
+            parse_otlp_spans_json,
+            parse_otlp_spans_proto,
+        )
+
+        if signal not in ("logs", "traces"):
+            raise EsApiError(400, f"unknown OTLP signal {signal!r}")
+        if name is None:
+            name = ("otel-logs-v0_9" if signal == "logs"
+                    else "otel-traces-v0_9")
+        idx = self._idx(name)
+        raw = body if isinstance(body, (bytes, bytearray)) else (
+            json.dumps(body).encode() if body is not None else b"")
+        ctype = params.get("_content_type", "")
+        is_json = ("json" in ctype
+                   or (not ctype and raw.lstrip()[:1] == b"{"))
+        if signal == "logs":
+            docs = (parse_otlp_logs_json(raw) if is_json
+                    else parse_otlp_logs_proto(raw))
+        else:
+            docs = (parse_otlp_spans_json(raw) if is_json
+                    else parse_otlp_spans_proto(raw))
+        n = idx.ingest_docs(docs)
+        # ExportLogsServiceResponse / ExportTraceServiceResponse: empty on
+        # full success (partialSuccess omitted)
+        return {"num_docs_for_processing": n}
 
     def _search_stream(self, name: str, params: dict) -> RawResponse:
         """Fast-field export endpoint (search_api/rest_handler.rs

@@ -60,12 +60,17 @@ def _make_handler(service: EsRestService, index_service=None):
             # for non-_elastic paths the native service claims
             if (not is_es and index_service is not None
                     and index_service.handles(endpoint)):
-                try:
-                    body = json.loads(raw) if raw else None
-                except json.JSONDecodeError:
-                    self._reply(400, {"status": 400, "error": {
-                        "reason": "request body is not valid JSON"}})
-                    return
+                if index_service.wants_raw_body(endpoint):
+                    body = raw  # OTLP: protobuf/JSON bytes pass through
+                    params["_content_type"] = \
+                        self.headers.get("Content-Type", "")
+                else:
+                    try:
+                        body = json.loads(raw) if raw else None
+                    except json.JSONDecodeError:
+                        self._reply(400, {"status": 400, "error": {
+                            "reason": "request body is not valid JSON"}})
+                        return
                 status, payload = index_service.request(
                     self.command, endpoint, params, body)
                 self._reply(status, payload)

@@ -177,6 +177,73 @@ def test_search_stream_endpoint(tmp_path, ray_session):
     assert st == 400
 
 
+def test_search_plan_and_splits_resource(tmp_path):
+    idx = _mk(tmp_path, "plan")
+    # second split with disjoint tags (lang is a tag field)
+    idx.ingest_docs([{"doc_id": 900, "text": "tagged doc", "lang": "zz",
+                      "source": "web", "n_chars": 10}], commit_id="b")
+    svc = IndexApiService({"plan": idx})
+    st, plan = svc.request("GET", "plan/search-plan",
+                           params={"query": "lang:zz AND text:tagged"})
+    assert st == 200
+    assert plan["num_splits_total"] == 2
+    assert plan["num_splits_after_pruning"] == 1  # tag semi-join pruned
+    st, plan_all = svc.request("GET", "plan/search-plan",
+                               params={"query": "*"})
+    assert plan_all["num_splits_after_pruning"] == 2
+    # splits resource
+    st, lst = svc.request("GET", "indexes/plan/splits")
+    assert st == 200 and lst["total"] == 2
+    victim = plan["split_ids"][0]
+    st, _ = svc.request("PUT", "indexes/plan/splits/mark-for-deletion",
+                        body={"split_ids": [victim]})
+    assert st == 200
+    st, pub = svc.request("GET", "indexes/plan/splits",
+                          params={"split_states": "published"})
+    assert pub["total"] == 1
+    st, marked = svc.request("GET", "indexes/plan/splits",
+                             params={"split_states": "marked_for_deletion"})
+    assert marked["total"] == 1 and marked["splits"][0]["split_id"] == victim
+
+
+def test_otlp_http_ingest(tmp_path):
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.sources.ingest import (
+        encode_otlp_logs_request,
+        parse_otlp_logs_json,
+    )
+
+    dyn = DocMapping(field_mappings=(
+        FieldMapping(name="body", type="text"),), mode="dynamic",
+        doc_id_field="body")
+    logs_idx = Index.create(str(tmp_path / "otel"), "otel-logs-v0_9", dyn)
+    svc = IndexApiService({"otel-logs-v0_9": logs_idx})
+    json_payload = json.dumps({"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name",
+             "value": {"stringValue": "checkout"}}]},
+        "scopeLogs": [{"logRecords": [
+            {"timeUnixNano": "1700000000000000000",
+             "severityText": "ERROR",
+             "body": {"stringValue": "payment failed"}},
+            {"timeUnixNano": "1700000001000000000",
+             "severityText": "INFO",
+             "body": {"stringValue": "retry scheduled"}},
+        ]}]}]}).encode()
+    # default-index route, JSON payload
+    st, r = svc.request("POST", "otlp/v1/logs", body=json_payload,
+                        params={"_content_type": "application/json"})
+    assert st == 200 and r["num_docs_for_processing"] == 2
+    assert logs_idx.search("body:payment", max_hits=5).num_hits == 1
+    # explicit-index route, protobuf payload (fixture encoder round-trip)
+    docs = parse_otlp_logs_json(json_payload)
+    proto = encode_otlp_logs_request(docs)
+    st, r = svc.request("POST", "otel-logs-v0_9/otlp/v1/logs", body=proto,
+                        params={"_content_type": "application/x-protobuf"})
+    assert st == 200 and r["num_docs_for_processing"] == 2
+    assert logs_idx.search("body:payment", max_hits=5).num_hits == 2
+
+
 # -- over HTTP ----------------------------------------------------------------
 
 def _http(method, url, payload=None):
@@ -227,3 +294,28 @@ def test_native_api_over_http(tmp_path):
         st, es2 = _http("POST", f"{base}/_elastic/webdocs/_search",
                         {"query": {"match_all": {}}, "size": 1})
         assert st == 200 and es2["hits"]["total"]["value"] == 100
+
+
+def test_otlp_protobuf_over_http(tmp_path):
+    """Protobuf bytes must reach the OTLP handler unparsed (raw-body
+    passthrough in the HTTP layer)."""
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.sources.ingest import encode_otlp_logs_request
+
+    dyn = DocMapping(field_mappings=(
+        FieldMapping(name="body", type="text"),), mode="dynamic",
+        doc_id_field="body")
+    logs_idx = Index.create(str(tmp_path / "otel"), "otel-logs-v0_9", dyn)
+    proto = encode_otlp_logs_request([
+        {"body": "disk pressure rising", "severity_text": "WARN",
+         "timestamp_nanos": 1_700_000_000_000_000_000,
+         "service_name": "nodeagent", "attributes": {},
+         "resource_attributes": {}}])
+    with SearchServer({"otel-logs-v0_9": logs_idx}) as srv:
+        url = f"http://127.0.0.1:{srv.port}/api/v1/otlp/v1/logs"
+        req = urllib.request.Request(url, data=proto, method="POST")
+        req.add_header("Content-Type", "application/x-protobuf")
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+    assert out["num_docs_for_processing"] == 1
+    assert logs_idx.search("body:disk", max_hits=5).num_hits == 1
