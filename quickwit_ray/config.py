@@ -482,6 +482,80 @@ def validate_source_config(obj: dict[str, Any]) -> dict[str, Any]:
             "num_pipelines": int(obj.get("num_pipelines", 1))}
 
 
+def otel_traces_doc_mapping() -> DocMapping:
+    """OTLP traces index mapping (quickwit-opentelemetry/src/otlp/
+    traces.rs:60-160 OTEL_TRACES_INDEX_CONFIG, text-typed ids instead of
+    the reference's bytes columns — our OTLP decoders emit hex strings).
+    timestamp_field = span_start_timestamp_nanos, exactly the reference."""
+    return DocMapping(
+        field_mappings=(
+            FieldMapping(name="trace_id", type="text", tokenizer="raw",
+                         record="basic", fast=True),
+            FieldMapping(name="trace_state", type="text", tokenizer="raw",
+                         indexed=False),
+            FieldMapping(name="service_name", type="text", tokenizer="raw",
+                         record="basic", fast=True, tag=True),
+            FieldMapping(name="resource_attributes", type="json"),
+            FieldMapping(name="scope_name", type="text", tokenizer="raw"),
+            FieldMapping(name="scope_version", type="text", tokenizer="raw"),
+            FieldMapping(name="scope_attributes", type="json"),
+            FieldMapping(name="span_id", type="text", tokenizer="raw"),
+            FieldMapping(name="parent_span_id", type="text", tokenizer="raw"),
+            FieldMapping(name="span_kind", type="i64", fast=True),
+            FieldMapping(name="span_name", type="text", tokenizer="raw",
+                         record="basic", fast=True),
+            FieldMapping(name="span_fingerprint", type="text",
+                         tokenizer="raw"),
+            FieldMapping(name="span_start_timestamp_nanos", type="datetime",
+                         input_formats=("unix_timestamp",), fast=True),
+            FieldMapping(name="span_end_timestamp_nanos", type="datetime",
+                         input_formats=("unix_timestamp",), fast=True),
+            FieldMapping(name="span_duration_millis", type="i64", fast=True),
+            FieldMapping(name="span_attributes", type="json"),
+            FieldMapping(name="span_status", type="json"),
+            FieldMapping(name="is_root", type="bool", fast=True),
+            FieldMapping(name="event_names", type="text"),
+            # array<json> in the reference; json columns serialize to
+            # strings in the docstore (empty attribute structs would not
+            # round-trip through parquet otherwise)
+            FieldMapping(name="events", type="json", indexed=False),
+            FieldMapping(name="links", type="json", indexed=False),
+        ),
+        mode="dynamic",  # dropped-counts etc. land dynamically
+        timestamp_field="span_start_timestamp_nanos",
+        tag_fields=("service_name",),
+        doc_id_field="span_id",
+        default_search_fields=("span_name",),
+    )
+
+
+def otel_logs_doc_mapping() -> DocMapping:
+    """OTLP logs index mapping (quickwit-opentelemetry/src/otlp/logs.rs
+    OTEL_LOGS_INDEX_CONFIG analog)."""
+    return DocMapping(
+        field_mappings=(
+            FieldMapping(name="timestamp_nanos", type="datetime",
+                         input_formats=("unix_timestamp",), fast=True),
+            FieldMapping(name="service_name", type="text", tokenizer="raw",
+                         record="basic", fast=True, tag=True),
+            FieldMapping(name="severity_text", type="text", tokenizer="raw",
+                         fast=True),
+            FieldMapping(name="severity_number", type="i64", fast=True),
+            FieldMapping(name="body", type="text", record="position",
+                         fieldnorms=True),
+            FieldMapping(name="attributes", type="json"),
+            FieldMapping(name="resource_attributes", type="json"),
+            FieldMapping(name="trace_id", type="text", tokenizer="raw"),
+            FieldMapping(name="span_id", type="text", tokenizer="raw"),
+        ),
+        mode="dynamic",
+        timestamp_field="timestamp_nanos",
+        tag_fields=("service_name",),
+        doc_id_field="body",
+        default_search_fields=("body",),
+    )
+
+
 def pages_doc_mapping() -> DocMapping:
     """Doc mapping for the canonical Common-Crawl-style ``pages`` table
     (BASELINE.json input_hint): (url, warc_ts, html, text, lang)."""

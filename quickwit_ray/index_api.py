@@ -63,7 +63,7 @@ class IndexApiService:
         parts = endpoint.strip("/").split("/")
         return (parts[0] in ("indexes", "otlp")
                 or (len(parts) >= 2 and parts[1] in ("search", "search-plan",
-                                                     "otlp")))
+                                                     "otlp", "jaeger")))
 
     @staticmethod
     def wants_raw_body(endpoint: str) -> bool:
@@ -84,6 +84,8 @@ class IndexApiService:
             return self._search_stream(parts[0], params)
         if len(parts) == 2 and parts[1] == "search-plan":
             return self._search_plan(parts[0], params, body or {})
+        if len(parts) >= 3 and parts[1] == "jaeger" and parts[2] == "api":
+            return self._jaeger(parts[0], parts[3:], params)
         if parts[0] == "otlp" and len(parts) == 3 and parts[1] == "v1":
             return self._otlp(None, parts[2], body, params)
         if len(parts) == 4 and parts[1] == "otlp" and parts[2] == "v1":
@@ -240,6 +242,23 @@ class IndexApiService:
             "split_ids": sorted(x.split_id for x in pruned),
             "start_timestamp": lo, "end_timestamp": hi,
         }
+
+    def _jaeger(self, name: str, rest: list[str], params: dict):
+        """Jaeger HTTP query API over a traces index
+        (jaeger_api/rest_handler.rs paths {index}/jaeger/api/...)."""
+        from quickwit_ray.search.jaeger import JaegerService
+
+        svc = JaegerService(self._idx(name))
+        if rest == ["services"]:
+            return svc.services()
+        if len(rest) == 3 and rest[0] == "services" \
+                and rest[2] == "operations":
+            return svc.operations(rest[1])
+        if rest == ["traces"]:
+            return svc.find_traces(params)
+        if len(rest) == 2 and rest[0] == "traces":
+            return svc.get_trace(rest[1])
+        raise EsApiError(400, "unsupported jaeger endpoint")
 
     def _otlp(self, name: Optional[str], signal: str, body: Any,
               params: dict) -> dict:
