@@ -61,9 +61,11 @@ class IndexApiService:
 
     def handles(self, endpoint: str) -> bool:
         parts = endpoint.strip("/").split("/")
-        return (parts[0] in ("indexes", "otlp")
+        return (parts[0] in ("indexes", "otlp", "version", "cluster",
+                             "health", "metrics")
                 or (len(parts) >= 2 and parts[1] in ("search", "search-plan",
-                                                     "otlp", "jaeger")))
+                                                     "otlp", "jaeger",
+                                                     "delete-tasks")))
 
     @staticmethod
     def wants_raw_body(endpoint: str) -> bool:
@@ -86,6 +88,21 @@ class IndexApiService:
             return self._search_plan(parts[0], params, body or {})
         if len(parts) >= 3 and parts[1] == "jaeger" and parts[2] == "api":
             return self._jaeger(parts[0], parts[3:], params)
+        if len(parts) == 2 and parts[1] == "delete-tasks":
+            return self._delete_tasks(method, parts[0], body)
+        if parts[0] == "version":
+            return {"build": {"version": "0.8.0-quickwit-ray",
+                              "commit_date": "", "commit_hash": ""}}
+        if parts[0] == "cluster":
+            # single-node snapshot (cluster_api/mod.rs shape subset)
+            return {"cluster_id": "quickwit-ray", "self_node_id": "node-1",
+                    "live_nodes": ["node-1"], "ready_nodes": ["node-1"],
+                    "num_indexes": len(self.indexes)}
+        if parts[0] == "health" and len(parts) == 2 \
+                and parts[1] in ("livez", "readyz"):
+            return True  # the reference returns a bare JSON boolean
+        if parts[0] == "metrics":
+            return self._metrics()
         if parts[0] == "otlp" and len(parts) == 3 and parts[1] == "v1":
             return self._otlp(None, parts[2], body, params)
         if len(parts) == 4 and parts[1] == "otlp" and parts[2] == "v1":
@@ -242,6 +259,54 @@ class IndexApiService:
             "split_ids": sorted(x.split_id for x in pruned),
             "start_timestamp": lo, "end_timestamp": hi,
         }
+
+    def _delete_tasks(self, method: str, name: str, body: Any):
+        """Delete-task API (delete_task_api/handler.rs: POST creates a
+        stored delete query with optional search fields / timestamp
+        bounds folded into the query; GET lists pending tasks)."""
+        idx = self._idx(name)
+        if method == "GET":
+            return Manifest(idx.index_dir).delete_tasks
+        if method == "POST":
+            b = dict(body or {})
+            q = b.get("query")
+            if not q:
+                raise EsApiError(400, "`query` is required")
+            fields = b.get("search_fields") or []
+            if fields:
+                q = " OR ".join(f"{f}:({q})" for f in fields)
+            ts = idx.config.doc_mapping.timestamp_field
+            lo, hi = b.get("start_timestamp"), b.get("end_timestamp")
+            if (lo is not None or hi is not None):
+                if ts is None:
+                    raise EsApiError(400, "index has no timestamp field")
+                if lo is not None:
+                    q = f"({q}) AND {ts}:>={int(lo)}"
+                if hi is not None:
+                    q = f"({q}) AND {ts}:<{int(hi)}"
+            opstamp = idx.create_delete_task(q)
+            return {"opstamp": opstamp, "query": q}
+        raise EsApiError(400, "unsupported delete-tasks method")
+
+    def _metrics(self) -> RawResponse:
+        """Prometheus text exposition of per-index state (a pragmatic
+        subset of the reference's /metrics — quickwit-common metrics)."""
+        lines = [
+            "# TYPE quickwit_index_num_docs gauge",
+            "# TYPE quickwit_index_num_splits gauge",
+            "# TYPE quickwit_index_size_bytes gauge",
+        ]
+        for name in sorted(self.indexes):
+            m = Manifest(self.indexes[name].index_dir)
+            splits = m.published_splits()
+            lines.append(f'quickwit_index_num_docs{{index="{name}"}} '
+                         f"{sum(s.num_docs for s in splits)}")
+            lines.append(f'quickwit_index_num_splits{{index="{name}"}} '
+                         f"{len(splits)}")
+            lines.append(f'quickwit_index_size_bytes{{index="{name}"}} '
+                         f"{sum(s.uncompressed_docs_size_in_bytes for s in splits)}")
+        return RawResponse(("\n".join(lines) + "\n").encode(),
+                           "text/plain; version=0.0.4")
 
     def _jaeger(self, name: str, rest: list[str], params: dict):
         """Jaeger HTTP query API over a traces index

@@ -244,6 +244,44 @@ def test_otlp_http_ingest(tmp_path):
     assert logs_idx.search("body:payment", max_hits=5).num_hits == 2
 
 
+def test_delete_tasks_api_and_node_endpoints(tmp_path):
+    from quickwit_ray.config import index_config_from_api_json
+
+    cfg = index_config_from_api_json({
+        "version": "0.8", "index_id": "logsdel",
+        "doc_mapping": {"field_mappings": [
+            {"name": "msg", "type": "text"},
+            {"name": "ts", "type": "datetime", "fast": True},
+        ], "timestamp_field": "ts", "mode": "dynamic"}})
+    idx = Index.create(str(tmp_path / "ld"), cfg.index_id, cfg.doc_mapping)
+    t0 = 1_700_000_000
+    idx.ingest_docs([{"msg": "stale noise", "ts": t0 - 5000},
+                     {"msg": "stale keeper", "ts": t0 + 5000},
+                     {"msg": "fresh noise", "ts": t0 + 5000}], commit_id="a")
+    svc = IndexApiService({"logsdel": idx})
+    st, task = svc.request("POST", "logsdel/delete-tasks", body={
+        "query": "noise", "search_fields": ["msg"],
+        "end_timestamp": t0})
+    assert st == 200 and "msg:(noise)" in task["query"]
+    st, tasks = svc.request("GET", "logsdel/delete-tasks")
+    assert st == 200 and len(tasks) == 1
+    idx.apply_deletes()
+    r = idx.search("*", max_hits=10, fetch_fields=["msg"])
+    assert sorted(r.hits["msg"]) == ["fresh noise", "stale keeper"]
+    # node endpoints
+    st, v = svc.request("GET", "version")
+    assert st == 200 and "version" in v["build"]
+    st, c = svc.request("GET", "cluster")
+    assert c["num_indexes"] == 1 and c["live_nodes"] == ["node-1"]
+    st, ok = svc.request("GET", "health/livez")
+    assert st == 200 and ok is True
+    st, metrics = svc.request("GET", "metrics")
+    assert st == 200
+    text = metrics.data.decode()
+    assert 'quickwit_index_num_docs{index="logsdel"} 2' in text
+    assert "quickwit_index_num_splits" in text
+
+
 # -- over HTTP ----------------------------------------------------------------
 
 def _http(method, url, payload=None):
