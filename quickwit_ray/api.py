@@ -42,9 +42,11 @@ class Index:
         if metastore == "postgres":
             if metastore_dsn is None:
                 raise ValueError("metastore='postgres' needs metastore_dsn")
+            from quickwit_ray.state.manifest import _index_uid
             from quickwit_ray.state.sql import write_pointer
 
-            write_pointer(index_dir, metastore_dsn)
+            write_pointer(index_dir, metastore_dsn,
+                          index_uid=_index_uid(index_dir))
         manifest = Manifest(index_dir, backend=metastore, dsn=metastore_dsn)
         if manifest.index_config_json is not None:
             raise FileExistsError(f"index already exists at {index_dir}")
@@ -256,9 +258,28 @@ class Index:
         from quickwit_ray.config import (index_config_from_api_json,
                                          validate_config_update)
 
+        from dataclasses import replace as _rep
+
         current = self.config
         if api_json is not None:
             new_config = index_config_from_api_json(api_json)
+            # the public payload replaces what it can express (reference
+            # full-config-replace semantics: an absent `retention` removes
+            # the policy) but must not reset fields it CANNOT express
+            ns = _rep(new_config.settings,
+                      batch_size=current.settings.batch_size,
+                      store_binary_columns=current.settings.store_binary_columns,
+                      commit_docs_threshold=current.settings.commit_docs_threshold)
+            if "indexing_settings" not in api_json:
+                ns = _rep(ns,
+                          split_num_docs_target=current.settings.split_num_docs_target,
+                          heap_size_bytes=current.settings.heap_size_bytes,
+                          merge_policy=current.settings.merge_policy)
+            # doc_id_field is an internal artifact detail the public
+            # payload cannot express — keep the current one
+            nm = _rep(new_config.doc_mapping,
+                      doc_id_field=current.doc_mapping.doc_id_field)
+            new_config = _rep(new_config, settings=ns, doc_mapping=nm)
         if new_config is None:
             from dataclasses import replace
 

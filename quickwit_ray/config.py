@@ -371,11 +371,31 @@ def index_config_from_api_json(obj: dict[str, Any]) -> IndexConfig:
         dynamic_fast_normalizer=dyn_fast_norm,
         store_document_size=bool(dm.get("store_document_size", False)),
     )
-    settings = IndexSettings()
+    ist = obj.get("indexing_settings") or {}
+    mp = ist.get("merge_policy") or {}
+    kind = {"stable_log": "stable_log", "limit_merge":
+            "const_write_amplification", "no_merge": "none"}.get(
+        mp.get("type", "stable_log"))
+    if kind is None:
+        raise ValueError(f"unknown merge policy type {mp.get('type')!r}")
+    merge_policy = MergePolicyConfig(
+        kind=kind,
+        merge_factor=int(mp.get("merge_factor", 10)),
+        max_merge_factor=int(mp.get("max_merge_factor", 12)),
+        min_level_num_docs=int(mp.get("min_level_num_docs", 100_000)),
+        maturation_period_secs=parse_period_secs(
+            mp.get("maturation_period", 48 * 3600)),
+        max_merge_ops=int(mp.get("max_merge_ops", 4)),
+    )
     ret = obj.get("retention")
-    if ret:
-        settings = IndexSettings(
-            retention_secs=parse_period_secs(ret["period"]))
+    settings = IndexSettings(
+        split_num_docs_target=int(ist.get("split_num_docs_target",
+                                          10_000_000)),
+        heap_size_bytes=int((ist.get("resources") or {}).get(
+            "heap_size", 2 * 1024 ** 3)),
+        merge_policy=merge_policy,
+        retention_secs=parse_period_secs(ret["period"]) if ret else None,
+    )
     return IndexConfig(index_id=obj["index_id"], doc_mapping=mapping,
                        settings=settings)
 

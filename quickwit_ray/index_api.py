@@ -70,8 +70,10 @@ class IndexApiService:
     @staticmethod
     def wants_raw_body(endpoint: str) -> bool:
         """OTLP endpoints take protobuf (or JSON) BYTES — the HTTP layer
-        must not pre-parse the body."""
-        return "otlp/" in endpoint.strip("/") + "/"
+        must not pre-parse the body. Segment-exact so an index merely
+        NAMED '*otlp' keeps normal JSON parsing."""
+        parts = endpoint.strip("/").split("/")
+        return parts[0] == "otlp" or (len(parts) >= 2 and parts[1] == "otlp")
 
     # -- routing ----------------------------------------------------------
 
@@ -206,6 +208,10 @@ class IndexApiService:
 
     def _delete(self, name: str) -> dict:
         idx = self.indexes.pop(self._name(name))
+        # purge shared-metastore rows BEFORE the dir (and its DSN
+        # pointer) disappears, or a pg-backed index could never be
+        # recreated at the same path
+        Manifest(idx.index_dir).drop()
         shutil.rmtree(idx.index_dir, ignore_errors=True)
         return {"acknowledged": True}
 
@@ -218,12 +224,20 @@ class IndexApiService:
                   if states else None)
         lo = params.get("start_timestamp")
         hi = params.get("end_timestamp")
+        lo = int(lo) if lo is not None else None
+        hi = int(hi) if hi is not None else None
         if wanted is None or wanted == {"published"}:
-            splits = m.list_splits(int(lo) if lo is not None else None,
-                                   int(hi) if hi is not None else None)
+            splits = m.list_splits(lo, hi)
         else:
-            splits = [s for s in m.splits.values()
-                      if s.split_state.lower() in wanted]
+            # state filter composes with the timestamp-overlap filter
+            # (split_resource.rs ListSplitsQuery)
+            splits = [
+                s for s in m.splits.values()
+                if s.split_state.lower() in wanted
+                and not (lo is not None and s.time_range_end is not None
+                         and s.time_range_end < lo)
+                and not (hi is not None and s.time_range_start is not None
+                         and s.time_range_start >= hi)]
         out = [s.to_json() for s in splits]
         return {"splits": out, "total": len(out)}
 
@@ -318,7 +332,10 @@ class IndexApiService:
             return svc.services()
         if len(rest) == 3 and rest[0] == "services" \
                 and rest[2] == "operations":
-            return svc.operations(rest[1])
+            sk = params.get("spanKind")
+            return svc.operations(rest[1],
+                                  span_kind=int(sk) if sk is not None
+                                  else None)
         if rest == ["traces"]:
             return svc.find_traces(params)
         if len(rest) == 2 and rest[0] == "traces":

@@ -53,6 +53,16 @@ def _seg_path(log_dir: str, first_pos: int) -> str:
     return os.path.join(log_dir, f"seg-{first_pos:020d}.log")
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so entry creation/rename survives power loss
+    (file fsync alone does not persist the new directory entry)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class RecordLog:
     """Segmented append-only framed record log; positions are ordinals.
 
@@ -60,9 +70,17 @@ class RecordLog:
     concurrently (frames are append-only and crc-checked).
     """
 
-    def __init__(self, log_dir: str, *, segment_bytes: int = 64 << 20):
+    def __init__(self, log_dir: str, *, segment_bytes: int = 64 << 20,
+                 repair: bool = False):
+        """``repair=True`` is for the single WRITER only: it truncates a
+        torn tail in the last segment at open. Readers/consumers MUST
+        open with ``repair=False`` (default) — a concurrent reader that
+        truncated the live segment under the writer would corrupt later
+        acked frames; with repair off, a torn tail is merely not counted
+        (it was never acked)."""
         self.log_dir = log_dir
         self.segment_bytes = int(segment_bytes)
+        self.repair = bool(repair)
         os.makedirs(log_dir, exist_ok=True)
         self._segs: list[tuple[int, int, str]] = []  # (first_pos, count, path)
         self._fh = None
@@ -78,7 +96,9 @@ class RecordLog:
         segs = []
         for i, path in enumerate(paths):
             first = int(os.path.basename(path)[4:-4])
-            count = self._count_records(path, repair=(i == len(paths) - 1))
+            last = i == len(paths) - 1
+            count = self._count_records(path, verify=last,
+                                        repair=(self.repair and last))
             segs.append((first, count, path))
         self._segs = segs
         marker = os.path.join(self.log_dir, "truncated.json")
@@ -90,11 +110,11 @@ class RecordLog:
             self._cur_first = first + count
 
     @staticmethod
-    def _count_records(path: str, *, repair: bool) -> int:
-        """Count complete frames; with ``repair``, additionally crc-verify
-        payloads and truncate a torn tail (partial frame or crc mismatch
-        from a crash mid-append — only the writer's LAST segment can be
-        torn; sealed segments are counted by a seek-only header walk)."""
+    def _count_records(path: str, *, verify: bool, repair: bool = False) -> int:
+        """Count complete frames. ``verify`` crc-checks payloads and stops
+        at the first torn frame (always on for the LAST segment — only it
+        can be torn; sealed segments use a seek-only header walk).
+        ``repair`` (writer only) additionally truncates the torn tail."""
         size = os.path.getsize(path)
         n, off = 0, 0
         with open(path, "rb") as f:
@@ -102,7 +122,7 @@ class RecordLog:
                 ln, crc = _HDR.unpack(f.read(_HDR.size))
                 if off + _HDR.size + ln > size:
                     break  # partial payload
-                if repair:
+                if verify:
                     payload = f.read(ln)
                     if zlib.crc32(payload) & 0xFFFFFFFF != crc:
                         break  # torn frame: everything after is suspect
@@ -142,8 +162,12 @@ class RecordLog:
             os.fsync(self._fh.fileno())
             self._fh.close()
         path = _seg_path(self.log_dir, first_pos)
+        existed = os.path.exists(path)
         self._fh = open(path, "ab")
         self._fh.seek(0, os.SEEK_END)
+        if not existed:
+            # persist the new directory entry before anything is acked
+            _fsync_dir(self.log_dir)
         if not self._segs or self._segs[-1][2] != path:
             self._segs.append((first_pos, self._count_if_existing(path), path))
 
@@ -152,7 +176,7 @@ class RecordLog:
         # re-opening the live segment of a prior writer (restart path)
         if os.path.getsize(path) == 0:
             return 0
-        return RecordLog._count_records(path, repair=False)
+        return RecordLog._count_records(path, verify=True)
 
     def sync(self) -> None:
         if self._fh is not None:
@@ -226,7 +250,11 @@ class RecordLog:
             tmp = os.path.join(self.log_dir, ".truncated.tmp")
             with open(tmp, "w") as f:
                 json.dump({"next_pos": self._cur_first}, f)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, os.path.join(self.log_dir, "truncated.json"))
+        if removed or not keep:
+            _fsync_dir(self.log_dir)
         return removed
 
 
@@ -252,7 +280,7 @@ class IngestWal:
         self.num_shards = int(num_shards)
         self.fsync = fsync
         self._logs = [RecordLog(_shard_dir(index_dir, source_id, k),
-                                segment_bytes=segment_bytes)
+                                segment_bytes=segment_bytes, repair=True)
                       for k in range(self.num_shards)]
         self._rr = 0
 
@@ -314,11 +342,18 @@ class WalQueueClient:
         cfg_json = Manifest(index_dir).index_config_json
         self._mapping = (IndexConfig.from_json(cfg_json).doc_mapping
                          if cfg_json else None)
+        self._log_cache: dict[int, RecordLog] = {}
 
     def _log(self, partition: int) -> RecordLog:
-        # read-only use: the scan repairs nothing unless it is the writer's
-        # own torn tail, which a consumer on the same node may also own
-        return RecordLog(_shard_dir(self.index_dir, self.source_id, partition))
+        # read-only (repair=False: never truncate under a live writer —
+        # an unacked torn tail is simply not counted); cached per
+        # partition so one wave's plan+read calls scan headers once
+        log = self._log_cache.get(partition)
+        if log is None:
+            log = RecordLog(_shard_dir(self.index_dir, self.source_id,
+                                       partition))
+            self._log_cache[partition] = log
+        return log
 
     def end_offset(self, partition: int) -> int:
         return self._log(partition).end_pos()

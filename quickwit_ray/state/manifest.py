@@ -463,6 +463,19 @@ class Manifest:
         self._append(op)
         return len(ids)
 
+    def drop(self) -> None:
+        """Remove this index's rows from a shared SQL metastore entirely
+        (index deletion — unlike ``clear``, the config and source rows go
+        too). File-backed state needs no extra work: deleting the index
+        dir removes it."""
+        if self._backend not in ("sqlite", "postgres"):
+            return
+        st = self._sql()
+        with st.tx() as cur:
+            for t in ("meta", "splits", "checkpoints", "delete_tasks",
+                      "shards", "sources"):
+                st.delete_all(cur, t)
+
     # -- declarative source configs (metastore add_source/delete_source/
     # toggle_source, quickwit-metastore index_metadata.rs) ----------------
 

@@ -214,11 +214,17 @@ class _Tx:
 
 # -- metastore pointer file -----------------------------------------------
 
-def write_pointer(index_dir: str, dsn: str) -> None:
+def write_pointer(index_dir: str, dsn: str,
+                  index_uid: Optional[str] = None) -> None:
+    """Pin the DSN (and the row-scope uid, so the artifact dir can move
+    or be mounted at another path without orphaning its rows)."""
     os.makedirs(index_dir, exist_ok=True)
+    obj: dict[str, Any] = {"backend": "postgres", "dsn": dsn}
+    if index_uid is not None:
+        obj["index_uid"] = index_uid
     tmp = os.path.join(index_dir, ".metastore.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"backend": "postgres", "dsn": dsn}, f)
+        json.dump(obj, f)
     os.replace(tmp, os.path.join(index_dir, "metastore.json"))
 
 

@@ -282,6 +282,43 @@ def test_delete_tasks_api_and_node_endpoints(tmp_path):
     assert "quickwit_index_num_splits" in text
 
 
+def test_raw_body_segment_exact_and_splits_filters(tmp_path):
+    """Review regressions: an index NAMED '*otlp' keeps JSON body parsing,
+    and the splits state filter composes with timestamp bounds."""
+    from quickwit_ray.index_api import IndexApiService as S
+
+    assert S.wants_raw_body("otlp/v1/logs")
+    assert S.wants_raw_body("myindex/otlp/v1/traces")
+    assert not S.wants_raw_body("myotlp/search")
+    assert not S.wants_raw_body("indexes/otlp-ish/splits")
+    # state+timestamp composition
+    from quickwit_ray.config import index_config_from_api_json
+
+    cfg = index_config_from_api_json({
+        "version": "0.8", "index_id": "tw",
+        "doc_mapping": {"field_mappings": [
+            {"name": "msg", "type": "text"},
+            {"name": "ts", "type": "datetime", "fast": True}],
+            "timestamp_field": "ts", "mode": "dynamic"}})
+    idx = Index.create(str(tmp_path / "tw"), "tw", cfg.doc_mapping)
+    idx.ingest_docs([{"msg": "early", "ts": 1_000}], commit_id="a")
+    idx.ingest_docs([{"msg": "late", "ts": 2_000_000}], commit_id="b")
+    svc = IndexApiService({"tw": idx})
+    st, all_marked = svc.request("GET", "indexes/tw/splits")
+    sid_early = next(s["split_id"] for s in all_marked["splits"]
+                     if s["time_range_start"] == 1_000 * 1_000_000)
+    svc.request("PUT", "indexes/tw/splits/mark-for-deletion",
+                body={"split_ids": [sid_early]})
+    st, r = svc.request("GET", "indexes/tw/splits", params={
+        "split_states": "marked_for_deletion",
+        "end_timestamp": str(10_000 * 1_000_000)})
+    assert r["total"] == 1 and r["splits"][0]["split_id"] == sid_early
+    st, r2 = svc.request("GET", "indexes/tw/splits", params={
+        "split_states": "marked_for_deletion",
+        "start_timestamp": str(1_000_000 * 1_000_000)})
+    assert r2["total"] == 0  # marked split is OUTSIDE the window
+
+
 # -- over HTTP ----------------------------------------------------------------
 
 def _http(method, url, payload=None):

@@ -146,6 +146,39 @@ def test_update_via_api_json_sets_retention(tmp_path):
     assert plain.apply_retention() == []
 
 
+def test_api_json_update_preserves_inexpressible_settings(tmp_path):
+    """PUT with a config payload must not reset indexing settings the
+    public payload cannot express (review regression)."""
+    idx = Index.create(
+        str(tmp_path / "p"), "docs", documents_doc_mapping(),
+        settings=IndexSettings(split_num_docs_target=10_000,
+                               batch_size=1234,
+                               merge_policy=MergePolicyConfig(merge_factor=4),
+                               retention_secs=3600))
+    payload = {"version": "0.8", "index_id": "docs",
+               "doc_mapping": {"field_mappings": [
+                   {"name": "text", "type": "text"}], "mode": "dynamic"}}
+    idx.update_config(api_json=payload)
+    got = Index.open(idx.index_dir).config.settings
+    assert got.split_num_docs_target == 10_000
+    assert got.batch_size == 1234
+    assert got.merge_policy.merge_factor == 4
+    # retention IS expressible: absent in the payload -> removed
+    # (reference full-replace semantics)
+    assert got.retention_secs is None
+    # explicit indexing_settings apply with replace semantics
+    idx.update_config(api_json={**payload, "indexing_settings": {
+        "split_num_docs_target": 777,
+        "merge_policy": {"type": "limit_merge", "max_merge_ops": 2,
+                         "maturation_period": "2 hours"}}})
+    got2 = Index.open(idx.index_dir).config.settings
+    assert got2.split_num_docs_target == 777
+    assert got2.merge_policy.kind == "const_write_amplification"
+    assert got2.merge_policy.max_merge_ops == 2
+    assert got2.merge_policy.maturation_period_secs == 7200
+    assert got2.batch_size == 1234  # still inexpressible, still kept
+
+
 def test_validate_config_update_allows_field_removal():
     cfg = IndexConfig("x", documents_doc_mapping())
     fms = tuple(f for f in cfg.doc_mapping.field_mappings

@@ -137,6 +137,40 @@ def test_clear_scopes_to_one_index(tmp_path, pg_dsn):
     assert Index.open(a.index_dir).config.index_id == "clr-a"
 
 
+def test_delete_purges_rows_and_allows_recreation(tmp_path, pg_dsn):
+    from quickwit_ray.index_api import IndexApiService
+
+    dsn, db = pg_dsn
+    idx = _mk(tmp_path, "reborn", dsn)
+    idx.ingest_docs(pq.read_table(DOCS).slice(0, 10).to_pylist(),
+                    commit_id="a")
+    svc = IndexApiService({"reborn": idx})
+    st, _ = svc.request("DELETE", "indexes/reborn")
+    assert st == 200
+    con = sqlite3.connect(db)
+    for t in ("meta", "splits", "checkpoints", "sources"):
+        assert con.execute(f"SELECT count(*) FROM {t}").fetchone()[0] == 0
+    # same path is creatable again (stale rows would raise FileExists)
+    idx2 = _mk(tmp_path, "reborn", dsn)
+    assert idx2.search("*", max_hits=5).num_hits == 0
+
+
+def test_pointer_uid_survives_directory_move(tmp_path, pg_dsn):
+    import shutil
+
+    dsn, _ = pg_dsn
+    idx = _mk(tmp_path, "mover", dsn)
+    idx.ingest_docs(pq.read_table(DOCS).slice(0, 15).to_pylist(),
+                    commit_id="a")
+    # NOTE: split ARTIFACTS move with the dir; only metastore rows are
+    # keyed by uid — the pinned pointer uid keeps them reachable
+    new_dir = str(tmp_path / "moved-here")
+    shutil.move(idx.index_dir, new_dir)
+    m = Manifest(new_dir)
+    assert sum(s.num_docs for s in m.published_splits()) == 15
+    assert Index.open(new_dir).search("*", max_hits=20).num_hits == 15
+
+
 def test_update_config_and_delete_tasks_on_postgres(tmp_path, pg_dsn):
     from dataclasses import replace
 

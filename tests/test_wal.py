@@ -69,8 +69,14 @@ def test_recordlog_torn_tail_repaired(tmp_path):
     size = os.path.getsize(path)
     with open(path, "r+b") as f:
         f.truncate(size - 4)
-    log2 = RecordLog(str(tmp_path / "l"))
+    # a READER (repair=False) sees only the intact frames and never
+    # mutates the file — the torn tail stays on disk for the writer
+    reader = RecordLog(str(tmp_path / "l"))
+    assert reader.end_pos() == 4
+    assert os.path.getsize(path) == size - 4  # untouched
+    log2 = RecordLog(str(tmp_path / "l"), repair=True)
     assert log2.end_pos() == 4  # torn record dropped by writer repair
+    assert os.path.getsize(path) < size - 4  # truncated to the last frame
     assert [p for _, p in log2.read_from(0)] == \
         [f"record-{i}".encode() for i in range(4)]
     # the position is reused for the next append (it was never acked)
