@@ -36,16 +36,23 @@ class QwRestService:
     live registry — one service serves both API roots, exactly like the
     reference's single server mounting /api/v1 and /api/v1/_elastic."""
 
-    def __init__(self, root_dir: str,
+    def __init__(self, root_dir: Optional[str] = None,
                  extra_indexes: Optional[dict] = None):
         self.root_dir = root_dir
-        os.makedirs(root_dir, exist_ok=True)
+        if root_dir is not None:
+            os.makedirs(root_dir, exist_ok=True)
         self.indexes: dict[str, Index] = dict(extra_indexes or {})
+        from quickwit_ray.index_api import IndexApiService
         from quickwit_ray.search.es_rest import EsRestService
 
         self.es = EsRestService({})
         self.es.indexes = self.indexes  # shared live registry
         self.es.index_factory = self._auto_create
+        # the wider native surface (sources, splits resource, search-plan,
+        # search/stream, otlp, jaeger, delete-tasks, node endpoints) —
+        # same live registry; endpoints this front doesn't route fall
+        # through to it
+        self.native = IndexApiService(self.indexes, index_root_dir=root_dir)
         # index templates (index_template.rs): pattern-matched configs
         # that auto-create an index on first ingest to a matching name
         self.templates: dict[str, dict] = {}
@@ -98,9 +105,7 @@ class QwRestService:
                 return {"acknowledged": True, "num_splits_dropped": n}
             if method == "GET" and len(parts) == 3 and parts[2] == "describe":
                 return self._index(parts[1]).describe()
-            if method == "GET" and len(parts) == 3 and parts[2] == "splits":
-                return {"splits": self._index(parts[1]).describe()["splits"]}
-            raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
+            return self.native._route(method, endpoint, params, body)
         if parts[0] == "templates":
             if method == "POST" and len(parts) == 1:
                 tid = (body or {}).get("template_id")
@@ -125,7 +130,9 @@ class QwRestService:
         if len(parts) == 2 and parts[1] == "search":
             return self._search(parts[0], params,
                                 body if isinstance(body, dict) else {})
-        raise EsApiError(400, f"unsupported endpoint {endpoint!r}")
+        # everything else (search/stream, search-plan, otlp, jaeger,
+        # delete-tasks, version/cluster/health/metrics) -> wide surface
+        return self.native._route(method, endpoint, params, body)
 
     def _index(self, name: str) -> Index:
         idx = self.indexes.get(name)
@@ -136,6 +143,9 @@ class QwRestService:
     # -- index management ----------------------------------------------
 
     def _create(self, body: dict) -> dict:
+        if self.root_dir is None:
+            raise EsApiError(400, "index creation is disabled: the server "
+                             "was started without an index root dir")
         cfg = index_config_from_api_json(body)
         if cfg.index_id in self.indexes:
             raise EsApiError(400, f"index {cfg.index_id!r} already exists")
@@ -166,11 +176,9 @@ class QwRestService:
         return None
 
     def _delete(self, name: str) -> dict:
-        idx = self.indexes.pop(name, None)
-        if idx is None:
-            raise EsApiError(404, f"index not found: {name}")
-        shutil.rmtree(os.path.join(self.root_dir, name), ignore_errors=True)
-        return {"acknowledged": True}
+        # shared path: purges SQL-metastore rows + the index dir itself
+        # (works for extra_indexes living outside root_dir too)
+        return self.native._delete(name)
 
     # -- ingest ---------------------------------------------------------
 

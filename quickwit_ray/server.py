@@ -31,13 +31,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qsl, urlparse
 
-from quickwit_ray.search.es_rest import EsRestService
-
 ES_PREFIX = "/api/v1/_elastic"
 NATIVE_PREFIX = "/api/v1"
 
 
-def _make_handler(service: EsRestService, index_service=None):
+def _make_handler(qw):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -56,23 +54,12 @@ def _make_handler(service: EsRestService, index_service=None):
             elif path.startswith(NATIVE_PREFIX):
                 path = path[len(NATIVE_PREFIX):]
             endpoint = path.strip("/")
-            # native API (index/source management + {index}/search) — only
-            # for non-_elastic paths the native service claims
-            if (not is_es and index_service is not None
-                    and index_service.handles(endpoint)):
-                if index_service.wants_raw_body(endpoint):
-                    body = raw  # OTLP: protobuf/JSON bytes pass through
-                    params["_content_type"] = \
-                        self.headers.get("Content-Type", "")
-                else:
-                    try:
-                        body = json.loads(raw) if raw else None
-                    except json.JSONDecodeError:
-                        self._reply(400, {"status": 400, "error": {
-                            "reason": "request body is not valid JSON"}})
-                        return
-                status, payload = index_service.request(
-                    self.command, endpoint, params, body)
+            if not is_es and qw.native.wants_raw_body(endpoint):
+                # OTLP: protobuf/JSON bytes pass through unparsed
+                params["_content_type"] = \
+                    self.headers.get("Content-Type", "")
+                status, payload = qw.request(self.command, endpoint,
+                                             params, raw)
                 self._reply(status, payload)
                 return
             body = None
@@ -81,7 +68,7 @@ def _make_handler(service: EsRestService, index_service=None):
                 last = endpoint.rsplit("/", 1)[-1]
                 if last == "_bulk":
                     body = raw.decode("utf-8")  # ndjson passes through
-                elif last == "_msearch":
+                elif last in ("_msearch", "ingest"):
                     ndjson = [json.loads(ln)
                               for ln in raw.decode("utf-8").split("\n")
                               if ln.strip()]
@@ -92,8 +79,12 @@ def _make_handler(service: EsRestService, index_service=None):
                         self._reply(400, {"status": 400, "error": {
                             "reason": "request body is not valid JSON"}})
                         return
-            status, payload = service.request(self.command, endpoint,
-                                              params, body, ndjson)
+            # one front: ES-prefixed paths hit the embedded ES dispatcher,
+            # everything else the native router (which itself falls back
+            # to ES for ES-shaped endpoints)
+            svc = qw.es if is_es else qw
+            status, payload = svc.request(self.command, endpoint,
+                                          params, body, ndjson)
             self._reply(status, payload)
 
         def _reply(self, status: int, payload) -> None:
@@ -125,15 +116,17 @@ class SearchServer:
 
     def __init__(self, indexes: dict, host: str = "127.0.0.1",
                  port: int = 0, index_root_dir: Optional[str] = None):
-        from quickwit_ray.index_api import IndexApiService
+        from quickwit_ray.search.qw_rest import QwRestService
 
-        self.service = EsRestService(indexes)
-        # the native service SHARES the ES service's registry dict, so an
-        # index created via POST /indexes is immediately ES-searchable
-        self.index_service = IndexApiService(self.service.indexes,
-                                             index_root_dir=index_root_dir)
+        # ONE front (the reference's single server mounting /api/v1 and
+        # /api/v1/_elastic): QwRestService owns the live registry, embeds
+        # the ES dispatcher and the wide native surface, so an index
+        # created via POST /indexes is immediately ES-searchable
+        self.qw = QwRestService(index_root_dir, extra_indexes=indexes)
+        self.service = self.qw.es
+        self.index_service = self.qw.native
         self._httpd = ThreadingHTTPServer(
-            (host, port), _make_handler(self.service, self.index_service))
+            (host, port), _make_handler(self.qw))
         self._httpd.daemon_threads = True
         self.host = host
         self.port = self._httpd.server_address[1]
