@@ -78,7 +78,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     from quickwit_ray.index.build import build_index
     from quickwit_ray.index.merge import run_merge_pipeline
+    from quickwit_ray.search import engine as _engine
     from quickwit_ray.search.engine import IndexSearcher
+
+    # latency metrics must measure real leaf work, not the leaf request
+    # cache (which would turn repeated warm queries into ~0 ms dict hits)
+    _engine.ENABLE_LEAF_CACHE = False
     from quickwit_ray.sources.fixtures import ensure_pages
 
     parts: dict[str, float] = {}

@@ -95,16 +95,78 @@ _GLOBAL_READER_CACHE = _ReaderCache()
 ENABLE_MAXSCORE = True
 
 
+class _LeafCache:
+    """LRU of leaf-search partial results keyed by (split, request)
+    (leaf_cache.rs LeafSearchCache analog). Split artifacts are IMMUTABLE
+    — merges and delete-rewrites publish new split ids — so entries never
+    go stale; superseded splits simply age out. theta0 is deliberately
+    NOT part of the key: pruning only skips docs provably below the
+    query's global kth score, so a partial computed under any theta is
+    exact for the same request's merge (see leaf_search_one)."""
+
+    def __init__(self, capacity: int = 512):
+        self.capacity = capacity
+        self._cache: OrderedDict[tuple, dict] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key: tuple) -> Optional[dict]:
+        v = self._cache.get(key)
+        if v is None:
+            self.misses += 1
+            return None
+        self._cache.move_to_end(key)
+        self.hits += 1
+        return v
+
+    def put(self, key: tuple, val: dict) -> None:
+        self._cache[key] = val
+        if len(self._cache) > self.capacity:
+            self._cache.popitem(last=False)
+
+    def clear(self) -> None:
+        self._cache.clear()
+
+
+_GLOBAL_LEAF_CACHE = _LeafCache()
+ENABLE_LEAF_CACHE = True
+
+
 def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
                     cache: Optional[_ReaderCache] = None,
                     theta0: Optional[float] = None) -> dict:
-    """Leaf search over one split -> partial result dict.
+    """Leaf search over one split -> partial result dict (memoized in the
+    process-wide :class:`_LeafCache`; the repeated-dashboard-query case
+    skips the split read entirely).
 
     ``theta0`` is the cross-split kth-score threshold hint (leaf.rs
     CanSplitDoBetter sharing): the pruned scoring paths start from it
     instead of -inf, so later splits skip scoring docs that provably
     cannot enter the global top-k. The match mask (num_hits) stays exact;
-    only sub-threshold scoring work is skipped."""
+    only sub-threshold scoring work is skipped — which also makes a
+    theta-pruned partial reusable for the SAME request under any other
+    theta (skipped docs can never enter that request's global top-k)."""
+    import copy
+
+    key = None
+    if ENABLE_LEAF_CACHE:
+        # ENABLE_MAXSCORE is in the key so the pruned-vs-naive
+        # equivalence tests compare real evaluations, not cache hits
+        key = (split_dir, repr(request), str(mapping), ENABLE_MAXSCORE)
+        hit = _GLOBAL_LEAF_CACHE.get(key)
+        if hit is not None:
+            # deep copy: merge folds agg partial states in place
+            return copy.deepcopy(hit)
+    out = _leaf_search_impl(split_dir, mapping, request, cache, theta0)
+    if key is not None:
+        _GLOBAL_LEAF_CACHE.put(key, copy.deepcopy(out))
+    return out
+
+
+def _leaf_search_impl(split_dir: str, mapping: DocMapping,
+                      request: SearchRequest,
+                      cache: Optional[_ReaderCache] = None,
+                      theta0: Optional[float] = None) -> dict:
     from quickwit_ray.functions.tokenizers import tokenize
     from quickwit_ray.search.ast import FullTextQuery
 

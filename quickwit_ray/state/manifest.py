@@ -347,10 +347,37 @@ class Manifest:
             else:  # pragma: no cover
                 raise ValueError(f"unknown manifest op {kind!r}")
 
+    def _writer_lock(self):
+        """Exclusive advisory lock serializing file-backend writers: the
+        design is single-writer (the reference metastore serializes in
+        its service), but two accidental concurrent publishers must not
+        interleave partial appends or race the compaction rename. SQL
+        backends get this from their transactions."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            os.makedirs(self.index_dir, exist_ok=True)
+            fd = os.open(os.path.join(self.index_dir, ".manifest.lock"),
+                         os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return lock()
+
     def _append(self, op: dict[str, Any]) -> None:
         if self._backend in ("sqlite", "postgres"):
             self._apply_sql(op)
             return
+        with self._writer_lock():
+            self._append_locked(op)
+
+    def _append_locked(self, op: dict[str, Any]) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
         with open(self.log_path, "ab") as f:
             # start on a fresh line even after a predecessor's torn tail
@@ -382,9 +409,22 @@ class Manifest:
         """Snapshot + truncate the log, both via atomic rename. A crash
         between the two leaves snapshot + stale log: replay is idempotent,
         so the state converges either way. (No-op for the SQL backends —
-        transactions ARE the durable state.)"""
+        transactions ARE the durable state.)
+
+        Runs under the writer lock, and snapshots the ON-DISK state (a
+        fresh snapshot+log replay), not this instance's memory: if
+        another writer appended ops after this instance loaded, a
+        memory-based snapshot would silently destroy them when the log
+        truncates. The re-load also heals this instance's staleness."""
         if self._backend in ("sqlite", "postgres"):
             return
+        fresh = Manifest(self.index_dir, backend="file")
+        self.index_config_json = fresh.index_config_json
+        self.splits = fresh.splits
+        self.checkpoints = fresh.checkpoints
+        self.delete_tasks = fresh.delete_tasks
+        self.shards = fresh.shards
+        self.sources = fresh.sources
         _atomic_write_json(self.path, self._snapshot_obj())
         fd, tmp = tempfile.mkstemp(dir=self.index_dir, prefix=".log-")
         os.close(fd)
@@ -535,7 +575,11 @@ class Manifest:
         self._append(op)
         # snapshot immediately: manifest.json presence is the "index
         # exists" signal for Index.open and the reader caches
-        self._compact()
+        if self._backend == "file":
+            with self._writer_lock():
+                self._compact()
+        else:
+            self._compact()
 
     def update_config(self, index_config_json: dict[str, Any]) -> None:
         """Replace the stored index config (`quickwit index update` /

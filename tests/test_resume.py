@@ -135,6 +135,37 @@ def test_manifest_log_torn_tail_ignored(tmp_path):
     assert sorted(s.split_id for s in m3.published_splits()) == ["s1", "s2"]
 
 
+def _publish_burst(args):
+    d, tag, n = args
+    from quickwit_ray.state.manifest import Manifest, SplitMetadata
+
+    for i in range(n):
+        Manifest(d).publish([SplitMetadata(f"{tag}-{i:03d}", "x", 1, 10)])
+    return tag
+
+
+def test_concurrent_writers_serialized_by_flock(tmp_path):
+    """Two processes publishing into one file-backend manifest: the
+    advisory writer lock serializes appends + compaction, so every op
+    lands and replay sees no torn/interleaved lines."""
+    import multiprocessing as mp
+
+    from quickwit_ray.state.manifest import Manifest
+
+    d = str(tmp_path / "idx")
+    m = Manifest(d)
+    m.create({"index_id": "x"})
+    with mp.get_context("spawn").Pool(2) as pool:
+        pool.map(_publish_burst, [(d, "a", 40), (d, "b", 40)])
+    from quickwit_ray.state.manifest import Manifest as _M
+
+    out = _M(d)
+    ids = sorted(out.splits)
+    assert len(ids) == 80
+    assert ids == sorted([f"a-{i:03d}" for i in range(40)]
+                         + [f"b-{i:03d}" for i in range(40)])
+
+
 def test_sqlite_metastore_backend(tmp_path):
     """SQL metastore option (postgres analog, sqlite-backed): same Manifest
     API and semantics — publish/replace/stream offsets/delete tasks survive
