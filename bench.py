@@ -161,6 +161,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     parts["bm25_queries"] = round(sum(lat) + agg_sec, 3)
     lat_ms = np.asarray(lat) * 1000
 
+    # ---- leaf request cache (labeled separately: repeat-query p50 with
+    # the leaf_cache.rs-analog cache ON — the dashboard/repeat case) ----
+    _engine.ENABLE_LEAF_CACHE = True
+    _engine._GLOBAL_LEAF_CACHE.clear()
+    for q in qset:
+        s.search(q, max_hits=10, sort_by="_score", fetch_fields=[])  # fill
+    cached = []
+    for q in qset:
+        t0 = time.time()
+        s.search(q, max_hits=10, sort_by="_score", fetch_fields=[])
+        cached.append(time.time() - t0)
+    _engine.ENABLE_LEAF_CACHE = False
+    cached_p50_ms = float(np.median(np.asarray(cached) * 1000))
+
     # ---- timed: documents pipelines ------------------------------------
     import ray.data
 
@@ -218,7 +232,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                         build_docs_per_sec_per_core=round(build_docs_per_sec / num_cpus),
                         n_merges=n_merges,
                         query_p50_ms=round(float(np.percentile(lat_ms, 50)), 2),
-                        query_p95_ms=round(float(np.percentile(lat_ms, 95)), 2)),
+                        query_p95_ms=round(float(np.percentile(lat_ms, 95)), 2),
+                        query_p50_ms_leafcache=round(cached_p50_ms, 3)),
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "num_cpus": num_cpus,
     }
