@@ -111,6 +111,20 @@ def main(argv=None) -> int:
                     help="enable POST /api/v1/indexes creation under "
                          "this directory")
 
+    up = sub.add_parser("update", help="update the index config "
+                        "(quickwit index update; validated against the "
+                        "reference's update rules)")
+    up.add_argument("index_dir")
+    up.add_argument("--config", required=True,
+                    help="index config API JSON (inline or @file)")
+
+    rt = sub.add_parser("apply-retention", help="drop splits past the "
+                        "configured (or given) retention period")
+    rt.add_argument("index_dir")
+    rt.add_argument("--period", default=None,
+                    help="override period, e.g. '7 days' (default: the "
+                         "index config's retention)")
+
     so = sub.add_parser("source", help="declarative source configs "
                         "(quickwit source create/list/delete/toggle/"
                         "reset-checkpoint)")
@@ -231,6 +245,21 @@ def main(argv=None) -> int:
                                  os.path.join(args.out_dir, fn))
                 print(f"extracted {len(os.listdir(d))} files to "
                       f"{args.out_dir}")
+    elif args.cmd == "update":
+        raw = args.config
+        if raw.startswith("@"):
+            with open(raw[1:]) as f:
+                raw = f.read()
+        cfg = Index.open(args.index_dir).update_config(
+            api_json=json.loads(raw))
+        print(f"updated index {cfg.index_id}")
+    elif args.cmd == "apply-retention":
+        from quickwit_ray.config import parse_period_secs
+
+        idx = Index.open(args.index_dir)
+        secs = parse_period_secs(args.period) if args.period else None
+        dropped = idx.apply_retention(secs)
+        print(json.dumps({"splits_dropped": dropped}))
     elif args.cmd == "source":
         idx = Index.open(args.index_dir)
         if args.source_cmd == "create":

@@ -371,6 +371,28 @@ def test_native_api_over_http(tmp_path):
         assert st == 200 and es2["hits"]["total"]["value"] == 100
 
 
+def test_template_autocreate_over_http(tmp_path):
+    """The unified server front exposes index templates: _bulk to an
+    unknown index matching a template pattern auto-creates it."""
+    with SearchServer({}, index_root_dir=str(tmp_path / "root")) as srv:
+        base = f"http://127.0.0.1:{srv.port}/api/v1"
+        st, _ = _http("POST", f"{base}/templates", {
+            "template_id": "logs-tpl", "index_id_patterns": ["applogs-*"],
+            "doc_mapping": {"field_mappings": [
+                {"name": "msg", "type": "text"}], "mode": "dynamic"}})
+        assert st == 200
+        bulk = ('{"create": {}}\n{"msg": "hello from bulk"}\n').encode()
+        req = urllib.request.Request(
+            f"{base}/_elastic/applogs-2026/_bulk", data=bulk, method="POST")
+        req.add_header("Content-Type", "application/x-ndjson")
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["errors"] is False
+        st, es = _http("POST", f"{base}/_elastic/applogs-2026/_search",
+                       {"query": {"match": {"msg": "hello"}}})
+        assert es["hits"]["total"]["value"] == 1
+
+
 def test_otlp_protobuf_over_http(tmp_path):
     """Protobuf bytes must reach the OTLP handler unparsed (raw-body
     passthrough in the HTTP layer)."""
