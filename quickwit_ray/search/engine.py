@@ -69,22 +69,43 @@ class SearchResponse:
                 str(last["_split_id"]), int(last["_doc_id"]))
 
 
+def _split_stamp(split_dir: str) -> int:
+    """Identity stamp of a split's artifacts. Split ids are derived from
+    the source partition, NOT content — `clear()` + re-ingest under the
+    same commit id recreates the same split_dir with different docs, so
+    caches must key on the artifact generation too (footer.json is
+    rewritten whenever the split is rebuilt)."""
+    try:
+        st = os.stat(os.path.join(split_dir, "footer.json"))
+        return st.st_mtime_ns ^ (st.st_size << 1) ^ st.st_ino
+    except OSError:
+        return -1
+
+
 class _ReaderCache:
-    """LRU of open SplitReaders (per process / per actor)."""
+    """LRU of open SplitReaders (per process / per actor); thread-safe
+    (HTTP handler threads share it) and generation-checked (a rebuilt
+    split_dir gets a fresh reader, see _split_stamp)."""
 
     def __init__(self, capacity: int = 64):
+        import threading
+
         self.capacity = capacity
-        self._cache: OrderedDict[str, SplitReader] = OrderedDict()
+        self._cache: OrderedDict[str, tuple[int, SplitReader]] = OrderedDict()
+        self._lock = threading.Lock()
 
     def get(self, split_dir: str) -> SplitReader:
-        r = self._cache.get(split_dir)
-        if r is None:
-            r = SplitReader(split_dir)
-            self._cache[split_dir] = r
+        stamp = _split_stamp(split_dir)
+        with self._lock:
+            ent = self._cache.get(split_dir)
+            if ent is not None and ent[0] == stamp:
+                self._cache.move_to_end(split_dir)
+                return ent[1]
+        r = SplitReader(split_dir)
+        with self._lock:
+            self._cache[split_dir] = (stamp, r)
             if len(self._cache) > self.capacity:
                 self._cache.popitem(last=False)
-        else:
-            self._cache.move_to_end(split_dir)
         return r
 
 
@@ -96,36 +117,48 @@ ENABLE_MAXSCORE = True
 
 
 class _LeafCache:
-    """LRU of leaf-search partial results keyed by (split, request)
-    (leaf_cache.rs LeafSearchCache analog). Split artifacts are IMMUTABLE
-    — merges and delete-rewrites publish new split ids — so entries never
-    go stale; superseded splits simply age out. theta0 is deliberately
-    NOT part of the key: pruning only skips docs provably below the
-    query's global kth score, so a partial computed under any theta is
-    exact for the same request's merge (see leaf_search_one)."""
+    """Thread-safe LRU of leaf-search partial results keyed by
+    (split artifacts generation, request, theta0) — leaf_cache.rs
+    LeafSearchCache analog.
+
+    theta0 IS part of the key: a theta-pruned partial encodes an
+    assumption about the OTHER splits of that execution (docs below
+    theta were skipped because splits elsewhere already beat them) — if
+    the split set later shrinks (retention, mark-for-deletion), the same
+    request must re-evaluate under its new thetas, not reuse partials
+    pruned against deleted competition. Identical executions over an
+    unchanged split set derive identical thetas, so the repeat-query
+    case still hits. The artifact stamp (_split_stamp) catches split
+    dirs rebuilt in place by clear()+re-ingest."""
 
     def __init__(self, capacity: int = 512):
+        import threading
+
         self.capacity = capacity
         self._cache: OrderedDict[tuple, dict] = OrderedDict()
+        self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
 
     def get(self, key: tuple) -> Optional[dict]:
-        v = self._cache.get(key)
-        if v is None:
-            self.misses += 1
-            return None
-        self._cache.move_to_end(key)
-        self.hits += 1
-        return v
+        with self._lock:
+            v = self._cache.get(key)
+            if v is None:
+                self.misses += 1
+                return None
+            self._cache.move_to_end(key)
+            self.hits += 1
+            return v
 
     def put(self, key: tuple, val: dict) -> None:
-        self._cache[key] = val
-        if len(self._cache) > self.capacity:
-            self._cache.popitem(last=False)
+        with self._lock:
+            self._cache[key] = val
+            if len(self._cache) > self.capacity:
+                self._cache.popitem(last=False)
 
     def clear(self) -> None:
-        self._cache.clear()
+        with self._lock:
+            self._cache.clear()
 
 
 _GLOBAL_LEAF_CACHE = _LeafCache()
@@ -143,16 +176,19 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
     CanSplitDoBetter sharing): the pruned scoring paths start from it
     instead of -inf, so later splits skip scoring docs that provably
     cannot enter the global top-k. The match mask (num_hits) stays exact;
-    only sub-threshold scoring work is skipped — which also makes a
-    theta-pruned partial reusable for the SAME request under any other
-    theta (skipped docs can never enter that request's global top-k)."""
+    only sub-threshold scoring work is skipped. theta0 is part of the
+    cache key — a pruned partial is only valid against the competition
+    it was pruned under (see _LeafCache)."""
     import copy
 
     key = None
     if ENABLE_LEAF_CACHE:
         # ENABLE_MAXSCORE is in the key so the pruned-vs-naive
-        # equivalence tests compare real evaluations, not cache hits
-        key = (split_dir, repr(request), str(mapping), ENABLE_MAXSCORE)
+        # equivalence tests compare real evaluations, not cache hits;
+        # theta0 and the artifact stamp guard the shrunken-split-set and
+        # rebuilt-split-dir staleness cases (see _LeafCache)
+        key = (split_dir, _split_stamp(split_dir), repr(request),
+               str(mapping), ENABLE_MAXSCORE, theta0)
         hit = _GLOBAL_LEAF_CACHE.get(key)
         if hit is not None:
             # deep copy: merge folds agg partial states in place

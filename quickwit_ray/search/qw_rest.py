@@ -18,7 +18,6 @@ validation layer rejects them.
 from __future__ import annotations
 
 import json
-import shutil
 import os
 from typing import Any, Optional
 from urllib.parse import parse_qsl, unquote
@@ -150,18 +149,27 @@ class QwRestService:
         if cfg.index_id in self.indexes:
             raise EsApiError(400, f"index {cfg.index_id!r} already exists")
         d = os.path.join(self.root_dir, cfg.index_id)
-        shutil.rmtree(d, ignore_errors=True)
-        self.indexes[cfg.index_id] = Index.create(d, cfg.index_id,
-                                                  cfg.doc_mapping,
-                                                  settings=cfg.settings)
+        try:
+            # NEVER clobber an on-disk index that merely isn't registered
+            # (e.g. after a server restart): Index.create refuses
+            self.indexes[cfg.index_id] = Index.create(
+                d, cfg.index_id, cfg.doc_mapping, settings=cfg.settings)
+        except FileExistsError:
+            raise EsApiError(
+                400, f"index {cfg.index_id!r} already exists on disk at "
+                f"{d} — open/serve it or DELETE it first")
         return {"index_config": {"index_id": cfg.index_id}}
 
     def _auto_create(self, name: str) -> Optional[Index]:
         """Index-template auto-creation hook for `_bulk` to an unknown
         index: the first template whose pattern matches the name creates
-        it with the template's doc mapping."""
+        it with the template's doc mapping. An index already ON DISK at
+        the target path (unregistered after a restart) is opened, never
+        clobbered."""
         import fnmatch
 
+        if self.root_dir is None:
+            return None  # creation disabled: no index root dir configured
         for tpl in self.templates.values():
             if any(fnmatch.fnmatch(name, p)
                    for p in tpl.get("index_id_patterns", ())):
@@ -170,9 +178,11 @@ class QwRestService:
                      "doc_mapping": tpl.get("doc_mapping") or {},
                      "search_settings": tpl.get("search_settings")})
                 d = os.path.join(self.root_dir, name)
-                shutil.rmtree(d, ignore_errors=True)
-                return Index.create(d, name, cfg.doc_mapping,
-                                    settings=cfg.settings)
+                try:
+                    return Index.create(d, name, cfg.doc_mapping,
+                                        settings=cfg.settings)
+                except FileExistsError:
+                    return Index.open(d)
         return None
 
     def _delete(self, name: str) -> dict:

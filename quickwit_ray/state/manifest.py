@@ -102,7 +102,7 @@ class Manifest:
     snapshot is idempotent."""
 
     def __init__(self, index_dir: str, backend: Optional[str] = None,
-                 dsn: Optional[str] = None):
+                 dsn: Optional[str] = None, _shared_lock: bool = True):
         self.index_dir = index_dir
         self.path = os.path.join(index_dir, "manifest.json")
         self.log_path = os.path.join(index_dir, "manifest.log")
@@ -146,11 +146,29 @@ class Manifest:
             if self._backend == "postgres" or os.path.exists(self.db_path):
                 self._load_sql()
         elif os.path.exists(self.path) or os.path.exists(self.log_path):
-            self._load()
+            self._load(shared_lock=_shared_lock)
 
     # -- persistence --------------------------------------------------------
 
-    def _load(self) -> None:
+    def _load(self, shared_lock: bool = True) -> None:
+        """Load snapshot + replay log. Readers hold a SHARED flock across
+        the two reads so a concurrent writer's compaction (snapshot
+        replace + log truncate, done under the exclusive lock) cannot
+        interleave — without it a reader could pair the OLD snapshot with
+        the NEW (truncated) log and miss up to COMPACT_EVERY-1 ops."""
+        if shared_lock and (os.path.exists(self.path)
+                            or os.path.exists(self.log_path)):
+            import fcntl
+
+            fd = os.open(os.path.join(self.index_dir, ".manifest.lock"),
+                         os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_SH)
+                self._load(shared_lock=False)
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+            return
         if os.path.exists(self.path):
             with open(self.path) as f:
                 obj = json.load(f)
@@ -418,7 +436,9 @@ class Manifest:
         truncates. The re-load also heals this instance's staleness."""
         if self._backend in ("sqlite", "postgres"):
             return
-        fresh = Manifest(self.index_dir, backend="file")
+        # _shared_lock=False: we HOLD the exclusive writer lock here — a
+        # shared re-acquisition on a second fd would self-deadlock
+        fresh = Manifest(self.index_dir, backend="file", _shared_lock=False)
         self.index_config_json = fresh.index_config_json
         self.splits = fresh.splits
         self.checkpoints = fresh.checkpoints

@@ -371,6 +371,47 @@ def test_native_api_over_http(tmp_path):
         assert st == 200 and es2["hits"]["total"]["value"] == 100
 
 
+def test_recreate_after_restart_never_clobbers(tmp_path):
+    """Review regression: POST /indexes for an index that exists ON DISK
+    but not in the (restarted) registry must 400, not rmtree the data;
+    template auto-create opens such an index instead of recreating it."""
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    root = str(tmp_path / "root")
+    payload = {"version": "0.8", "index_id": "persist",
+               "doc_mapping": {"field_mappings": [
+                   {"name": "msg", "type": "text"}], "mode": "dynamic"}}
+    svc1 = QwRestService(root)
+    st, _ = svc1.request("POST", "indexes", body=payload)
+    assert st == 200
+    svc1.indexes["persist"].ingest_docs([{"msg": "precious data"}],
+                                        commit_id="a")
+    # restart: fresh registry over the same root
+    svc2 = QwRestService(root)
+    st, err = svc2.request("POST", "indexes", body=payload)
+    assert st == 400 and "exists" in err["message"]
+    assert Index.open(f"{root}/persist").search(
+        "msg:precious", max_hits=5).num_hits == 1
+    # template auto-create to the unregistered on-disk index: opened
+    svc2.request("POST", "templates", body={
+        "template_id": "t", "index_id_patterns": ["persist"],
+        "doc_mapping": payload["doc_mapping"]})
+    st, out = svc2.request("POST", "persist/_bulk", body=None,
+                           ndjson=[{"create": {}}, {"msg": "more data"}])
+    assert st == 200
+    assert Index.open(f"{root}/persist").search(
+        "msg:precious", max_hits=5).num_hits == 1  # survived
+    # auto-create with no root dir configured: no crash, clean 404
+    svc3 = QwRestService(None)
+    svc3.templates["t"] = {"index_id_patterns": ["anything-*"],
+                           "doc_mapping": payload["doc_mapping"]}
+    st, out3 = svc3.request("POST", "anything-1/_bulk", body=None,
+                            ndjson=[{"create": {}}, {"msg": "x"}])
+    # ES bulk semantics: 200 with per-item failures; nothing was created
+    assert st == 200 and out3["errors"] is True
+    assert "anything-1" not in svc3.indexes
+
+
 def test_template_autocreate_over_http(tmp_path):
     """The unified server front exposes index templates: _bulk to an
     unknown index matching a template pattern auto-creates it."""

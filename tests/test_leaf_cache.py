@@ -44,6 +44,66 @@ def test_leaf_cache_hits_and_freshness(tmp_path):
     assert sorted(r3.hits["doc_id"]) == sorted(want.hits["doc_id"])
 
 
+def test_theta_pruned_partials_not_reused_after_split_removal(tmp_path):
+    """Review regression: a partial pruned under theta from ANOTHER split
+    must not serve the same request once that split is gone — theta0 is
+    part of the cache key, so the shrunken split set re-evaluates."""
+    from quickwit_ray.state.manifest import Manifest
+
+    idx = Index.create(str(tmp_path / "i"), "docs", documents_doc_mapping(),
+                       settings=IndexSettings(split_num_docs_target=10_000))
+    # split A: docs where the query terms are dense (high BM25); split B:
+    # docs that match weakly — B's leaf gets pruned under A's theta
+    a_rows = ([{"doc_id": i, "text": "zebra alpha " * 5, "lang": "en",
+                "source": "w", "n_chars": 60} for i in range(10)]
+              + [{"doc_id": 100 + i, "text": f"plain filler doc {i}",
+                  "lang": "en", "source": "w", "n_chars": 20}
+                 for i in range(190)])
+    b_rows = ([{"doc_id": 1000 + i,
+                "text": "zebra " + "filler words here " * 40, "lang": "en",
+                "source": "w", "n_chars": 700} for i in range(5)]
+              + [{"doc_id": 1100 + i, "text": f"quiet other doc {i}",
+                  "lang": "en", "source": "w", "n_chars": 20}
+                 for i in range(45)])
+    idx.ingest_docs(a_rows, commit_id="a")
+    idx.ingest_docs(b_rows, commit_id="b")
+    engine._GLOBAL_LEAF_CACHE.clear()
+    r_full = idx.search("text:zebra OR text:alpha", max_hits=5,
+                        sort_by="_score", fetch_fields=["doc_id"])
+    assert all(d < 100 for d in r_full.hits["doc_id"])  # A wins
+    # drop split A
+    m = Manifest(idx.index_dir)
+    a_split = next(s.split_id for s in m.published_splits()
+                   if s.source_partition_id == "ingest:a")
+    m.mark_for_deletion([a_split])
+    r_cached = idx.search("text:zebra OR text:alpha", max_hits=5,
+                          sort_by="_score", fetch_fields=["doc_id"])
+    engine.ENABLE_LEAF_CACHE = False
+    try:
+        r_truth = idx.search("text:zebra OR text:alpha", max_hits=5,
+                             sort_by="_score", fetch_fields=["doc_id"])
+    finally:
+        engine.ENABLE_LEAF_CACHE = True
+    assert list(r_cached.hits["doc_id"]) == list(r_truth.hits["doc_id"])
+    assert list(r_cached.hits["sort_key0"]) == list(r_truth.hits["sort_key0"])
+    assert all(s > 0 for s in r_cached.hits["sort_key0"])
+
+
+def test_rebuilt_split_dir_not_served_stale(tmp_path):
+    """Review regression: clear() + re-ingest under the SAME commit id
+    recreates the same split_dir with different docs — the artifact
+    stamp in the cache key must invalidate old entries."""
+    idx = Index.create(str(tmp_path / "i"), "docs", documents_doc_mapping())
+    idx.ingest_docs([{"doc_id": 1, "text": "old corpus doc", "lang": "en",
+                      "source": "w", "n_chars": 10}], commit_id="c")
+    assert idx.search("text:old", max_hits=5).num_hits == 1
+    idx.clear()
+    idx.ingest_docs([{"doc_id": 2, "text": "new corpus doc", "lang": "en",
+                      "source": "w", "n_chars": 10}], commit_id="c")
+    assert idx.search("text:old", max_hits=5).num_hits == 0
+    assert idx.search("text:new", max_hits=5).num_hits == 1
+
+
 def test_leaf_cache_respects_flags(tmp_path):
     """Toggling ENABLE_MAXSCORE or disabling the cache must never serve a
     stale-flag entry (the pruned-vs-naive equivalence tests depend on
