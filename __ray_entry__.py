@@ -827,6 +827,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            "height": "int64", "channels": "int64"})
     q["image_decode_meta"] = image_decode_meta
 
+    def audio_decode_meta(sf):
+        """Multimodal audio decode: deterministic PCM16 WAV payloads
+        derived from doc_id (sample_rate = 8000 + (id%4)*4000, channels =
+        1 + id%2, n_samples = 256 + id%128) run through the actor-pool
+        decode stage; decoded metadata must equal the oracle's
+        arithmetic."""
+        import pyarrow as pa
+
+        from quickwit_ray.pipelines.multimodal import decode_audio, make_wav
+
+        ds = _docs_ds(sf, "documents", ["doc_id"])
+
+        def encode(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            bufs = [make_wav(256 + i % 128, 8000 + (i % 4) * 4000,
+                             1 + i % 2, seed=i) for i in ids]
+            return pa.table({"doc_id": batch["doc_id"],
+                             "audio": pa.array(bufs, pa.binary())})
+
+        out = decode_audio(ds.map_batches(encode, batch_format="pyarrow"),
+                           concurrency=2, batch_size=128).to_pandas()
+        out = out[["doc_id", "sample_rate", "channels", "n_samples",
+                   "duration_ms"]]
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return out.astype({c: "int64" for c in out.columns})
+    q["audio_decode_meta"] = audio_decode_meta
+
+    def lang_detect(sf):
+        """Language-ID heuristic over the text column (stopword/char-class
+        n-gram scorer, functions/textstats.detect_language) — counts per
+        detected language. Heuristic output: rows-only (no SQL oracle)."""
+        import pandas as pd
+
+        from quickwit_ray.functions.textstats import detect_language
+
+        ds = _docs_ds(sf, "documents", ["doc_id", "text"])
+
+        def det(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"detected": detect_language(
+                batch["text"].to_numpy())})
+
+        out = ds.map_batches(det, batch_format="pandas") \
+            .groupby("detected").count().to_pandas()
+        out = out.rename(columns={"count()": "n_docs"})
+        return out.sort_values("detected").reset_index(drop=True)
+    q["lang_detect"] = lang_detect
+
+    def text_fingerprints(sf):
+        """Rolling-hash document fingerprints (functions/textstats
+        .fingerprints, qhash1-based): distinct fingerprint count +
+        min/max as a stable projection. Rows-only (hash values have no
+        SQL oracle)."""
+        import numpy as np
+        import pandas as pd
+
+        from quickwit_ray.functions.textstats import fingerprints
+
+        ds = _docs_ds(sf, "documents", ["doc_id", "text"])
+
+        def fp(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "fp": fingerprints(batch["text"].to_numpy()).astype(
+                    np.uint64)})
+
+        out = ds.map_batches(fp, batch_format="pandas").to_pandas()
+        return pd.DataFrame({"n_docs": [len(out)],
+                             "n_distinct": [out["fp"].nunique()]})
+    q["text_fingerprints"] = text_fingerprints
+
     def bulk_ingest_search(sf):
         """Push-ingestion front door: the documents table is re-ingested
         through the ES _bulk NDJSON path (action/doc lines, one commit
@@ -1096,8 +1166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the 4th exactly-once-ingestion query sharing a token oracle with
         # queue/mq/bulk — driver-capped out rather than displacing one of
         # the 50 distinct-semantics head entries.
-        "wal_ingest_search",
-        "shuffle_build_search", "scroll_export",
+        "wal_ingest_search", "audio_decode_meta",
+        "shuffle_build_search", "scroll_export", "lang_detect",
+        "text_fingerprints",
         "search_bm25_topk", "snippet_highlight", "agg_percentiles",
         "agg_cardinality", "dedup_minhash", "dedup_simhash", "dedup_ngram",
         "dedup_embedding", "text_quality", "ann_ivf_topk",
@@ -1194,6 +1265,14 @@ def oracle_sql() -> dict[str, str]:
         "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
         "bulk_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "wal_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('merge')} ORDER BY doc_id",
+        "audio_decode_meta": (
+            "SELECT doc_id, "
+            "CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate, "
+            "CAST(1 + doc_id % 2 AS BIGINT) AS channels, "
+            "CAST(256 + doc_id % 128 AS BIGINT) AS n_samples, "
+            "CAST((256 + doc_id % 128) * 1000 // "
+            "(8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms "
+            "FROM documents ORDER BY doc_id"),
         "bulk_workbench_search": f"SELECT doc_id FROM documents WHERE {has_token('merge')} ORDER BY doc_id",
         "otlp_proto_ingest": ("SELECT event_id FROM events WHERE event_type = 'click' "
                               "ORDER BY event_id"),

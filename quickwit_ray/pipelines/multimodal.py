@@ -259,3 +259,97 @@ def decode_images(ds, image_col: str = "image", fake: bool = True,
                                    resize_to=resize_to, strict=strict),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM (pure struct+numpy — real decode, like the image
+# containers above; MP3/OGG/FLAC would plug a codec into DecodeAudioStage's
+# __init__, loaded once per actor)
+# ---------------------------------------------------------------------------
+
+def make_wav(n_samples: int, sample_rate: int = 16_000, channels: int = 1,
+             seed: int = 0) -> bytes:
+    """Deterministic PCM16 WAV (RIFF header + seeded sine-ish samples)."""
+    import struct
+
+    t = np.arange(n_samples * channels, dtype=np.float64)
+    freq = 110.0 + (seed % 40) * 13.0
+    samples = (np.sin(2 * np.pi * freq * t / sample_rate) * 12_000) \
+        .astype("<i2")
+    data = samples.tobytes()
+    byte_rate = sample_rate * channels * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                                   byte_rate, channels * 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(buf: bytes):
+    """RIFF/WAVE PCM16 -> (sample_rate, channels, n_samples, rms); None
+    when not a decodable WAV. Walks RIFF chunks (fmt may not directly
+    precede data in real files)."""
+    import struct
+
+    if buf is None or len(buf) < 44 or buf[:4] != b"RIFF" \
+            or buf[8:12] != b"WAVE":
+        return None
+    pos, sr, ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid, ln = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        body = buf[pos + 8: pos + 8 + ln]
+        if cid == b"fmt " and ln >= 16:
+            _fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if sr is None or data is None or bits != 16 or not ch:
+        return None
+    samples = np.frombuffer(data, dtype="<i2")
+    n = len(samples) // ch
+    rms = float(np.sqrt(np.mean((samples.astype(np.float64)) ** 2))) if n else 0.0
+    return int(sr), int(ch), int(n), rms
+
+
+class DecodeAudioStage:
+    """Actor-pool stage: binary audio column -> decoded metadata +
+    energy feature (sample_rate / channels / n_samples / duration_ms /
+    rms). Same shape rules as DecodeImageStage: small batches, one codec
+    load per actor, ``strict`` raises instead of emitting null rows."""
+
+    def __init__(self, audio_col: str = "audio", strict: bool = False):
+        self.audio_col = audio_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srs, chs, ns, durs, rmss = [], [], [], [], []
+        for buf in batch[self.audio_col].to_pylist():
+            dec = decode_wav(buf)
+            if dec is None:
+                if self.strict:
+                    raise ValueError("undecodable audio payload")
+                srs.append(None); chs.append(None); ns.append(None)
+                durs.append(None); rmss.append(None)
+                continue
+            sr, ch, n, rms = dec
+            srs.append(sr); chs.append(ch); ns.append(n)
+            durs.append(n * 1000 // sr); rmss.append(rms)
+        keep = [c for c in batch.column_names if c != self.audio_col]
+        out = {c: batch[c] for c in keep}
+        out.update({"sample_rate": pa.array(srs, pa.int64()),
+                    "channels": pa.array(chs, pa.int64()),
+                    "n_samples": pa.array(ns, pa.int64()),
+                    "duration_ms": pa.array(durs, pa.int64()),
+                    "rms": pa.array(rmss, pa.float64())})
+        return pa.table(out)
+
+
+def decode_audio(ds, audio_col: str = "audio", concurrency: int = 4,
+                 batch_size: int = 64, strict: bool = False):
+    """Wire the audio decode stage as an actor pool (small batches: wide
+    binary payloads x concurrency must fit worker heaps)."""
+    return ds.map_batches(
+        DecodeAudioStage,
+        fn_constructor_kwargs=dict(audio_col=audio_col, strict=strict),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -425,3 +425,40 @@ def test_minhash_join_verify_path_matches_broadcast(dup_ds, monkeypatch):
     kept_b, _ = dd.minhash_dedup(nds, "text", "doc_id", threshold=0.5)
     assert sorted(kept_j.to_pandas()["doc_id"]) == \
         sorted(kept_b.to_pandas()["doc_id"]) == [1, 3]
+
+
+def test_wav_decode_roundtrip_and_stage(ray_session):
+    """Audio decode (pure-struct RIFF/WAVE PCM16, like the image
+    containers): codec round-trip + the actor-pool stage over a Dataset."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from quickwit_ray.pipelines.multimodal import (
+        DecodeAudioStage,
+        decode_audio,
+        decode_wav,
+        make_wav,
+    )
+
+    buf = make_wav(1000, 16_000, 2, seed=7)
+    sr, ch, n, rms = decode_wav(buf)
+    assert (sr, ch, n) == (16_000, 2, 1000) and rms > 0
+    # word-aligned extra chunk before data still parses
+    weird = buf[:12] + b"LIST\x04\x00\x00\x00abcd" + buf[12:]
+    assert decode_wav(weird)[:3] == (16_000, 2, 1000)
+    assert decode_wav(b"not audio") is None
+    # strict stage raises on junk; lenient emits null rows
+    junk = pa.table({"audio": pa.array([b"nope"], pa.binary())})
+    try:
+        DecodeAudioStage(strict=True)(junk)
+        raise AssertionError("strict should raise")
+    except ValueError:
+        pass
+    rows = [{"doc_id": i, "audio": make_wav(100 + i, 8000, 1, seed=i)}
+            for i in range(40)]
+    out = decode_audio(ray.data.from_items(rows), concurrency=2,
+                       batch_size=16).to_pandas().sort_values("doc_id")
+    assert list(out["n_samples"]) == [100 + i for i in range(40)]
+    assert (out["sample_rate"] == 8000).all()
+    assert (out["duration_ms"] == (np.arange(40) + 100) * 1000 // 8000).all()
