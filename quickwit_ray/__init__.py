@@ -28,3 +28,15 @@ from quickwit_ray.config import (  # noqa: F401
     IndexSettings,
     MergePolicyConfig,
 )
+
+
+def __getattr__(name):  # lazy: keep `import quickwit_ray` Ray-free
+    if name == "Index":
+        from quickwit_ray.api import Index
+
+        return Index
+    if name == "IndexSearcher":
+        from quickwit_ray.search.engine import IndexSearcher
+
+        return IndexSearcher
+    raise AttributeError(f"module 'quickwit_ray' has no attribute {name!r}")
