@@ -187,9 +187,15 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
         # equivalence tests compare real evaluations, not cache hits;
         # theta0 and the artifact stamp guard the shrunken-split-set and
         # rebuilt-split-dir staleness cases (see _LeafCache)
-        key = (split_dir, _split_stamp(split_dir), repr(request),
-               str(mapping), ENABLE_MAXSCORE, theta0)
+        base = (split_dir, _split_stamp(split_dir), repr(request),
+                str(mapping), ENABLE_MAXSCORE)
+        key = base + (theta0,)
         hit = _GLOBAL_LEAF_CACHE.get(key)
+        if hit is None and theta0 is not None:
+            # a FULL (theta-None) evaluation is exact under any theta —
+            # thread-timing-dependent thetas would otherwise fragment
+            # the repeat-query hit rate
+            hit = _GLOBAL_LEAF_CACHE.get(base + (None,))
         if hit is not None:
             # deep copy: merge folds agg partial states in place
             return copy.deepcopy(hit)
@@ -587,6 +593,14 @@ class IndexSearcher:
         k = request.start_offset + request.max_hits
         desc = ts_sort_dir == "desc"
         score_mode = _score_theta_mode(request)
+        # threaded local fan-out (the reference searches leaves
+        # CONCURRENTLY with a shared kth score, leaf.rs): numpy + Arrow
+        # decompression release the GIL, so threads overlap real work.
+        # The sequential path stays for time-sorted skipping, where split
+        # order IS the pruning structure.
+        if bounds is None and len(split_dirs) > 1 and self.execution == "local":
+            return self._execute_threads(split_dirs, request, score_mode,
+                                         k), 0
         out: list[dict] = []
         skipped = 0
         for i, d in enumerate(split_dirs):
@@ -607,6 +621,37 @@ class IndexSearcher:
             except Exception as exc:  # noqa: BLE001 — report, don't fail the query
                 out.append({"failed": os.path.basename(d), "error": str(exc)})
         return out, skipped
+
+    def _execute_threads(self, split_dirs: list[str],
+                         request: SearchRequest, score_mode: bool,
+                         k: int) -> list[dict]:
+        """Concurrent leaf search on a thread pool with a shared running
+        kth-score threshold: a leaf starting later reads the threshold
+        the finished leaves established (approximate — timing-dependent —
+        but pruning only ever skips provably sub-kth docs, so results
+        are exact either way)."""
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        out: list[dict] = []
+        lock = threading.Lock()
+
+        def run(d: str) -> None:
+            theta0 = None
+            if score_mode:
+                with lock:
+                    theta0 = self._kth_threshold(out, k, True)
+            try:
+                r = leaf_search_one(d, self.mapping, request, theta0=theta0)
+            except Exception as exc:  # noqa: BLE001 — report, don't fail
+                r = {"failed": os.path.basename(d), "error": str(exc)}
+            with lock:
+                out.append(r)
+
+        workers = min(len(split_dirs), self.concurrency or 8)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(run, split_dirs))
+        return out
 
     def _execute_ray_data(self, split_dirs: list[str],
                           request: SearchRequest) -> list[dict]:
