@@ -1154,13 +1154,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Driver-cap ordering: the round-2 driver recorded exactly the FIRST 50
     # queries() entries (CORRECTNESS_r02 = 50 of 57, insertion order), so
-    # order oracle-hash-checked entries first and push to the tail (a) the
-    # 10 rows-only entries whose correctness evidence is pytest goldens /
-    # pinned keep-sets anyway, and (b) the 2 oracle entries most redundant
-    # with other gated queries (shuffle_build_search is byte-compatible
-    # with the direct build per test_build_shuffle; scroll_export shares
-    # the 'scan' oracle and scroll is covered by the ES conformance
-    # replay). All 62 still replay in tools/check_contract.py.
+    # the 50 distinct-semantics oracle-hash-checked entries come first and
+    # the tail holds (a) the 12 rows-only entries whose correctness
+    # evidence is pytest goldens / pinned keep-sets anyway, and (b) the 4
+    # oracle entries redundant with gated head queries
+    # (shuffle_build_search is byte-compatible with the direct build per
+    # test_build_shuffle; scroll_export shares the 'scan' oracle;
+    # wal_ingest_search is the 4th same-token ingestion query;
+    # audio_decode_meta mirrors image_decode_meta's arithmetic-oracle
+    # pattern). All 66 still replay in tools/check_contract.py.
     tail = [
         # wal_ingest_search is oracle-checked in check_contract.py but is
         # the 4th exactly-once-ingestion query sharing a token oracle with

@@ -24,7 +24,12 @@ if not ray.is_initialized():
 from quickwit_ray import Index, IndexSettings  # noqa: E402
 from quickwit_ray.config import documents_doc_mapping  # noqa: E402
 
-DOCS = "/root/testdata/sf0.001/documents.parquet"
+DOCS = os.environ.get("QW_QUICKSTART_DOCS",
+                      "/root/testdata/sf0.001/documents.parquet")
+if not os.path.exists(DOCS):
+    raise SystemExit(f"corpus not found: {DOCS} — point QW_QUICKSTART_DOCS "
+                     "at any parquet with (doc_id, text, lang, source, "
+                     "n_chars) columns")
 work = tempfile.mkdtemp(prefix="qw_quickstart_")
 
 # -- create + batch ingest (Ray fan-out: one task per parquet partition) --

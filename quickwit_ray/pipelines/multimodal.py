@@ -298,6 +298,8 @@ def decode_wav(buf: bytes):
     while pos + 8 <= len(buf):
         cid, ln = buf[pos:pos + 4], struct.unpack("<I", buf[pos + 4:pos + 8])[0]
         body = buf[pos + 8: pos + 8 + ln]
+        if len(body) < ln:
+            return None  # truncated chunk: undecodable, never raise
         if cid == b"fmt " and ln >= 16:
             _fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
@@ -305,7 +307,7 @@ def decode_wav(buf: bytes):
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if sr is None or data is None or bits != 16 or not ch:
         return None
-    samples = np.frombuffer(data, dtype="<i2")
+    samples = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
     n = len(samples) // ch
     rms = float(np.sqrt(np.mean((samples.astype(np.float64)) ** 2))) if n else 0.0
     return int(sr), int(ch), int(n), rms

@@ -200,7 +200,11 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
             # deep copy: merge folds agg partial states in place
             return copy.deepcopy(hit)
     out = _leaf_search_impl(split_dir, mapping, request, cache, theta0)
-    if key is not None:
+    # only FULL (theta-None) evaluations are stored: thread-timing-
+    # dependent theta values would insert never-hit-again keys that LRU-
+    # evict the reusable entries (theta-pruned results are still SERVED
+    # from the theta-None fallback above)
+    if key is not None and theta0 is None:
         _GLOBAL_LEAF_CACHE.put(key, copy.deepcopy(out))
     return out
 
@@ -633,25 +637,28 @@ class IndexSearcher:
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
-        out: list[dict] = []
+        done: list[dict] = []  # theta source only (completion order)
         lock = threading.Lock()
 
-        def run(d: str) -> None:
+        def run(d: str) -> dict:
             theta0 = None
             if score_mode:
                 with lock:
-                    theta0 = self._kth_threshold(out, k, True)
+                    theta0 = self._kth_threshold(done, k, True)
             try:
                 r = leaf_search_one(d, self.mapping, request, theta0=theta0)
             except Exception as exc:  # noqa: BLE001 — report, don't fail
                 r = {"failed": os.path.basename(d), "error": str(exc)}
             with lock:
-                out.append(r)
+                done.append(r)
+            return r
 
         workers = min(len(split_dirs), self.concurrency or 8)
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(run, split_dirs))
-        return out
+            # SUBMISSION order, not completion order: agg merges fold
+            # float sums / sketches in list order and must stay
+            # deterministic run-to-run
+            return list(ex.map(run, split_dirs))
 
     def _execute_ray_data(self, split_dirs: list[str],
                           request: SearchRequest) -> list[dict]:

@@ -448,6 +448,16 @@ def test_wav_decode_roundtrip_and_stage(ray_session):
     weird = buf[:12] + b"LIST\x04\x00\x00\x00abcd" + buf[12:]
     assert decode_wav(weird)[:3] == (16_000, 2, 1000)
     assert decode_wav(b"not audio") is None
+    # malformed chunks must return None / degrade, never raise (a bad
+    # payload must not abort the non-strict stage's whole Ray task)
+    import struct as _st
+
+    assert decode_wav(buf[:12] + b"fmt " + _st.pack("<I", 16)
+                      + b"\x00" * 8) is None          # truncated fmt body
+    assert decode_wav(buf[:12] + b"data" + _st.pack("<I", 10_000)
+                      + b"xx") is None                 # overrunning chunk
+    odd = decode_wav(buf[:40] + _st.pack("<I", 7) + b"\x01" * 7)
+    assert odd is not None and odd[:3] == (16_000, 2, 1)  # odd data trimmed
     # strict stage raises on junk; lenient emits null rows
     junk = pa.table({"audio": pa.array([b"nope"], pa.binary())})
     try:
