@@ -12,9 +12,10 @@ Layout:
   index/       split artifact format, index build pipeline, merge pipeline
   search/      query AST + parsers, per-split scorer, distributed search,
                aggregations
-  state/       manifest (split metadata), checkpoints, atomic commits
-  stages/      Ray Data actor-pool stage classes
-  sources/     input readers / fixtures
+  state/       manifest (split metadata), checkpoints, atomic commits,
+               SQL metastore dialects
+  sources/     ingestion fronts: file/queue/mq/WAL readers, push decode,
+               broker client adapters, fixtures
   pipelines/   training-data pipelines (dedup, ANN, text analysis,
                multimodal plumbing)
 """

@@ -86,3 +86,43 @@ def test_tokenize_batch_matches_exact_random_unicode(texts, tok):
         exp_pos = [j for j, t in enumerate(pat.findall(texts[int(i)]))
                    if len(t.encode("utf-8", "ignore")) < MAX_TOKEN_BYTES]
         assert list(got) == exp_pos
+
+
+# ---------------------------------------------------------------------------
+# whole-engine property: boolean/term/phrase search equals a brute-force
+# reference evaluation for arbitrary tiny corpora
+# ---------------------------------------------------------------------------
+
+_VOCAB = ["alpha", "beta", "gamma", "delta"]
+_doc_strategy = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=8)
+
+
+@given(st.lists(_doc_strategy, min_size=1, max_size=25),
+       st.integers(0, 3), st.integers(0, 3))
+@settings(max_examples=25, deadline=None)
+def test_search_matches_bruteforce(tmp_path_factory, docs, ti, tj):
+    from quickwit_ray.api import Index
+    from quickwit_ray.config import documents_doc_mapping
+
+    a, b = _VOCAB[ti], _VOCAB[tj]
+    idx = Index.create(str(tmp_path_factory.mktemp("prop")), "p",
+                       documents_doc_mapping())
+    idx.ingest_docs([{"doc_id": i, "text": " ".join(toks), "lang": "en",
+                      "source": "t", "n_chars": len(" ".join(toks))}
+                     for i, toks in enumerate(docs)], commit_id="c")
+
+    def brute(pred):
+        return sorted(i for i, toks in enumerate(docs) if pred(toks))
+
+    def got(q):
+        r = idx.search(q, max_hits=100, fetch_fields=["doc_id"])
+        return sorted(r.hits["doc_id"]) if len(r.hits) else []
+
+    assert got(f"text:{a}") == brute(lambda t: a in t)
+    assert got(f"text:{a} AND text:{b}") == brute(lambda t: a in t and b in t)
+    assert got(f"text:{a} OR text:{b}") == brute(lambda t: a in t or b in t)
+    assert got(f"text:{a} AND NOT text:{b}") == \
+        brute(lambda t: a in t and b not in t)
+    assert got(f'text:"{a} {b}"') == brute(
+        lambda t: any(x == a and y == b for x, y in zip(t, t[1:])))
+    assert idx.search("*", max_hits=0).num_hits == len(docs)
