@@ -410,7 +410,12 @@ class Manifest:
             f.flush()
             os.fsync(f.fileno())
         self._log_entries += 1
-        if self._log_entries >= COMPACT_EVERY:
+        # LSM-style amortization: a snapshot costs O(total state), so the
+        # trigger scales with state size — at 10^6 splits a fixed
+        # every-64-ops policy would rewrite a huge manifest.json per 64
+        # publishes; letting the log grow to ~state/8 keeps compaction
+        # cost O(1) amortized per op while replay stays bounded
+        if self._log_entries >= max(COMPACT_EVERY, len(self.splits) // 8):
             self._compact()
 
     def _snapshot_obj(self) -> dict[str, Any]:
