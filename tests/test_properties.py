@@ -1,6 +1,7 @@
 """Hypothesis property tests for the codec + tokenizer invariants."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -126,3 +127,52 @@ def test_search_matches_bruteforce(tmp_path_factory, docs, ti, tj):
     assert got(f'text:"{a} {b}"') == brute(
         lambda t: any(x == a and y == b for x, y in zip(t, t[1:])))
     assert idx.search("*", max_hits=0).num_hits == len(docs)
+
+
+@given(st.lists(st.tuples(st.sampled_from(["x", "y", "z"]),
+                          st.integers(-50, 50)),
+                min_size=1, max_size=40),
+       st.integers(1, 20))
+@settings(max_examples=20, deadline=None)
+def test_aggs_match_pandas(tmp_path_factory, rows, interval):
+    """Whole-engine property: terms (+avg sub-agg), stats and histogram
+    aggregations equal a pandas reference for arbitrary tiny corpora."""
+    import pandas as pd
+
+    from quickwit_ray.api import Index
+    from quickwit_ray.config import DocMapping, FieldMapping
+
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="genre", type="text", tokenizer="raw",
+                         fast=True),
+            FieldMapping(name="v", type="i64", fast=True),
+            FieldMapping(name="doc_id", type="i64", fast=True),
+        ), mode="lenient", doc_id_field="doc_id")
+    idx = Index.create(str(tmp_path_factory.mktemp("aggprop")), "a", mapping)
+    idx.ingest_docs([{"doc_id": i, "genre": g, "v": v}
+                     for i, (g, v) in enumerate(rows)], commit_id="c")
+    df = pd.DataFrame(rows, columns=["genre", "v"])
+    r = idx.search("*", max_hits=0, aggs={
+        "g": {"terms": {"field": "genre", "size": 10},
+              "aggs": {"m": {"avg": {"field": "v"}}}},
+        "s": {"stats": {"field": "v"}},
+        "h": {"histogram": {"field": "v", "interval": float(interval)}},
+    })
+    got_terms = {b["key"]: (b["doc_count"], b["m"]["value"])
+                 for b in r.aggs["g"]["buckets"]}
+    want_terms = {g: (int(len(sub)), float(sub["v"].mean()))
+                  for g, sub in df.groupby("genre")}
+    assert got_terms.keys() == want_terms.keys()
+    for g in want_terms:
+        assert got_terms[g][0] == want_terms[g][0]
+        assert got_terms[g][1] == pytest.approx(want_terms[g][1])
+    s = r.aggs["s"]
+    assert s["count"] == len(df)
+    assert s["min"] == df["v"].min() and s["max"] == df["v"].max()
+    assert s["sum"] == pytest.approx(float(df["v"].sum()))
+    got_hist = {b["key"]: b["doc_count"] for b in r.aggs["h"]["buckets"]
+                if b["doc_count"]}
+    keys = (df["v"] // interval * interval).astype(float)
+    want_hist = keys.value_counts().to_dict()
+    assert got_hist == {float(k): int(v) for k, v in want_hist.items()}
