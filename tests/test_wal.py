@@ -213,3 +213,43 @@ def test_wal_ray_execution_matches_batch(tmp_path, ray_session):
         got = sorted(a.hits["doc_id"])
         want = sorted(d for d in b.hits["doc_id"] if d < 400)
         assert got == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(1, 4), st.lists(st.integers(1, 60), min_size=1,
+                                   max_size=8),
+       st.integers(1, 3), st.integers(1, 4))
+@settings(max_examples=15, deadline=None)
+def test_wal_random_kill_points_exactly_once(tmp_path_factory, shards,
+                                             batch_sizes, kill_after,
+                                             max_per_wave):
+    """Property: for any shard count, batch layout and consumer kill
+    point, resume indexes every acked doc exactly once."""
+    d = str(tmp_path_factory.mktemp("walprop"))
+    _make_index(d)
+    wal = IngestWal(d, num_shards=shards)
+    rows, next_id = [], 0
+    for n in batch_sizes:
+        batch = [{"doc_id": next_id + j, "text": f"tok{(next_id + j) % 7}",
+                  "lang": "en", "source": "w", "n_chars": 5}
+                 for j in range(n)]
+        rows.extend(batch)
+        wal.persist(batch)
+        next_id += n
+    wal.close()
+    try:
+        index_wal(d, execution="local", max_batch_bytes=2 << 10,
+                  max_batches_per_wave=max_per_wave,
+                  fault_after_commits=kill_after)
+    except RuntimeError:
+        pass  # injected kill (may also finish before the fault point)
+    while index_wal(d, execution="local", max_batch_bytes=2 << 10).num_docs:
+        pass
+    from quickwit_ray.search.engine import IndexSearcher
+
+    r = IndexSearcher(d).search("*", max_hits=10_000,
+                                fetch_fields=["doc_id"])
+    assert sorted(r.hits["doc_id"]) == list(range(len(rows)))
