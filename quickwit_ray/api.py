@@ -74,7 +74,9 @@ class Index:
                            execution=execution, transform=transform, **kw)
 
     def search(self, query: Any = None, **kw) -> SearchResponse:
-        return IndexSearcher(self.index_dir).search(query, **kw)
+        from quickwit_ray.search.engine import get_searcher
+
+        return get_searcher(self.index_dir).search(query, **kw)
 
     def es_search(self, body: dict, scroll: Optional[str] = None):
         """ES-compatible `_search` body. With ``scroll`` (e.g. "1m") the
@@ -86,7 +88,9 @@ class Index:
         if scroll is not None:
             query = kw.pop("query", None)
             return self._scroll_manager().start(query, scroll=scroll, **kw)
-        return IndexSearcher(self.index_dir).search(**kw)
+        from quickwit_ray.search.engine import get_searcher
+
+        return get_searcher(self.index_dir).search(**kw)
 
     # -- scroll contexts (scroll_context.rs:1-260) -----------------------
 
@@ -117,14 +121,18 @@ class Index:
 
         node = es_query_to_ast((body or {}).get("query", {}),
                                self.config.doc_mapping.default_search_fields)
-        return IndexSearcher(self.index_dir).search(node, max_hits=0).num_hits
+        from quickwit_ray.search.engine import get_searcher
+
+        return get_searcher(self.index_dir).search(node, max_hits=0).num_hits
 
     def es_msearch(self, bodies: list[dict]) -> list[SearchResponse]:
         """ES-compatible `_msearch`: a batch of independent searches
         sharing the searcher's split caches."""
         from quickwit_ray.search.es_dsl import es_search_request
 
-        searcher = IndexSearcher(self.index_dir)
+        from quickwit_ray.search.engine import get_searcher
+
+        searcher = get_searcher(self.index_dir)
         dflt = self.config.doc_mapping.default_search_fields
         return [searcher.search(**es_search_request(b, dflt)) for b in bodies]
 

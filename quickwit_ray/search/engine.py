@@ -165,6 +165,54 @@ _GLOBAL_LEAF_CACHE = _LeafCache()
 ENABLE_LEAF_CACHE = True
 
 
+def _manifest_stamp(index_dir: str) -> tuple:
+    """Freshness stamp over every file the manifest state can live in —
+    any publish/update/clear changes at least one of them."""
+    parts = []
+    for fn in ("manifest.json", "manifest.log", "metastore.db",
+               "metastore.db-wal"):
+        try:
+            stv = os.stat(os.path.join(index_dir, fn))
+            parts.append((fn, stv.st_mtime_ns, stv.st_size))
+        except OSError:
+            parts.append((fn, -1, -1))
+    return tuple(parts)
+
+
+_SEARCHER_CACHE: dict = {}
+_SEARCHER_CACHE_LOCK = None
+
+
+def get_searcher(index_dir: str, execution: str = "local") -> "IndexSearcher":
+    """Process-wide searcher cache with manifest-freshness validation:
+    a fresh ``IndexSearcher`` re-reads the whole manifest (O(state) at
+    10^5+ splits), which is wasteful once per HTTP request. The stamp
+    preserves read-your-writes: any manifest mutation touches one of the
+    stamped files and rebuilds the searcher. Postgres-backed indexes
+    have no local state files to stamp — they construct fresh."""
+    global _SEARCHER_CACHE_LOCK
+    import threading
+
+    if _SEARCHER_CACHE_LOCK is None:
+        _SEARCHER_CACHE_LOCK = threading.Lock()
+    from quickwit_ray.state.sql import read_pointer
+
+    if read_pointer(index_dir) is not None:  # postgres: no stampable files
+        return IndexSearcher(index_dir, execution=execution)
+    stamp = _manifest_stamp(index_dir)
+    key = (index_dir, execution)
+    with _SEARCHER_CACHE_LOCK:
+        ent = _SEARCHER_CACHE.get(key)
+        if ent is not None and ent[0] == stamp:
+            return ent[1]
+    s = IndexSearcher(index_dir, execution=execution)
+    with _SEARCHER_CACHE_LOCK:
+        _SEARCHER_CACHE[key] = (stamp, s)
+        if len(_SEARCHER_CACHE) > 64:
+            _SEARCHER_CACHE.pop(next(iter(_SEARCHER_CACHE)))
+    return s
+
+
 def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
                     cache: Optional[_ReaderCache] = None,
                     theta0: Optional[float] = None) -> dict:
