@@ -84,13 +84,17 @@ class Index:
         `_search?scroll=...` (root.rs:342-441)."""
         from quickwit_ray.search.es_dsl import es_search_request
 
-        kw = es_search_request(body, self.config.doc_mapping.default_search_fields)
+        from quickwit_ray.search.engine import get_searcher
+
+        # the cached searcher already parsed the config: O(1) per call
+        # instead of a full manifest reload via self.config
+        searcher = get_searcher(self.index_dir)
+        kw = es_search_request(body,
+                               searcher.mapping.default_search_fields)
         if scroll is not None:
             query = kw.pop("query", None)
             return self._scroll_manager().start(query, scroll=scroll, **kw)
-        from quickwit_ray.search.engine import get_searcher
-
-        return get_searcher(self.index_dir).search(**kw)
+        return searcher.search(**kw)
 
     # -- scroll contexts (scroll_context.rs:1-260) -----------------------
 
@@ -119,11 +123,12 @@ class Index:
         """ES-compatible `_count` (rest_handler.rs handler list)."""
         from quickwit_ray.search.es_dsl import es_query_to_ast
 
-        node = es_query_to_ast((body or {}).get("query", {}),
-                               self.config.doc_mapping.default_search_fields)
         from quickwit_ray.search.engine import get_searcher
 
-        return get_searcher(self.index_dir).search(node, max_hits=0).num_hits
+        searcher = get_searcher(self.index_dir)
+        node = es_query_to_ast((body or {}).get("query", {}),
+                               searcher.mapping.default_search_fields)
+        return searcher.search(node, max_hits=0).num_hits
 
     def es_msearch(self, bodies: list[dict]) -> list[SearchResponse]:
         """ES-compatible `_msearch`: a batch of independent searches
@@ -133,7 +138,7 @@ class Index:
         from quickwit_ray.search.engine import get_searcher
 
         searcher = get_searcher(self.index_dir)
-        dflt = self.config.doc_mapping.default_search_fields
+        dflt = searcher.mapping.default_search_fields
         return [searcher.search(**es_search_request(b, dflt)) for b in bodies]
 
     # -- push ingestion (ingest API / ES _bulk analog) -------------------

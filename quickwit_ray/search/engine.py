@@ -165,51 +165,56 @@ _GLOBAL_LEAF_CACHE = _LeafCache()
 ENABLE_LEAF_CACHE = True
 
 
-def _manifest_stamp(index_dir: str) -> tuple:
-    """Freshness stamp over every file the manifest state can live in —
-    any publish/update/clear changes at least one of them."""
+def _manifest_stamp(index_dir: str) -> Optional[tuple]:
+    """Freshness stamp for FILE-backend manifests: every mutation appends
+    to manifest.log or atomically replaces manifest.json, so (mtime_ns,
+    size, inode) over both catches all of them. SQL backends return None
+    (uncacheable): sqlite's WAL can be overwritten in place at identical
+    size within one mtime granule, which would serve stale state forever."""
+    if os.path.exists(os.path.join(index_dir, "metastore.db")) \
+            or os.path.exists(os.path.join(index_dir, "metastore.json")):
+        return None
     parts = []
-    for fn in ("manifest.json", "manifest.log", "metastore.db",
-               "metastore.db-wal"):
+    for fn in ("manifest.json", "manifest.log"):
         try:
             stv = os.stat(os.path.join(index_dir, fn))
-            parts.append((fn, stv.st_mtime_ns, stv.st_size))
+            parts.append((fn, stv.st_mtime_ns, stv.st_size, stv.st_ino))
         except OSError:
-            parts.append((fn, -1, -1))
+            parts.append((fn, -1, -1, -1))
     return tuple(parts)
 
 
-_SEARCHER_CACHE: dict = {}
-_SEARCHER_CACHE_LOCK = None
+import threading as _threading  # noqa: E402 — eager lock, no init race
+
+_SEARCHER_CACHE: OrderedDict = OrderedDict()
+_SEARCHER_CACHE_LOCK = _threading.Lock()
+_SEARCHER_CACHE_CAP = 64
 
 
 def get_searcher(index_dir: str, execution: str = "local") -> "IndexSearcher":
-    """Process-wide searcher cache with manifest-freshness validation:
+    """Process-wide LRU of searchers with manifest-freshness validation:
     a fresh ``IndexSearcher`` re-reads the whole manifest (O(state) at
     10^5+ splits), which is wasteful once per HTTP request. The stamp
-    preserves read-your-writes: any manifest mutation touches one of the
-    stamped files and rebuilds the searcher. Postgres-backed indexes
-    have no local state files to stamp — they construct fresh."""
-    global _SEARCHER_CACHE_LOCK
-    import threading
-
-    if _SEARCHER_CACHE_LOCK is None:
-        _SEARCHER_CACHE_LOCK = threading.Lock()
-    from quickwit_ray.state.sql import read_pointer
-
-    if read_pointer(index_dir) is not None:  # postgres: no stampable files
+    preserves read-your-writes: any file-backend manifest mutation
+    touches a stamped file and rebuilds the searcher. SQL-backed indexes
+    and non-local executions construct fresh (no reliable stamp; an
+    evicted ray-execution searcher would leak its actor pool)."""
+    if execution != "local":
         return IndexSearcher(index_dir, execution=execution)
     stamp = _manifest_stamp(index_dir)
-    key = (index_dir, execution)
+    if stamp is None:
+        return IndexSearcher(index_dir)
     with _SEARCHER_CACHE_LOCK:
-        ent = _SEARCHER_CACHE.get(key)
+        ent = _SEARCHER_CACHE.get(index_dir)
         if ent is not None and ent[0] == stamp:
+            _SEARCHER_CACHE.move_to_end(index_dir)
             return ent[1]
-    s = IndexSearcher(index_dir, execution=execution)
+    s = IndexSearcher(index_dir)
     with _SEARCHER_CACHE_LOCK:
-        _SEARCHER_CACHE[key] = (stamp, s)
-        if len(_SEARCHER_CACHE) > 64:
-            _SEARCHER_CACHE.pop(next(iter(_SEARCHER_CACHE)))
+        _SEARCHER_CACHE[index_dir] = (stamp, s)
+        _SEARCHER_CACHE.move_to_end(index_dir)
+        while len(_SEARCHER_CACHE) > _SEARCHER_CACHE_CAP:
+            _SEARCHER_CACHE.popitem(last=False)
     return s
 
 

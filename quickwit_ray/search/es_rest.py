@@ -514,7 +514,9 @@ class EsRestService:
                 aggs_spec=body.get("aggs") or body.get("aggregations"),
                 source_includes=src_inc, source_excludes=src_exc,
                 scroll_id=sid, sort_formats=sort_formats)
-        resp = IndexSearcher(index.index_dir).search(**kw)
+        from quickwit_ray.search.engine import get_searcher
+
+        resp = get_searcher(index.index_dir).search(**kw)
         if resp.failed_splits and resp.num_hits == 0 and not len(resp.hits):
             # every split rejected the query — an invalid request (e.g. a
             # type error on a non-lenient field), not a partial shard
@@ -617,7 +619,9 @@ class EsRestService:
         if params.get("q"):
             dflt = index.config.doc_mapping.default_search_fields
             node = parse_query(params["q"], dflt)
-            n = IndexSearcher(index.index_dir).search(node, max_hits=0).num_hits
+            from quickwit_ray.search.engine import get_searcher
+
+            n = get_searcher(index.index_dir).search(node, max_hits=0).num_hits
         else:
             n = index.es_count(body)
         return {"count": int(n)}
