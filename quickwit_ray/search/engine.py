@@ -220,7 +220,8 @@ def get_searcher(index_dir: str, execution: str = "local") -> "IndexSearcher":
 
 def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
                     cache: Optional[_ReaderCache] = None,
-                    theta0: Optional[float] = None) -> dict:
+                    theta0: Optional[float] = None,
+                    request_key: Optional[tuple] = None) -> dict:
     """Leaf search over one split -> partial result dict (memoized in the
     process-wide :class:`_LeafCache`; the repeated-dashboard-query case
     skips the split read entirely).
@@ -239,9 +240,13 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
         # ENABLE_MAXSCORE is in the key so the pruned-vs-naive
         # equivalence tests compare real evaluations, not cache hits;
         # theta0 and the artifact stamp guard the shrunken-split-set and
-        # rebuilt-split-dir staleness cases (see _LeafCache)
-        base = (split_dir, _split_stamp(split_dir), repr(request),
-                str(mapping), ENABLE_MAXSCORE)
+        # rebuilt-split-dir staleness cases (see _LeafCache). Callers
+        # iterating many splits pass request_key (repr(request),
+        # str(mapping)) computed ONCE per query instead of per split.
+        if request_key is None:
+            request_key = (repr(request), str(mapping))
+        base = (split_dir, _split_stamp(split_dir)) + request_key \
+            + (ENABLE_MAXSCORE,)
         key = base + (theta0,)
         hit = _GLOBAL_LEAF_CACHE.get(key)
         if hit is None and theta0 is not None:
@@ -250,15 +255,18 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
             # the repeat-query hit rate
             hit = _GLOBAL_LEAF_CACHE.get(base + (None,))
         if hit is not None:
-            # deep copy: merge folds agg partial states in place
-            return copy.deepcopy(hit)
+            if "agg_partial" in hit:
+                # deep copy: the agg merge folds partial states in place
+                return copy.deepcopy(hit)
+            return dict(hit)  # hit/sort arrays are consumed read-only
     out = _leaf_search_impl(split_dir, mapping, request, cache, theta0)
     # only FULL (theta-None) evaluations are stored: thread-timing-
     # dependent theta values would insert never-hit-again keys that LRU-
     # evict the reusable entries (theta-pruned results are still SERVED
     # from the theta-None fallback above)
     if key is not None and theta0 is None:
-        _GLOBAL_LEAF_CACHE.put(key, copy.deepcopy(out))
+        _GLOBAL_LEAF_CACHE.put(key, copy.deepcopy(out)
+                               if "agg_partial" in out else dict(out))
     return out
 
 
@@ -660,6 +668,7 @@ class IndexSearcher:
                                          k), 0
         out: list[dict] = []
         skipped = 0
+        rkey = (repr(request), str(self.mapping))  # once, not per split
         for i, d in enumerate(split_dirs):
             if bounds is not None:
                 theta = self._kth_threshold(out, k, desc)
@@ -674,7 +683,7 @@ class IndexSearcher:
                       if score_mode else None)
             try:
                 out.append(leaf_search_one(d, self.mapping, request,
-                                           theta0=theta0))
+                                           theta0=theta0, request_key=rkey))
             except Exception as exc:  # noqa: BLE001 — report, don't fail the query
                 out.append({"failed": os.path.basename(d), "error": str(exc)})
         return out, skipped
@@ -692,6 +701,7 @@ class IndexSearcher:
 
         done: list[dict] = []  # theta source only (completion order)
         lock = threading.Lock()
+        rkey = (repr(request), str(self.mapping))  # once, not per split
 
         def run(d: str) -> dict:
             theta0 = None
@@ -699,7 +709,8 @@ class IndexSearcher:
                 with lock:
                     theta0 = self._kth_threshold(done, k, True)
             try:
-                r = leaf_search_one(d, self.mapping, request, theta0=theta0)
+                r = leaf_search_one(d, self.mapping, request, theta0=theta0,
+                                    request_key=rkey)
             except Exception as exc:  # noqa: BLE001 — report, don't fail
                 r = {"failed": os.path.basename(d), "error": str(exc)}
             with lock:
