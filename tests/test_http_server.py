@@ -126,3 +126,42 @@ def test_error_shapes(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(server, "POST", "/api/v1/_elastic/docs/_search", "{not json")
     assert e.value.code == 400
+
+
+def test_concurrent_requests_consistent(tmp_path):
+    """Shared searcher/leaf/reader caches under HTTP handler threads:
+    concurrent requests must all return the same (correct) counts."""
+    import json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    from quickwit_ray.api import Index
+    from quickwit_ray.config import IndexSettings, documents_doc_mapping
+    from quickwit_ray.server import SearchServer
+
+    idx = Index.create(str(tmp_path / "c"), "docs", documents_doc_mapping(),
+                       settings=IndexSettings(split_num_docs_target=100))
+    rows = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet").to_pylist()
+    for k in range(0, 500, 100):  # 5 splits
+        idx.ingest_docs(rows[k:k + 100], commit_id=f"c{k}")
+    with SearchServer({"docs": idx}) as srv:
+        base = f"http://127.0.0.1:{srv.port}/api/v1"
+        qs = ["text:scan", "text:merge", "lang:de"]
+
+        def hit(i):
+            q = qs[i % len(qs)]
+            url = (f"{base}/_elastic/docs/_search"
+                   f"?q={q.replace(' ', '%20')}&size=5")
+            with urllib.request.urlopen(url) as r:
+                return q, json.loads(r.read())["hits"]["total"]["value"]
+
+        with ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(hit, range(120)))
+    by_q = {}
+    for q, n in results:
+        by_q.setdefault(q, set()).add(n)
+    truth = {q: idx.search(q, max_hits=0).num_hits for q in qs}
+    assert all(by_q[q] == {truth[q]} for q in qs), by_q
