@@ -897,6 +897,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "n_distinct": [out["fp"].nunique()]})
     q["text_fingerprints"] = text_fingerprints
 
+    def sessionize_events(sf):
+        """Gap-based sessionization over the events stream (training-data
+        assembly): one groupby(user) exchange, vectorized per-user split
+        at >30-min inactivity gaps, ties broken by event_id. Must equal
+        the SQL window-function oracle."""
+        import ray.data
+
+        from quickwit_ray.pipelines.sessions import sessionize
+
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["event_id", "user_id", "ts"])
+        out = sessionize(ds, gap_secs=1800).to_pandas()
+        out = out.sort_values(["user_id", "session_idx"]) \
+            .reset_index(drop=True)
+        return out.astype({"user_id": "int64", "session_idx": "int64",
+                           "n_events": "int64"})
+    q["sessionize_events"] = sessionize_events
+
     def bulk_ingest_search(sf):
         """Push-ingestion front door: the documents table is re-ingested
         through the ES _bulk NDJSON path (action/doc lines, one commit
@@ -1167,8 +1185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wal_ingest_search is oracle-checked in check_contract.py but is
         # the 4th exactly-once-ingestion query sharing a token oracle with
         # queue/mq/bulk — driver-capped out rather than displacing one of
-        # the 50 distinct-semantics head entries.
-        "wal_ingest_search", "audio_decode_meta",
+        # the 50 distinct-semantics head entries. agg_filtered_terms was
+        # displaced to the tail by sessionize_events (filter and terms
+        # are each separately gated; sessionization is a new operator).
+        "wal_ingest_search", "audio_decode_meta", "agg_filtered_terms",
         "shuffle_build_search", "scroll_export", "lang_detect",
         "text_fingerprints",
         "search_bm25_topk", "snippet_highlight", "agg_percentiles",
@@ -1267,6 +1287,19 @@ def oracle_sql() -> dict[str, str]:
         "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
         "bulk_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "wal_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('merge')} ORDER BY doc_id",
+        "sessionize_events": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN ts - LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sess FROM o) "
+            "SELECT user_id, CAST(sess AS BIGINT) AS session_idx, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "min(ts) AS start_ts, max(ts) AS end_ts "
+            "FROM s GROUP BY user_id, sess "
+            "ORDER BY user_id, session_idx"),
         "audio_decode_meta": (
             "SELECT doc_id, "
             "CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate, "

@@ -472,3 +472,38 @@ def test_wav_decode_roundtrip_and_stage(ray_session):
     assert list(out["n_samples"]) == [100 + i for i in range(40)]
     assert (out["sample_rate"] == 8000).all()
     assert (out["duration_ms"] == (np.arange(40) + 100) * 1000 // 8000).all()
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Gap-based sessionization: deterministic session splits at
+    inactivity gaps, per-user, vs a hand-computed reference."""
+    import ray.data
+
+    from quickwit_ray.pipelines.sessions import sessionize
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # one minute
+    rows = [
+        # user 1: 3 events tight, 40-min gap, 2 more
+        {"event_id": 1, "user_id": 1, "ts": base + 0 * m},
+        {"event_id": 2, "user_id": 1, "ts": base + 5 * m},
+        {"event_id": 3, "user_id": 1, "ts": base + 9 * m},
+        {"event_id": 4, "user_id": 1, "ts": base + 49 * m},
+        {"event_id": 5, "user_id": 1, "ts": base + 50 * m},
+        # user 2: single event
+        {"event_id": 6, "user_id": 2, "ts": base + 7 * m},
+        # user 3: tie on ts broken by event_id; exactly-30min gap stays
+        {"event_id": 8, "user_id": 3, "ts": base + 0 * m},
+        {"event_id": 7, "user_id": 3, "ts": base + 0 * m},
+        {"event_id": 9, "user_id": 3, "ts": base + 30 * m},
+    ]
+    out = sessionize(ray.data.from_items(rows), gap_secs=1800) \
+        .to_pandas().sort_values(["user_id", "session_idx"]) \
+        .reset_index(drop=True)
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["n_events"]) == [3, 2]
+    assert u1.iloc[0]["end_ts"] == pd.Timestamp(base + 9 * m)
+    assert u1.iloc[1]["start_ts"] == pd.Timestamp(base + 49 * m)
+    assert list(out[out["user_id"] == 2]["n_events"]) == [1]
+    # exactly-gap is NOT a break (strict >)
+    assert list(out[out["user_id"] == 3]["n_events"]) == [3]
