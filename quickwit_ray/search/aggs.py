@@ -542,6 +542,12 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
                     for k, b in merged.items()]
                 triples.sort(key=_terms_sort_key(order_spec, numeric))
                 ordered = [(k, merged[k]) for k, _v, _c in triples]
+            # terms min_doc_count (aggregation.md; ES default 1): filter
+            # BEFORE the size cut, on the merged cross-split counts
+            mdc = int(body.get("min_doc_count", 1))
+            if mdc > 1:
+                ordered = [(k, b) for k, b in ordered
+                           if b["doc_count"] >= mdc]
             buckets = []
             for key, b in ordered[:size]:
                 k = key

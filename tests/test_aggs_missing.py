@@ -79,6 +79,15 @@ def test_terms_missing_numeric_field(idx):
     assert got.get(0.0, got.get("0.0")) == 2
 
 
+def test_terms_min_doc_count(idx):
+    r = idx.search("*", max_hits=0, aggs={
+        "g": {"terms": {"field": "genre", "min_doc_count": 2}}})
+    assert _buckets(r, "g") == {"jazz": 2}  # rock (1) filtered out
+    r2 = idx.search("*", max_hits=0, aggs={
+        "g": {"terms": {"field": "genre", "min_doc_count": 1}}})
+    assert _buckets(r2, "g") == {"jazz": 2, "rock": 1}
+
+
 def test_missing_with_sub_agg(idx):
     r = idx.search("*", max_hits=0, aggs={
         "g": {"terms": {"field": "genre", "missing": "NO_DATA"},
