@@ -472,8 +472,16 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
                    "avg": st["sum"] / st["count"] if st["count"] else None}
             if kind == "extended_stats" and st["count"]:
                 var = max(st["sum_sq"] / st["count"] - (st["sum"] / st["count"]) ** 2, 0.0)
+                std = float(np.sqrt(var))
+                mean = st["sum"] / st["count"]
+                # sigma (aggregation.md extended_stats, default 2):
+                # std_deviation_bounds at mean +/- sigma * std
+                sigma = float(body.get("sigma", 2.0))
                 res.update(sum_of_squares=st["sum_sq"], variance=var,
-                           std_deviation=float(np.sqrt(var)))
+                           std_deviation=std,
+                           std_deviation_bounds={
+                               "upper": mean + sigma * std,
+                               "lower": mean - sigma * std})
             out[name] = res
         elif kind == "cardinality":
             from quickwit_ray.functions.sketches import HyperLogLog
@@ -586,6 +594,16 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
             # extended_bounds stretches that span. Bare-number bounds on a
             # date_histogram auto-detect the epoch unit.
             eb_spec = body.get("extended_bounds") or {}
+
+            def _bound(v):
+                if kind == "date_histogram" and isinstance(v, (int, float)):
+                    import pandas as pd
+
+                    from quickwit_ray.functions.datetimes import _unix_to_us
+
+                    return float(_unix_to_us(pd.Series([v]))[0])
+                return float(v)
+
             if merged or eb_spec:
                 if kind == "date_histogram":
                     interval = float(
@@ -593,16 +611,6 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
                 else:
                     interval = float(body["interval"])
                 offset = _parse_offset(body.get("offset", 0), kind)
-
-                def _bound(v):
-                    if kind == "date_histogram" and isinstance(v, (int, float)):
-                        import pandas as pd
-
-                        from quickwit_ray.functions.datetimes import _unix_to_us
-
-                        return float(_unix_to_us(pd.Series([v]))[0])
-                    return float(v)
-
                 lo_keys = [np.floor((_bound(eb_spec["min"]) - offset) / interval)
                            * interval + offset] if "min" in eb_spec else []
                 hi_keys = [np.floor((_bound(eb_spec["max"]) - offset) / interval)
@@ -614,14 +622,31 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
                         merged.setdefault(float(k), {"doc_count": 0,
                                                      "partials": []})
                         k += interval
+            # hard_bounds (aggregation.md): drop buckets outside the
+            # closed [min, max] interval
+            hb = body.get("hard_bounds") or {}
+            if hb:
+                lo_h = _bound(hb["min"]) if "min" in hb else None
+                hi_h = _bound(hb["max"]) if "max" in hb else None
+                merged = {k: v for k, v in merged.items()
+                          if (lo_h is None or k >= lo_h - 1e-9)
+                          and (hi_h is None or k <= hi_h + 1e-9)}
+            # min_doc_count (default 0 = keep gap-filled empty buckets)
+            mdc = int(body.get("min_doc_count", 0))
             buckets = []
             for key in sorted(merged):
                 b = merged[key]
+                if b["doc_count"] < mdc:
+                    continue
                 eb = {"key": key, "doc_count": b["doc_count"]}
                 if sub and b["partials"]:
                     eb.update(merge_partial_aggs(sub, b["partials"]))
                 buckets.append(eb)
-            out[name] = {"buckets": buckets}
+            if body.get("keyed", False):
+                # keyed=true: hashmap keyed by the bucket key
+                out[name] = {"buckets": {str(b["key"]): b for b in buckets}}
+            else:
+                out[name] = {"buckets": buckets}
         elif kind == "range":
             merged = {}
             for s in states:

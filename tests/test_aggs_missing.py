@@ -88,6 +88,33 @@ def test_terms_min_doc_count(idx):
     assert _buckets(r2, "g") == {"jazz": 2, "rock": 1}
 
 
+def test_histogram_hard_bounds_min_doc_count_keyed(idx):
+    # prices: 10, 20, 30 (+2 missing); interval 10 -> buckets 10/20/30
+    r = idx.search("*", max_hits=0, aggs={
+        "h": {"histogram": {"field": "price", "interval": 10.0,
+                            "hard_bounds": {"min": 10, "max": 20}}}})
+    assert [b["key"] for b in r.aggs["h"]["buckets"]] == [10.0, 20.0]
+    r2 = idx.search("*", max_hits=0, aggs={
+        "h": {"histogram": {"field": "price", "interval": 5.0,
+                            "min_doc_count": 1}}})
+    # gap buckets (15, 25) filtered by min_doc_count=1
+    assert [b["key"] for b in r2.aggs["h"]["buckets"]] == [10.0, 20.0, 30.0]
+    r3 = idx.search("*", max_hits=0, aggs={
+        "h": {"histogram": {"field": "price", "interval": 10.0,
+                            "keyed": True}}})
+    assert r3.aggs["h"]["buckets"]["10.0"]["doc_count"] == 1
+
+
+def test_extended_stats_sigma_bounds(idx):
+    r = idx.search("*", max_hits=0, aggs={
+        "s": {"extended_stats": {"field": "price", "sigma": 3.0}}})
+    st = r.aggs["s"]
+    assert st["std_deviation_bounds"]["upper"] == pytest.approx(
+        st["avg"] + 3.0 * st["std_deviation"])
+    assert st["std_deviation_bounds"]["lower"] == pytest.approx(
+        st["avg"] - 3.0 * st["std_deviation"])
+
+
 def test_missing_with_sub_agg(idx):
     r = idx.search("*", max_hits=0, aggs={
         "g": {"terms": {"field": "genre", "missing": "NO_DATA"},
