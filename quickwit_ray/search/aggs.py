@@ -663,7 +663,10 @@ def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
                 if sub and b["partials"]:
                     eb.update(merge_partial_aggs(sub, b["partials"]))
                 buckets.append(eb)
-            out[name] = {"buckets": buckets}
+            if body.get("keyed", False):
+                out[name] = {"buckets": {b["key"]: b for b in buckets}}
+            else:
+                out[name] = {"buckets": buckets}
     return out
 
 

@@ -105,6 +105,16 @@ def test_histogram_hard_bounds_min_doc_count_keyed(idx):
     assert r3.aggs["h"]["buckets"]["10.0"]["doc_count"] == 1
 
 
+def test_range_keyed(idx):
+    r = idx.search("*", max_hits=0, aggs={
+        "pr": {"range": {"field": "price", "keyed": True, "ranges": [
+            {"key": "cheap", "to": 15.0},
+            {"key": "rest", "from": 15.0}]}}})
+    b = r.aggs["pr"]["buckets"]
+    assert isinstance(b, dict)
+    assert b["cheap"]["doc_count"] == 1 and b["rest"]["doc_count"] == 2
+
+
 def test_extended_stats_sigma_bounds(idx):
     r = idx.search("*", max_hits=0, aggs={
         "s": {"extended_stats": {"field": "price", "sigma": 3.0}}})
