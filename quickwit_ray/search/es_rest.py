@@ -214,8 +214,14 @@ def _render_aggs(aggs_spec: Optional[dict], aggs: Optional[dict],
                 res[name] = None
                 continue
             node = json.loads(json.dumps(node, default=_clean_scalar))
+
+            def _buckets(n):
+                # keyed=true responses carry a hashmap; walk its values
+                b = n.get("buckets")
+                return b.values() if isinstance(b, dict) else (b or [])
+
             if kind == "date_histogram" and "buckets" in node:
-                for b in node["buckets"]:
+                for b in _buckets(node):
                     us = float(b["key"])
                     ms = us / 1000.0
                     b["key"] = ms
@@ -224,7 +230,7 @@ def _render_aggs(aggs_spec: Optional[dict], aggs: Optional[dict],
                         .strftime("%Y-%m-%dT%H:%M:%SZ"))
             sub = body.get("aggs")
             if sub and "buckets" in node:
-                for b in node["buckets"]:
+                for b in _buckets(node):
                     rendered = walk(sub, b)
                     b.update(rendered)
             res[name] = node

@@ -105,6 +105,19 @@ def test_histogram_hard_bounds_min_doc_count_keyed(idx):
     assert r3.aggs["h"]["buckets"]["10.0"]["doc_count"] == 1
 
 
+def test_keyed_through_es_response(idx):
+    """keyed buckets (hashmap) must survive the ES response renderer,
+    including sub-agg walking."""
+    es = idx.es_search({"size": 0, "aggs": {
+        "h": {"histogram": {"field": "price", "interval": 10.0,
+                            "keyed": True},
+              "aggs": {"m": {"avg": {"field": "price"}}}}}})
+    b = es.aggs["h"]["buckets"]
+    assert isinstance(b, dict)
+    assert b["10.0"]["doc_count"] == 1
+    assert b["10.0"]["m"]["value"] == pytest.approx(10.0)
+
+
 def test_range_keyed(idx):
     r = idx.search("*", max_hits=0, aggs={
         "pr": {"range": {"field": "price", "keyed": True, "ranges": [
