@@ -396,8 +396,26 @@ def index_config_from_api_json(obj: dict[str, Any]) -> IndexConfig:
         merge_policy=merge_policy,
         retention_secs=parse_period_secs(ret["period"]) if ret else None,
     )
+    validate_identifier("index", obj["index_id"])
     return IndexConfig(index_id=obj["index_id"], doc_mapping=mapping,
                        settings=settings)
+
+
+def validate_identifier(label: str, value: Any) -> str:
+    """Identifier rules for API-supplied ids (quickwit-config/src/lib.rs
+    validate_identifier: ``^[a-zA-Z][a-zA-Z0-9-_\\.]{2,254}$``). Same
+    character set — first char a letter, then alnum/``-_.`` — which
+    makes path traversal (``..``, ``/``, absolute paths) unrepresentable
+    in any HTTP-exposed id. One documented relaxation: we allow 1-char
+    ids (the reference requires >=3) to keep short dev index names."""
+    if (not isinstance(value, str) or not value or len(value) > 255
+            or not value[0].isalpha()
+            or not all(c.isalnum() or c in "-_." for c in value)):
+        raise ValueError(
+            f"{label} ID {value!r} is invalid: identifiers must start "
+            "with a letter and contain only letters, digits, `-`, `_` "
+            "and `.` (max 255 chars)")
+    return value
 
 
 def parse_period_secs(v: Any) -> int:

@@ -23,6 +23,17 @@ from quickwit_ray.search.es_rest import EsApiError, _hit_source
 from quickwit_ray.state.manifest import Manifest
 
 
+def _assert_under_root(path: str, root: str) -> None:
+    """Refuse any index directory that escapes the configured root
+    (defense in depth behind config.validate_identifier: an id like
+    ``..`` or ``a/../..`` must never materialize — or delete — outside
+    index_root_dir)."""
+    rp, rr = os.path.realpath(path), os.path.realpath(root)
+    if not rp.startswith(rr + os.sep):
+        raise EsApiError(400, f"index path {path!r} escapes the index "
+                         "root directory")
+
+
 class RawResponse:
     """Non-JSON payload (the stream endpoint's CSV / RowBinary bytes)."""
 
@@ -197,10 +208,14 @@ class IndexApiService:
         if self.index_root_dir is None:
             raise EsApiError(400, "index creation is disabled: the server "
                              "was started without an index root dir")
-        cfg = index_config_from_api_json(payload)
+        try:
+            cfg = index_config_from_api_json(payload)
+        except ValueError as e:
+            raise EsApiError(400, str(e))
         if cfg.index_id in self.indexes:
             raise EsApiError(400, f"index {cfg.index_id!r} already exists")
         d = os.path.join(self.index_root_dir, cfg.index_id)
+        _assert_under_root(d, self.index_root_dir)
         idx = Index.create(d, cfg.index_id, cfg.doc_mapping,
                            settings=cfg.settings)
         self.indexes[cfg.index_id] = idx
@@ -208,6 +223,13 @@ class IndexApiService:
 
     def _delete(self, name: str) -> dict:
         idx = self.indexes.pop(self._name(name))
+        # never rmtree a directory that is not actually an index root
+        # (manifest presence == index exists); a registration pointing at
+        # anything else must not take the tree with it
+        if not os.path.exists(os.path.join(idx.index_dir, "manifest.json")):
+            raise EsApiError(
+                500, f"refusing to delete {idx.index_dir}: no manifest "
+                "(not an index directory)")
         # purge shared-metastore rows BEFORE the dir (and its DSN
         # pointer) disappears, or a pg-backed index could never be
         # recreated at the same path

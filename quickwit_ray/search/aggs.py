@@ -195,6 +195,44 @@ def _reverse_key(k):
     return -k
 
 
+_NUMERIC_FIELD_TYPES = {"i64", "u64", "f64", "bool", "datetime"}
+_NUMERIC_AGG_KINDS = {"avg", "sum", "min", "max", "value_count", "stats",
+                      "extended_stats", "percentiles", "histogram"}
+
+
+def validate_aggs(aggs: dict, mapping=None) -> None:
+    """Reject malformed agg requests BEFORE leaf fan-out (the 400 class).
+    Leaf exceptions are reported as failed_splits, so a request error that
+    only surfaces inside a leaf would masquerade as an empty-but-valid
+    result (round-3 ADVICE: terms/avg with a non-numeric ``missing`` on an
+    f64 column returned ``buckets: []``). Checks: a ``missing`` value on a
+    numeric agg kind — or on any agg over a numeric MAPPED field — must be
+    float-coercible."""
+    for name, spec in aggs.items():
+        kind = next((k for k in spec if k != "aggs"), None)
+        if kind is None:
+            raise ValueError(f"aggregation {name!r} has no agg kind")
+        body = spec[kind]
+        mv = body.get("missing") if isinstance(body, dict) else None
+        if mv is not None and not isinstance(mv, (int, float, bool)):
+            numeric = kind in _NUMERIC_AGG_KINDS
+            if not numeric and mapping is not None:
+                try:
+                    fm = mapping.field(body["field"])
+                    numeric = fm.type in _NUMERIC_FIELD_TYPES
+                except (KeyError, TypeError):
+                    pass
+            if numeric:
+                try:
+                    float(mv)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"aggregation {name!r}: `missing` value {mv!r} is "
+                        f"not numeric but {kind!r} requires a numeric field")
+        if isinstance(spec.get("aggs"), dict):
+            validate_aggs(spec["aggs"], mapping)
+
+
 def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
     """One split's partial agg state for a (possibly nested) agg request."""
     out: dict[str, Any] = {}

@@ -541,6 +541,9 @@ class IndexSearcher:
         import time as _time
 
         t0 = _time.time()
+        if aggs:
+            from quickwit_ray.search.aggs import validate_aggs
+            validate_aggs(aggs, self.mapping)
         node = self._resolve_query(query if query is not None else MatchAll())
         sort_fields = _normalize_sort(sort_by)
         # ---- split pruning (time range from args AND query AST, + tags)

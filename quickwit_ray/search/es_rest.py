@@ -228,6 +228,11 @@ def _render_aggs(aggs_spec: Optional[dict], aggs: Optional[dict],
                     b["key_as_string"] = (
                         pd.Timestamp(int(us), unit="us", tz="UTC")
                         .strftime("%Y-%m-%dT%H:%M:%SZ"))
+                if isinstance(node.get("buckets"), dict):
+                    # keyed=true: ES keys the hashmap by key_as_string,
+                    # not the internal microsecond key (round-3 ADVICE)
+                    node["buckets"] = {b["key_as_string"]: b
+                                       for b in node["buckets"].values()}
             sub = body.get("aggs")
             if sub and "buckets" in node:
                 for b in _buckets(node):

@@ -145,10 +145,15 @@ class QwRestService:
         if self.root_dir is None:
             raise EsApiError(400, "index creation is disabled: the server "
                              "was started without an index root dir")
-        cfg = index_config_from_api_json(body)
+        try:
+            cfg = index_config_from_api_json(body)
+        except ValueError as e:
+            raise EsApiError(400, str(e))
         if cfg.index_id in self.indexes:
             raise EsApiError(400, f"index {cfg.index_id!r} already exists")
         d = os.path.join(self.root_dir, cfg.index_id)
+        from quickwit_ray.index_api import _assert_under_root
+        _assert_under_root(d, self.root_dir)
         try:
             # NEVER clobber an on-disk index that merely isn't registered
             # (e.g. after a server restart): Index.create refuses
@@ -170,6 +175,11 @@ class QwRestService:
 
         if self.root_dir is None:
             return None  # creation disabled: no index root dir configured
+        from quickwit_ray.config import validate_identifier
+        try:
+            validate_identifier("index", name)
+        except ValueError:
+            return None  # traversal-shaped names never auto-create
         for tpl in self.templates.values():
             if any(fnmatch.fnmatch(name, p)
                    for p in tpl.get("index_id_patterns", ())):

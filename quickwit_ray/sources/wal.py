@@ -85,6 +85,24 @@ class RecordLog:
         self._segs: list[tuple[int, int, str]] = []  # (first_pos, count, path)
         self._fh = None
         self._cur_first = 0
+        self._lock_fd: Optional[int] = None
+        if self.repair:
+            # the WRITER advertises liveness via a per-shard flock so a
+            # concurrent truncation (index_wal GC) never unlinks the live
+            # segment under it (round-3 ADVICE medium finding: a batch
+            # persisted+acked between a consumer's scan and os.remove
+            # would keep appending to an unlinked inode)
+            self._lock_fd = os.open(
+                os.path.join(log_dir, ".writer.lock"),
+                os.O_CREAT | os.O_RDWR)
+            try:
+                import fcntl
+                fcntl.flock(self._lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                os.close(self._lock_fd)
+                self._lock_fd = None
+                raise RuntimeError(
+                    f"another writer holds the WAL at {log_dir}")
         self._scan()
 
     # -- open / repair -----------------------------------------------------
@@ -188,6 +206,38 @@ class RecordLog:
             self.sync()
             self._fh.close()
             self._fh = None
+        if self._lock_fd is not None:
+            os.close(self._lock_fd)  # releases the flock
+            self._lock_fd = None
+
+    def __del__(self):
+        # a crashed/garbage-collected writer must release its flock the
+        # way a dead process would (the kernel drops flocks on close)
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _live_writer_elsewhere(self) -> bool:
+        """True when ANOTHER process/instance holds this shard's writer
+        lock (this instance's own lock does not count — it can seal its
+        live segment itself)."""
+        if self._lock_fd is not None:
+            return False
+        path = os.path.join(self.log_dir, ".writer.lock")
+        if not os.path.exists(path):
+            return False
+        fd = os.open(path, os.O_RDWR)
+        try:
+            import fcntl
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return True
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            return False
+        finally:
+            os.close(fd)
 
     # -- reader ------------------------------------------------------------
 
@@ -232,14 +282,23 @@ class RecordLog:
     def truncate_upto(self, pos: int) -> int:
         """Delete whole segments entirely below ``pos`` (records < pos are
         eligible for GC — they are published). Returns segments removed.
-        Keeps position continuity when ALL segments go via a marker."""
+        Keeps position continuity when ALL segments go via a marker.
+
+        The NEWEST segment is only removed when no live writer holds the
+        shard lock — a concurrent ``IngestWal`` may still have it open,
+        and an fsync-acked batch appended between our scan and the
+        ``os.remove`` must not land on an unlinked inode. Skipping it
+        merely delays GC to the next drain after the writer closes or
+        rotates."""
         if pos >= self.end_pos() and self._fh is not None:
             # seal the live segment so it can be removed too
             self._fh.close()
             self._fh = None
+        keep_live = self._segs and self._live_writer_elsewhere()
         keep, removed = [], 0
         for first, count, path in self._segs:
-            if first + count <= pos:
+            live = keep_live and path == self._segs[-1][2]
+            if first + count <= pos and not live:
                 os.remove(path)
                 removed += 1
             else:

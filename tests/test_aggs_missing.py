@@ -138,6 +138,59 @@ def test_extended_stats_sigma_bounds(idx):
         st["avg"] - 3.0 * st["std_deviation"])
 
 
+def test_non_numeric_missing_on_numeric_field_rejected(idx):
+    """A non-numeric `missing` on a numeric field/agg must raise BEFORE
+    leaf fan-out — a leaf-side ValueError would be swallowed into
+    failed_splits and look like a valid empty result (round-3 ADVICE)."""
+    with pytest.raises(ValueError, match="missing"):
+        idx.search("*", max_hits=0, aggs={
+            "a": {"avg": {"field": "price", "missing": "NO_DATA"}}})
+    with pytest.raises(ValueError, match="missing"):
+        idx.search("*", max_hits=0, aggs={
+            "t": {"terms": {"field": "price", "missing": "NO_DATA"}}})
+    with pytest.raises(ValueError, match="missing"):  # nested sub-agg too
+        idx.search("*", max_hits=0, aggs={
+            "g": {"terms": {"field": "genre"},
+                  "aggs": {"m": {"max": {"field": "price",
+                                         "missing": "oops"}}}}})
+    # numeric strings and text-field substitutes remain fine
+    r = idx.search("*", max_hits=0, aggs={
+        "mx": {"max": {"field": "price", "missing": "45.5"}},
+        "g": {"terms": {"field": "genre", "missing": "NO_DATA"}}})
+    assert r.aggs["mx"]["value"] == pytest.approx(45.5)
+
+
+def test_keyed_date_histogram_es_keys_are_formatted(tmp_path):
+    """keyed=true date_histogram: the ES response hashmap is keyed by
+    key_as_string, not the internal microsecond key (round-3 ADVICE)."""
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="created_at", type="datetime", fast=True),
+            FieldMapping(name="doc_id", type="i64", fast=True),
+        ), mode="lenient", doc_id_field="doc_id")
+    ix = Index.create(str(tmp_path / "dh"), "dh", mapping,
+                      settings=IndexSettings(split_num_docs_target=1000))
+    ix.ingest_docs([
+        {"doc_id": 0, "created_at": "2015-01-01T12:10:30Z"},
+        {"doc_id": 1, "created_at": "2015-01-01T18:00:00Z"},
+        {"doc_id": 2, "created_at": "2015-01-02T00:30:00Z"},
+    ], commit_id="a")
+    from quickwit_ray.search.es_rest import EsRestService
+    svc = EsRestService({"dh": ix})
+    st, resp = svc.request("POST", "dh/_search", body={
+        "size": 0, "aggs": {
+            "d": {"date_histogram": {"field": "created_at",
+                                     "fixed_interval": "1d",
+                                     "keyed": True}}}})
+    assert st == 200
+    b = resp["aggregations"]["d"]["buckets"]
+    assert isinstance(b, dict)
+    assert set(b) == {"2015-01-01T00:00:00Z", "2015-01-02T00:00:00Z"}
+    assert b["2015-01-01T00:00:00Z"]["doc_count"] == 2
+    assert b["2015-01-01T00:00:00Z"]["key_as_string"] == \
+        "2015-01-01T00:00:00Z"
+
+
 def test_missing_with_sub_agg(idx):
     r = idx.search("*", max_hits=0, aggs={
         "g": {"terms": {"field": "genre", "missing": "NO_DATA"},

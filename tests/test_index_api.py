@@ -74,6 +74,33 @@ def test_index_lifecycle_via_service(tmp_path):
     assert st == 404
 
 
+def test_index_id_traversal_rejected(tmp_path):
+    """A traversal-shaped index_id must neither create outside the root
+    nor delete the root's parent (quickwit-config validate_identifier;
+    round-3 ADVICE high finding)."""
+    root = tmp_path / "victim" / "root"
+    root.mkdir(parents=True)
+    (tmp_path / "victim" / "precious.txt").write_text("keep me")
+    svc = IndexApiService({}, index_root_dir=str(root))
+    for bad in ("..", "../evil", "a/../../evil", "/abs", ".hidden", ""):
+        st, err = svc.request("POST", "indexes", body={
+            "version": "0.8", "index_id": bad, "doc_mapping": {}})
+        assert st == 400, (bad, err)
+    assert (tmp_path / "victim" / "precious.txt").exists()
+    assert not (tmp_path / "victim" / "manifest.json").exists()
+    # a registration pointing at a non-index dir must never be rmtree'd
+    class FakeIdx:
+        index_dir = str(tmp_path / "victim")
+    svc.indexes[".."] = FakeIdx()
+    st, _ = svc.request("DELETE", "indexes/..")
+    assert st == 500
+    assert (tmp_path / "victim" / "precious.txt").exists()
+    # validate_identifier accepts normal ids (incl. 1-char dev names)
+    from quickwit_ray.config import validate_identifier
+    for ok in ("x", "otel-logs-v0_9", "a.b-c_d"):
+        validate_identifier("index", ok)
+
+
 def test_native_search_params(tmp_path):
     idx = _mk(tmp_path)
     svc = IndexApiService({"docs": idx})

@@ -101,6 +101,38 @@ def test_recordlog_truncate_upto(tmp_path):
     assert RecordLog(str(tmp_path / "l")).end_pos() == 13
 
 
+def test_truncate_keeps_live_segment_under_writer(tmp_path):
+    """GC must never unlink the segment a live writer holds open: a batch
+    fsync-acked between the consumer's scan and os.remove would land on
+    an unlinked inode (round-3 ADVICE medium finding)."""
+    d = str(tmp_path / "l")
+    writer = RecordLog(d, segment_bytes=64, repair=True)
+    for i in range(6):
+        writer.append(f"payload-{i:02d}".encode())
+    writer.sync()
+    # a consumer scans and truncates everything it saw — while the
+    # writer is still live
+    consumer = RecordLog(d)
+    consumer.truncate_upto(consumer.end_pos())
+    # the writer's live segment survived; an ack after truncation is
+    # durable and visible to the next consumer
+    writer.append(b"acked-after-truncate")
+    writer.sync()
+    writer.close()
+    got = dict(RecordLog(d).read_from(0))
+    assert got[6] == b"acked-after-truncate"
+    # once the writer is gone, the same truncation fully GCs
+    log = RecordLog(d)
+    log.truncate_upto(log.end_pos())
+    assert glob.glob(os.path.join(d, "seg-*.log")) == []
+    assert RecordLog(d).end_pos() == 7
+    # two concurrent writers on one shard are refused
+    w1 = RecordLog(d, repair=True)
+    with pytest.raises(RuntimeError, match="another writer"):
+        RecordLog(d, repair=True)
+    w1.close()
+
+
 # -- IngestWal + index_wal ---------------------------------------------------
 
 def test_wal_persist_index_search(tmp_path):
