@@ -204,12 +204,17 @@ class SplitReader:
 
     def __init__(self, split_dir: str):
         self.split_dir = split_dir
+        # cumulative decompressed bytes materialized by this reader —
+        # drives the search-admission byte budget (search/permits.py) and
+        # byte-bound cache accounting
+        self.bytes_read: int = 0
         with open(os.path.join(split_dir, FOOTER_FILE)) as f:
             self.footer = json.load(f)
         self.num_docs: int = self.footer["num_docs"]
         self.field_stats: dict = self.footer.get("field_stats", {})
         self._pf = pq.ParquetFile(os.path.join(split_dir, POSTINGS_FILE))
         dict_tbl = self._pf.read(columns=DICT_COLUMNS)
+        self.bytes_read += dict_tbl.nbytes
         self._dict_field = np.asarray(dict_tbl["field"])
         self._dict_term = np.asarray(dict_tbl["term"])
         self.df = np.asarray(dict_tbl["df"], np.int64)
@@ -337,6 +342,7 @@ class SplitReader:
             if with_positions and self._legacy_positions:
                 cols += ["positions", "pos_lens"]
             tbl = self._pf.read_row_group(rg, columns=cols)
+            self.bytes_read += tbl.nbytes
             self._rg_cache[key] = tbl
             if len(self._rg_cache) > 4:
                 self._rg_cache.pop(next(iter(self._rg_cache)))
@@ -357,6 +363,7 @@ class SplitReader:
         tbl = self._rg_cache.get(key)
         if tbl is None:
             tbl = self._pos_pf.read_row_group(prg)
+            self.bytes_read += tbl.nbytes
             self._rg_cache[key] = tbl
             if len(self._rg_cache) > 8:
                 self._rg_cache.pop(next(iter(self._rg_cache)))
@@ -439,19 +446,25 @@ class SplitReader:
 
     # -- per-doc columns ----------------------------------------------------
 
+    def _load_fastfields(self) -> pa.Table:
+        if self._fastfields is None:
+            p = os.path.join(self.split_dir, FASTFIELDS_FILE)
+            self._fastfields = pq.read_table(p) if os.path.exists(p) else pa.table({})
+            self.bytes_read += self._fastfields.nbytes
+        return self._fastfields
+
     def fieldnorm_ids(self, field: str) -> np.ndarray:
         if self._fieldnorms is None:
             p = os.path.join(self.split_dir, FIELDNORMS_FILE)
             self._fieldnorms = pq.read_table(p) if os.path.exists(p) else pa.table({})
+            self.bytes_read += self._fieldnorms.nbytes
         col = f"norm_{field}"
         if col not in self._fieldnorms.column_names:
             return np.zeros(self.num_docs, np.uint8)
         return np.asarray(self._fieldnorms[col], np.uint8)
 
     def fast_field(self, name: str) -> np.ndarray:
-        if self._fastfields is None:
-            p = os.path.join(self.split_dir, FASTFIELDS_FILE)
-            self._fastfields = pq.read_table(p) if os.path.exists(p) else pa.table({})
+        self._load_fastfields()
         if name not in self._fastfields.column_names:
             raise KeyError(f"no fast field {name!r} in split")
         col = self._fastfields[name].combine_chunks()
@@ -465,9 +478,7 @@ class SplitReader:
     def fast_field_arrow(self, name: str) -> Optional[pa.Array]:
         """Raw Arrow fast column (nulls intact) — integer-exact access for
         u64/i64 values beyond float64 precision (terms-agg keys)."""
-        if self._fastfields is None:
-            p = os.path.join(self.split_dir, FASTFIELDS_FILE)
-            self._fastfields = pq.read_table(p) if os.path.exists(p) else pa.table({})
+        self._load_fastfields()
         if name not in self._fastfields.column_names:
             return None
         ca = self._fastfields[name].combine_chunks()
@@ -478,9 +489,7 @@ class SplitReader:
 
     def fast_field_valid(self, name: str) -> Optional[np.ndarray]:
         """Validity (non-null) mask of a fast field, or None if absent."""
-        if self._fastfields is None:
-            p = os.path.join(self.split_dir, FASTFIELDS_FILE)
-            self._fastfields = pq.read_table(p) if os.path.exists(p) else pa.table({})
+        self._load_fastfields()
         if name not in self._fastfields.column_names:
             return None
         return np.asarray(self._fastfields[name].combine_chunks().is_valid())
@@ -515,6 +524,7 @@ class SplitReader:
         for rg in np.unique(rg_of):
             sel = rg_of == rg
             tbl = pf.read_row_group(int(rg), columns=columns)
+            self.bytes_read += tbl.nbytes
             local = ids[sel] - rg_starts[rg]
             out_parts.append((np.nonzero(sel)[0], tbl.take(pa.array(local))))
         if len(out_parts) == 1:

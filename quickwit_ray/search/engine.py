@@ -108,6 +108,13 @@ class _ReaderCache:
                 self._cache.popitem(last=False)
         return r
 
+    def peek_bytes_read(self, split_dir: str) -> Optional[int]:
+        """Cumulative materialized bytes of the cached reader, or None if
+        no reader is open (permit accounting — never opens one)."""
+        with self._lock:
+            ent = self._cache.get(split_dir)
+            return ent[1].bytes_read if ent is not None else None
+
 
 _GLOBAL_READER_CACHE = _ReaderCache()
 
@@ -259,7 +266,23 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
                 # deep copy: the agg merge folds partial states in place
                 return copy.deepcopy(hit)
             return dict(hit)  # hit/sort arrays are consumed read-only
-    out = _leaf_search_impl(split_dir, mapping, request, cache, theta0)
+    # memory-budgeted admission (search_permit_provider.rs): reserve a
+    # pessimistic warmup allocation before touching the split, report the
+    # reader's actual materialized bytes after, release on completion.
+    # FIFO + byte budget: concurrent fat queries degrade to sequential
+    # under pressure instead of OOMing the process.
+    from quickwit_ray.search.permits import get_permit_provider
+
+    provider = get_permit_provider()
+    rc = cache or _GLOBAL_READER_CACHE
+    with provider.acquire_for_split(split_dir) as permit:
+        b0 = rc.peek_bytes_read(split_dir) or 0
+        out = _leaf_search_impl(split_dir, mapping, request, cache, theta0)
+        b1 = rc.peek_bytes_read(split_dir)
+        if b1 is not None:
+            # post-warmup correction: hold the MEASURED bytes (cache-warm
+            # repeats free their pessimistic reservation immediately)
+            permit.set_actual_memory(b1 - b0)
     # only FULL (theta-None) evaluations are stored: thread-timing-
     # dependent theta values would insert never-hit-again keys that LRU-
     # evict the reusable entries (theta-pruned results are still SERVED
