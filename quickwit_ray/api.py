@@ -243,17 +243,21 @@ class Index:
         return {"_all": body, "indices": {index_id: body}}
 
     def es_cat_indices(self) -> list[dict]:
-        """ES `_cat/indices?format=json` shape."""
+        """ES `_cat/indices?format=json` shape (the reference renders
+        human-readable sizes — "272.4kb" — and rep "1",
+        rest-api-tests 0021-cat-indices.yaml)."""
         m = Manifest(self.index_dir)
         stats = self.es_stats()["_all"]["primaries"]
+        size = _es_human_size(stats["store"]["size_in_bytes"])
         return [{
             "health": "green", "status": "open",
             "index": m.index_config_json["index_id"],
-            "pri": "1", "rep": "0",
+            "pri": "1", "rep": "1",
             "docs.count": str(stats["docs"]["count"]),
             "docs.deleted": "0",
-            "store.size": str(stats["store"]["size_in_bytes"]),
-            "pri.store.size": str(stats["store"]["size_in_bytes"]),
+            "dataset.size": size,
+            "store.size": size,
+            "pri.store.size": size,
         }]
 
     def update_config(self, new_config: Optional[IndexConfig] = None, *,
@@ -449,3 +453,17 @@ class Index:
         from quickwit_ray.search.listers import list_fields
 
         return list_fields(self.index_dir)
+
+
+def _es_human_size(nbytes: int) -> str:
+    """ES human-readable byte size ("272.4kb", 1kb = 1024b) as `_cat`
+    renders store sizes."""
+    n = float(nbytes)
+    for unit in ("b", "kb", "mb", "gb", "tb"):
+        if n < 1024 or unit == "tb":
+            if unit == "b":
+                return f"{int(n)}b"
+            s = f"{n:.1f}"
+            return (s[:-2] if s.endswith(".0") else s) + unit
+        n /= 1024.0
+    return f"{int(n)}pb"

@@ -205,9 +205,14 @@ class SplitReader:
     def __init__(self, split_dir: str):
         self.split_dir = split_dir
         # cumulative decompressed bytes materialized by this reader —
-        # drives the search-admission byte budget (search/permits.py) and
-        # byte-bound cache accounting
+        # drives the search-admission byte budget (search/permits.py)
         self.bytes_read: int = 0
+        # bytes currently RETAINED by this reader's internal caches
+        # (dict columns, row groups, raw/decoded postings, fieldnorms,
+        # fastfields) — drives the byte-bound reader LRU (the reference's
+        # 1 GB fast-field / 500 MB footer cache budgets,
+        # node_config/mod.rs:261-266)
+        self.retained_bytes: int = 0
         with open(os.path.join(split_dir, FOOTER_FILE)) as f:
             self.footer = json.load(f)
         self.num_docs: int = self.footer["num_docs"]
@@ -215,6 +220,7 @@ class SplitReader:
         self._pf = pq.ParquetFile(os.path.join(split_dir, POSTINGS_FILE))
         dict_tbl = self._pf.read(columns=DICT_COLUMNS)
         self.bytes_read += dict_tbl.nbytes
+        self.retained_bytes += dict_tbl.nbytes
         self._dict_field = np.asarray(dict_tbl["field"])
         self._dict_term = np.asarray(dict_tbl["term"])
         self.df = np.asarray(dict_tbl["df"], np.int64)
@@ -313,6 +319,7 @@ class SplitReader:
                     tfs = (np.frombuffer(tf_buf, np.uint32).astype(np.int64)
                            if tf_buf else np.ones(len(doc_ids), np.int64))
                     ent = self._postings_cache.get(r, {})
+                    before = sum(v.nbytes for v in ent.values())
                     ent.update(doc_ids=doc_ids, tfs=tfs,
                                block_last=np.frombuffer(tbl["block_last"][i].as_py() or b"", np.int32),
                                block_max_tf=np.frombuffer(tbl["block_max_tf"][i].as_py() or b"", np.int32))
@@ -325,6 +332,8 @@ class SplitReader:
                         ent["pos_lens"] = np.frombuffer(pl, np.int32)
                         ent["positions"] = np.frombuffer(po, np.int32)
                     self._postings_cache[r] = ent
+                    self.retained_bytes += \
+                        sum(v.nbytes for v in ent.values()) - before
         return {r: self._postings_cache[r] for r in rows}
 
     def _row_group(self, rg: int, with_positions: bool = False) -> "pa.Table":
@@ -343,9 +352,11 @@ class SplitReader:
                 cols += ["positions", "pos_lens"]
             tbl = self._pf.read_row_group(rg, columns=cols)
             self.bytes_read += tbl.nbytes
+            self.retained_bytes += tbl.nbytes
             self._rg_cache[key] = tbl
             if len(self._rg_cache) > 4:
-                self._rg_cache.pop(next(iter(self._rg_cache)))
+                dropped = self._rg_cache.pop(next(iter(self._rg_cache)))
+                self.retained_bytes -= dropped.nbytes
         return tbl
 
     def _positions_row(self, row: int) -> tuple[bytes, bytes]:
@@ -364,9 +375,11 @@ class SplitReader:
         if tbl is None:
             tbl = self._pos_pf.read_row_group(prg)
             self.bytes_read += tbl.nbytes
+            self.retained_bytes += tbl.nbytes
             self._rg_cache[key] = tbl
             if len(self._rg_cache) > 8:
-                self._rg_cache.pop(next(iter(self._rg_cache)))
+                dropped = self._rg_cache.pop(next(iter(self._rg_cache)))
+                self.retained_bytes -= dropped.nbytes
         i = row - prg * POS_TERMS_PER_ROW_GROUP
         return (tbl["positions"][i].as_py() or b"",
                 tbl["pos_lens"][i].as_py() or b"")
@@ -402,8 +415,10 @@ class SplitReader:
                     else np.empty(0, np.uint8)),
             }
         self._raw_cache[row] = ent
+        self.retained_bytes += sum(v.nbytes for v in ent.values())
         if len(self._raw_cache) > 512:
-            self._raw_cache.popitem(last=False)
+            _, dropped = self._raw_cache.popitem(last=False)
+            self.retained_bytes -= sum(v.nbytes for v in dropped.values())
         return ent
 
     def read_postings_selected(self, row: int, cand_docs: np.ndarray
@@ -451,6 +466,7 @@ class SplitReader:
             p = os.path.join(self.split_dir, FASTFIELDS_FILE)
             self._fastfields = pq.read_table(p) if os.path.exists(p) else pa.table({})
             self.bytes_read += self._fastfields.nbytes
+            self.retained_bytes += self._fastfields.nbytes
         return self._fastfields
 
     def fieldnorm_ids(self, field: str) -> np.ndarray:
@@ -458,6 +474,7 @@ class SplitReader:
             p = os.path.join(self.split_dir, FIELDNORMS_FILE)
             self._fieldnorms = pq.read_table(p) if os.path.exists(p) else pa.table({})
             self.bytes_read += self._fieldnorms.nbytes
+            self.retained_bytes += self._fieldnorms.nbytes
         col = f"norm_{field}"
         if col not in self._fieldnorms.column_names:
             return np.zeros(self.num_docs, np.uint8)

@@ -34,6 +34,25 @@ def _assert_under_root(path: str, root: str) -> None:
                          "root directory")
 
 
+class StreamingResponse:
+    """Chunked byte-stream response: the HTTP layer sends each yielded
+    chunk with ``Transfer-Encoding: chunked`` (the reference streams
+    CSV/RowBinary per split leaf, search_stream/leaf.rs:51-356) — the
+    export never materializes on the serving node. ``.data`` drains the
+    stream for offline/service callers (tests, small results)."""
+
+    def __init__(self, chunk_factory, content_type: str):
+        self._factory = chunk_factory  # zero-arg callable -> byte iterator
+        self.content_type = content_type
+
+    def chunks(self):
+        return self._factory()
+
+    @property
+    def data(self) -> bytes:
+        return b"".join(self.chunks())
+
+
 class RawResponse:
     """Non-JSON payload (the stream endpoint's CSV / RowBinary bytes)."""
 
@@ -224,11 +243,15 @@ class IndexApiService:
     def _delete(self, name: str) -> dict:
         idx = self.indexes.pop(self._name(name))
         # never rmtree a directory that is not actually an index root
-        # (manifest presence == index exists); a registration pointing at
-        # anything else must not take the tree with it
-        if not os.path.exists(os.path.join(idx.index_dir, "manifest.json")):
+        # (metastore presence == index exists; manifest.json for the file
+        # backend, metastore.db/json for the sqlite/postgres backends); a
+        # registration pointing at anything else must not take the tree
+        # with it
+        if not any(os.path.exists(os.path.join(idx.index_dir, f))
+                   for f in ("manifest.json", "metastore.db",
+                             "metastore.json")):
             raise EsApiError(
-                500, f"refusing to delete {idx.index_dir}: no manifest "
+                500, f"refusing to delete {idx.index_dir}: no metastore "
                 "(not an index directory)")
         # purge shared-metastore rows BEFORE the dir (and its DSN
         # pointer) disappears, or a pg-backed index could never be
@@ -427,17 +450,26 @@ class IndexApiService:
                              gte=int(lo) if lo is not None else None,
                              lt=int(hi) if hi is not None else None)
             node = BoolQuery(must=(node,), filter=(rng,))
-        ds = search_stream_index(idx.index_dir, node, [fast_field])
-        df = ds.to_pandas()
         fmt = params.get("output_format", "csv")
-        if fmt in ("click_house_row_binary", "clickhouse_row_binary"):
-            return RawResponse(export_rowbinary(df, fast_field),
-                               "application/octet-stream")
-        if fmt != "csv":
+        if fmt not in ("csv", "click_house_row_binary",
+                       "clickhouse_row_binary"):
             raise EsApiError(400, f"unknown output_format {fmt!r}")
-        # reference CSV output: bare values, no header
-        return RawResponse(
-            df.to_csv(index=False, header=False).encode(), "text/csv")
+        ds = search_stream_index(idx.index_dir, node, [fast_field])
+        binary = fmt != "csv"
+
+        def gen():
+            # one encoded chunk per streamed Arrow block — the export is
+            # never concatenated on the serving node (a 100x-scale ts
+            # export previously OOMed the driver via ds.to_pandas())
+            for b in ds.iter_batches(batch_size=None,
+                                     batch_format="pandas"):
+                if not len(b):
+                    continue
+                yield (export_rowbinary(b, fast_field) if binary
+                       else b.to_csv(index=False, header=False).encode())
+
+        return StreamingResponse(
+            gen, "application/octet-stream" if binary else "text/csv")
 
     def _search(self, name: str, params: dict, body: dict) -> dict:
         """Native search endpoint (search_api/rest_handler.rs

@@ -83,16 +83,43 @@ def _split_stamp(split_dir: str) -> int:
 
 
 class _ReaderCache:
-    """LRU of open SplitReaders (per process / per actor); thread-safe
-    (HTTP handler threads share it) and generation-checked (a rebuilt
-    split_dir gets a fresh reader, see _split_stamp)."""
+    """Byte-bounded LRU of open SplitReaders (per process / per actor);
+    thread-safe (HTTP handler threads share it) and generation-checked (a
+    rebuilt split_dir gets a fresh reader, see _split_stamp).
 
-    def __init__(self, capacity: int = 64):
+    The budget bounds the readers' RETAINED bytes (dict columns, cached
+    row groups, decoded postings, fieldnorms, fastfields) — the analog of
+    the reference's byte-bound fast-field (1 GB) + footer (500 MB) caches
+    (node_config/mod.rs:261-266). Readers grow lazily after insertion, so
+    the budget is enforced on every access, not only on insert; the most
+    recently used reader always survives (progress)."""
+
+    def __init__(self, capacity: int = 64,
+                 byte_budget: int = 1536 * 1024 * 1024):
         import threading
 
         self.capacity = capacity
+        self.byte_budget = int(byte_budget)
         self._cache: OrderedDict[str, tuple[int, SplitReader]] = OrderedDict()
         self._lock = threading.Lock()
+        self.evictions = 0
+
+    def _enforce_budget_locked(self) -> None:
+        while len(self._cache) > self.capacity:
+            self._cache.popitem(last=False)
+            self.evictions += 1
+        while len(self._cache) > 1 and self.retained_bytes_locked() \
+                > self.byte_budget:
+            self._cache.popitem(last=False)
+            self.evictions += 1
+
+    def retained_bytes_locked(self) -> int:
+        return sum(r.retained_bytes for _, r in self._cache.values())
+
+    @property
+    def retained_bytes(self) -> int:
+        with self._lock:
+            return self.retained_bytes_locked()
 
     def get(self, split_dir: str) -> SplitReader:
         stamp = _split_stamp(split_dir)
@@ -100,12 +127,12 @@ class _ReaderCache:
             ent = self._cache.get(split_dir)
             if ent is not None and ent[0] == stamp:
                 self._cache.move_to_end(split_dir)
+                self._enforce_budget_locked()
                 return ent[1]
         r = SplitReader(split_dir)
         with self._lock:
             self._cache[split_dir] = (stamp, r)
-            if len(self._cache) > self.capacity:
-                self._cache.popitem(last=False)
+            self._enforce_budget_locked()
         return r
 
     def peek_bytes_read(self, split_dir: str) -> Optional[int]:
@@ -138,34 +165,72 @@ class _LeafCache:
     case still hits. The artifact stamp (_split_stamp) catches split
     dirs rebuilt in place by clear()+re-ingest."""
 
-    def __init__(self, capacity: int = 512):
+    def __init__(self, capacity: int = 512,
+                 byte_budget: int = 64 * 1024 * 1024):
         import threading
 
         self.capacity = capacity
-        self._cache: OrderedDict[tuple, dict] = OrderedDict()
+        # the reference's LeafSearchCache is byte-bound at 64 MB
+        # (node_config/mod.rs:266 partial_request_cache_capacity): one
+        # giant agg partial must not hold entry-count-many budgets
+        self.byte_budget = int(byte_budget)
+        self._cache: OrderedDict[tuple, tuple[dict, int]] = OrderedDict()
+        self._bytes = 0
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
 
+    @property
+    def retained_bytes(self) -> int:
+        return self._bytes
+
     def get(self, key: tuple) -> Optional[dict]:
         with self._lock:
-            v = self._cache.get(key)
-            if v is None:
+            ent = self._cache.get(key)
+            if ent is None:
                 self.misses += 1
                 return None
             self._cache.move_to_end(key)
             self.hits += 1
-            return v
+            return ent[0]
 
     def put(self, key: tuple, val: dict) -> None:
+        size = _approx_nbytes(val)
+        if size > self.byte_budget:
+            return  # larger than the whole cache: never stored
         with self._lock:
-            self._cache[key] = val
-            if len(self._cache) > self.capacity:
-                self._cache.popitem(last=False)
+            old = self._cache.pop(key, None)
+            if old is not None:
+                self._bytes -= old[1]
+            self._cache[key] = (val, size)
+            self._bytes += size
+            while self._cache and (len(self._cache) > self.capacity
+                                   or self._bytes > self.byte_budget):
+                _, (_, sz) = self._cache.popitem(last=False)
+                self._bytes -= sz
 
     def clear(self) -> None:
         with self._lock:
             self._cache.clear()
+            self._bytes = 0
+
+
+def _approx_nbytes(obj) -> int:
+    """Recursive retained-size estimate for cached leaf partials (numpy
+    arrays dominate; containers add per-slot overhead). Over-estimating
+    is safe (earlier eviction), under-estimating is not."""
+    if isinstance(obj, np.ndarray):
+        return obj.nbytes + 96
+    if isinstance(obj, (bytes, bytearray)):
+        return len(obj) + 48
+    if isinstance(obj, str):
+        return len(obj) + 56
+    if isinstance(obj, dict):
+        return 64 + sum(_approx_nbytes(k) + _approx_nbytes(v)
+                        for k, v in obj.items())
+    if isinstance(obj, (list, tuple, set, frozenset)):
+        return 56 + sum(_approx_nbytes(v) + 8 for v in obj)
+    return 32  # numbers, None, bools, small scalars
 
 
 _GLOBAL_LEAF_CACHE = _LeafCache()
@@ -449,7 +514,10 @@ class _SearchActorPool:
                                                     request, self.cache,
                                                     theta0=theta0))
 
+        self._factory = _SearchActor
+        self._mapping_json = mapping_json
         self.actors = [_SearchActor.remote(mapping_json) for _ in range(size)]
+        self.retries = 0  # observability: leaf retries after actor failure
 
     def _route(self, split_dir: str) -> int:
         import hashlib
@@ -462,6 +530,34 @@ class _SearchActorPool:
         """One leaf search future, affinity-routed."""
         return self.actors[self._route(split_dir)].leaf.remote(
             split_dir, request_blob, theta0)
+
+    def retry_leaf(self, split_dir: str, request_blob: bytes,
+                   theta0: Optional[float], error: Exception) -> dict:
+        """One retry on a DIFFERENT actor after a leaf failure (the
+        reference retries a failed leaf on another searcher node,
+        cluster_client.rs / retry/*). A dead primary is replaced in its
+        slot so subsequent queries regain the affinity route instead of
+        failing forever."""
+        import pickle
+
+        import ray
+
+        self.retries += 1
+        i = self._route(split_dir)
+        try:
+            # probe-free revival: dead actors raise RayActorError on use
+            if isinstance(error, ray.exceptions.RayActorError):
+                self.actors[i] = self._factory.remote(self._mapping_json)
+        except Exception:  # noqa: BLE001 — revival is best-effort
+            pass
+        alt = self.actors[(i + 1) % len(self.actors)] \
+            if len(self.actors) > 1 else self.actors[i]
+        try:
+            return pickle.loads(ray.get(
+                alt.leaf.remote(split_dir, request_blob, theta0)))
+        except Exception as exc:  # noqa: BLE001 — one retry, then report
+            return {"failed": os.path.basename(split_dir),
+                    "error": f"{error}; retry: {exc}"}
 
     def search(self, split_dirs: list[str], request: SearchRequest,
                theta0: Optional[float] = None) -> list[dict]:
@@ -477,7 +573,7 @@ class _SearchActorPool:
             try:
                 out.append(pickle.loads(ray.get(f)))
             except Exception as exc:  # noqa: BLE001
-                out.append({"failed": os.path.basename(d), "error": str(exc)})
+                out.append(self.retry_leaf(d, blob, theta0, exc))
         return out
 
     def shutdown(self) -> None:
@@ -832,8 +928,10 @@ class IndexSearcher:
                 try:
                     out.append(pickle.loads(ray.get(f)))
                 except Exception as exc:  # noqa: BLE001
-                    out.append({"failed": os.path.basename(d),
-                                "error": str(exc)})
+                    # retry once on a different actor (theta0=None: a
+                    # full evaluation is exact under any competition)
+                    out.append(self._actor_pool.retry_leaf(d, blob, None,
+                                                           exc))
         return out, skipped
 
     # ------------------------------------------------------------------

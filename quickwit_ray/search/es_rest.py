@@ -789,6 +789,16 @@ class EsRestService:
                 "indices": indices}
 
     def _cat_indices(self, pattern: str, params: dict) -> list[dict]:
+        # the reference's _cat API only renders JSON and rejects unknown
+        # parameters (rest-api-tests 0021-cat-indices.yaml: missing
+        # format=json, v=, or bytes= are 400s)
+        if params.get("format") != "json":
+            raise EsApiError(
+                400, "_cat/indices only supports `format=json`")
+        unknown = set(params) - {"format", "h", "health", "s"}
+        if unknown:
+            raise EsApiError(
+                400, f"unsupported _cat parameters: {sorted(unknown)}")
         rows = []
         for n in sorted(self._match_indexes(pattern)):
             rows.extend(self._index(n).es_cat_indices())

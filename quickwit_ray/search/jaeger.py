@@ -37,11 +37,14 @@ def _envelope(data: list) -> dict:
 class JaegerService:
     """Jaeger HTTP API over one traces index (lazy searcher reuse)."""
 
-    def __init__(self, index):
+    def __init__(self, index, max_fetch_spans: int = 10_000):
         from quickwit_ray.search.engine import IndexSearcher
 
         self.index = index
         self.searcher = IndexSearcher(index.index_dir)
+        # JaegerConfig.max_fetch_spans (node_config/mod.rs:449, 10k):
+        # hard cap on spans materialized per fetch
+        self.max_fetch_spans = int(max_fetch_spans)
 
     # -- endpoints ---------------------------------------------------------
 
@@ -115,9 +118,14 @@ class JaegerService:
     def _traces_data(self, trace_ids: list[str]) -> list[dict]:
         if not trace_ids:
             return []
+        # span fetch is the reference's bounded root_search (jaeger
+        # lib.rs:343 max_hits = max_fetch_spans, default 10k,
+        # node_config/mod.rs:449): per-split top-k + grouped doc-store
+        # point reads — driver memory is bounded by the cap, never by
+        # trace size
         resp = self.searcher.search(
             TermSetQuery("trace_id", tuple(trace_ids)),
-            max_hits=100_000, fetch_fields=self._FETCH)
+            max_hits=self.max_fetch_spans, fetch_fields=self._FETCH)
         by_trace: dict[str, list[dict]] = {}
         for _, row in resp.hits.iterrows():
             span = _to_jaeger_span(row)

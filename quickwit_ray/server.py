@@ -88,8 +88,26 @@ def _make_handler(qw):
             self._reply(status, payload)
 
         def _reply(self, status: int, payload) -> None:
-            from quickwit_ray.index_api import RawResponse
+            from quickwit_ray.index_api import RawResponse, StreamingResponse
 
+            if isinstance(payload, StreamingResponse):
+                # chunked transfer: one HTTP chunk per streamed block —
+                # exports of any size pass through bounded memory
+                self.send_response(status)
+                self.send_header("Content-Type", payload.content_type)
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                try:
+                    for chunk in payload.chunks():
+                        if chunk:
+                            self.wfile.write(
+                                f"{len(chunk):x}\r\n".encode()
+                                + chunk + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                except Exception:  # noqa: BLE001 — headers already sent:
+                    # the only honest signal is a torn chunked stream
+                    self.close_connection = True
+                return
             if isinstance(payload, RawResponse):
                 data, ctype = payload.data, payload.content_type
             else:

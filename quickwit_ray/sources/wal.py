@@ -321,8 +321,15 @@ class RecordLog:
 # ingester front
 # ---------------------------------------------------------------------------
 
-def _shard_dir(index_dir: str, source_id: str, shard: int) -> str:
-    return os.path.join(index_dir, "wal", source_id, f"shard-{shard:04d}")
+def _shard_dir(index_dir: str, source_id: str, shard: int,
+               wal_root: Optional[str] = None) -> str:
+    """Shard directory. ``wal_root`` relocates the WAL off the index dir
+    (shared storage, or an ingester node's local disk on a multi-node
+    cluster — the consumer then pins its drain tasks to that node or
+    mounts the same path)."""
+    base = wal_root if wal_root is not None \
+        else os.path.join(index_dir, "wal")
+    return os.path.join(base, source_id, f"shard-{shard:04d}")
 
 
 class IngestWal:
@@ -333,12 +340,14 @@ class IngestWal:
 
     def __init__(self, index_dir: str, *, source_id: str = "_ingest-api",
                  num_shards: int = 2, segment_bytes: int = 64 << 20,
-                 fsync: bool = True):
+                 fsync: bool = True, wal_root: Optional[str] = None):
         self.index_dir = index_dir
         self.source_id = source_id
         self.num_shards = int(num_shards)
         self.fsync = fsync
-        self._logs = [RecordLog(_shard_dir(index_dir, source_id, k),
+        self.wal_root = wal_root
+        self._logs = [RecordLog(_shard_dir(index_dir, source_id, k,
+                                           wal_root),
                                 segment_bytes=segment_bytes, repair=True)
                       for k in range(self.num_shards)]
         self._rr = 0
@@ -389,13 +398,15 @@ class WalQueueClient:
     ``ingest_queue`` can consume them unchanged. Constructed inside each
     Ray task (cheap: directory listing + manifest config read)."""
 
-    def __init__(self, index_dir: str, source_id: str = "_ingest-api"):
+    def __init__(self, index_dir: str, source_id: str = "_ingest-api",
+                 wal_root: Optional[str] = None):
         from quickwit_ray.config import IndexConfig
         from quickwit_ray.state.manifest import Manifest
 
         self.index_dir = index_dir
         self.source_id = source_id
-        base = os.path.join(index_dir, "wal", source_id)
+        self.wal_root = wal_root
+        base = os.path.dirname(_shard_dir(index_dir, source_id, 0, wal_root))
         shards = sorted(glob.glob(os.path.join(base, "shard-*")))
         self.num_partitions = len(shards)
         cfg_json = Manifest(index_dir).index_config_json
@@ -410,7 +421,7 @@ class WalQueueClient:
         log = self._log_cache.get(partition)
         if log is None:
             log = RecordLog(_shard_dir(self.index_dir, self.source_id,
-                                       partition))
+                                       partition, self.wal_root))
             self._log_cache[partition] = log
         return log
 
@@ -453,7 +464,8 @@ def index_wal(index_dir: str, config=None, *,
               execution: str = "ray",
               max_batches_per_wave: Optional[int] = None,
               fault_after_commits: Optional[int] = None,
-              truncate: bool = True):
+              truncate: bool = True,
+              wal_root: Optional[str] = None):
     """Index every acked-but-unindexed WAL record, then truncate.
 
     Exactly-once end to end: ``persist`` acks only after fsync; this
@@ -473,7 +485,7 @@ def index_wal(index_dir: str, config=None, *,
             raise FileNotFoundError(f"no index at {index_dir}")
         config = IndexConfig.from_json(cfg_json)
     prefix = f"wal.{source_id}"
-    factory = _WalClientFactory(index_dir, source_id)
+    factory = _WalClientFactory(index_dir, source_id, wal_root)
     stats = ingest_queue(index_dir, index_dir, config,
                          max_batch_bytes=max_batch_bytes,
                          execution=execution,
@@ -487,17 +499,22 @@ def index_wal(index_dir: str, config=None, *,
         for p in range(client.num_partitions):
             pos = manifest.source_offset(f"{prefix}:{p}")
             if isinstance(pos, int) and pos > 0:
-                RecordLog(_shard_dir(index_dir, source_id, p)
+                RecordLog(_shard_dir(index_dir, source_id, p, wal_root)
                           ).truncate_upto(pos)
     return stats
 
 
 class _WalClientFactory:
-    """Picklable zero-arg factory for Ray tasks."""
+    """Picklable zero-arg factory for Ray tasks. On a multi-node cluster
+    a non-None ``wal_root`` must be reachable from the drain tasks —
+    shared storage, or pin the tasks to the ingester node with a Ray
+    scheduling hint (NodeAffinitySchedulingStrategy)."""
 
-    def __init__(self, index_dir: str, source_id: str):
+    def __init__(self, index_dir: str, source_id: str,
+                 wal_root: Optional[str] = None):
         self.index_dir = index_dir
         self.source_id = source_id
+        self.wal_root = wal_root
 
     def __call__(self) -> WalQueueClient:
-        return WalQueueClient(self.index_dir, self.source_id)
+        return WalQueueClient(self.index_dir, self.source_id, self.wal_root)

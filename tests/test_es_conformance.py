@@ -307,6 +307,7 @@ ES_COMPAT_FILES = [
     "0018-search_after.yaml",
     "0019-count.yaml",
     "0020-stats.yaml",
+    "0021-cat-indices.yaml",
     "0022-source.yaml",
     "0023-extra_filters.yaml",
     "0025-msearch.yaml",
@@ -321,6 +322,14 @@ _SKIP: dict[str, dict[int, str]] = {
         0: "store.size_in_bytes $expect assumes tantivy file sizes; our "
            "splits are parquet+zstd (smaller) — docs/segments counts are "
            "checked by the remaining steps",
+    },
+    "0021-cat-indices.yaml": {
+        0: "expects the otel-* default indexes (no OTLP services in the "
+           "offline suite) and tantivy byte sizes; wildcard/h/health/400 "
+           "steps below cover the endpoint",
+        1: "store.size $expect ranges assume tantivy file sizes; our "
+           "parquet+zstd splits are smaller — shape is asserted by the "
+           "h-projection steps",
     },
 }
 

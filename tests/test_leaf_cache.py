@@ -126,3 +126,51 @@ def test_leaf_cache_respects_flags(tmp_path):
     finally:
         engine.ENABLE_MAXSCORE = old
         engine.ENABLE_LEAF_CACHE = True
+
+
+def test_leaf_cache_byte_budget_adversarial():
+    """Byte ceiling under adversarial entry sizes (reference
+    LeafSearchCache is 64 MB byte-bound, leaf_cache.rs): big partials
+    evict early, a partial larger than the whole cache is never stored."""
+    import numpy as np
+
+    c = engine._LeafCache(capacity=512, byte_budget=1_000_000)
+    # 10 entries x ~200 KB: only ~5 fit
+    for i in range(10):
+        c.put(("k", i), {"doc_ids": np.zeros(25_000, np.int64)})
+    assert c.retained_bytes <= 1_000_000
+    assert c.get(("k", 9)) is not None      # newest kept
+    assert c.get(("k", 0)) is None          # oldest evicted
+    # an entry bigger than the budget is refused outright
+    c.put(("giant",), {"doc_ids": np.zeros(300_000, np.int64)})
+    assert c.get(("giant",)) is None
+    assert c.retained_bytes <= 1_000_000
+    # replacing a key does not leak accounting
+    before = c.retained_bytes
+    c.put(("k", 9), {"doc_ids": np.zeros(25_000, np.int64)})
+    assert abs(c.retained_bytes - before) < 1024
+
+
+def test_reader_cache_byte_budget(tmp_path):
+    """Reader LRU evicts by RETAINED bytes, keeping at least the most
+    recent reader (fast-field/footer byte-budget analog)."""
+    idx = Index.create(str(tmp_path / "i"), "docs", documents_doc_mapping(),
+                       settings=IndexSettings(split_num_docs_target=100))
+    rows = pq.read_table(DOCS).slice(0, 400).to_pylist()
+    for i in range(4):  # one split per commit
+        idx.ingest_docs(rows[i * 100:(i + 1) * 100], commit_id=f"c{i}")
+    from quickwit_ray.state.manifest import Manifest
+    m = Manifest(idx.index_dir)
+    dirs = [engine.os.path.join(idx.index_dir, "splits", s.split_id)
+            for s in m.published_splits()]
+    assert len(dirs) >= 3
+    one = engine._ReaderCache(capacity=64).get(dirs[0])
+    per_reader = max(one.retained_bytes, 1)
+    rc = engine._ReaderCache(capacity=64, byte_budget=2 * per_reader)
+    for d in dirs:
+        rc.get(d)
+    assert rc.retained_bytes <= max(2 * per_reader, per_reader)
+    assert rc.evictions >= len(dirs) - 2
+    # the most recently used reader always survives
+    r_last = rc.get(dirs[-1])
+    assert rc.get(dirs[-1]) is r_last

@@ -285,3 +285,25 @@ def test_wal_random_kill_points_exactly_once(tmp_path_factory, shards,
     r = IndexSearcher(d).search("*", max_hits=10_000,
                                 fetch_fields=["doc_id"])
     assert sorted(r.hits["doc_id"]) == list(range(len(rows)))
+
+
+def test_wal_relocated_shard_root(tmp_path):
+    """WAL shards living OUTSIDE the index dir (shared storage / ingester
+    node disk) persist, drain and truncate through the same path."""
+    idx = _make_index(str(tmp_path / "idx"))
+    root = str(tmp_path / "shared-wal")
+    wal = IngestWal(idx, num_shards=2, wal_root=root)
+    rows = _doc_rows(120)
+    for i in range(0, 120, 40):
+        wal.persist(rows[i:i + 40])
+    wal.close()
+    # shards live under the relocated root, not the index dir
+    assert glob.glob(os.path.join(root, "_ingest-api", "shard-*")) != []
+    assert not os.path.exists(os.path.join(idx, "wal"))
+    st = index_wal(idx, execution="local", wal_root=root)
+    assert st.num_docs == 120
+    s = IndexSearcher(idx)
+    assert s.search("*", max_hits=0).num_hits == 120
+    # truncation GC'd the relocated segments
+    assert glob.glob(os.path.join(root, "_ingest-api", "shard-*",
+                                  "seg-*.log")) == []
