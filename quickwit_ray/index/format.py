@@ -49,6 +49,15 @@ FIELDNORMS_FILE = "fieldnorms.parquet"
 FASTFIELDS_FILE = "fastfields.parquet"
 DOCSTORE_FILE = "docstore.parquet"
 FOOTER_FILE = "footer.json"
+# impact-ordered hot-term cache (the reference hotcache analog,
+# quickwit-directories/src/hot_directory.rs): per heavy term, the full
+# block metadata + the top-impact blocks pre-decoded, in 1-row parquet
+# row groups — a cold top-k needs ONE small read instead of
+# decompressing a 2048-term posting column chunk
+HOTCACHE_FILE = "hotcache.parquet"
+HOT_DF_THRESHOLD = 4096     # terms below this df read cheap enough anyway
+HOT_EMBED_BLOCKS = 32       # top-impact blocks embedded (~4096 docs)
+MAX_HOT_TERMS = 256         # per split, heaviest df first
 
 
 def delta_encode(doc_ids: np.ndarray) -> bytes:
@@ -184,10 +193,146 @@ class ExactRowGroupWriter:
 
 
 
+def decode_posting_blocks(deltas: np.ndarray, tfs_all: np.ndarray,
+                          lens: np.ndarray, block_last: np.ndarray,
+                          sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Segmented vectorized decode of an arbitrary posting-block subset
+    -> (absolute doc ids, tfs). Mirrors the scorer's decode_blocks
+    (split_search.term_topk_blockmax) for write-time use."""
+    sel = np.sort(np.asarray(sel, np.int64))
+    lens = np.asarray(lens, np.int64)
+    bl = np.asarray(block_last, np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    ls = lens[sel]
+    ss = starts[sel]
+    total = int(ls.sum())
+    seg_off = np.concatenate([[0], np.cumsum(ls)[:-1]])
+    big_idx = np.repeat(ss - seg_off, ls) + np.arange(total)
+    d = deltas[big_idx].astype(np.int64)
+    cs = np.cumsum(d)
+    seg_base = cs[seg_off] - d[seg_off]
+    abs_prev = np.where(sel > 0, bl[sel - 1], 0)
+    docs = cs - np.repeat(seg_base, ls) + np.repeat(abs_prev, ls)
+    tfs = (np.ones(total, np.int64) if len(tfs_all) == 0
+           else tfs_all[big_idx].astype(np.int64))
+    return docs, tfs
+
+
+def block_score_bounds(block_max_tf: np.ndarray, block_min_norm: np.ndarray,
+                       nblocks: int, df: float, num_docs: float,
+                       avgdl: float, flat: bool) -> np.ndarray:
+    """Per-block BM25 score upper bounds (the tantivy BlockWAND pair
+    bound: score(max_tf, shortest doc in block) >= any doc's score in the
+    block). Shared by the scorer's block pruning and the hotcache
+    builder's impact ordering."""
+    from quickwit_ray.functions.bm25 import B, K1, id_to_fieldnorm
+    from quickwit_ray.functions.bm25 import idf as idf_fn
+
+    bmax = (np.ones(nblocks) if flat
+            else np.asarray(block_max_tf, np.float64))
+    w = float(idf_fn(float(df), float(num_docs))) * (1.0 + K1)
+    if len(block_min_norm) == nblocks and nblocks > 0:
+        dl_min = id_to_fieldnorm(np.asarray(block_min_norm, np.uint8)
+                                 ).astype(np.float64)
+        cache = K1 * (1.0 - B + B * dl_min / max(avgdl, 1e-9))
+    else:
+        cache = K1 * (1.0 - B)  # legacy: dl -> 0 bound
+    return w * bmax / (bmax + cache) * (1.0 + 1e-6)
+
+
+def build_hotcache(split_dir: str, field_stats: dict) -> int:
+    """Write the impact-ordered hot-term cache for a finished split.
+
+    For each heavy term (df >= HOT_DF_THRESHOLD, heaviest MAX_HOT_TERMS):
+    full block metadata + the HOT_EMBED_BLOCKS highest-upper-bound blocks
+    pre-decoded to absolute doc ids, one parquet row group per term. The
+    scorer seeds its threshold from the embedded blocks and — when every
+    other block's bound falls below it — answers the top-k without ever
+    touching the 2048-term posting row group. Readers treat the file as
+    optional (legacy splits fall back to the full read). Returns the
+    number of cached terms."""
+    path = os.path.join(split_dir, POSTINGS_FILE)
+    pf = pq.ParquetFile(path)
+    names = pf.schema_arrow.names
+    if "block_lens" not in names:
+        return 0  # legacy layout: no per-block lengths, nothing to seed
+    dict_tbl = pf.read(columns=["field", "df"])
+    df_all = np.asarray(dict_tbl["df"], np.int64)
+    cand = np.nonzero(df_all >= max(HOT_DF_THRESHOLD,
+                                    (HOT_EMBED_BLOCKS + 1) * BLOCK_SIZE))[0]
+    if len(cand) == 0:
+        return 0
+    if len(cand) > MAX_HOT_TERMS:
+        cand = cand[np.argsort(-df_all[cand], kind="stable")[:MAX_HOT_TERMS]]
+        cand.sort()
+    fields = np.asarray(dict_tbl["field"])
+    cols = ["doc_ids", "tfs", "block_last", "block_max_tf", "block_lens"]
+    has_min_norm = "block_min_norm" in names
+    if has_min_norm:
+        cols.append("block_min_norm")
+    rows_out: list[dict] = []
+    for rg in sorted({int(r) // TERMS_PER_ROW_GROUP for r in cand}):
+        tbl = pf.read_row_group(rg, columns=cols)
+        for r in (int(c) for c in cand
+                  if c // TERMS_PER_ROW_GROUP == rg):
+            i = r - rg * TERMS_PER_ROW_GROUP
+            deltas = np.frombuffer(tbl["doc_ids"][i].as_py() or b"", np.int32)
+            tfs_all = np.frombuffer(tbl["tfs"][i].as_py() or b"", np.uint32)
+            bl = np.frombuffer(tbl["block_last"][i].as_py() or b"", np.int32)
+            bmaxtf = np.frombuffer(tbl["block_max_tf"][i].as_py() or b"",
+                                   np.int32)
+            lens = np.frombuffer(tbl["block_lens"][i].as_py() or b"",
+                                 np.int32).astype(np.int64)
+            bmin = (np.frombuffer(tbl["block_min_norm"][i].as_py() or b"",
+                                  np.uint8) if has_min_norm
+                    else np.empty(0, np.uint8))
+            if len(lens) <= HOT_EMBED_BLOCKS or lens.sum() != df_all[r]:
+                continue
+            st = field_stats.get(str(fields[r]), {})
+            flat = len(tfs_all) == 0
+            ub = block_score_bounds(
+                bmaxtf, bmin, len(lens), float(df_all[r]),
+                float(st.get("num_docs", 0) or 1),
+                float(st.get("avgdl", 1.0) or 1.0), flat)
+            sel = np.sort(np.argsort(-ub, kind="stable")
+                          [:HOT_EMBED_BLOCKS]).astype(np.int32)
+            docs, tfs = decode_posting_blocks(deltas, tfs_all, lens, bl, sel)
+            rows_out.append({
+                "row": r, "df": int(df_all[r]),
+                "block_last": bl.tobytes(),
+                "block_max_tf": bmaxtf.tobytes(),
+                "block_lens": lens.astype(np.int32).tobytes(),
+                "block_min_norm": bmin.tobytes(),
+                "sel": sel.tobytes(),
+                "docs": docs.astype(np.int32).tobytes(),
+                "tfs": tfs.astype(np.uint32).tobytes(),
+                "has_tfs": not flat,
+            })
+    if not rows_out:
+        return 0
+    t = pa.table({k: [r[k] for r in rows_out] for k in rows_out[0]})
+    pq.write_table(t, os.path.join(split_dir, HOTCACHE_FILE),
+                   row_group_size=1, compression="zstd")
+    return len(rows_out)
+
+
 def write_footer(split_dir: str, footer: dict) -> None:
+    n_hot = 0
+    # a split with fewer docs than the df threshold cannot hold a hot
+    # term — skip even the dict read (keeps small-split build free)
+    if not os.environ.get("QW_RAY_DISABLE_HOTCACHE") \
+            and int(footer.get("num_docs", 0)) >= max(
+                HOT_DF_THRESHOLD, (HOT_EMBED_BLOCKS + 1) * BLOCK_SIZE):
+        try:
+            n_hot = build_hotcache(split_dir,
+                                   footer.get("field_stats") or {})
+        except Exception:  # noqa: BLE001 — a pure optimization
+            n_hot = 0
+    if n_hot:
+        footer = dict(footer, hotcache_terms=n_hot)
     files = {}
     for fn in (POSTINGS_FILE, POSITIONS_FILE, FIELDNORMS_FILE, FASTFIELDS_FILE,
-               DOCSTORE_FILE):
+               DOCSTORE_FILE, HOTCACHE_FILE):
         p = os.path.join(split_dir, fn)
         if os.path.exists(p):
             files[fn] = os.path.getsize(p)
@@ -243,6 +388,11 @@ class SplitReader:
         self._raw_cache: "_OD[int, dict]" = _OD()
         self._pos_pf: Optional[pq.ParquetFile] = None
         self._legacy_positions = "positions" in self._pf.schema_arrow.names
+        # hotcache (impact-ordered hot-term sidecar): row -> row-group
+        # index, resolved lazily; None = not probed yet, {} = absent
+        self._hot_index: Optional[dict[int, int]] = None
+        self._hot_pf: Optional[pq.ParquetFile] = None
+        self._hot_cache: dict[int, dict] = {}
 
     # -- term dictionary ----------------------------------------------------
 
@@ -419,6 +569,52 @@ class SplitReader:
         if len(self._raw_cache) > 512:
             _, dropped = self._raw_cache.popitem(last=False)
             self.retained_bytes -= sum(v.nbytes for v in dropped.values())
+        return ent
+
+    def raw_cached(self, row: int) -> Optional[dict]:
+        """The already-decompressed raw entry, if any (the scorer prefers
+        it over the hotcache: no read either way)."""
+        return self._raw_cache.get(int(row))
+
+    def hot_entry(self, row: int) -> Optional[dict]:
+        """Hotcache entry for a dictionary row, or None. One tiny
+        single-term row-group read per term — never touches the heavy
+        posting row groups."""
+        if self._hot_index is None:
+            p = os.path.join(self.split_dir, HOTCACHE_FILE)
+            if not os.path.exists(p):
+                self._hot_index = {}
+                return None
+            self._hot_pf = pq.ParquetFile(p)
+            rows = self._hot_pf.read(columns=["row"])  # tiny int column
+            self._hot_index = {int(v): i for i, v
+                               in enumerate(rows["row"].to_pylist())}
+        i = self._hot_index.get(int(row))
+        if i is None:
+            return None
+        ent = self._hot_cache.get(int(row))
+        if ent is None:
+            tbl = self._hot_pf.read_row_group(i)
+            self.bytes_read += tbl.nbytes
+            self.retained_bytes += tbl.nbytes
+            ent = {
+                "df": int(tbl["df"][0].as_py()),
+                "block_last": np.frombuffer(tbl["block_last"][0].as_py()
+                                            or b"", np.int32),
+                "block_max_tf": np.frombuffer(tbl["block_max_tf"][0].as_py()
+                                              or b"", np.int32),
+                "block_lens": np.frombuffer(tbl["block_lens"][0].as_py()
+                                            or b"", np.int32),
+                "block_min_norm": np.frombuffer(
+                    tbl["block_min_norm"][0].as_py() or b"", np.uint8),
+                "sel": np.frombuffer(tbl["sel"][0].as_py() or b"", np.int32),
+                "docs": np.frombuffer(tbl["docs"][0].as_py() or b"",
+                                      np.int32),
+                "tfs": np.frombuffer(tbl["tfs"][0].as_py() or b"",
+                                     np.uint32),
+                "has_tfs": bool(tbl["has_tfs"][0].as_py()),
+            }
+            self._hot_cache[int(row)] = ent
         return ent
 
     def read_postings_selected(self, row: int, cand_docs: np.ndarray

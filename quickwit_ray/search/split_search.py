@@ -842,15 +842,50 @@ class SplitSearcher:
         if rows[0] < 0:
             return np.empty(0, np.int64), np.empty(0, np.float32), 0
         row = int(rows[0])
+        num_docs, avgdl = self._field_stats(field)
+        fm = self.mapping.resolve_field(field) if _has_field(self.mapping, field) else None
+        basic = fm is not None and fm.record == "basic"
+        df = float(self.reader.df[row])
+        # hotcache fast path (hot_directory.rs analog): score the
+        # pre-decoded top-impact blocks from the tiny sidecar; when every
+        # non-embedded block's bound falls below the resulting kth score,
+        # the top-k is provably complete after ONE small read. Otherwise
+        # the established threshold seeds the full evaluation (theta0
+        # semantics: docs below it cannot enter the top-k, and every doc
+        # at-or-above it is re-decoded by the rounds below — no
+        # duplicates, exact).
+        hot = (self.reader.hot_entry(row)
+               if self.reader.raw_cached(row) is None else None)
+        if hot is not None and hot["df"] == int(df) \
+                and len(hot["block_lens"]):
+            from quickwit_ray.index.format import block_score_bounds
+
+            lens_h = hot["block_lens"].astype(np.int64)
+            flat_h = basic or not hot["has_tfs"]
+            ub_h = block_score_bounds(hot["block_max_tf"],
+                                      hot["block_min_norm"], len(lens_h),
+                                      df, num_docs, avgdl, flat_h)
+            norms_h = self.reader.fieldnorm_ids(field)
+            docs1 = hot["docs"].astype(np.int64)
+            tfs1 = (np.ones(len(docs1), np.int64) if flat_h
+                    else hot["tfs"].astype(np.int64))
+            scores1 = bm25_scores(tfs1, norms_h[docs1], df=df,
+                                  num_docs=num_docs, avgdl=avgdl)
+            if len(scores1) >= k:
+                theta_h = float(np.partition(
+                    scores1, len(scores1) - k)[len(scores1) - k])
+                if theta0 is not None:
+                    theta_h = max(theta_h, float(theta0))
+                restmask = np.ones(len(lens_h), bool)
+                restmask[hot["sel"]] = False
+                if not np.any(restmask & (ub_h >= theta_h)):
+                    return docs1, scores1, int(df)
+                theta0 = theta_h  # seed the full path
         raw = self.reader.read_postings_raw(row)
         lens = raw["block_lens"].astype(np.int64)
         if len(lens) == 0 or lens.sum() != self.reader.df[row]:
             # legacy split without block_lens: fall back to full scoring
             return None
-        num_docs, avgdl = self._field_stats(field)
-        fm = self.mapping.resolve_field(field) if _has_field(self.mapping, field) else None
-        basic = fm is not None and fm.record == "basic"
-        df = float(self.reader.df[row])
         bmax = (np.ones(len(lens)) if basic or len(raw["tfs"]) == 0
                 else raw["block_max_tf"].astype(np.float64))
         w = float(idf_fn(df, num_docs)) * (1.0 + K1)
