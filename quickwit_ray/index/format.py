@@ -55,7 +55,11 @@ FOOTER_FILE = "footer.json"
 # row groups — a cold top-k needs ONE small read instead of
 # decompressing a 2048-term posting column chunk
 HOTCACHE_FILE = "hotcache.parquet"
-HOT_DF_THRESHOLD = 4096     # terms below this df read cheap enough anyway
+# terms below this df (128 blocks) read cheap enough anyway; the
+# threshold also bounds the BUILD cost — each cached term costs one
+# posting-row-group decompress at packaging time, so sweeping in
+# mid-weight terms makes every merge re-read most of the file
+HOT_DF_THRESHOLD = 16384
 HOT_EMBED_BLOCKS = 32       # top-impact blocks embedded (~4096 docs)
 MAX_HOT_TERMS = 256         # per split, heaviest df first
 
@@ -363,22 +367,26 @@ class SplitReader:
         self.num_docs: int = self.footer["num_docs"]
         self.field_stats: dict = self.footer.get("field_stats", {})
         self._pf = pq.ParquetFile(os.path.join(split_dir, POSTINGS_FILE))
-        dict_tbl = self._pf.read(columns=DICT_COLUMNS)
+        # LAZY term dictionary (the FST-block analog): the numeric df /
+        # max_tf columns load eagerly (scorers index them by global row),
+        # but the field/term STRING columns — the bulk of the dictionary
+        # at web scale — load per 2048-term row group on demand; lookups
+        # binary-search across row groups probing only first keys. A cold
+        # top-k touches O(log #rowgroups) dictionary row groups instead
+        # of the whole string dictionary.
+        dict_tbl = self._pf.read(columns=["df", "max_tf"])
         self.bytes_read += dict_tbl.nbytes
         self.retained_bytes += dict_tbl.nbytes
-        self._dict_field = np.asarray(dict_tbl["field"])
-        self._dict_term = np.asarray(dict_tbl["term"])
         self.df = np.asarray(dict_tbl["df"], np.int64)
         self.max_tf = np.asarray(dict_tbl["max_tf"], np.int64)
-        # rows are sorted by (field, term): binary-search per field segment
-        self._field_bounds: dict[str, tuple[int, int]] = {}
-        if len(self._dict_field):
-            fields, starts = np.unique(self._dict_field, return_index=True)
-            order = np.argsort(starts)
-            starts_sorted = starts[order]
-            for i, fi in enumerate(order):
-                end = starts_sorted[i + 1] if i + 1 < len(starts_sorted) else len(self._dict_field)
-                self._field_bounds[str(fields[fi])] = (int(starts_sorted[i]), int(end))
+        md = self._pf.metadata
+        counts = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        self._dict_rg_starts = np.concatenate(
+            [[0], np.cumsum(counts)]).astype(np.int64)
+        self._num_terms = int(self._dict_rg_starts[-1])
+        self._dict_segs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._dict_first_keys: dict[int, tuple[str, str]] = {}
+        self._field_bounds_cache: dict[str, tuple[int, int]] = {}
         self._fieldnorms: Optional[pa.Table] = None
         self._fastfields: Optional[pa.Table] = None
         self._postings_cache: dict[int, dict] = {}
@@ -394,21 +402,104 @@ class SplitReader:
         self._hot_pf: Optional[pq.ParquetFile] = None
         self._hot_cache: dict[int, dict] = {}
 
-    # -- term dictionary ----------------------------------------------------
+    # -- term dictionary (lazy per-row-group segments) -----------------------
+
+    def _dict_seg(self, rg: int) -> tuple[np.ndarray, np.ndarray]:
+        seg = self._dict_segs.get(rg)
+        if seg is None:
+            tbl = self._pf.read_row_group(rg, columns=["field", "term"])
+            self.bytes_read += tbl.nbytes
+            self.retained_bytes += tbl.nbytes
+            seg = (np.asarray(tbl["field"]), np.asarray(tbl["term"]))
+            self._dict_segs[rg] = seg
+            if len(seg[0]):
+                self._dict_first_keys[rg] = (str(seg[0][0]), str(seg[1][0]))
+        return seg
+
+    def _rg_of_row(self, row: int) -> int:
+        return int(np.searchsorted(self._dict_rg_starts, row,
+                                   side="right") - 1)
+
+    def _dict_insertion(self, field: str, term: Optional[str],
+                        side: str = "left", term_inf: int = 0) -> int:
+        """Global insertion index of key (field, term) among the
+        (field, term)-sorted dictionary rows — np.searchsorted semantics,
+        loading only the O(log #rowgroups) probed dictionary row groups.
+        ``term_inf``: -1 = before every term of the field, +1 = after."""
+        nrg = len(self._dict_rg_starts) - 1
+        if nrg == 0 or self._num_terms == 0:
+            return 0
+
+        def first_key_le(rg: int) -> bool:
+            fk = self._dict_first_keys.get(rg)
+            if fk is None:
+                self._dict_seg(rg)
+                fk = self._dict_first_keys[rg]
+            fk_f, fk_t = fk
+            if fk_f != field:
+                return fk_f < field
+            if term_inf > 0:
+                return True
+            if term_inf < 0:
+                return False
+            return fk_t < term or (fk_t == term and side == "right")
+
+        a, b, r = 0, nrg - 1, -1
+        while a <= b:
+            m = (a + b) // 2
+            if first_key_le(m):
+                r, a = m, m + 1
+            else:
+                b = m - 1
+        if r < 0:
+            return 0
+        f, t = self._dict_seg(r)
+        s = int(self._dict_rg_starts[r])
+        fi_lo = int(np.searchsorted(f, field, side="left"))
+        fi_hi = int(np.searchsorted(f, field, side="right"))
+        if term_inf > 0:
+            return s + fi_hi
+        if term_inf < 0:
+            return s + fi_lo
+        return s + fi_lo + int(np.searchsorted(t[fi_lo:fi_hi], term,
+                                               side=side))
+
+    def _field_bounds_for(self, field: str) -> tuple[int, int]:
+        b = self._field_bounds_cache.get(field)
+        if b is None:
+            lo = self._dict_insertion(field, None, term_inf=-1)
+            hi = self._dict_insertion(field, None, term_inf=+1)
+            b = (lo, hi)
+            self._field_bounds_cache[field] = b
+        return b
+
+    def dict_terms(self, rows: np.ndarray) -> np.ndarray:
+        """Term strings for the given rows (object array), loading only
+        the covering dictionary row groups."""
+        rows = np.asarray(rows, np.int64)
+        out = np.empty(len(rows), object)
+        if not len(rows):
+            return out
+        rgs = np.searchsorted(self._dict_rg_starts, rows, side="right") - 1
+        for rg in np.unique(rgs):
+            _, t = self._dict_seg(int(rg))
+            sel = rgs == rg
+            out[sel] = t[rows[sel] - int(self._dict_rg_starts[rg])]
+        return out
 
     def term_rows(self, field: str, terms: Sequence[str]) -> np.ndarray:
         """Dictionary row indices for the given terms; -1 when absent."""
-        lo, hi = self._field_bounds.get(field, (0, 0))
-        if hi == lo:
-            return np.full(len(terms), -1, np.int64)
-        seg = self._dict_term[lo:hi]
-        idx = np.searchsorted(seg, np.asarray(terms, object))
+        lo, hi = self._field_bounds_for(field)
         out = np.full(len(terms), -1, np.int64)
-        ok = idx < len(seg)
-        ok_idx = idx[ok]
-        match = seg[ok_idx] == np.asarray(terms, object)[ok]
-        res = np.where(match, ok_idx + lo, -1)
-        out[np.nonzero(ok)[0]] = res
+        if hi == lo:
+            return out
+        for i, term in enumerate(terms):
+            pos = self._dict_insertion(field, term, side="left")
+            if lo <= pos < hi:
+                rg = self._rg_of_row(pos)
+                _, t = self._dict_seg(rg)
+                if str(t[pos - int(self._dict_rg_starts[rg])]) == term:
+                    out[i] = pos
         return out
 
     def term_range_rows(self, field: str, lower: Optional[str], upper: Optional[str],
@@ -417,31 +508,36 @@ class SplitReader:
         """Row indices of terms in [lower, upper) / with prefix / matching
         regex — the term-dictionary automaton scan (wildcard/regex/prefix
         queries, list_terms)."""
-        lo, hi = self._field_bounds.get(field, (0, 0))
+        lo, hi = self._field_bounds_for(field)
         if hi == lo:
             return np.empty(0, np.int64)
-        seg = self._dict_term[lo:hi]
         if prefix is not None:
-            start = lo + np.searchsorted(seg, prefix)
-            end = lo + np.searchsorted(seg, prefix + chr(0x10FFFF))
-            rows = np.arange(start, end, dtype=np.int64)
+            start = self._dict_insertion(field, prefix, side="left")
+            end = self._dict_insertion(field, prefix + chr(0x10FFFF),
+                                       side="left")
         else:
-            start = lo if lower is None else lo + np.searchsorted(seg, lower)
-            end = hi if upper is None else lo + np.searchsorted(seg, upper)
-            rows = np.arange(start, end, dtype=np.int64)
+            start = lo if lower is None else \
+                self._dict_insertion(field, lower, side="left")
+            end = hi if upper is None else \
+                self._dict_insertion(field, upper, side="left")
+        rows = np.arange(start, end, dtype=np.int64)
         if regex is not None and len(rows):
             import re as _re
 
             pat = _re.compile(regex)
+            terms = self.dict_terms(rows)
             mask = np.fromiter((pat.fullmatch(t) is not None
-                                for t in self._dict_term[rows]), bool, count=len(rows))
+                                for t in terms), bool, count=len(rows))
             rows = rows[mask]
         if limit is not None:
             rows = rows[:limit]
         return rows
 
     def term_at(self, row: int) -> tuple[str, str]:
-        return str(self._dict_field[row]), str(self._dict_term[row])
+        rg = self._rg_of_row(int(row))
+        f, t = self._dict_seg(rg)
+        i = int(row) - int(self._dict_rg_starts[rg])
+        return str(f[i]), str(t[i])
 
     # -- postings -----------------------------------------------------------
 

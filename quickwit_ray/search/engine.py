@@ -103,6 +103,7 @@ class _ReaderCache:
         self._cache: OrderedDict[str, tuple[int, SplitReader]] = OrderedDict()
         self._lock = threading.Lock()
         self.evictions = 0
+        self._gets = 0
 
     def _enforce_budget_locked(self) -> None:
         while len(self._cache) > self.capacity:
@@ -127,7 +128,13 @@ class _ReaderCache:
             ent = self._cache.get(split_dir)
             if ent is not None and ent[0] == stamp:
                 self._cache.move_to_end(split_dir)
-                self._enforce_budget_locked()
+                # readers grow lazily after insertion, so the budget is
+                # re-checked on hits too — but only every 64th get (the
+                # sweep sums every cached reader under the lock; doing it
+                # per hit serializes the threaded leaf fan-out)
+                self._gets += 1
+                if self._gets % 64 == 0:
+                    self._enforce_budget_locked()
                 return ent[1]
         r = SplitReader(split_dir)
         with self._lock:

@@ -32,13 +32,13 @@ def hot_idx(tmp_path_factory):
                        settings=IndexSettings(split_num_docs_target=100_000))
     rng = np.random.RandomState(7)
     docs = []
-    for i in range(6000):
+    for i in range(20000):
         # every doc contains the hot term; impact is SKEWED — the last
         # ~1700 docs carry high tf in short docs (high block bounds), the
         # rest tf=1 in long docs — so the top-impact blocks provably
         # dominate the top-k (real hot terms behave this way; a uniform
         # corpus has no prunable structure and would fall back)
-        if i >= 4300:
+        if i >= 20000 - 1700:
             reps, lo, hi = 6, 2, 5
         else:
             reps, lo, hi = 1, 25, 40
@@ -62,7 +62,7 @@ def test_hotcache_written_and_indexed(hot_idx):
     r = SplitReader(d)
     row = int(r.term_rows("body", ["common"])[0])
     ent = r.hot_entry(row)
-    assert ent is not None and ent["df"] == 6000
+    assert ent is not None and ent["df"] == 20000
     assert len(ent["sel"]) == HOT_EMBED_BLOCKS
     assert len(ent["docs"]) == int(ent["block_lens"][ent["sel"]].sum())
     # non-hot terms are absent
@@ -89,7 +89,7 @@ def test_hot_term_topk_exact_and_cheap(hot_idx):
     s2 = IndexSearcher(hot_idx.index_dir)
     got = s2.search("body:common", max_hits=10, sort_by="_score",
                     fetch_fields=["doc_id"])
-    assert got.num_hits == truth.num_hits == 6000
+    assert got.num_hits == truth.num_hits == 20000
     assert list(got.hits["doc_id"]) == list(truth.hits["doc_id"])
     assert np.allclose(np.asarray(got.hits["sort_key0"], np.float64),
                        np.asarray(truth.hits["sort_key0"], np.float64))
