@@ -73,14 +73,16 @@ def test_multilang_prefixes_and_detection():
     kor = tokenize("일본입니다. 매우 멋진 단어입니다.", "multilang")
     assert kor[0] == "일본입니다" and len(kor) == 4
     assert tokenize("KOR:일본입니다", "multilang") == ["일본입니다"]
-    # CJK runs emit overlapping BIGRAMS (Lucene CJKBigramFilter scheme —
-    # dictionary-free approximation of lindera, documented divergence);
-    # a lone CJK char stays a unigram, non-CJK runs pass through
+    # CHINESE runs emit overlapping BIGRAMS (Lucene CJKBigramFilter
+    # scheme — dictionary-free approximation of CcCedict, documented
+    # divergence); a lone CJK char stays a unigram, non-CJK runs pass
     cmn = tokenize("地址1，包含無效的字元", "multilang")
     assert cmn == ["地址", "1", "包含", "含無", "無效", "效的", "的字", "字元"]
+    # JAPANESE segments with the dictionary Viterbi (lindera/IPADIC
+    # analog): the classic MeCab example splits exactly like IPADIC
     jpn = tokenize("すもももももももものうち", "multilang")
-    assert jpn[0] == "すも" and len(jpn) == 11
-    assert tokenize("JPN:すもも", "multilang") == ["すも", "もも"]
+    assert jpn == ["すもも", "も", "もも", "も", "もも", "の", "うち"]
+    assert tokenize("JPN:すもも", "multilang") == ["すもも"]
     assert tokenize("CMN:山", "multilang") == ["山"]
     # mixed script: latin words interleave with bigram runs
     assert tokenize("CMN:abc山水def", "multilang") == ["abc", "山水", "def"]
@@ -141,3 +143,66 @@ def test_multilang_field_end_to_end(tmp_path):
     assert list(s.search("body:地址", max_hits=5,
                          fetch_fields=["doc_id"]).hits["doc_id"]) == [2]
     assert s.search("body:地", max_hits=5).num_hits == 0
+
+
+def test_japanese_viterbi_ipadic_goldens():
+    """Dictionary-Viterbi segmentation goldens: each case matches the
+    published MeCab/lindera-IPADIC output (round-3 verdict item).
+    Divergences of the approximated dictionary are documented in
+    functions/ja_segment.py (out-of-lexicon kanji compounds split
+    per-char; the class-bigram connection model covers the classic
+    ambiguities, not IPADIC's full matrix)."""
+    from quickwit_ray.functions.ja_segment import segment
+
+    goldens = {
+        # the canonical MeCab demo sentence
+        "すもももももももものうち":
+            ["すもも", "も", "もも", "も", "もも", "の", "うち"],
+        # the canonical compound-splitting demo
+        "関西国際空港": ["関西", "国際", "空港"],
+        "日本語の形態素解析": ["日本語", "の", "形態素", "解析"],
+        "私は学生です": ["私", "は", "学生", "です"],
+        "今日は良い天気です": ["今日", "は", "良い", "天気", "です"],
+        # IPADIC famously splits 東京都 as 東京/都
+        "東京都に住んでいます":
+            ["東京", "都", "に", "住ん", "で", "い", "ます"],
+        # unknown katakana runs group whole (MeCab unk rules; スカイ
+        # ツリー postdates IPADIC)
+        "東京スカイツリー": ["東京", "スカイツリー"],
+        "日本語は難しいです": ["日本語", "は", "難しい", "です"],
+    }
+    for text, want in goldens.items():
+        assert segment(text) == want, text
+    # through the multilang tokenizer: same boundaries + lowercase chain
+    assert tokenize("JPN:日本語の形態素解析エンジン", "multilang") == \
+        ["日本語", "の", "形態素", "解析", "エンジン"]
+    # mixed script: latin/digits pass through, runs segment
+    assert tokenize("JPN:Ray で日本語を検索", "multilang") == \
+        ["ray", "で", "日本語", "を", "検索"]
+
+
+def test_japanese_viterbi_index_roundtrip(tmp_path):
+    """End-to-end: documents indexed with multilang match word queries
+    at word boundaries (not substring bigrams)."""
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", tokenizer="multilang",
+                         record="freq"),
+            FieldMapping(name="doc_id", type="i64", stored=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    tbl = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "body": ["JPN:日本語の形態素解析は難しい",
+                 "JPN:関西国際空港に行きます",
+                 "JPN:今日は良い天気です"],
+    })
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    d = str(tmp_path / "idx")
+    build_index(inp, d, IndexConfig("ja", mapping), execution="local")
+    s = IndexSearcher(d)
+    assert s.search('body:"JPN:形態素"', max_hits=10).num_hits == 1
+    assert s.search('body:"JPN:空港"', max_hits=10).num_hits == 1
+    assert s.search('body:"JPN:天気"', max_hits=10).num_hits == 1
+    # a non-word substring crossing a boundary does NOT match
+    assert s.search('body:"JPN:語の形"', max_hits=10).num_hits == 0
