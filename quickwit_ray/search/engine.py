@@ -265,6 +265,28 @@ def _manifest_stamp(index_dir: str) -> Optional[tuple]:
 
 import threading as _threading  # noqa: E402 — eager lock, no init race
 
+_LEAF_POOL = None
+_LEAF_POOL_LOCK = _threading.Lock()
+
+
+def _leaf_thread_pool():
+    """Process-wide persistent leaf-search thread pool (the reference's
+    long-lived searcher runtime): queries share it instead of paying
+    thread spawn per search. Leaf tasks never re-enter the pool, so no
+    nesting deadlock; concurrency ACROSS queries is governed by the
+    permit provider's byte budget + warmup slots, not pool width."""
+    global _LEAF_POOL
+    if _LEAF_POOL is None:
+        with _LEAF_POOL_LOCK:
+            if _LEAF_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _LEAF_POOL = ThreadPoolExecutor(
+                    max_workers=min(32, (os.cpu_count() or 8)),
+                    thread_name_prefix="leaf-search")
+    return _LEAF_POOL
+
+
 _SEARCHER_CACHE: OrderedDict = OrderedDict()
 _SEARCHER_CACHE_LOCK = _threading.Lock()
 _SEARCHER_CACHE_CAP = 64
@@ -820,13 +842,14 @@ class IndexSearcher:
     def _execute_threads(self, split_dirs: list[str],
                          request: SearchRequest, score_mode: bool,
                          k: int) -> list[dict]:
-        """Concurrent leaf search on a thread pool with a shared running
-        kth-score threshold: a leaf starting later reads the threshold
-        the finished leaves established (approximate — timing-dependent —
-        but pruning only ever skips provably sub-kth docs, so results
-        are exact either way)."""
+        """Concurrent leaf search on the process-wide PERSISTENT thread
+        pool (creating a pool per query cost ~5 thread spawns / several
+        ms per search) with a shared running kth-score threshold: a leaf
+        starting later reads the threshold the finished leaves
+        established (approximate — timing-dependent — but pruning only
+        ever skips provably sub-kth docs, so results are exact either
+        way)."""
         import threading
-        from concurrent.futures import ThreadPoolExecutor
 
         done: list[dict] = []  # theta source only (completion order)
         lock = threading.Lock()
@@ -846,12 +869,10 @@ class IndexSearcher:
                 done.append(r)
             return r
 
-        workers = min(len(split_dirs), self.concurrency or 8)
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            # SUBMISSION order, not completion order: agg merges fold
-            # float sums / sketches in list order and must stay
-            # deterministic run-to-run
-            return list(ex.map(run, split_dirs))
+        # SUBMISSION order, not completion order: agg merges fold float
+        # sums / sketches in list order and must stay deterministic
+        # run-to-run
+        return list(_leaf_thread_pool().map(run, split_dirs))
 
     def _execute_ray_data(self, split_dirs: list[str],
                           request: SearchRequest) -> list[dict]:
