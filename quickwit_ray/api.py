@@ -390,6 +390,9 @@ class Index:
         if stype in ("ingest-api", "void"):
             return None
         if stype == "file":
+            tf = (src.get("transform") or {}).get("vrl_script")
+            if tf is not None and "transform" not in kw:
+                kw["transform"] = tf  # VRL script, compiled in-worker
             return self.ingest(params["filepath"], execution=execution, **kw)
         if stype == "wal":
             from quickwit_ray.sources.wal import index_wal

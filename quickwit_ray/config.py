@@ -515,9 +515,23 @@ def validate_source_config(obj: dict[str, Any]) -> dict[str, Any]:
     params = obj.get("params") or {}
     if not isinstance(params, dict):
         raise ValueError("`params` must be an object")
-    return {"source_id": sid, "source_type": stype, "params": params,
-            "enabled": bool(obj.get("enabled", True)),
-            "num_pipelines": int(obj.get("num_pipelines", 1))}
+    out = {"source_id": sid, "source_type": stype, "params": params,
+           "enabled": bool(obj.get("enabled", True)),
+           "num_pipelines": int(obj.get("num_pipelines", 1))}
+    tf = obj.get("transform")
+    if tf is not None:
+        # TransformConfig (source_config/mod.rs:625): {vrl_script,
+        # timezone}. The script COMPILES here so a config outside the
+        # supported VRL subset is rejected at source-creation time, like
+        # the reference's compile-at-config-load.
+        if not isinstance(tf, dict) or not tf.get("vrl_script"):
+            raise ValueError("`transform` must be {vrl_script: ...}")
+        from quickwit_ray.functions.vrl import compile_vrl
+
+        compile_vrl(tf["vrl_script"])
+        out["transform"] = {"vrl_script": tf["vrl_script"],
+                            "timezone": tf.get("timezone", "UTC")}
+    return out
 
 
 def otel_traces_doc_mapping() -> DocMapping:

@@ -90,8 +90,11 @@ class IndexPartitionTask:
         self.config = IndexConfig.from_json(config_json)
         self.index_dir = index_dir
         self.read_batch_size = read_batch_size
-        # VRL-transform analog (actors/vrl_processing.rs): a user-supplied
-        # fn(pa.Table) -> pa.Table applied to every batch before mapping
+        # VRL transform (actors/vrl_processing.rs): a str compiles as a
+        # VRL script (functions/vrl.py runs the reference's TransformConfig
+        # scripts of the documented subset); a callable is the raw
+        # fn(pa.Table) -> pa.Table batch hook. Scripts stay strings until
+        # first use so the task pickles to Ray workers.
         self.transform = transform
 
     def __call__(self, item_batch: dict[str, np.ndarray]) -> dict[str, list]:
@@ -152,6 +155,13 @@ class IndexPartitionTask:
         for rb in pf.iter_batches(batch_size=self.read_batch_size, columns=cols):
             batch = pa.Table.from_batches([rb])
             if self.transform is not None:
+                if isinstance(self.transform, str):  # compile once, in
+                    # the worker (closures don't pickle; scripts do)
+                    from quickwit_ray.functions.vrl import (
+                        vrl_table_transform,
+                    )
+
+                    self.transform = vrl_table_transform(self.transform)
                 batch = self.transform(batch)
             if mapping.partition_key:
                 pids = _route_partition(batch, mapping.partition_key,

@@ -340,17 +340,53 @@ class IngestWal:
 
     def __init__(self, index_dir: str, *, source_id: str = "_ingest-api",
                  num_shards: int = 2, segment_bytes: int = 64 << 20,
-                 fsync: bool = True, wal_root: Optional[str] = None):
+                 fsync: bool = True, wal_root: Optional[str] = None,
+                 replica_root: Optional[str] = None):
+        """``replica_root`` enables RF-2 ingestion (the reference's
+        `ingest_v2/replication.rs`: the leader persists, replicates the
+        batch to a follower's WAL, and acks only after BOTH are
+        durable). Here the follower log is a second directory tree —
+        another disk or mount point; on a real cluster, the follower
+        node's storage. Positions are identical on both by construction
+        (the replication stream's strict ordering), so promotion is just
+        draining the replica root. Divergence: the reference replicates
+        over gRPC with a persist/ack protocol; this is the same
+        durability contract executed locally."""
         self.index_dir = index_dir
         self.source_id = source_id
         self.num_shards = int(num_shards)
         self.fsync = fsync
         self.wal_root = wal_root
+        self.replica_root = replica_root
         self._logs = [RecordLog(_shard_dir(index_dir, source_id, k,
                                            wal_root),
                                 segment_bytes=segment_bytes, repair=True)
                       for k in range(self.num_shards)]
+        self._replicas = None
+        if replica_root is not None:
+            self._replicas = [
+                RecordLog(_shard_dir(index_dir, source_id, k, replica_root),
+                          segment_bytes=segment_bytes, repair=True)
+                for k in range(self.num_shards)]
+            for k in range(self.num_shards):
+                self._sync_replica(k)
         self._rr = 0
+
+    def _sync_replica(self, shard: int) -> None:
+        """Catch a (re)attached follower up to the leader — the
+        replication stream's initial sync. Positions must agree on the
+        shared prefix; a follower AHEAD of the leader means the leader
+        lost acked data: fail over instead of ingesting."""
+        leader, follower = self._logs[shard], self._replicas[shard]
+        if follower.end_pos() > leader.end_pos():
+            raise RuntimeError(
+                f"replica shard {shard} is ahead of the leader "
+                f"({follower.end_pos()} > {leader.end_pos()}): the leader "
+                "lost acked records — drain the replica root instead")
+        for _pos, payload in leader.read_from(follower.end_pos()):
+            follower.append(payload)
+        if self.fsync:
+            follower.sync()
 
     def persist(self, docs: list[dict[str, Any]],
                 shard: Optional[int] = None) -> tuple[int, int]:
@@ -364,6 +400,13 @@ class IngestWal:
             for d in docs).encode()
         log = self._logs[shard]
         pos = log.append(payload)
+        if self._replicas is not None:
+            # RF-2: the follower must hold the batch BEFORE the ack
+            # (replication.rs: leader ack waits for the replica persist)
+            rpos = self._replicas[shard].append(payload)
+            assert rpos == pos, "replica position diverged"
+            if self.fsync:
+                self._replicas[shard].sync()
         if self.fsync:
             log.sync()
         return shard, pos
@@ -380,6 +423,8 @@ class IngestWal:
 
     def close(self) -> None:
         for log in self._logs:
+            log.close()
+        for log in (self._replicas or ()):
             log.close()
 
 

@@ -307,3 +307,57 @@ def test_wal_relocated_shard_root(tmp_path):
     # truncation GC'd the relocated segments
     assert glob.glob(os.path.join(root, "_ingest-api", "shard-*",
                                   "seg-*.log")) == []
+
+
+def test_wal_rf2_replication_failover(tmp_path):
+    """RF-2 ingestion (reference ingest_v2/replication.rs semantics): an
+    ack means BOTH the leader and follower WALs hold the batch; losing
+    the leader loses nothing — the replica drains exactly-once through
+    the same checkpoints (positions agree by construction)."""
+    import shutil
+
+    idx = _make_index(str(tmp_path / "idx"))
+    replica = str(tmp_path / "follower-disk")
+    rows = _doc_rows(300)
+    wal = IngestWal(idx, num_shards=2, replica_root=replica)
+    for i in range(0, 180, 30):
+        wal.persist(rows[i:i + 30])
+    # partial drain from the PRIMARY (some batches already indexed)
+    st = index_wal(idx, execution="local", truncate=False)
+    assert st.num_docs == 180
+    for i in range(180, 300, 30):
+        wal.persist(rows[i:i + 30])
+    wal.close()
+    # leader dies: primary WAL gone entirely
+    shutil.rmtree(os.path.join(idx, "wal"))
+    # failover: drain the follower root — already-indexed positions are
+    # skipped by the shared checkpoint, the rest index exactly once
+    st2 = index_wal(idx, execution="local", wal_root=replica)
+    assert st2.num_docs == 120
+    s = IndexSearcher(idx)
+    r = s.search("*", max_hits=400, fetch_fields=["doc_id"])
+    assert sorted(r.hits["doc_id"]) == list(range(300))
+    # acked-but-never-indexed data was durable on the replica
+    assert glob.glob(os.path.join(replica, "_ingest-api", "shard-*",
+                                  "seg-*.log")) == []  # GC'd after publish
+
+
+def test_wal_rf2_follower_catchup_and_ahead_guard(tmp_path):
+    idx = _make_index(str(tmp_path / "idx"))
+    replica = str(tmp_path / "rep")
+    rows = _doc_rows(60)
+    # RF-1 first: follower attaches later and must catch up (initial sync)
+    w1 = IngestWal(idx, num_shards=1)
+    w1.persist(rows[:30])
+    w1.close()
+    w2 = IngestWal(idx, num_shards=1, replica_root=replica)
+    w2.persist(rows[30:60])
+    w2.close()
+    from quickwit_ray.sources.wal import RecordLog, _shard_dir
+    rl = RecordLog(_shard_dir(idx, "_ingest-api", 0, replica))
+    assert rl.end_pos() == 2  # both batches, including the pre-attach one
+    # a follower AHEAD of the leader = leader lost acked data: refuse
+    import shutil
+    shutil.rmtree(os.path.join(idx, "wal"))
+    with pytest.raises(RuntimeError, match="ahead of the leader"):
+        IngestWal(idx, num_shards=1, replica_root=replica)
