@@ -561,7 +561,11 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
                     schema=unified))
         pq.write_table(pa.concat_tables(parts, promote_options="default"),
                        os.path.join(tmp_dir, fname),
-                       compression="zstd", compression_level=1)
+                       compression="zstd", compression_level=1,
+                       # docstore keeps point-read-sized row groups;
+                       # fieldnorms/fastfields are read whole (columnar)
+                       row_group_size=(8192 if fname == DOCSTORE_FILE
+                                       else None))
 
     # ---- footer: union of stats
     field_stats: dict[str, dict[str, float]] = {}
