@@ -387,6 +387,28 @@ class SplitReader:
         self._dict_segs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._dict_first_keys: dict[int, tuple[str, str]] = {}
         self._field_bounds_cache: dict[str, tuple[int, int]] = {}
+        # hybrid eager/lazy: a SMALL string dictionary (compressed
+        # field+term columns under 4 MB) loads whole at open — one cheap
+        # read beats per-query probe decompression; web-scale splits
+        # (100+ MB dictionaries) stay lazy
+        string_bytes = 0
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema in ("field", "term"):
+                    string_bytes += c.total_compressed_size
+        if 0 < string_bytes < (4 << 20):
+            tbl = self._pf.read(columns=["field", "term"])
+            self.bytes_read += tbl.nbytes
+            self.retained_bytes += tbl.nbytes
+            f, t = np.asarray(tbl["field"]), np.asarray(tbl["term"])
+            for rg in range(len(counts)):
+                s, e = (int(self._dict_rg_starts[rg]),
+                        int(self._dict_rg_starts[rg + 1]))
+                self._dict_segs[rg] = (f[s:e], t[s:e])
+                if e > s:
+                    self._dict_first_keys[rg] = (str(f[s]), str(t[s]))
         self._fieldnorms: Optional[pa.Table] = None
         self._fastfields: Optional[pa.Table] = None
         self._postings_cache: dict[int, dict] = {}
