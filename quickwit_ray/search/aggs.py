@@ -309,6 +309,13 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
             else:
                 keys_arr, pos = exploded
             uniq = np.unique(keys_arr)
+            if len(uniq) > MAX_BUCKETS:
+                # aggregation_bucket_limit (node_config/mod.rs:270): a
+                # high-cardinality terms agg must error, not OOM the leaf
+                raise ValueError(
+                    f"too many buckets ({len(uniq)}) in {name}: the "
+                    f"aggregation bucket limit is {MAX_BUCKETS}; use "
+                    "split_size/size or a coarser key")
             buckets = {}
             for u, c, idxs in _bucket_members(keys_arr, uniq):
                 b = {"doc_count": int(c)}
@@ -364,7 +371,10 @@ def compute_partial_aggs(aggs: dict, searcher, mask: np.ndarray) -> dict:
             keys = np.floor((vals - offset) / interval) * interval + offset
             uniq, counts = np.unique(keys, return_counts=True)
             if len(uniq) > MAX_BUCKETS:
-                raise ValueError(f"too many buckets ({len(uniq)}) in {name}")
+                raise ValueError(
+                    f"too many buckets ({len(uniq)}) in {name}: the "
+                    f"aggregation bucket limit is {MAX_BUCKETS}; widen "
+                    "the interval or add hard_bounds")
             buckets = {}
             for u, c, idxs in _bucket_members(keys, uniq):
                 b = {"doc_count": int(c)}
@@ -488,7 +498,21 @@ class _NegStr(str):
         return str.__gt__(self, other)
 
 
+AGG_MEMORY_LIMIT = 500 * 1024 * 1024  # aggregation_memory_limit default
+
+
 def merge_partial_aggs(aggs: dict, partials: list[dict]) -> dict:
+    # aggregation_memory_limit (node_config/mod.rs:269): the driver-side
+    # merge must reject, not OOM, when the collected partial states
+    # exceed the budget (each leaf already enforces the bucket limit)
+    from quickwit_ray.search.engine import _approx_nbytes
+
+    total = sum(_approx_nbytes(p) for p in partials if p)
+    if total > AGG_MEMORY_LIMIT:
+        raise ValueError(
+            f"aggregation intermediate results exceed the "
+            f"{AGG_MEMORY_LIMIT >> 20} MB aggregation memory limit "
+            f"({total >> 20} MB across {len(partials)} splits)")
     out: dict[str, Any] = {}
     for name, spec in aggs.items():
         kind = next(k for k in spec if k != "aggs")

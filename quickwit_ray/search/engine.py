@@ -755,6 +755,12 @@ class IndexSearcher:
                                           ts_sort_dir)
         failed = [p for p in partials if "failed" in p]
         partials = [p for p in partials if "failed" not in p]
+        for f in failed:
+            # REQUEST errors (agg limits) must surface as a rejection,
+            # not hide inside failed_splits as an empty-looking result
+            # (same class as the round-3 `missing` advice finding)
+            if "aggregation bucket limit" in str(f.get("error", "")):
+                raise ValueError(f["error"])
 
         num_hits = sum(p["num_hits"] for p in partials)
         hits = merge_partial_hits(partials, request, split_ids)

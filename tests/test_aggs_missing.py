@@ -199,3 +199,57 @@ def test_missing_with_sub_agg(idx):
     # NO_DATA bucket holds docs 2 (price 30) and 4 (no price)
     assert by["NO_DATA"]["doc_count"] == 2
     assert by["NO_DATA"]["avg_p"]["value"] == pytest.approx(30.0)
+
+
+def test_aggregation_bucket_limit(tmp_path):
+    """aggregation_bucket_limit (node_config/mod.rs:270, 65k default): a
+    high-cardinality terms/histogram agg errors as a request rejection,
+    never an empty-looking result (leaf errors are otherwise folded into
+    failed_splits)."""
+    import quickwit_ray.search.aggs as aggs_mod
+
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="k", type="i64", fast=True),
+            FieldMapping(name="doc_id", type="i64", fast=True)),
+        mode="lenient", doc_id_field="doc_id")
+    ix = Index.create(str(tmp_path / "bl"), "bl", mapping,
+                      settings=IndexSettings(split_num_docs_target=10_000))
+    ix.ingest_docs([{"doc_id": i, "k": i} for i in range(300)],
+                   commit_id="a")
+    old = aggs_mod.MAX_BUCKETS
+    aggs_mod.MAX_BUCKETS = 100  # shrink the limit for the test
+    try:
+        with pytest.raises(ValueError, match="bucket limit"):
+            ix.search("*", max_hits=0, aggs={
+                "t": {"terms": {"field": "k", "size": 100000}}})
+        with pytest.raises(ValueError, match="bucket limit"):
+            ix.search("*", max_hits=0, aggs={
+                "h": {"histogram": {"field": "k", "interval": 1.0}}})
+    finally:
+        aggs_mod.MAX_BUCKETS = old
+    # within the limit the same request works (limit counts buckets
+    # CREATED during collection, like tantivy's AggregationLimits —
+    # size= truncation happens after)
+    r = ix.search("*", max_hits=0, aggs={
+        "t": {"terms": {"field": "k", "size": 10, "split_size": 50}}})
+    assert len(r.aggs["t"]["buckets"]) == 10
+
+
+def test_aggregation_memory_limit():
+    """aggregation_memory_limit (node_config/mod.rs:269): oversized
+    intermediate states are rejected at the merge."""
+    import numpy as np
+
+    import quickwit_ray.search.aggs as aggs_mod
+
+    old = aggs_mod.AGG_MEMORY_LIMIT
+    aggs_mod.AGG_MEMORY_LIMIT = 1024
+    try:
+        fat = [{"m": {"count": 1, "sum": 1.0, "min": 0.0, "max": 1.0,
+                      "sum_sq": 1.0,
+                      "pad": np.zeros(4096, np.int64)}}]
+        with pytest.raises(ValueError, match="memory limit"):
+            aggs_mod.merge_partial_aggs({"m": {"avg": {"field": "x"}}}, fat)
+    finally:
+        aggs_mod.AGG_MEMORY_LIMIT = old
