@@ -73,19 +73,35 @@ def test_multilang_prefixes_and_detection():
     kor = tokenize("일본입니다. 매우 멋진 단어입니다.", "multilang")
     assert kor[0] == "일본입니다" and len(kor) == 4
     assert tokenize("KOR:일본입니다", "multilang") == ["일본입니다"]
-    # CHINESE runs emit overlapping BIGRAMS (Lucene CJKBigramFilter
-    # scheme — dictionary-free approximation of CcCedict, documented
-    # divergence); a lone CJK char stays a unigram, non-CJK runs pass
+    # CHINESE segments with the dictionary max-probability DAG
+    # (lindera/CC-CEDICT analog, functions/zh_segment.py): dictionary
+    # words come out whole, OOV (字元 here — a Taiwan computing term
+    # outside the vendored lexicon) splits per char like lindera's
+    # unknown-word handling; non-CJK runs pass through
     cmn = tokenize("地址1，包含無效的字元", "multilang")
-    assert cmn == ["地址", "1", "包含", "含無", "無效", "效的", "的字", "字元"]
+    assert cmn == ["地址", "1", "包含", "無效", "的", "字", "元"]
+    # the reference golden (multilang.rs:223-238): exactly 19 tokens,
+    # first token 地址 at position 0
+    ref = tokenize("地址1，包含無效的字元 (包括符號與不標準的asci阿爾發字元",
+                   "multilang")
+    assert len(ref) == 19 and ref[0] == "地址"
     # JAPANESE segments with the dictionary Viterbi (lindera/IPADIC
     # analog): the classic MeCab example splits exactly like IPADIC
     jpn = tokenize("すもももももももものうち", "multilang")
     assert jpn == ["すもも", "も", "もも", "も", "もも", "の", "うち"]
     assert tokenize("JPN:すもも", "multilang") == ["すもも"]
     assert tokenize("CMN:山", "multilang") == ["山"]
-    # mixed script: latin words interleave with bigram runs
+    # mixed script: latin words interleave with segmented CJK runs
     assert tokenize("CMN:abc山水def", "multilang") == ["abc", "山水", "def"]
+    # classic segmentation ambiguities resolve like published
+    # jieba/CC-CEDICT outputs (frequency-weighted shortest route)
+    assert tokenize("CMN:我来到北京清华大学", "multilang") == \
+        ["我", "来到", "北京", "清华大学"]
+    assert tokenize("CMN:研究生命的起源", "multilang") == \
+        ["研究", "生命", "的", "起源"]
+    assert tokenize("CMN:南京市长江大桥", "multilang") == \
+        ["南京市", "长江大桥"]
+    assert tokenize("CMN:中华人民共和国", "multilang") == ["中华人民共和国"]
     # detection dispatches latin text to the default shape, lowercased
     assert tokenize("Just English", "multilang") == ["just", "english"]
     assert tokenize("", "multilang") == []
