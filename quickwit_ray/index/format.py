@@ -398,17 +398,22 @@ class SplitReader:
                 c = rg.column(j)
                 if c.path_in_schema in ("field", "term"):
                     string_bytes += c.total_compressed_size
+        self._dict_eager: Optional[tuple[pa.Array, pa.Array]] = None
         if 0 < string_bytes < (4 << 20):
             tbl = self._pf.read(columns=["field", "term"])
             self.bytes_read += tbl.nbytes
             self.retained_bytes += tbl.nbytes
-            f, t = np.asarray(tbl["field"]), np.asarray(tbl["term"])
+            # keep the Arrow columns; the numpy object-array conversion
+            # (the expensive part of open — ~35 ms on a 300k-term dict)
+            # is deferred per row group to _dict_seg, so a query that
+            # probes 3 dictionary row groups converts only those
+            f_col = tbl["field"].combine_chunks()
+            t_col = tbl["term"].combine_chunks()
+            self._dict_eager = (f_col, t_col)
             for rg in range(len(counts)):
-                s, e = (int(self._dict_rg_starts[rg]),
-                        int(self._dict_rg_starts[rg + 1]))
-                self._dict_segs[rg] = (f[s:e], t[s:e])
-                if e > s:
-                    self._dict_first_keys[rg] = (str(f[s]), str(t[s]))
+                s = int(self._dict_rg_starts[rg])
+                if s < int(self._dict_rg_starts[rg + 1]):
+                    self._dict_first_keys[rg] = (str(f_col[s]), str(t_col[s]))
         self._fieldnorms: Optional[pa.Table] = None
         self._fastfields: Optional[pa.Table] = None
         self._postings_cache: dict[int, dict] = {}
@@ -429,10 +434,17 @@ class SplitReader:
     def _dict_seg(self, rg: int) -> tuple[np.ndarray, np.ndarray]:
         seg = self._dict_segs.get(rg)
         if seg is None:
-            tbl = self._pf.read_row_group(rg, columns=["field", "term"])
-            self.bytes_read += tbl.nbytes
-            self.retained_bytes += tbl.nbytes
-            seg = (np.asarray(tbl["field"]), np.asarray(tbl["term"]))
+            s = int(self._dict_rg_starts[rg])
+            e = int(self._dict_rg_starts[rg + 1])
+            if self._dict_eager is not None:
+                f_col, t_col = self._dict_eager
+                seg = (np.asarray(f_col.slice(s, e - s)),
+                       np.asarray(t_col.slice(s, e - s)))
+            else:
+                tbl = self._pf.read_row_group(rg, columns=["field", "term"])
+                self.bytes_read += tbl.nbytes
+                self.retained_bytes += tbl.nbytes
+                seg = (np.asarray(tbl["field"]), np.asarray(tbl["term"]))
             self._dict_segs[rg] = seg
             if len(seg[0]):
                 self._dict_first_keys[rg] = (str(seg[0][0]), str(seg[1][0]))
