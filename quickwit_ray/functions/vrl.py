@@ -12,20 +12,30 @@ unchanged.
 Supported subset (the constructs quickwit's docs and tests use):
 
 * statements: ``.path.to.field = expr``, ``del(.path)``, ``#`` comments,
-  separated by newlines or ``;``;
-* expressions: string/number/bool/null literals, field paths, ``+`` (string
-  concat / numeric add), ``-`` (numeric), error-coalescing ``??``;
+  separated by newlines or ``;``; ``if expr { ... } else if ... { ... }
+  else { ... }`` statement blocks;
+* expressions: string/number/bool/null literals, ``r'...'`` regex
+  literals, field paths, ``+`` (string concat / numeric add), ``-``
+  (numeric), comparisons (``== != < <= > >=``), logical ``&& || !``,
+  error-coalescing ``??``. A missing field path reads as null inside
+  ``==``/``!=`` (VRL path semantics) and as a recoverable error
+  elsewhere (caught by ``??``/the plain-call null rule);
 * functions, each with the fallible/infallible split VRL mandates —
   a ``!`` suffix aborts the DOCUMENT on error (the reference routes such
   docs to the failed set), the plain form turns errors into ``null`` so
   a surrounding ``??`` can supply a default: ``downcase upcase string
   to_string to_int to_float to_bool parse_json now length trim replace
-  contains starts_with ends_with``.
+  contains starts_with ends_with exists is_null abs floor ceil round
+  split join match parse_regex parse_timestamp format_timestamp
+  to_unix_timestamp``. ``replace`` accepts a regex pattern;
+  ``parse_timestamp``/``format_timestamp``/``to_unix_timestamp`` take
+  VRL's named arguments (``format:``, ``unit:``) with chrono-style
+  strftime codes (``%+`` = RFC 3339).
 
 Unsupported VRL (documented divergence, scripts using them are rejected
-at COMPILE time, never silently mis-run): closures/iteration, ``if``
-expressions, regexes, timestamp coercion functions, metadata paths
-(``%``/``@``), array indexing.
+at COMPILE time, never silently mis-run): closures/iteration, ``if`` as
+an EXPRESSION (statement blocks only), metadata paths (``%``/``@``),
+array indexing.
 """
 
 from __future__ import annotations
@@ -57,14 +67,22 @@ _TOKEN_RE = re.compile(r"""
     (?P<ws>[^\S\n]+)
   | (?P<comment>\#[^\n]*)
   | (?P<nl>[\n;])
+  | (?P<regex>r'(?:[^'\\]|\\.)*')
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<coalesce>\?\?)
+  | (?P<cmp>==|!=|>=|<=|>|<)
+  | (?P<and>&&)
+  | (?P<or>\|\|)
   | (?P<assign>=)
+  | (?P<bang>!(?!=))
   | (?P<op>[+\-])
   | (?P<lparen>\()
   | (?P<rparen>\))
+  | (?P<lbrace>\{)
+  | (?P<rbrace>\})
   | (?P<comma>,)
+  | (?P<colon>:)
   | (?P<path>\.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*)
   | (?P<name>[A-Za-z_][\w]*!?)
 """, re.VERBOSE)
@@ -95,6 +113,83 @@ def _need_str(v) -> str:
     raise TypeError(f"expected string, got {type(v).__name__}")
 
 
+def _to_datetime(v):
+    """Coerce a VRL timestamp-ish value (datetime | epoch seconds) to an
+    aware UTC datetime."""
+    from datetime import datetime, timezone
+
+    if isinstance(v, datetime):
+        return v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return datetime.fromtimestamp(float(v), tz=timezone.utc)
+    raise TypeError(f"expected timestamp, got {type(v).__name__}")
+
+
+def _parse_timestamp(v, fmt):
+    """chrono strftime parse; `%+` is RFC 3339 / ISO 8601."""
+    from datetime import datetime, timezone
+
+    s, f = _need_str(v), _need_str(fmt)
+    if f == "%+":
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    else:
+        dt = datetime.strptime(s, f)
+    return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
+
+
+def _format_timestamp(v, fmt):
+    f = _need_str(fmt)
+    dt = _to_datetime(v)
+    return dt.isoformat() if f == "%+" else dt.strftime(f)
+
+
+_UNIX_UNITS = {"seconds": 1, "milliseconds": 10 ** 3,
+               "nanoseconds": 10 ** 9}
+
+
+def _to_unix_timestamp(v, unit="seconds"):
+    mult = _UNIX_UNITS.get(_need_str(unit))
+    if mult is None:
+        raise ValueError(f"unknown unit {unit!r}")
+    return int(_to_datetime(v).timestamp() * mult)
+
+
+def _replace(v, pat, to):
+    if isinstance(pat, re.Pattern):
+        return pat.sub(_need_str(to), _need_str(v))
+    return _need_str(v).replace(_need_str(pat), _need_str(to))
+
+
+def _match(v, pat):
+    if not isinstance(pat, re.Pattern):
+        raise TypeError("match() needs a regex (r'...') pattern")
+    return pat.search(_need_str(v)) is not None
+
+
+def _parse_regex(v, pat):
+    """Named + numbered capture groups of the first match; errors (the
+    fallible path) when the pattern does not match."""
+    if not isinstance(pat, re.Pattern):
+        raise TypeError("parse_regex() needs a regex (r'...') pattern")
+    m = pat.search(_need_str(v))
+    if m is None:
+        raise ValueError("regex did not match")
+    out = {str(i): g for i, g in enumerate(m.groups(), start=1)
+           if g is not None}
+    out.update({k: g for k, g in m.groupdict().items() if g is not None})
+    return out
+
+
+def _split(v, sep, limit=None):
+    s = _need_str(v)
+    if isinstance(sep, re.Pattern):
+        return sep.split(s, maxsplit=0 if limit is None else int(limit) - 1)
+    return s.split(_need_str(sep),
+                   -1 if limit is None else int(limit) - 1)
+
+
+import math as _math  # noqa: E402 — stdlib-only helper group
+
 _FUNCS: dict[str, Callable] = {
     "downcase": lambda v: _need_str(v).lower(),
     "upcase": lambda v: _need_str(v).upper(),
@@ -110,14 +205,33 @@ _FUNCS: dict[str, Callable] = {
     "now": lambda: time.time(),
     "length": lambda v: len(v),
     "trim": lambda v: _need_str(v).strip(),
-    "replace": lambda v, frm, to: _need_str(v).replace(_need_str(frm),
-                                                       _need_str(to)),
+    "replace": _replace,
     "contains": lambda v, sub: _need_str(sub) in _need_str(v),
     "starts_with": lambda v, p: _need_str(v).startswith(_need_str(p)),
     "ends_with": lambda v, s: _need_str(v).endswith(_need_str(s)),
+    "is_null": lambda v: v is None,
+    "abs": lambda v: abs(v),
+    "floor": lambda v: _math.floor(v),
+    "ceil": lambda v: _math.ceil(v),
+    "round": lambda v: round(v),
+    "split": _split,
+    "join": lambda v, sep="": _need_str(sep).join(_need_str(x) for x in v),
+    "match": _match,
+    "parse_regex": _parse_regex,
+    "parse_timestamp": _parse_timestamp,
+    "format_timestamp": _format_timestamp,
+    "to_unix_timestamp": _to_unix_timestamp,
 }
 _FUNC_ARITY = {"now": (0, 0), "replace": (3, 3), "contains": (2, 2),
-               "starts_with": (2, 2), "ends_with": (2, 2)}
+               "starts_with": (2, 2), "ends_with": (2, 2),
+               "split": (2, 3), "join": (1, 2), "match": (2, 2),
+               "parse_regex": (2, 2), "parse_timestamp": (2, 2),
+               "format_timestamp": (2, 2), "to_unix_timestamp": (1, 2)}
+# VRL named arguments, mapped positionally in declared order
+_FUNC_KWARGS = {"parse_timestamp": ("format",),
+                "format_timestamp": ("format",),
+                "to_unix_timestamp": ("unit",),
+                "split": ("limit",)}
 
 
 # -- parser -> closures ------------------------------------------------------
@@ -144,11 +258,32 @@ class _Parser:
     # expressions ---------------------------------------------------------
 
     def expr(self):
-        left = self.additive()
+        left = self.logic_or()
         while self.peek()[0] == "coalesce":
             self.next()
-            right = self.additive()
+            right = self.logic_or()
             left = _mk_coalesce(left, right)
+        return left
+
+    def logic_or(self):
+        left = self.logic_and()
+        while self.peek()[0] == "or":
+            self.next()
+            left = _mk_logic(left, self.logic_and(), "or")
+        return left
+
+    def logic_and(self):
+        left = self.comparison()
+        while self.peek()[0] == "and":
+            self.next()
+            left = _mk_logic(left, self.comparison(), "and")
+        return left
+
+    def comparison(self):
+        left = self.additive()
+        while self.peek()[0] == "cmp":
+            op = self.next()[1]
+            left = _mk_cmp(left, self.additive(), op)
         return left
 
     def additive(self):
@@ -161,6 +296,9 @@ class _Parser:
 
     def unary(self):
         k, v = self.peek()
+        if k == "bang":
+            self.next()
+            return _mk_not(self.unary())
         if k == "string":
             self.next()
             s = v[1:-1]
@@ -171,6 +309,13 @@ class _Parser:
             self.next()
             n = float(v) if "." in v else int(v)
             return lambda doc: n
+        if k == "regex":
+            self.next()
+            try:
+                pat = re.compile(v[2:-1])
+            except re.error as e:
+                raise VrlCompileError(f"VRL: bad regex {v!r}: {e}") from e
+            return lambda doc: pat
         if k == "path":
             self.next()
             parts = v[1:].split(".")
@@ -194,16 +339,33 @@ class _Parser:
     def call(self, name: str):
         abort = name.endswith("!")
         fname = name[:-1] if abort else name
+        if fname == "exists":
+            # exists(.path) — true when the path resolves (null counts
+            # as present, like VRL); compile-checked to take one path
+            self.expect("lparen")
+            getter = _mk_path(self.expect("path")[1:].split("."))
+            self.expect("rparen")
+            return lambda doc: not isinstance(getter(doc), _Err)
         fn = _FUNCS.get(fname)
         if fn is None:
             raise VrlCompileError(
                 f"VRL: function {fname!r} is outside the supported subset")
-        self.expect("lparen")
         args = []
-        if self.peek()[0] != "rparen":
-            args.append(self.expr())
-            while self.peek()[0] == "comma":
-                self.next()
+        kw_names = _FUNC_KWARGS.get(fname, ())
+        self.expect("lparen")
+        while self.peek()[0] != "rparen":
+            if args:
+                self.expect("comma")
+            # VRL named argument: `name: expr`
+            if (self.peek()[0] == "name"
+                    and self.toks[self.i + 1][0] == "colon"):
+                kw = self.next()[1]
+                self.next()  # colon
+                if kw not in kw_names:
+                    raise VrlCompileError(
+                        f"VRL: {fname} has no argument named {kw!r}")
+                args.append(self.expr())
+            else:
                 args.append(self.expr())
         self.expect("rparen")
         lo, hi = _FUNC_ARITY.get(fname, (1, 1))
@@ -213,11 +375,17 @@ class _Parser:
 
     # statements ----------------------------------------------------------
 
-    def statements(self):
+    def statements(self, in_block: bool = False):
         stmts = []
         while True:
             k, v = self.peek()
             if k == "eof":
+                if in_block:
+                    raise VrlCompileError("VRL: unterminated block ('}')")
+                return stmts
+            if k == "rbrace":
+                if not in_block:
+                    raise VrlCompileError("VRL: unexpected '}'")
                 return stmts
             if k == "nl":
                 self.next()
@@ -229,6 +397,9 @@ class _Parser:
                 self.expect("rparen")
                 stmts.append(_mk_del(path))
                 continue
+            if k == "name" and v == "if":
+                stmts.append(self.if_stmt())
+                continue
             if k == "path":
                 path = self.next()[1][1:].split(".")
                 self.expect("assign")
@@ -236,8 +407,34 @@ class _Parser:
                 stmts.append(_mk_assign(path, rhs))
                 continue
             raise VrlCompileError(
-                f"VRL: unsupported statement at {v!r} (only assignments "
-                "and del() are in the supported subset)")
+                f"VRL: unsupported statement at {v!r} (only assignments, "
+                "del() and if blocks are in the supported subset)")
+
+    def block(self):
+        self.expect("lbrace")
+        stmts = self.statements(in_block=True)
+        self.expect("rbrace")
+        return stmts
+
+    def if_stmt(self):
+        """``if expr { ... } else if ... { ... } else { ... }`` as a
+        STATEMENT (VRL's if-as-expression stays compile-rejected)."""
+        self.next()  # 'if'
+        cond = self.expr()
+        then = self.block()
+        other: list = []
+        # skip newlines between '}' and 'else'
+        j = self.i
+        while self.toks[j][0] == "nl":
+            j += 1
+        if self.toks[j][:2] == ("name", "else"):
+            self.i = j + 1
+            nk, nv = self.peek()
+            if nk == "name" and nv == "if":
+                other = [self.if_stmt()]
+            else:
+                other = self.block()
+        return _mk_if(cond, then, other)
 
 
 def _mk_path(parts):
@@ -279,6 +476,89 @@ def _mk_coalesce(left, right):
             return right(doc)
         return v
     return co
+
+
+def _mk_not(inner):
+    def neg(doc):
+        v = inner(doc)
+        if isinstance(v, _Err):
+            return v
+        if not isinstance(v, bool):
+            return _Err(f"! needs a boolean, got {type(v).__name__}")
+        return not v
+    return neg
+
+
+def _mk_logic(left, right, op):
+    def logic(doc):
+        a = left(doc)
+        if isinstance(a, _Err):
+            return a
+        if not isinstance(a, bool):
+            return _Err(f"{op} needs booleans, got {type(a).__name__}")
+        # short-circuit like VRL
+        if op == "and" and not a:
+            return False
+        if op == "or" and a:
+            return True
+        b = right(doc)
+        if isinstance(b, _Err):
+            return b
+        if not isinstance(b, bool):
+            return _Err(f"{op} needs booleans, got {type(b).__name__}")
+        return b
+    return logic
+
+
+_CMP_OPS: dict[str, Callable[[Any, Any], bool]] = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+}
+
+
+def _mk_cmp(left, right, op):
+    fn = _CMP_OPS[op]
+    eq = op in ("==", "!=")
+
+    def cmp(doc):
+        a, b = left(doc), right(doc)
+        if eq:
+            # VRL paths read as null: a missing field equals null, not
+            # an error — `.status == "ok"` is simply false when absent
+            if isinstance(a, _Err):
+                a = None
+            if isinstance(b, _Err):
+                b = None
+            if type(a) is bool or type(b) is bool:
+                if (type(a) is bool) != (type(b) is bool):
+                    return op == "!="
+            return fn(a, b)
+        if isinstance(a, _Err):
+            return a
+        if isinstance(b, _Err):
+            return b
+        try:
+            return fn(a, b)
+        except TypeError as e:
+            return _Err(str(e))
+    return cmp
+
+
+def _mk_if(cond, then_stmts, else_stmts):
+    def run_if(doc):
+        v = cond(doc)
+        if isinstance(v, _Err):
+            raise VrlAbort(f"if condition errored: {v.msg}")
+        if not isinstance(v, bool):
+            raise VrlAbort(
+                f"if condition must be boolean, got {type(v).__name__}")
+        for st in (then_stmts if v else else_stmts):
+            st(doc)
+    return run_if
 
 
 def _mk_arith(left, right, op):

@@ -61,13 +61,81 @@ def test_functions_and_numbers():
 
 
 def test_unsupported_vrl_rejected_at_compile():
-    for bad in ["if .a == 1 { .b = 2 }",
+    for bad in [".x = if .a == 1 { 1 } else { 2 }",  # if-as-EXPRESSION
                 ".x = map_values(.y) -> |v| { v }",
                 ".x = .arr[0]",
                 ".x = %kafka.topic",
-                ".x = unknown_fn(.y)"]:
+                ".x = unknown_fn(.y)",
+                "if .a == 1 { .b = 2 ",            # unterminated block
+                ".x = parse_timestamp(.ts, fmt: \"%+\")"]:  # bad kwarg
         with pytest.raises(VrlCompileError):
             compile_vrl(bad)
+
+
+def test_if_blocks_and_comparisons():
+    p = compile_vrl("""
+        if .status == "error" || .retries > 2 {
+          .level = "bad"
+        } else if exists(.warn) {
+          .level = "warn"
+        } else {
+          .level = "ok"
+        }
+        .neg = !(.status == "error")
+    """)
+    assert p.transform_doc({"status": "error", "retries": 0})["level"] == \
+        "bad"
+    assert p.transform_doc({"status": "x", "retries": 3})["level"] == "bad"
+    out = p.transform_doc({"status": "x", "retries": 0, "warn": None})
+    assert out["level"] == "warn" and out["neg"] is True
+    assert p.transform_doc({"status": "x", "retries": 0})["level"] == "ok"
+    # == against a MISSING path reads as null (VRL path semantics)
+    p2 = compile_vrl('if .missing == null { .hit = true }')
+    assert p2.transform_doc({})["hit"] is True
+    # non-boolean condition aborts the document, never silently coerces
+    p3 = compile_vrl('if .n { .x = 1 }')
+    assert p3.transform_doc({"n": 5}) is None
+
+
+def test_regex_split_join_math():
+    p = compile_vrl("""
+        .m = parse_regex!(.line, r'user=(?P<user>\\w+) code=(?P<code>\\d+)')
+        .user = downcase(string!(.m.user))
+        .masked = replace(.line, r'\\d+', "N")
+        .hit = match(.line, r'code=\\d+')
+        .parts = split(.line, " ")
+        .joined = join(split(.line, " "), "|")
+        .f = floor(to_float!(.v)) + ceil(to_float!(.v)) + round(to_float!(.v))
+        .a = abs(to_int!(.neg))
+    """)
+    out = p.transform_doc({"line": "user=Bob code=42", "v": "2.5",
+                           "neg": "-3"})
+    assert out["m"] == {"1": "Bob", "2": "42", "user": "Bob", "code": "42"}
+    assert out["user"] == "bob" and out["masked"] == "user=Bob code=N"
+    assert out["hit"] is True
+    assert out["parts"] == ["user=Bob", "code=42"]
+    assert out["joined"] == "user=Bob|code=42"
+    assert out["f"] == 2 + 3 + 2 and out["a"] == 3
+    # parse_regex (plain) + ?? default when the pattern misses
+    p2 = compile_vrl(".m = parse_regex(.line, r'x=(\\d+)') ?? null")
+    assert p2.transform_doc({"line": "nope"})["m"] is None
+
+
+def test_timestamp_functions():
+    p = compile_vrl("""
+        .dt = parse_timestamp!(.ts, format: "%+")
+        .day = format_timestamp(.dt, format: "%Y-%m-%d")
+        .unix = to_unix_timestamp(.dt)
+        .unix_ms = to_unix_timestamp(.dt, unit: "milliseconds")
+        .custom = parse_timestamp!(.us_date, format: "%m/%d/%Y")
+    """)
+    out = p.transform_doc({"ts": "2026-08-18T05:00:00Z",
+                           "us_date": "08/18/2026"})
+    assert out["day"] == "2026-08-18"
+    assert out["unix"] == 1787029200
+    assert out["unix_ms"] == 1787029200000
+    # bad input aborts through the ! path
+    assert p.transform_doc({"ts": "nope", "us_date": "08/18/2026"}) is None
 
 
 def test_table_transform_and_aborts():
@@ -117,4 +185,4 @@ def test_vrl_through_file_source_and_build(tmp_path):
     with pytest.raises(ValueError):
         idx.add_source({"source_id": "bad", "source_type": "file",
                         "params": {"filepath": "x"},
-                        "transform": {"vrl_script": "if .a {}"}})
+                        "transform": {"vrl_script": ".x = .arr[0]"}})
