@@ -418,6 +418,38 @@ def validate_identifier(label: str, value: Any) -> str:
     return value
 
 
+def validate_index_id_pattern(pattern: Any, allow_negative: bool = False) -> str:
+    """Index-ID glob pattern rules (quickwit-config/src/lib.rs:149
+    validate_index_id_pattern): ``^-?[a-zA-Z*][a-zA-Z0-9-_.*]{0,254}$``
+    (the leading ``-`` marks a NEGATIVE pattern and is only legal where
+    the caller allows it, e.g. index templates); no ``**`` runs; a
+    literal pattern (no ``*``) needs >= 3 chars like an index id."""
+    if not isinstance(pattern, str) or not pattern:
+        raise ValueError(f"index ID pattern {pattern!r} is invalid: "
+                         "patterns must be non-empty strings")
+    body = pattern
+    if pattern.startswith("-"):
+        if not allow_negative:
+            raise ValueError(f"index ID pattern {pattern!r} is invalid: "
+                             "negative patterns are not allowed here")
+        body = pattern[1:]
+    if (not body or len(body) > 255
+            or not (body[0].isalpha() or body[0] == "*")
+            or not all(c.isalnum() or c in "-_.*" for c in body)):
+        raise ValueError(
+            f"index ID pattern {pattern!r} is invalid: patterns must "
+            "match `^[a-zA-Z*][a-zA-Z0-9-_.*]{0,254}$`")
+    if "**" in body:
+        raise ValueError(
+            f"index ID pattern {pattern!r} is invalid: patterns must "
+            "not contain multiple consecutive `*`")
+    if "*" not in body and len(body) < 3:
+        raise ValueError(
+            f"index ID pattern {pattern!r} is invalid: an index ID "
+            "must have at least 3 characters")
+    return pattern
+
+
 def parse_period_secs(v: Any) -> int:
     """Humanized retention period -> seconds (the reference accepts
     humantime strings in ``retention.period``, index_config/mod.rs

@@ -106,12 +106,26 @@ class QwRestService:
                 return self._index(parts[1]).describe()
             return self.native._route(method, endpoint, params, body)
         if parts[0] == "templates":
+            if method == "GET" and len(parts) == 1:
+                # list_index_templates (template_api/rest_handler.rs)
+                return sorted(self.templates.values(),
+                              key=lambda t: t["template_id"])
             if method == "POST" and len(parts) == 1:
-                tid = (body or {}).get("template_id")
-                if not tid:
-                    raise EsApiError(400, "template_id is required")
-                self.templates[tid] = dict(body)
-                return {"template_id": tid}
+                tpl = self._validate_template(body or {})
+                if tpl["template_id"] in self.templates:
+                    raise EsApiError(
+                        400, f"index template {tpl['template_id']!r} "
+                        "already exists")
+                self.templates[tpl["template_id"]] = tpl
+                return tpl
+            if method == "PUT" and len(parts) == 2:
+                # update_index_template: the path id OVERRIDES any id in
+                # the body, then create-with-overwrite
+                # (template_api/rest_handler.rs update_index_template)
+                tpl = self._validate_template(
+                    dict(body or {}, template_id=parts[1]))
+                self.templates[tpl["template_id"]] = tpl
+                return tpl
             if method == "DELETE" and len(parts) == 2:
                 if self.templates.pop(parts[1], None) is None:
                     raise EsApiError(404,
@@ -171,8 +185,6 @@ class QwRestService:
         it with the template's doc mapping. An index already ON DISK at
         the target path (unregistered after a restart) is opened, never
         clobbered."""
-        import fnmatch
-
         if self.root_dir is None:
             return None  # creation disabled: no index root dir configured
         from quickwit_ray.config import validate_identifier
@@ -180,19 +192,61 @@ class QwRestService:
             validate_identifier("index", name)
         except ValueError:
             return None  # traversal-shaped names never auto-create
-        for tpl in self.templates.values():
-            if any(fnmatch.fnmatch(name, p)
-                   for p in tpl.get("index_id_patterns", ())):
-                cfg = index_config_from_api_json(
-                    {"index_id": name,
-                     "doc_mapping": tpl.get("doc_mapping") or {},
-                     "search_settings": tpl.get("search_settings")})
-                d = os.path.join(self.root_dir, name)
-                try:
-                    return Index.create(d, name, cfg.doc_mapping,
-                                        settings=cfg.settings)
-                except FileExistsError:
-                    return Index.open(d)
+        tpl = self._find_matching_template(name)
+        if tpl is not None:
+            cfg = index_config_from_api_json(
+                {"index_id": name,
+                 "doc_mapping": tpl.get("doc_mapping") or {},
+                 "indexing_settings": tpl.get("indexing_settings"),
+                 "retention": tpl.get("retention"),
+                 "search_settings": tpl.get("search_settings")})
+            d = os.path.join(self.root_dir, name)
+            try:
+                return Index.create(d, name, cfg.doc_mapping,
+                                    settings=cfg.settings)
+            except FileExistsError:
+                return Index.open(d)
+        return None
+
+    def _validate_template(self, body: dict) -> dict:
+        """IndexTemplate.validate (index_template/mod.rs:81-99):
+        identifier-checked template_id, >= 1 pattern, every pattern
+        validated with negatives allowed; priority defaults to 0."""
+        from quickwit_ray.config import (validate_identifier,
+                                         validate_index_id_pattern)
+        tpl = dict(body)
+        try:
+            validate_identifier("template", tpl.get("template_id"))
+            patterns = tpl.get("index_id_patterns") or []
+            if not isinstance(patterns, (list, tuple)) or not patterns:
+                raise ValueError("`index_id_patterns` must not be empty")
+            for p in patterns:
+                validate_index_id_pattern(p, allow_negative=True)
+            prio = tpl.setdefault("priority", 0)
+            if not isinstance(prio, int) or prio < 0:
+                raise ValueError("`priority` must be a non-negative "
+                                 "integer")
+        except ValueError as e:
+            raise EsApiError(400, f"invalid index template: {e}")
+        return tpl
+
+    def _find_matching_template(self, name: str) -> Optional[dict]:
+        """First match by (-priority, template_id) order; a template
+        matches when any positive pattern matches AND no negative
+        (``-``-prefixed) pattern does (file_backed/index_template_matcher
+        .rs + index_id_matcher.rs is_match)."""
+        import fnmatch
+
+        for tpl in sorted(self.templates.values(),
+                          key=lambda t: (-t.get("priority", 0),
+                                         t.get("template_id", ""))):
+            pats = tpl.get("index_id_patterns", ())
+            pos = [p for p in pats if not p.startswith("-")]
+            neg = [p[1:] for p in pats if p.startswith("-")]
+            if (any(fnmatch.fnmatchcase(name, p) for p in pos)
+                    and not any(fnmatch.fnmatchcase(name, p)
+                                for p in neg)):
+                return tpl
         return None
 
     def _delete(self, name: str) -> dict:

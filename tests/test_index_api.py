@@ -439,6 +439,69 @@ def test_recreate_after_restart_never_clobbers(tmp_path):
     assert "anything-1" not in svc3.indexes
 
 
+def test_template_matching_and_crud(tmp_path):
+    """Reference template semantics (index_template/mod.rs +
+    file_backed/index_template_matcher.rs): priority-desc then
+    template-id ordering picks the match; `-`-prefixed patterns
+    exclude; patterns are validated (`**`, short literals, charset);
+    GET lists, PUT upserts with the path id, POST refuses overwrite."""
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    dm = {"field_mappings": [{"name": "msg", "type": "text"}],
+          "mode": "dynamic"}
+    svc = QwRestService(str(tmp_path / "root"))
+
+    def post(tpl):
+        return svc.request("POST", "templates", body=tpl)
+
+    # validation rejections (validate_index_id_pattern rules)
+    assert post({"template_id": "bad1", "index_id_patterns": [],
+                 "doc_mapping": dm})[0] == 400
+    assert post({"template_id": "bad2", "index_id_patterns": ["a**b"],
+                 "doc_mapping": dm})[0] == 400
+    assert post({"template_id": "bad3", "index_id_patterns": ["ab"],
+                 "doc_mapping": dm})[0] == 400  # literal < 3 chars
+    assert post({"template_id": "bad4", "index_id_patterns": ["/etc/*"],
+                 "doc_mapping": dm})[0] == 400
+    assert post({"template_id": "..", "index_id_patterns": ["logs-*"],
+                 "doc_mapping": dm})[0] == 400  # id itself validated
+
+    # priority: higher wins regardless of insertion order; ties break
+    # on template_id; negative patterns exclude
+    lo = {"template_id": "generic", "index_id_patterns": ["logs-*"],
+          "priority": 0, "doc_mapping": dm}
+    hi = {"template_id": "special", "priority": 100,
+          "index_id_patterns": ["logs-special-*", "-logs-special-skip*"],
+          "doc_mapping": dm}
+    assert post(lo)[0] == 200 and post(hi)[0] == 200
+    assert post(lo)[0] == 400  # create refuses overwrite
+    assert svc._find_matching_template(
+        "logs-special-1")["template_id"] == "special"
+    assert svc._find_matching_template(
+        "logs-special-skip-1")["template_id"] == "generic"  # negated
+    assert svc._find_matching_template("logs-app")["template_id"] \
+        == "generic"
+    assert svc._find_matching_template("metrics-app") is None
+
+    # list is id-sorted; PUT updates in place with the path id
+    st, lst = svc.request("GET", "templates")
+    assert st == 200 and [t["template_id"] for t in lst] \
+        == ["generic", "special"]
+    st, upd = svc.request("PUT", "templates/special", body={
+        "index_id_patterns": ["logs-special-*"], "priority": 7,
+        "doc_mapping": dm})
+    assert st == 200 and upd["priority"] == 7
+    assert svc.templates["special"]["priority"] == 7
+    assert svc._find_matching_template(
+        "logs-special-skip-1")["template_id"] == "special"  # un-negated
+
+    # auto-create uses the matcher: the high-priority template's mapping
+    st, out = svc.request("POST", "logs-special-9/_bulk", body=None,
+                          ndjson=[{"create": {}}, {"msg": "hi"}])
+    assert st == 200 and out["errors"] is False
+    assert "logs-special-9" in svc.indexes
+
+
 def test_template_autocreate_over_http(tmp_path):
     """The unified server front exposes index templates: _bulk to an
     unknown index matching a template pattern auto-creates it."""
