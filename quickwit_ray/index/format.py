@@ -134,16 +134,37 @@ POSITIONS_SCHEMA = pa.schema([
 DICT_COLUMNS = ["field", "term", "df", "max_tf"]
 
 
+def _as_column(v):
+    """Column values for pa.table: plain python lists pass through; lists
+    of pa.Array chunks (the writer's zero-copy flush) become one
+    ChunkedArray."""
+    if isinstance(v, list) and v and isinstance(v[0], pa.Array):
+        return pa.chunked_array(v)
+    return v
+
+
+def _binary_nonempty(col) -> bool:
+    if col is None:
+        return False
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        import pyarrow.compute as pc
+
+        return bool(pc.sum(pc.binary_length(col)).as_py() or 0)
+    return any(len(b) for b in col)
+
+
 def write_postings_file(path: str, rows: dict[str, list]) -> None:
     """Write the postings file and (when any positional data exists) the
-    row-aligned positions sidecar file next to it."""
-    table = pa.table({k: rows[k] for k in POSTINGS_SCHEMA.names},
+    row-aligned positions sidecar file next to it. Column values may be
+    python lists of bytes/str/int or lists of pa.Array chunks."""
+    table = pa.table({k: _as_column(rows[k]) for k in POSTINGS_SCHEMA.names},
                      schema=POSTINGS_SCHEMA)
     pq.write_table(table, path, row_group_size=TERMS_PER_ROW_GROUP,
                    compression="zstd", compression_level=1)
-    pos = rows.get("positions")
-    if pos is not None and any(len(b) for b in pos):
-        ptable = pa.table({"positions": pos, "pos_lens": rows["pos_lens"]},
+    pos = _as_column(rows.get("positions"))
+    if _binary_nonempty(pos):
+        ptable = pa.table({"positions": pos,
+                           "pos_lens": _as_column(rows["pos_lens"])},
                           schema=POSITIONS_SCHEMA)
         pq.write_table(ptable,
                        os.path.join(os.path.dirname(path), POSITIONS_FILE),

@@ -35,13 +35,36 @@ from quickwit_ray.index.format import (
     FASTFIELDS_FILE,
     FIELDNORMS_FILE,
     POSTINGS_FILE,
-    block_meta,
     write_footer,
     write_postings_file,
 )
 from quickwit_ray.state.manifest import SplitMetadata
 
 MAX_VALUES_PER_TAG_FIELD = 1000  # packager.rs:39-44
+
+
+def _binary_col(values, bounds: np.ndarray) -> list:
+    """Zero-copy pa.binary() chunks where row i is the byte slice
+    values[bounds[i]:bounds[i+1]] (``bounds`` are BYTE offsets, length
+    nrows+1, monotone). Splits at row boundaries whenever a chunk's value
+    buffer would overflow the 2 GB int32 offset space (a 10M-doc split's
+    hottest field can exceed it). ``values=None`` -> every row empty."""
+    nrows = len(bounds) - 1
+    vbytes = (values.view(np.uint8) if values is not None and values.size
+              else np.empty(0, np.uint8))
+    out: list[pa.Array] = []
+    start = 0
+    while start < nrows:
+        end = int(np.searchsorted(bounds, bounds[start] + (2 ** 31 - 64),
+                                  side="right")) - 1
+        end = max(min(end, nrows), start + 1)
+        off = (bounds[start:end + 1] - bounds[start]).astype(np.int32)
+        out.append(pa.Array.from_buffers(
+            pa.binary(), end - start,
+            [None, pa.py_buffer(off),
+             pa.py_buffer(vbytes[bounds[start]:bounds[end]])]))
+        start = end
+    return out
 JSON_PATH_SEP = "\x01"  # joins (json path, token) into one dictionary term
 
 
@@ -689,55 +712,71 @@ class SplitBuilder:
             sorted_terms = terms[sort_of_term]
             record_pos = fm.record == "position"
             record_freq = fm.record in ("freq", "position")
-            # vectorized bulk encodings; the loop below only slices them
+            # fully vectorized encodings: every per-term byte blob is a
+            # slice of ONE contiguous buffer, exposed zero-copy through a
+            # pa.binary() offset vector (_binary_col) — no per-term
+            # Python loop (the old loop dominated flush wall time)
             deltas = p_doc.astype(np.int32)
             deltas[1:] -= p_doc[:-1].astype(np.int32)
             deltas[term_starts] = p_doc[term_starts]  # absolute at term start
             max_tfs = np.maximum.reduceat(tfs_all, term_starts)
-            tfs32 = tfs_all.astype(np.uint32) if record_freq else None
-            pls32 = tfs_all.astype(np.int32) if record_pos else None
-            pos32 = positions_s.astype(np.int32) if record_pos else None
-            tok_starts_per_term = pair_starts[term_starts]
-            tok_ends_per_term = np.append(tok_starts_per_term[1:], len(positions_s))
-            # single-block (df <= BLOCK_SIZE) metadata precomputed in bulk
+            dfs = (term_ends - term_starts).astype(np.int64)
+            nterms = len(term_starts)
             from quickwit_ray.index.format import BLOCK_SIZE
 
-            last_doc_per_term = p_doc[term_ends - 1].astype(np.int32)
-            bmax_per_term = (max_tfs if record_freq
-                             else np.ones(len(term_starts))).astype(np.int32)
-            dfs = term_ends - term_starts
-            dfs32 = dfs.astype(np.int32)
+            # global block grid: term i owns ceil(df_i / BLOCK_SIZE)
+            # blocks; one reduceat over the concatenated block starts
+            # computes every block's (last_doc, max_tf, len, min_norm) —
+            # same values block_meta() yields per term
+            nblocks = (dfs + BLOCK_SIZE - 1) // BLOCK_SIZE
+            blk_bounds = np.concatenate([[0], np.cumsum(nblocks)])
+            total_blocks = int(blk_bounds[-1])
+            block_term = np.repeat(np.arange(nterms), nblocks)
+            off_in_term = np.arange(total_blocks) - blk_bounds[block_term]
+            blk_start = term_starts[block_term] + off_in_term * BLOCK_SIZE
+            blk_end = np.minimum(blk_start + BLOCK_SIZE,
+                                 term_ends[block_term])
+            block_last = p_doc[blk_end - 1].astype(np.int32)
+            block_lens = (blk_end - blk_start).astype(np.int32)
+            block_max = (np.maximum.reduceat(tfs_all, blk_start)
+                         .astype(np.int32) if record_freq
+                         else np.ones(total_blocks, np.int32))
             p_norm = nids[p_doc] if nids is not None else None
-            bmin_per_term = (np.minimum.reduceat(p_norm, term_starts)
-                             if p_norm is not None and len(p_norm) else None)
-            for ti, (s, e) in enumerate(zip(term_starts, term_ends)):
-                if dfs[ti] <= BLOCK_SIZE:
-                    bl = last_doc_per_term[ti].tobytes()
-                    bm = bmax_per_term[ti].tobytes()
-                    blen = dfs32[ti].tobytes()
-                    bmin = (bmin_per_term[ti].tobytes()
-                            if bmin_per_term is not None else b"")
-                else:
-                    bl, bm, blen, bmin = block_meta(
-                        p_doc[s:e], tfs_all[s:e] if record_freq else None,
-                        p_norm[s:e] if p_norm is not None else None)
-                rows["field"].append(fname)
-                rows["term"].append(sorted_terms[int(p_term[s])])
-                rows["df"].append(int(dfs[ti]))
-                rows["max_tf"].append(int(max_tfs[ti]) if record_freq else 1)
-                rows["doc_ids"].append(deltas[s:e].tobytes())
-                rows["tfs"].append(tfs32[s:e].tobytes() if record_freq else b"")
-                rows["block_last"].append(bl)
-                rows["block_max_tf"].append(bm)
-                rows["block_lens"].append(blen)
-                rows["block_min_norm"].append(bmin)
-                if record_pos:
-                    rows["positions"].append(
-                        pos32[tok_starts_per_term[ti]: tok_ends_per_term[ti]].tobytes())
-                    rows["pos_lens"].append(pls32[s:e].tobytes())
-                else:
-                    rows["positions"].append(b"")
-                    rows["pos_lens"].append(b"")
+            pair_bounds = np.concatenate(
+                [term_starts, [len(p_doc)]]).astype(np.int64)
+            empty_b = np.zeros(nterms + 1, np.int64)
+            rows["field"].append(pa.repeat(fname, nterms))
+            rows["term"].append(pa.array(sorted_terms[p_term[term_starts]]))
+            rows["df"].append(pa.array(dfs.astype(np.int32)))
+            rows["max_tf"].append(pa.array(
+                max_tfs.astype(np.int32) if record_freq
+                else np.ones(nterms, np.int32)))
+            rows["doc_ids"].extend(_binary_col(deltas, pair_bounds * 4))
+            rows["tfs"].extend(
+                _binary_col(tfs_all.astype(np.uint32), pair_bounds * 4)
+                if record_freq else _binary_col(None, empty_b))
+            rows["block_last"].extend(_binary_col(block_last,
+                                                  blk_bounds * 4))
+            rows["block_max_tf"].extend(_binary_col(block_max,
+                                                    blk_bounds * 4))
+            rows["block_lens"].extend(_binary_col(block_lens,
+                                                  blk_bounds * 4))
+            rows["block_min_norm"].extend(
+                _binary_col(np.minimum.reduceat(p_norm, blk_start),
+                            blk_bounds)
+                if p_norm is not None and len(p_norm)
+                else _binary_col(None, empty_b))
+            if record_pos:
+                tok_bounds = np.concatenate(
+                    [pair_starts[term_starts],
+                     [len(positions_s)]]).astype(np.int64)
+                rows["positions"].extend(_binary_col(
+                    positions_s.astype(np.int32), tok_bounds * 4))
+                rows["pos_lens"].extend(_binary_col(
+                    tfs_all.astype(np.int32), pair_bounds * 4))
+            else:
+                rows["positions"].extend(_binary_col(None, empty_b))
+                rows["pos_lens"].extend(_binary_col(None, empty_b))
             # free accumulators early
             acc.term_ids.clear(); acc.doc_ids.clear(); acc.positions.clear()
 
