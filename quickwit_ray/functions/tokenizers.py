@@ -674,3 +674,86 @@ def tokenize_batch(texts, tokenizer: str = "default"):
         lowered = np.asarray([t.lower() for t in uniq], object)
         tokens = lowered[codes]
     return doc_idx, tokens, positions
+
+
+def tokenize_batch_encoded(col, tokenizer: str = "default"):
+    """Dictionary-encoded batch tokenization for the indexing hot path.
+
+    Returns ``(doc_idx, codes, uniq, positions)`` where ``uniq`` is a
+    SMALL object ndarray of final token strings (lowered/stemmed) and
+    ``codes`` (int64) indexes into it — the token stream itself never
+    materializes per-token Python strings. ``uniq`` may contain
+    duplicate values after lowercasing; callers dedup through their
+    vocab dict.
+
+    For the ``default``/``en_stem`` tokenizers on an Arrow string column
+    the regex split, length filter and dictionary encode all run as
+    Arrow C++ kernels (RE2 ``[^\\pL\\pN]+`` == Python ``[^\\W_]+``:
+    Python's \\w is isalnum + underscore, and isalnum is exactly
+    L*/Nd/Nl/No). Lowercasing stays Python ``str.lower`` on the unique
+    vocabulary only — Arrow's utf8_lower is simple case folding and
+    would diverge on full-folding chars like 'İ'. Every other tokenizer
+    (or non-Arrow input) falls back to :func:`tokenize_batch` +
+    pandas factorize, so semantics are identical either way."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arrow_ok = (isinstance(col, (pa.Array, pa.ChunkedArray))
+                and pa.types.is_string(
+                    col.type if isinstance(col, pa.Array) else col.type))
+    if tokenizer in ("default", "en_stem") and arrow_ok:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        empty = (np.empty(0, np.int32), np.empty(0, np.int64),
+                 np.empty(0, object), np.empty(0, np.int32))
+        if n == 0:
+            return empty
+        split = pc.split_pattern_regex(pc.fill_null(col, ""),
+                                       pattern=r"[^\pL\pN]+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = pc.list_flatten(split)
+        counts = np.diff(np.asarray(split.offsets, np.int64))
+        blens = np.asarray(pc.binary_length(flat), np.int64)
+        doc_idx_all = np.repeat(np.arange(n, dtype=np.int32), counts)
+        # split (unlike findall) emits "" at row edges — drop them BEFORE
+        # assigning ordinals, so positions match findall's match ordinals
+        ne = np.nonzero(blens > 0)[0]
+        if len(ne) == 0:
+            return empty
+        d = doc_idx_all[ne]
+        row_change = np.empty(len(d), bool)
+        row_change[0] = True
+        row_change[1:] = d[1:] != d[:-1]
+        rs = np.nonzero(row_change)[0]
+        seg_len = np.diff(np.append(rs, len(d)))
+        pos = (np.arange(len(d), dtype=np.int64)
+               - np.repeat(rs, seg_len)).astype(np.int32)
+        # RemoveLongFilter: drop >=255-byte tokens WITHOUT renumbering
+        # the survivors (position gaps preserved, tokenize_batch parity)
+        keep = blens[ne] < MAX_TOKEN_BYTES
+        if not keep.all():
+            ne, d, pos = ne[keep], d[keep], pos[keep]
+            if len(ne) == 0:
+                return empty
+        de = pc.dictionary_encode(flat.take(pa.array(ne)))
+        codes = np.asarray(de.indices, np.int64)
+        uniq = np.asarray(
+            [t.lower() for t in de.dictionary.to_pylist()]
+            if tokenizer == "default"
+            else [porter_stem(t.lower())
+                  for t in de.dictionary.to_pylist()], object)
+        return d, codes, uniq, pos
+
+    texts = (col.to_pylist()
+             if isinstance(col, (pa.Array, pa.ChunkedArray)) else col)
+    doc_idx, tokens, positions = tokenize_batch(texts, tokenizer)
+    if len(tokens) == 0:
+        return (doc_idx, np.empty(0, np.int64), np.empty(0, object),
+                positions)
+    import pandas as pd
+
+    codes, uniq = pd.factorize(tokens)
+    return (doc_idx, codes.astype(np.int64), np.asarray(uniq, object),
+            positions)

@@ -29,7 +29,10 @@ import pyarrow.parquet as pq
 
 from quickwit_ray.config import IndexConfig
 from quickwit_ray.functions.bm25 import fieldnorm_to_id
-from quickwit_ray.functions.tokenizers import tokenize_batch
+from quickwit_ray.functions.tokenizers import (
+    tokenize_batch,
+    tokenize_batch_encoded,
+)
 from quickwit_ray.index.format import (
     DOCSTORE_FILE,
     FASTFIELDS_FILE,
@@ -352,8 +355,12 @@ class SplitBuilder:
             return
         batch = _flatten_structs(batch)
         base = self.num_docs
-        # 1. inverted fields
+        # 1. inverted fields. Every branch yields a dictionary-encoded
+        # token stream (doc_idx, inv -> uniq, positions); the scalar-text
+        # branch encodes directly in Arrow kernels, the others tokenize
+        # then factorize.
         for fm in self._effective_text_fields(batch):
+            tokens = None
             if fm.sources:
                 # Concatenate field: token streams of several source
                 # columns merged under one inverted field; positions are
@@ -396,8 +403,10 @@ class SplitBuilder:
                 doc_idx, tokens, positions = _tokenize_list_column(
                     batch[fm.name], fm.tokenizer)
             else:
-                doc_idx, tokens, positions = tokenize_batch(
-                    batch[fm.name].to_pylist(), fm.tokenizer)
+                # scalar text column: dictionary-encoded Arrow-kernel
+                # tokenization (no per-token Python strings on this path)
+                doc_idx, inv, uniq, positions = tokenize_batch_encoded(
+                    batch[fm.name], fm.tokenizer)
             acc = self._accs.get(fm.name)
             if acc is None:
                 acc = self._accs[fm.name] = _FieldAcc()
@@ -408,13 +417,16 @@ class SplitBuilder:
                 acc.doc_lens.append(np.zeros(base - acc.covered, np.int32))
             acc.doc_lens.append(np.bincount(doc_idx, minlength=n).astype(np.int32))
             acc.covered = base + n
-            if len(tokens) == 0:
-                continue
-            # batch-local vocab -> builder vocab ids (loop over unique terms
-            # only; hash-based factorize beats sort-based np.unique here)
-            import pandas as pd
+            if tokens is not None:
+                if len(tokens) == 0:
+                    continue
+                # tokenizing branches: batch-local vocab via hash-based
+                # factorize (beats sort-based np.unique here)
+                import pandas as pd
 
-            inv, uniq = pd.factorize(tokens)
+                inv, uniq = pd.factorize(tokens)
+            elif len(inv) == 0:
+                continue
             vocab = acc.vocab
             lut = np.empty(len(uniq), np.int32)
             for j, t in enumerate(uniq):
@@ -426,7 +438,7 @@ class SplitBuilder:
             acc.term_ids.append(lut[inv])
             acc.doc_ids.append(doc_idx.astype(np.int32) + np.int32(base))
             acc.positions.append(positions)
-            self.est_bytes += len(tokens) * 12
+            self.est_bytes += len(inv) * 12
 
         # 2. fast fields + docstore + timestamp/tag tracking.
         # INDEXED scalar fields persist their column even when fast=false:

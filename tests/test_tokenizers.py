@@ -139,3 +139,46 @@ def test_en_stem_tokenizer_uses_snowball():
         ["fair", "generous", "tie"]
     _, toks, _ = tokenize_batch(["Fairly generous ties"], "en_stem")
     assert list(toks) == ["fair", "generous", "tie"]
+
+
+def test_batch_encoded_matches_batch():
+    """tokenize_batch_encoded (Arrow RE2 split + dictionary encode) must
+    reproduce tokenize_batch exactly: same doc_idx/positions, same
+    expanded token stream — including full-casefold chars, >=255-byte
+    token removal without renumbering, leading/trailing separators,
+    nulls, empty rows, and unicode digits."""
+    import numpy as np
+    import pyarrow as pa
+
+    from quickwit_ray.functions.tokenizers import (
+        tokenize_batch,
+        tokenize_batch_encoded,
+    )
+
+    texts = [
+        "Hello, World! 42",
+        "",
+        None,
+        "  leading and trailing  ",
+        "İstanbul STRASSE Weiß",             # full casefold chars
+        "a" * 300 + " short " + "b" * 254,    # long-token removal
+        "naïve café — résumé",
+        "١٢٣ ٤٥٦ unicode ٧ digits",           # Arabic-Indic digits (\pN)
+        "under_score splits_here",            # '_' is a separator
+        "日本語 mixed ascii",
+        "x",
+    ]
+    for tok in ("default", "en_stem"):
+        col = pa.array(texts, pa.string())
+        d1, t1, p1 = tokenize_batch(
+            ["" if t is None else t for t in texts], tok)
+        d2, codes, uniq, p2 = tokenize_batch_encoded(col, tok)
+        assert np.array_equal(d1, d2)
+        assert np.array_equal(p1, p2)
+        assert list(t1) == [uniq[c] for c in codes]
+    # non-arrow input / unsupported tokenizer: fallback equivalence
+    d2, codes, uniq, p2 = tokenize_batch_encoded(texts_safe := [
+        "Foo Bar", "baz foo"], "whitespace")
+    d1, t1, p1 = tokenize_batch(texts_safe, "whitespace")
+    assert np.array_equal(d1, d2) and np.array_equal(p1, p2)
+    assert list(t1) == [uniq[c] for c in codes]
