@@ -192,27 +192,41 @@ class ExactRowGroupWriter:
                                             compression="zstd",
                                             compression_level=1)
 
+    # one write_table call per row group is ~4 ms of fixed overhead; a
+    # merge emits thousands of groups. Buffer up to GROUPS_PER_WRITE full
+    # groups (or MAX_BUFFER_BYTES for fat binary rows) and let ONE
+    # write_table call slice them into exact groups itself.
+    GROUPS_PER_WRITE = 32
+    MAX_BUFFER_BYTES = 96 << 20
+
     def write(self, tbl: pa.Table) -> None:
         if tbl.num_rows == 0:
             return
-        self._parts.append(tbl.select(self.schema.names).cast(self.schema))
+        part = tbl.select(self.schema.names).cast(self.schema)
+        self._parts.append(part)
         self._buffered += tbl.num_rows
+        self._buffered_bytes = getattr(self, "_buffered_bytes", 0) + part.nbytes
         self.total_rows += tbl.num_rows
-        while self._buffered >= self.rows_per_group:
-            big = pa.concat_tables(self._parts).combine_chunks()
-            head = big.slice(0, self.rows_per_group)
-            rest = big.slice(self.rows_per_group)
+        if (self._buffered >= self.rows_per_group * self.GROUPS_PER_WRITE
+                or (self._buffered_bytes >= self.MAX_BUFFER_BYTES
+                    and self._buffered >= self.rows_per_group)):
+            big = pa.concat_tables(self._parts)
+            nfull = (big.num_rows // self.rows_per_group) * self.rows_per_group
+            head = big.slice(0, nfull)
+            rest = big.slice(nfull)
             self._ensure_writer()
             self._writer.write_table(head, row_group_size=self.rows_per_group)
             self._parts = [rest] if rest.num_rows else []
             self._buffered = rest.num_rows
+            self._buffered_bytes = rest.nbytes if rest.num_rows else 0
 
     def close(self) -> None:
         if self._buffered:
-            big = pa.concat_tables(self._parts).combine_chunks()
+            big = pa.concat_tables(self._parts)
             self._ensure_writer()
             self._writer.write_table(big, row_group_size=self.rows_per_group)
             self._parts, self._buffered = [], 0
+            self._buffered_bytes = 0
         if self._writer is not None:
             self._writer.close()
 
@@ -356,8 +370,12 @@ def write_footer(split_dir: str, footer: dict) -> None:
     if n_hot:
         footer = dict(footer, hotcache_terms=n_hot)
     files = {}
+    import glob as _glob
+
+    seg_files = sorted(os.path.basename(p) for p in _glob.glob(
+        os.path.join(split_dir, "docstore-seg-*.parquet")))
     for fn in (POSTINGS_FILE, POSITIONS_FILE, FIELDNORMS_FILE, FASTFIELDS_FILE,
-               DOCSTORE_FILE, HOTCACHE_FILE):
+               DOCSTORE_FILE, HOTCACHE_FILE, *seg_files):
         p = os.path.join(split_dir, fn)
         if os.path.exists(p):
             files[fn] = os.path.getsize(p)
@@ -858,43 +876,75 @@ class SplitReader:
             return None
         return np.asarray(self._fastfields[name].combine_chunks().is_valid())
 
+    def docstore_files(self) -> list[tuple[str, int]]:
+        """Ordered ``(path, num_docs)`` doc-store segments. Merged splits
+        carry their sources' doc stores as hardlinked segment files
+        (footer ``docstore_segments`` — the tantivy doc-store *stacking*
+        analog: merge never decompresses stored fields); direct builds
+        have the single docstore.parquet."""
+        segs = self.footer.get("docstore_segments")
+        if segs:
+            return [(os.path.join(self.split_dir, s["file"]),
+                     int(s["num_docs"])) for s in segs]
+        p = os.path.join(self.split_dir, DOCSTORE_FILE)
+        return [(p, self.num_docs)] if os.path.exists(p) else []
+
     def docstore_columns(self) -> list[str]:
         """Column names present in this split's doc store (mapped stored
         fields + the dynamic-mode catch-all columns)."""
         if getattr(self, "_docstore_cols", None) is None:
-            pf = pq.ParquetFile(os.path.join(self.split_dir, DOCSTORE_FILE))
-            self._docstore_cols = list(pf.schema_arrow.names)
+            cols: list[str] = []
+            for p, _ in self.docstore_files():
+                for name in pq.read_schema(p).names:
+                    if name not in cols:
+                        cols.append(name)
+            self._docstore_cols = cols
         return self._docstore_cols
 
     def fetch_docs(self, doc_ids: np.ndarray, columns: Optional[list[str]] = None) -> pa.Table:
         """Doc-store point lookups for hit rendering (fetch_docs.rs:41-267).
         Reads only the parquet row groups containing the requested rows
-        (doc id == row index), so a top-k fetch touches a few compressed
-        blocks, not the whole store."""
+        (doc id == row index across the ordered segments), so a top-k
+        fetch touches a few compressed blocks, not the whole store."""
         ids = np.asarray(doc_ids, np.int64)
-        pf = pq.ParquetFile(os.path.join(self.split_dir, DOCSTORE_FILE))
-        if columns is not None:
-            # tolerate columns a given split predates (schema widened by
-            # later dynamic ingests): absent columns surface as nulls at
-            # the pandas concat layer
-            present = set(pf.schema_arrow.names)
-            columns = [c for c in columns if c in present]
-        md = pf.metadata
-        rg_sizes = np.asarray([md.row_group(i).num_rows
-                               for i in range(md.num_row_groups)], np.int64)
-        rg_starts = np.concatenate([[0], np.cumsum(rg_sizes)[:-1]])
+        # flatten (segment, row group) into one global row-group grid,
+        # cached on the reader (merged splits stack many segment files)
+        cached = getattr(self, "_docstore_grid", None)
+        if cached is None:
+            grid: list[tuple[pq.ParquetFile, int]] = []
+            rg_sizes_l: list[int] = []
+            for p, _nd in self.docstore_files():
+                pf = pq.ParquetFile(p)
+                md = pf.metadata
+                for i in range(md.num_row_groups):
+                    grid.append((pf, i))
+                    rg_sizes_l.append(md.row_group(i).num_rows)
+            rg_sizes = np.asarray(rg_sizes_l, np.int64)
+            rg_starts = np.concatenate([[0], np.cumsum(rg_sizes)[:-1]])
+            cached = self._docstore_grid = (grid, rg_starts)
+        grid, rg_starts = cached
         rg_of = np.searchsorted(rg_starts, ids, side="right") - 1
         out_parts = []
         for rg in np.unique(rg_of):
             sel = rg_of == rg
-            tbl = pf.read_row_group(int(rg), columns=columns)
+            pf, local_rg = grid[int(rg)]
+            cols = columns
+            if cols is not None:
+                # tolerate columns a given split/segment predates (schema
+                # widened by later dynamic ingests): absent columns
+                # surface as nulls at the pandas concat layer
+                present = set(pf.schema_arrow.names)
+                cols = [c for c in cols if c in present]
+            tbl = pf.read_row_group(local_rg, columns=cols)
             self.bytes_read += tbl.nbytes
             local = ids[sel] - rg_starts[rg]
             out_parts.append((np.nonzero(sel)[0], tbl.take(pa.array(local))))
         if len(out_parts) == 1:
             return out_parts[0][1]
-        # reassemble in the original request order
-        combined = pa.concat_tables([t for _, t in out_parts])
+        # reassemble in the original request order (segments may differ in
+        # schema width after dynamic ingests: promote by unifying)
+        combined = pa.concat_tables([t for _, t in out_parts],
+                                    promote_options="default")
         pos = np.concatenate([idxs for idxs, _ in out_parts])
         back = np.empty(len(pos), np.int64)
         back[pos] = np.arange(len(pos))

@@ -500,6 +500,62 @@ def _merge_window(big: pa.Table) -> tuple[pa.Table, pa.Table, bool]:
     return table, ptable, has_pos
 
 
+MAX_DOCSTORE_SEGMENTS = 32
+
+
+def _stack_docstores(split_dirs: list[str], footers: list[dict],
+                     counts: list[int], tmp_dir: str) -> Optional[list[dict]]:
+    """Doc-store *stacking* (tantivy's merge fast path: stored fields are
+    appended as already-compressed blocks, never re-encoded — tantivy
+    store/writer.rs stack()). The parquet analog: hardlink every source
+    doc-store file into the merged split as an ordered segment; readers
+    map doc ordinals across segments (SplitReader.docstore_files).
+
+    Returns the footer ``docstore_segments`` entries, or None when the
+    sources are not uniformly stackable (a split without a doc store
+    needs null placeholder rows; differing schemas are fine — fetch
+    promotes) and the caller must fall back to the rewrite path.
+
+    Segment counts are capped: a merge whose sources carry more than
+    MAX_DOCSTORE_SEGMENTS pieces rewrites instead, consolidating to one
+    file — so alternate merge levels re-encode and point reads never
+    walk an unbounded segment list."""
+    pieces: list[tuple[str, int]] = []  # (source path, num_docs)
+    for d, f, nd in zip(split_dirs, footers, counts):
+        segs = f.get("docstore_segments")
+        if segs:
+            have = 0
+            for s in segs:
+                p = os.path.join(d, s["file"])
+                if not os.path.exists(p):
+                    return None
+                pieces.append((p, int(s["num_docs"])))
+                have += int(s["num_docs"])
+            if have != nd:
+                return None
+        else:
+            p = os.path.join(d, DOCSTORE_FILE)
+            if not os.path.exists(p):
+                return None  # placeholder rows needed -> rewrite path
+            pieces.append((p, nd))
+    if len(pieces) > MAX_DOCSTORE_SEGMENTS:
+        return None
+    entries = []
+    for i, (src, nd) in enumerate(pieces):
+        name = f"docstore-seg-{i:05d}.parquet"
+        dst = os.path.join(tmp_dir, name)
+        if os.path.exists(dst):
+            os.remove(dst)  # retried staged merge
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device / fs without hardlinks
+            import shutil as _sh
+
+            _sh.copyfile(src, dst)
+        entries.append({"file": name, "num_docs": nd})
+    return entries
+
+
 def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
                   num_merge_ops: int) -> SplitMetadata:
     """Merge N split artifact dirs into one new split dir (stateless; safe
@@ -540,7 +596,10 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
     # placeholders are zeros — norm id 0 = length 0 — because the reader
     # casts the column straight to uint8; fast/docstore placeholders are
     # nulls).
+    docstore_segments = _stack_docstores(split_dirs, footers, counts, tmp_dir)
     for fname in (FIELDNORMS_FILE, FASTFIELDS_FILE, DOCSTORE_FILE):
+        if fname == DOCSTORE_FILE and docstore_segments is not None:
+            continue  # stacked without re-encoding (segment hardlinks)
         paths = [os.path.join(d, fname) for d in split_dirs]
         present = [p for p in paths if os.path.exists(p)]
         if not present:
@@ -617,6 +676,8 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
     }
     if fields_meta is not None:
         footer["fields"] = fields_meta
+    if docstore_segments is not None:
+        footer["docstore_segments"] = docstore_segments
     write_footer(tmp_dir, footer)
     if os.path.exists(out_dir):
         import shutil
@@ -669,7 +730,9 @@ def execute_delete_merge(index_dir: str, splits: list[SplitMetadata],
                                    config.doc_mapping.default_search_fields)
                 m, _ = searcher.eval(node, False)
                 mask |= m
-        docstore = pq.read_table(os.path.join(sdir, DOCSTORE_FILE))
+        docstore = pa.concat_tables(
+            [pq.read_table(p) for p, _ in reader.docstore_files()],
+            promote_options="default")
         kept = docstore.filter(pa.array(~mask))
         if kept.num_rows:
             parts.append(kept)

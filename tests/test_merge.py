@@ -351,3 +351,80 @@ def test_delete_at_merge(tmp_path):
     changed = apply_delete_tasks(d)
     s2 = IndexSearcher(d)
     assert s2.search("text:scan", max_hits=0).num_hits == expect
+
+
+def test_docstore_stacking(tmp_path):
+    """Merges stack source doc stores as hardlinked segment files (the
+    tantivy store stack() analog) instead of re-encoding: the merged
+    split carries docstore_segments, point fetches cross segment
+    boundaries correctly, fetched docs match the sources byte-for-byte,
+    GC of the sources leaves the hardlinked data intact, and a source
+    fan-in above MAX_DOCSTORE_SEGMENTS falls back to the single-file
+    rewrite."""
+    import os
+
+    from quickwit_ray.index.format import SplitReader
+    from quickwit_ray.index.merge import (
+        MAX_DOCSTORE_SEGMENTS,
+        execute_merge,
+    )
+    from quickwit_ray.state.manifest import Manifest
+
+    config = IndexConfig(
+        index_id="documents", doc_mapping=documents_doc_mapping(),
+        settings=IndexSettings(
+            split_num_docs_target=10_000, commit_docs_threshold=100,
+            merge_policy=MergePolicyConfig(merge_factor=3, max_merge_factor=4,
+                                           min_level_num_docs=1000)))
+    index_dir = str(tmp_path / "idx")
+    build_index(DOCS, index_dir, config, execution="local",
+                read_batch_size=100)
+    man = Manifest(index_dir)
+    splits = man.list_splits()
+    ids = [s.split_id for s in splits[:3]]
+    want = []
+    for s in splits[:3]:
+        r = SplitReader(os.path.join(index_dir, "splits", s.split_id))
+        want.append(r.fetch_docs(np.arange(s.num_docs),
+                                 columns=["doc_id", "text"]))
+    want_tbl = pa.concat_tables(want)
+
+    sm = execute_merge(index_dir, ids, "documents", 1)
+    sd = os.path.join(index_dir, "splits", sm.split_id)
+    r = SplitReader(sd)
+    segs = r.docstore_files()
+    assert len(segs) == 3
+    assert all(os.path.basename(p).startswith("docstore-seg-")
+               for p, _ in segs)
+    assert "docstore.parquet" not in os.listdir(sd)
+    got = r.fetch_docs(np.arange(sm.num_docs), columns=["doc_id", "text"])
+    assert got.equals(want_tbl)
+    # cross-boundary point fetch in scrambled order
+    pick = np.array([sm.num_docs - 1, 0, 150, 101, 99])
+    got2 = r.fetch_docs(pick, columns=["doc_id"])
+    assert got2["doc_id"].to_pylist() == \
+        [want_tbl["doc_id"][int(i)].as_py() for i in pick]
+    # hardlinked data survives source-split deletion
+    import shutil
+
+    for sid in ids:
+        shutil.rmtree(os.path.join(index_dir, "splits", sid))
+    r2 = SplitReader(sd)
+    assert r2.fetch_docs(np.array([0]), columns=["doc_id"]).num_rows == 1
+    # fan-in above the cap falls back to one rewritten docstore file
+    from quickwit_ray.index import merge as merge_mod
+
+    old = merge_mod.MAX_DOCSTORE_SEGMENTS
+    merge_mod.MAX_DOCSTORE_SEGMENTS = 1
+    try:
+        sm2 = execute_merge(index_dir, [sm.split_id,
+                                        splits[3].split_id],
+                            "documents", 2)
+    finally:
+        merge_mod.MAX_DOCSTORE_SEGMENTS = old
+    sd2 = os.path.join(index_dir, "splits", sm2.split_id)
+    assert "docstore.parquet" in os.listdir(sd2)
+    r3 = SplitReader(sd2)
+    assert len(r3.docstore_files()) == 1
+    assert r3.fetch_docs(np.array([0, sm2.num_docs - 1]),
+                         columns=["doc_id"]).num_rows == 2
