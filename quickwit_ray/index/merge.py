@@ -355,23 +355,51 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
                                     POSITIONS_SCHEMA, POS_TERMS_PER_ROW_GROUP)
                if any_positions else None)
     wrote_any_pos = False
+    # two-stage pipeline: a producer thread reads + merges the next
+    # window while this thread parquet-encodes the previous one (pyarrow
+    # reads/encodes release the GIL). Bounded queue -> bounded memory;
+    # single producer + FIFO -> byte-identical output to the serial loop.
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    perr: list[BaseException] = []
+
+    def _produce() -> None:
+        try:
+            while True:
+                for s in streams:
+                    s.ensure_loaded()
+                keys = [s.buffer_last_key() for s in streams
+                        if s.buffer_last_key() is not None]
+                if not keys:
+                    break
+                safe = min(keys)
+                chunks = [s.take_upto(safe) for s in streams]
+                chunks = [c for c in chunks if c is not None and c.num_rows]
+                if not chunks:
+                    continue
+                window = pa.concat_tables(chunks).combine_chunks()
+                q.put(_merge_window(window))
+        except BaseException as e:  # surfaced on the consumer side
+            perr.append(e)
+        finally:
+            q.put(None)
+
+    producer = threading.Thread(target=_produce, daemon=True)
+    producer.start()
     while True:
-        for s in streams:
-            s.ensure_loaded()
-        keys = [s.buffer_last_key() for s in streams if s.buffer_last_key() is not None]
-        if not keys:
+        item = q.get()
+        if item is None:
             break
-        safe = min(keys)
-        chunks = [s.take_upto(safe) for s in streams]
-        chunks = [c for c in chunks if c is not None and c.num_rows]
-        if not chunks:
-            continue
-        window = pa.concat_tables(chunks).combine_chunks()
-        tbl, ptbl, has_pos = _merge_window(window)
+        tbl, ptbl, has_pos = item
         out.write(tbl)
         if pos_out is not None:
             pos_out.write(ptbl)
             wrote_any_pos = wrote_any_pos or has_pos
+    producer.join()
+    if perr:
+        raise perr[0]
     if out.total_rows == 0:
         write_postings_file(os.path.join(tmp_dir, POSTINGS_FILE),
                             {k: [] for k in POSTINGS_SCHEMA.names})
