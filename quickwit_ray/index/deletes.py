@@ -29,11 +29,8 @@ def _rewrite_split_without(index_dir: str, config: IndexConfig,
                            split: SplitMetadata, keep_mask: np.ndarray,
                            opstamp: int) -> SplitMetadata:
     split_dir = os.path.join(index_dir, "splits", split.split_id)
-    # merged splits may store docs as stacked segment files
-    docstore = pa.concat_tables(
-        [pq.read_table(p)
-         for p, _ in SplitReader(split_dir).docstore_files()],
-        promote_options="default")
+    # merged splits may store docs as stacked segments + blob columns
+    docstore = SplitReader(split_dir).read_docstore_table()
     kept = docstore.filter(pa.array(keep_mask))
     builder = SplitBuilder(config, index_dir,
                            source_partition_id=f"delete:{split.split_id}",

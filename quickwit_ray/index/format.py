@@ -134,6 +134,219 @@ POSITIONS_SCHEMA = pa.schema([
 DICT_COLUMNS = ["field", "term", "df", "max_tf"]
 
 
+DOCSTORE_RG_MAX_ROWS = 8192
+DOCSTORE_RG_TARGET_BYTES = 4 << 20  # raw bytes per doc-store row group
+
+
+def docstore_row_group_size(tbl: pa.Table) -> int:
+    """Doc-store row groups sized by BYTES, not rows (the tantivy
+    doc-store analog: point fetches decompress ONE block, so the block
+    must be small). Fat rows — webtext bodies, multi-KB payloads — get
+    small groups (~4MB raw each); log-sized rows keep the 8192-row cap
+    so parquet metadata stays light at 10M-doc splits."""
+    if tbl.num_rows == 0:
+        return DOCSTORE_RG_MAX_ROWS
+    avg = max(tbl.nbytes / tbl.num_rows, 1.0)
+    return max(64, min(DOCSTORE_RG_MAX_ROWS,
+                       int(DOCSTORE_RG_TARGET_BYTES / avg)))
+
+
+# ---------------------------------------------------------------------------
+# framed blob store for fat stored columns (the tantivy doc-store analog:
+# `store/writer.rs` writes ~16KB compressed blocks + a skip index, so a
+# point fetch decompresses ONE small block). Parquet row groups cannot go
+# that small without exploding file metadata, so fat columns (webtext
+# bodies, html payloads) move out of docstore.parquet into a flat file of
+# zstd frames with a trailer index: frame payload = u32 byte-lens per row
+# (0xFFFFFFFF = null) + concatenated row bytes.
+# ---------------------------------------------------------------------------
+
+DOCBLOB_FRAME_RAW_TARGET = 64 << 10   # raw bytes per frame
+DOCBLOB_COL_THRESHOLD = 256           # avg raw bytes/row to blob a column
+DOCBLOB_NULL = 0xFFFFFFFF
+_DOCBLOB_MAGIC = b"QWRBLOB1"
+
+
+def _blob_eligible(typ: pa.DataType) -> bool:
+    return (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+            or pa.types.is_binary(typ) or pa.types.is_large_binary(typ))
+
+
+class BlobColumnWriter:
+    """Streaming framed writer for ONE fat stored column."""
+
+    def __init__(self, path: str, rows_per_frame: int, value_type: str):
+        self.path = path
+        self.rows_per_frame = int(rows_per_frame)
+        self.value_type = value_type  # "string" | "binary"
+        self._f = open(path, "wb")
+        self._codec = pa.Codec("zstd", 1)
+        self._pend: list[pa.Array] = []
+        self._pend_rows = 0
+        self._offs = [0]
+        self._rawlens: list[int] = []
+        self.num_rows = 0
+
+    def add(self, col) -> None:
+        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col)
+        if arr.type != pa.binary():
+            arr = arr.cast(pa.string()).cast(pa.binary())
+        self._pend.append(arr)
+        self._pend_rows += len(arr)
+        self.num_rows += len(arr)
+        if self._pend_rows >= self.rows_per_frame:
+            buf = (pa.concat_arrays(self._pend) if len(self._pend) > 1
+                   else self._pend[0])
+            n = len(buf)
+            full = (n // self.rows_per_frame) * self.rows_per_frame
+            for s in range(0, full, self.rows_per_frame):
+                self._emit(buf.slice(s, self.rows_per_frame))
+            rest = buf.slice(full)
+            self._pend = [rest] if len(rest) else []
+            self._pend_rows = len(rest)
+
+    def _emit(self, fr: pa.Array) -> None:
+        # vectorized payload build: parquet-style offsets buffer slicing
+        bufs = fr.buffers()
+        off = np.frombuffer(bufs[1], np.int32, count=len(fr) + 1,
+                            offset=fr.offset * 4).astype(np.int64)
+        data = np.frombuffer(bufs[2], np.uint8)[off[0]:off[-1]] \
+            if bufs[2] is not None else np.empty(0, np.uint8)
+        lens = np.diff(off).astype(np.uint32)
+        valid = np.asarray(fr.is_valid())
+        lens[~valid] = DOCBLOB_NULL  # nulls contribute 0 payload bytes
+        payload = lens.tobytes() + data.tobytes()
+        fz = self._codec.compress(payload, asbytes=True)
+        self._f.write(fz)
+        self._offs.append(self._offs[-1] + len(fz))
+        self._rawlens.append(len(payload))
+
+    def close(self) -> None:
+        if self._pend_rows:
+            buf = (pa.concat_arrays(self._pend) if len(self._pend) > 1
+                   else self._pend[0])
+            self._emit(buf)
+            self._pend, self._pend_rows = [], 0
+        idx_off = self._offs[-1]
+        self._f.write(np.asarray(self._offs, np.int64).tobytes())
+        self._f.write(np.asarray(self._rawlens, np.int64).tobytes())
+        self._f.write(np.asarray([self.rows_per_frame, len(self._rawlens),
+                                  self.num_rows, idx_off],
+                                 np.int64).tobytes())
+        self._f.write(_DOCBLOB_MAGIC)
+        self._f.close()
+
+
+class BlobColumnReader:
+    """Point + scan reads over one blob column file."""
+
+    def __init__(self, path: str, value_type: str = "string"):
+        self.path = path
+        self.value_type = value_type
+        self._codec = pa.Codec("zstd", 1)
+        self._f = open(path, "rb")
+        self._f.seek(-40, 2)  # 4 x i64 + magic
+        tr = self._f.read(40)
+        if tr[-8:] != _DOCBLOB_MAGIC:
+            raise ValueError(f"not a blob column file: {path}")
+        (self.rows_per_frame, self.nframes, self.num_rows,
+         idx_off) = (int(x) for x in np.frombuffer(tr[:32], np.int64))
+        self._f.seek(idx_off)
+        raw = self._f.read((self.nframes + 1) * 8 + self.nframes * 8)
+        self.offs = np.frombuffer(raw[:(self.nframes + 1) * 8], np.int64)
+        self.rawlens = np.frombuffer(raw[(self.nframes + 1) * 8:], np.int64)
+        self.bytes_read = 0
+
+    def _frame(self, fi: int) -> tuple[np.ndarray, bytes, np.ndarray]:
+        """(lens u32 with null sentinel, data bytes, byte starts)."""
+        self._f.seek(int(self.offs[fi]))
+        buf = self._f.read(int(self.offs[fi + 1] - self.offs[fi]))
+        payload = self._codec.decompress(buf, int(self.rawlens[fi]),
+                                         asbytes=True)
+        self.bytes_read += int(self.rawlens[fi])
+        nrows = (self.rows_per_frame if fi < self.nframes - 1
+                 else self.num_rows - fi * self.rows_per_frame)
+        lens = np.frombuffer(payload, np.uint32, count=nrows)
+        eff = np.where(lens == DOCBLOB_NULL, 0, lens).astype(np.int64)
+        starts = 4 * nrows + np.concatenate([[0], np.cumsum(eff)])
+        return lens, payload, starts
+
+    def take(self, rows: np.ndarray) -> pa.Array:
+        """Rows (local ordinals) -> pa array in request order."""
+        rows = np.asarray(rows, np.int64)
+        vals: dict[int, Optional[bytes]] = {}
+        for fi in np.unique(rows // self.rows_per_frame):
+            lens, payload, starts = self._frame(int(fi))
+            base = int(fi) * self.rows_per_frame
+            for r in rows[(rows >= base)
+                          & (rows < base + self.rows_per_frame)]:
+                li = int(r - base)
+                vals[int(r)] = (None if lens[li] == DOCBLOB_NULL else
+                                payload[starts[li]:starts[li + 1]])
+        out = [vals[int(r)] for r in rows]
+        arr = pa.array(out, pa.binary())
+        return arr.cast(pa.string()) if self.value_type == "string" else arr
+
+    def scan(self) -> pa.Array:
+        """Full sequential read -> one pa array (merge rewrites, deletes)."""
+        chunks = []
+        for fi in range(self.nframes):
+            lens, payload, starts = self._frame(fi)
+            chunks.append(pa.array(
+                [None if lens[i] == DOCBLOB_NULL
+                 else payload[starts[i]:starts[i + 1]]
+                 for i in range(len(lens))], pa.binary()))
+        arr = (pa.concat_arrays(chunks) if chunks
+               else pa.array([], pa.binary()))
+        return arr.cast(pa.string()) if self.value_type == "string" else arr
+
+
+def blob_rows_per_frame(avg_row_bytes: float) -> int:
+    return max(8, min(1024, int(DOCBLOB_FRAME_RAW_TARGET
+                                / max(avg_row_bytes, 1.0))))
+
+
+def split_blob_columns(tbl: pa.Table) -> list[str]:
+    """Stored columns that should live in the blob store: eligible type
+    and fat rows on average."""
+    if tbl.num_rows == 0:
+        return []
+    out = []
+    for name in tbl.column_names:
+        col = tbl[name]
+        if _blob_eligible(col.type) \
+                and col.nbytes / tbl.num_rows >= DOCBLOB_COL_THRESHOLD:
+            out.append(name)
+    return out
+
+
+def write_docstore(dir_: str, tbl: pa.Table) -> list[dict]:
+    """One-shot doc-store write (merge consolidation / rewrites): fat
+    columns to framed blob files, the rest to docstore.parquet with
+    byte-sized row groups. Returns footer ``docstore_blobs`` specs."""
+    blob_cols = split_blob_columns(tbl)
+    specs = []
+    for i, name in enumerate(blob_cols):
+        fn = f"docblobs-{i:02d}.bin"
+        vt = ("string" if pa.types.is_string(tbl[name].type)
+              or pa.types.is_large_string(tbl[name].type) else "binary")
+        w = BlobColumnWriter(
+            os.path.join(dir_, fn),
+            blob_rows_per_frame(tbl[name].nbytes / tbl.num_rows), vt)
+        w.add(tbl[name])
+        w.close()
+        specs.append({"column": name, "file": fn, "type": vt,
+                      "rows_per_frame": w.rows_per_frame,
+                      "num_rows": w.num_rows})
+    rest = tbl.drop_columns(blob_cols)
+    if rest.num_columns:
+        pq.write_table(rest, os.path.join(dir_, DOCSTORE_FILE),
+                       compression="zstd", compression_level=1,
+                       row_group_size=docstore_row_group_size(rest))
+    return specs
+
+
 def _as_column(v):
     """Column values for pa.table: plain python lists pass through; lists
     of pa.Array chunks (the writer's zero-copy flush) become one
@@ -372,8 +585,10 @@ def write_footer(split_dir: str, footer: dict) -> None:
     files = {}
     import glob as _glob
 
-    seg_files = sorted(os.path.basename(p) for p in _glob.glob(
-        os.path.join(split_dir, "docstore-seg-*.parquet")))
+    seg_files = sorted(os.path.basename(p)
+                       for pat in ("docstore-seg-*.parquet",
+                                   "docblobs-*.bin")
+                       for p in _glob.glob(os.path.join(split_dir, pat)))
     for fn in (POSTINGS_FILE, POSITIONS_FILE, FIELDNORMS_FILE, FASTFIELDS_FILE,
                DOCSTORE_FILE, HOTCACHE_FILE, *seg_files):
         p = os.path.join(split_dir, fn)
@@ -876,30 +1091,85 @@ class SplitReader:
             return None
         return np.asarray(self._fastfields[name].combine_chunks().is_valid())
 
-    def docstore_files(self) -> list[tuple[str, int]]:
-        """Ordered ``(path, num_docs)`` doc-store segments. Merged splits
-        carry their sources' doc stores as hardlinked segment files
-        (footer ``docstore_segments`` — the tantivy doc-store *stacking*
-        analog: merge never decompresses stored fields); direct builds
-        have the single docstore.parquet."""
+    def docstore_units(self) -> list[dict]:
+        """Ordered doc-store units, each covering a contiguous doc-id
+        range: ``{parquet: path|None, num_docs, blobs: [spec]}``. Merged
+        splits carry their sources' doc stores as hardlinked segment
+        units (footer ``docstore_segments`` — the tantivy doc-store
+        *stacking* analog: merge never decompresses stored fields);
+        direct builds are one unit. Fat columns live in framed blob
+        files (footer ``docstore_blobs`` / per-segment ``blobs``)."""
+
+        def _abs(specs):
+            return [dict(b, file=os.path.join(self.split_dir, b["file"]))
+                    for b in (specs or ())]
+
         segs = self.footer.get("docstore_segments")
         if segs:
-            return [(os.path.join(self.split_dir, s["file"]),
-                     int(s["num_docs"])) for s in segs]
+            return [{
+                "parquet": (os.path.join(self.split_dir, s["file"])
+                            if s.get("file") else None),
+                "num_docs": int(s["num_docs"]),
+                "blobs": _abs(s.get("blobs")),
+            } for s in segs]
         p = os.path.join(self.split_dir, DOCSTORE_FILE)
-        return [(p, self.num_docs)] if os.path.exists(p) else []
+        blobs = _abs(self.footer.get("docstore_blobs"))
+        if not os.path.exists(p) and not blobs:
+            return []
+        return [{"parquet": p if os.path.exists(p) else None,
+                 "num_docs": self.num_docs, "blobs": blobs}]
+
+    def docstore_files(self) -> list[tuple[str, int]]:
+        """Ordered ``(parquet path, num_docs)`` of units that have a
+        parquet part (back-compat helper; full reads should use
+        read_docstore_table)."""
+        return [(u["parquet"], u["num_docs"]) for u in self.docstore_units()
+                if u["parquet"]]
 
     def docstore_columns(self) -> list[str]:
         """Column names present in this split's doc store (mapped stored
-        fields + the dynamic-mode catch-all columns)."""
+        fields + the dynamic-mode catch-all columns + blob columns)."""
         if getattr(self, "_docstore_cols", None) is None:
             cols: list[str] = []
-            for p, _ in self.docstore_files():
-                for name in pq.read_schema(p).names:
-                    if name not in cols:
-                        cols.append(name)
+            for u in self.docstore_units():
+                if u["parquet"]:
+                    for name in pq.read_schema(u["parquet"]).names:
+                        if name not in cols:
+                            cols.append(name)
+                for b in u["blobs"]:
+                    if b["column"] not in cols:
+                        cols.append(b["column"])
             self._docstore_cols = cols
         return self._docstore_cols
+
+    def read_docstore_table(self, columns: Optional[list[str]] = None
+                            ) -> pa.Table:
+        """Full sequential doc-store read (delete rewrites, consolidating
+        merges): parquet parts + scanned blob columns, row-aligned."""
+        units = self.docstore_units()
+        parts = []
+        for u in units:
+            t = None
+            if u["parquet"]:
+                cols = None
+                if columns is not None:
+                    present = set(pq.read_schema(u["parquet"]).names)
+                    cols = [c for c in columns if c in present]
+                if cols is None or cols:  # columns=[] -> 0-row table
+                    t = pq.read_table(u["parquet"], columns=cols)
+            for b in u["blobs"]:
+                if columns is not None and b["column"] not in columns:
+                    continue
+                arr = BlobColumnReader(b["file"],
+                                       b.get("type", "string")).scan()
+                t = (pa.table({b["column"]: arr}) if t is None
+                     else t.append_column(b["column"], arr))
+            if t is None:
+                raise ValueError("doc-store unit with no readable parts")
+            parts.append(t)
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts, promote_options="default")
 
     def fetch_docs(self, doc_ids: np.ndarray, columns: Optional[list[str]] = None) -> pa.Table:
         """Doc-store point lookups for hit rendering (fetch_docs.rs:41-267).
@@ -907,45 +1177,136 @@ class SplitReader:
         (doc id == row index across the ordered segments), so a top-k
         fetch touches a few compressed blocks, not the whole store."""
         ids = np.asarray(doc_ids, np.int64)
-        # flatten (segment, row group) into one global row-group grid,
+        # the cached grid shares ParquetFile + blob file handles; seeks
+        # and reads on them are NOT thread-safe — serialize per reader
+        # (concurrent requests still parallelize across splits)
+        import threading
+
+        lock = getattr(self, "_docstore_lock", None)
+        if lock is None:
+            lock = self._docstore_lock = threading.Lock()
+        with lock:
+            return self._fetch_docs_locked(ids, columns)
+
+    def _fetch_docs_locked(self, ids: np.ndarray,
+                           columns: Optional[list[str]]) -> pa.Table:
+        # (unit, row group) flattened into one global row-group grid,
         # cached on the reader (merged splits stack many segment files)
         cached = getattr(self, "_docstore_grid", None)
         if cached is None:
+            units = self.docstore_units()
+            unit_offs = np.concatenate(
+                [[0], np.cumsum([u["num_docs"] for u in units])]
+            ).astype(np.int64)
             grid: list[tuple[pq.ParquetFile, int]] = []
-            rg_sizes_l: list[int] = []
-            for p, _nd in self.docstore_files():
-                pf = pq.ParquetFile(p)
-                md = pf.metadata
-                for i in range(md.num_row_groups):
-                    grid.append((pf, i))
-                    rg_sizes_l.append(md.row_group(i).num_rows)
-            rg_sizes = np.asarray(rg_sizes_l, np.int64)
-            rg_starts = np.concatenate([[0], np.cumsum(rg_sizes)[:-1]])
-            cached = self._docstore_grid = (grid, rg_starts)
-        grid, rg_starts = cached
-        rg_of = np.searchsorted(rg_starts, ids, side="right") - 1
-        out_parts = []
-        for rg in np.unique(rg_of):
-            sel = rg_of == rg
-            pf, local_rg = grid[int(rg)]
-            cols = columns
-            if cols is not None:
-                # tolerate columns a given split/segment predates (schema
-                # widened by later dynamic ingests): absent columns
-                # surface as nulls at the pandas concat layer
-                present = set(pf.schema_arrow.names)
-                cols = [c for c in cols if c in present]
-            tbl = pf.read_row_group(local_rg, columns=cols)
-            self.bytes_read += tbl.nbytes
-            local = ids[sel] - rg_starts[rg]
-            out_parts.append((np.nonzero(sel)[0], tbl.take(pa.array(local))))
-        if len(out_parts) == 1:
-            return out_parts[0][1]
-        # reassemble in the original request order (segments may differ in
-        # schema width after dynamic ingests: promote by unifying)
-        combined = pa.concat_tables([t for _, t in out_parts],
-                                    promote_options="default")
-        pos = np.concatenate([idxs for idxs, _ in out_parts])
-        back = np.empty(len(pos), np.int64)
-        back[pos] = np.arange(len(pos))
-        return combined.take(pa.array(back))
+            g_starts: list[int] = []
+            blob_readers: list[list[tuple[str, "BlobColumnReader"]]] = []
+            for ui, u in enumerate(units):
+                if u["parquet"]:
+                    pf = pq.ParquetFile(u["parquet"])
+                    md = pf.metadata
+                    acc = 0
+                    for i in range(md.num_row_groups):
+                        grid.append((pf, i))
+                        g_starts.append(int(unit_offs[ui]) + acc)
+                        acc += md.row_group(i).num_rows
+                blob_readers.append(
+                    [(b["column"],
+                      BlobColumnReader(b["file"], b.get("type", "string")))
+                     for b in u["blobs"]])
+            cached = self._docstore_grid = (
+                units, unit_offs, grid,
+                np.asarray(g_starts, np.int64), blob_readers)
+        units, unit_offs, grid, g_starts, blob_readers = cached
+        unit_of = np.searchsorted(unit_offs, ids, side="right") - 1
+        unit_has_pq = np.asarray([u["parquet"] is not None for u in units],
+                                 bool)
+        pq_mask = unit_has_pq[unit_of] if len(units) else \
+            np.zeros(len(ids), bool)
+
+        n = len(ids)
+        combined: Optional[pa.Table] = None
+        if pq_mask.any():
+            sub_ids = ids[pq_mask]
+            rg_of = np.searchsorted(g_starts, sub_ids, side="right") - 1
+            out_parts: list[tuple[np.ndarray, Optional[pa.Table], int]] = []
+            for rg in np.unique(rg_of):
+                sel = rg_of == rg
+                pf, local_rg = grid[int(rg)]
+                cols = columns
+                if cols is not None:
+                    # tolerate columns a segment predates (schema widened
+                    # by later dynamic ingests, or blob'd elsewhere):
+                    # absent -> nulls on concat
+                    present = set(pf.schema_arrow.names)
+                    cols = [c for c in cols if c in present]
+                idxs = np.nonzero(sel)[0]
+                if cols is not None and not cols:
+                    # none of the requested columns live in this group
+                    out_parts.append((idxs, None, int(sel.sum())))
+                    continue
+                tbl = pf.read_row_group(local_rg, columns=cols)
+                self.bytes_read += tbl.nbytes
+                local = sub_ids[sel] - g_starts[rg]
+                out_parts.append((idxs, tbl.take(pa.array(local)), 0))
+            real = [t for _, t, _ in out_parts if t is not None]
+            if real:
+                unified = pa.unify_schemas([t.schema for t in real],
+                                           promote_options="default")
+                tables = [t if t is not None else
+                          pa.table({f.name: pa.nulls(cnt, f.type)
+                                    for f in unified}, schema=unified)
+                          for _, t, cnt in out_parts]
+                combined = pa.concat_tables(tables,
+                                            promote_options="default")
+                pos = np.concatenate([idxs for idxs, _, _ in out_parts])
+                back = np.empty(len(pos), np.int64)
+                back[pos] = np.arange(len(pos))
+                combined = combined.take(pa.array(back))
+            if combined is not None and not pq_mask.all():
+                # splice null rows for ids whose unit is blobs-only
+                full = np.full(n, -1, np.int64)
+                full[pq_mask] = np.arange(int(pq_mask.sum()))
+                combined = pa.concat_tables(
+                    [combined,
+                     pa.table({f.name: pa.nulls(1, f.type)
+                               for f in combined.schema},
+                              schema=combined.schema)])
+                full[full < 0] = int(pq_mask.sum())
+                combined = combined.take(pa.array(full))
+        # overlay blob columns (per unit: each may blob different columns)
+        blob_cols: list[str] = []
+        for brs in blob_readers:
+            for cname, _ in brs:
+                if cname not in blob_cols and (columns is None
+                                               or cname in columns):
+                    blob_cols.append(cname)
+        for cname in blob_cols:
+            base: list = (combined[cname].to_pylist()
+                          if combined is not None
+                          and cname in combined.column_names
+                          else [None] * n)
+            vtype = "string"
+            for ui in np.unique(unit_of):
+                for bc, rd in blob_readers[int(ui)]:
+                    if bc != cname:
+                        continue
+                    sel = unit_of == ui
+                    local = ids[sel] - unit_offs[ui]
+                    vals = rd.take(local)
+                    self.bytes_read += vals.nbytes
+                    vtype = rd.value_type
+                    for j, v in zip(np.nonzero(sel)[0], vals.to_pylist()):
+                        base[int(j)] = v
+            arr = pa.array(base, pa.string() if vtype == "string"
+                           else pa.binary())
+            if combined is None:
+                combined = pa.table({cname: arr})
+            elif cname in combined.column_names:
+                combined = combined.set_column(
+                    combined.column_names.index(cname), cname, arr)
+            else:
+                combined = combined.append_column(cname, arr)
+        if combined is None:
+            combined = pa.table({})
+        return combined

@@ -531,56 +531,86 @@ def _merge_window(big: pa.Table) -> tuple[pa.Table, pa.Table, bool]:
 MAX_DOCSTORE_SEGMENTS = 32
 
 
+def _split_docstore_units(split_dir: str, footer: dict,
+                          num_docs: int) -> list[dict]:
+    """Ordered doc-store units of one source split (absolute paths):
+    ``{parquet: path|None, num_docs, blobs: [spec]}``. Merged splits
+    expose their stacked segments; direct builds are one unit."""
+
+    def _abs(specs):
+        return [dict(b, file=os.path.join(split_dir, b["file"]))
+                for b in (specs or ())]
+
+    segs = footer.get("docstore_segments")
+    if segs:
+        return [{"parquet": (os.path.join(split_dir, s["file"])
+                             if s.get("file") else None),
+                 "num_docs": int(s["num_docs"]),
+                 "blobs": _abs(s.get("blobs"))} for s in segs]
+    p = os.path.join(split_dir, DOCSTORE_FILE)
+    blobs = _abs(footer.get("docstore_blobs"))
+    if not os.path.exists(p) and not blobs:
+        return []
+    return [{"parquet": p if os.path.exists(p) else None,
+             "num_docs": num_docs, "blobs": blobs}]
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    if os.path.exists(dst):
+        os.remove(dst)  # retried staged merge
+    try:
+        os.link(src, dst)
+    except OSError:  # cross-device / fs without hardlinks
+        import shutil as _sh
+
+        _sh.copyfile(src, dst)
+
+
 def _stack_docstores(split_dirs: list[str], footers: list[dict],
                      counts: list[int], tmp_dir: str) -> Optional[list[dict]]:
     """Doc-store *stacking* (tantivy's merge fast path: stored fields are
     appended as already-compressed blocks, never re-encoded — tantivy
-    store/writer.rs stack()). The parquet analog: hardlink every source
-    doc-store file into the merged split as an ordered segment; readers
-    map doc ordinals across segments (SplitReader.docstore_files).
+    store/writer.rs stack()). The analog here: hardlink every source
+    doc-store unit (parquet file + framed blob files) into the merged
+    split as an ordered segment; readers map doc ordinals across
+    segments (SplitReader.docstore_units).
 
     Returns the footer ``docstore_segments`` entries, or None when the
     sources are not uniformly stackable (a split without a doc store
-    needs null placeholder rows; differing schemas are fine — fetch
-    promotes) and the caller must fall back to the rewrite path.
+    needs null placeholder rows) and the caller must fall back to the
+    consolidating rewrite.
 
-    Segment counts are capped: a merge whose sources carry more than
-    MAX_DOCSTORE_SEGMENTS pieces rewrites instead, consolidating to one
-    file — so alternate merge levels re-encode and point reads never
+    Unit counts are capped: a merge whose sources carry more than
+    MAX_DOCSTORE_SEGMENTS units rewrites instead, consolidating to one
+    unit — so alternate merge levels re-encode and point reads never
     walk an unbounded segment list."""
-    pieces: list[tuple[str, int]] = []  # (source path, num_docs)
+    pieces: list[dict] = []
     for d, f, nd in zip(split_dirs, footers, counts):
-        segs = f.get("docstore_segments")
-        if segs:
-            have = 0
-            for s in segs:
-                p = os.path.join(d, s["file"])
-                if not os.path.exists(p):
-                    return None
-                pieces.append((p, int(s["num_docs"])))
-                have += int(s["num_docs"])
-            if have != nd:
-                return None
-        else:
-            p = os.path.join(d, DOCSTORE_FILE)
-            if not os.path.exists(p):
-                return None  # placeholder rows needed -> rewrite path
-            pieces.append((p, nd))
+        sub = _split_docstore_units(d, f, nd)
+        if (not sub or sum(u["num_docs"] for u in sub) != nd
+                or not all(os.path.exists(u["parquet"])
+                           for u in sub if u["parquet"])
+                or not all(os.path.exists(b["file"])
+                           for u in sub for b in u["blobs"])):
+            return None  # placeholder rows needed -> rewrite path
+        pieces.extend(sub)
     if len(pieces) > MAX_DOCSTORE_SEGMENTS:
         return None
     entries = []
-    for i, (src, nd) in enumerate(pieces):
-        name = f"docstore-seg-{i:05d}.parquet"
-        dst = os.path.join(tmp_dir, name)
-        if os.path.exists(dst):
-            os.remove(dst)  # retried staged merge
-        try:
-            os.link(src, dst)
-        except OSError:  # cross-device / fs without hardlinks
-            import shutil as _sh
-
-            _sh.copyfile(src, dst)
-        entries.append({"file": name, "num_docs": nd})
+    for i, u in enumerate(pieces):
+        entry: dict = {"num_docs": u["num_docs"]}
+        if u["parquet"]:
+            name = f"docstore-seg-{i:05d}.parquet"
+            _link_or_copy(u["parquet"], os.path.join(tmp_dir, name))
+            entry["file"] = name
+        blobs = []
+        for k, b in enumerate(u["blobs"]):
+            name = f"docblobs-{i:05d}-{k:02d}.bin"
+            _link_or_copy(b["file"], os.path.join(tmp_dir, name))
+            blobs.append(dict(b, file=name))
+        if blobs:
+            entry["blobs"] = blobs
+        entries.append(entry)
     return entries
 
 
@@ -625,9 +655,37 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
     # casts the column straight to uint8; fast/docstore placeholders are
     # nulls).
     docstore_segments = _stack_docstores(split_dirs, footers, counts, tmp_dir)
+    rewrite_blob_specs: list[dict] = []
     for fname in (FIELDNORMS_FILE, FASTFIELDS_FILE, DOCSTORE_FILE):
         if fname == DOCSTORE_FILE and docstore_segments is not None:
             continue  # stacked without re-encoding (segment hardlinks)
+        if fname == DOCSTORE_FILE:
+            # consolidating rewrite: read each source's FULL stored table
+            # (parquet part + scanned blob columns), concat with null
+            # placeholders for store-less sources, re-emit as one unit
+            from quickwit_ray.index.format import (
+                SplitReader as _SR,
+                write_docstore,
+            )
+
+            tables = []
+            for d, f, nd in zip(split_dirs, footers, counts):
+                if _split_docstore_units(d, f, nd):
+                    tables.append(_SR(d).read_docstore_table())
+                else:
+                    tables.append(None)
+            real = [t for t in tables if t is not None]
+            if not real:
+                continue
+            unified = pa.unify_schemas([t.schema for t in real],
+                                       promote_options="default")
+            parts = [t if t is not None else
+                     pa.table({fld.name: pa.nulls(nd, fld.type)
+                               for fld in unified}, schema=unified)
+                     for t, nd in zip(tables, counts)]
+            big_ds = pa.concat_tables(parts, promote_options="default")
+            rewrite_blob_specs = write_docstore(tmp_dir, big_ds)
+            continue
         paths = [os.path.join(d, fname) for d in split_dirs]
         present = [p for p in paths if os.path.exists(p)]
         if not present:
@@ -649,10 +707,8 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
         pq.write_table(pa.concat_tables(parts, promote_options="default"),
                        os.path.join(tmp_dir, fname),
                        compression="zstd", compression_level=1,
-                       # docstore keeps point-read-sized row groups;
                        # fieldnorms/fastfields are read whole (columnar)
-                       row_group_size=(8192 if fname == DOCSTORE_FILE
-                                       else None))
+                       row_group_size=None)
 
     # ---- footer: union of stats
     field_stats: dict[str, dict[str, float]] = {}
@@ -706,6 +762,8 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
         footer["fields"] = fields_meta
     if docstore_segments is not None:
         footer["docstore_segments"] = docstore_segments
+    elif rewrite_blob_specs:
+        footer["docstore_blobs"] = rewrite_blob_specs
     write_footer(tmp_dir, footer)
     if os.path.exists(out_dir):
         import shutil
@@ -758,9 +816,7 @@ def execute_delete_merge(index_dir: str, splits: list[SplitMetadata],
                                    config.doc_mapping.default_search_fields)
                 m, _ = searcher.eval(node, False)
                 mask |= m
-        docstore = pa.concat_tables(
-            [pq.read_table(p) for p, _ in reader.docstore_files()],
-            promote_options="default")
+        docstore = reader.read_docstore_table()
         kept = docstore.filter(pa.array(~mask))
         if kept.num_rows:
             parts.append(kept)

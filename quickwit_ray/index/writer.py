@@ -324,6 +324,7 @@ class SplitBuilder:
         self._accs: dict[str, _FieldAcc] = {f.name: _FieldAcc()
                                             for f in self.mapping.text_fields}
         self._docstore_writer: Optional[pq.ParquetWriter] = None
+        self._blob_writers: Optional[dict] = None  # fat stored columns
         self._fast_chunks: list[pa.Table] = []
         self._ts_min: Optional[int] = None
         self._ts_max: Optional[int] = None
@@ -553,17 +554,47 @@ class SplitBuilder:
             stored_names += [c for c in batch.column_names
                              if c not in mapped and c != "_doc_length"]
         store_tbl = batch.select(stored_names)
-        if self._docstore_writer is None:
+        # fat stored columns (webtext bodies, html payloads) go to framed
+        # blob files — the tantivy doc-store block analog (~64KB zstd
+        # frames, store/writer.rs): a top-k fetch decompresses ONE small
+        # frame, not a multi-MB parquet row group. Decided on the first
+        # batch, fixed for the split.
+        from quickwit_ray.index.format import (
+            BlobColumnWriter,
+            blob_rows_per_frame,
+            docstore_row_group_size,
+            split_blob_columns,
+        )
+
+        if self._blob_writers is None:
             os.makedirs(self._tmp_dir, exist_ok=True)
-            self._docstore_writer = pq.ParquetWriter(
-                os.path.join(self._tmp_dir, DOCSTORE_FILE), store_tbl.schema,
-                compression="zstd", compression_level=1)
-            self._docstore_schema = store_tbl.schema
-        # small row groups = the doc-store block analog (tantivy stores
-        # ~16KB compressed blocks): a top-k fetch decompresses a few
-        # thousand rows, not 100k (11MB+ per point read at 1M docs)
-        self._docstore_writer.write_table(store_tbl.cast(self._docstore_schema),
-                                          row_group_size=8192)
+            self._blob_writers = {}
+            for i, name in enumerate(split_blob_columns(store_tbl)):
+                col = store_tbl[name]
+                vt = ("string" if pa.types.is_string(col.type)
+                      or pa.types.is_large_string(col.type) else "binary")
+                self._blob_writers[name] = BlobColumnWriter(
+                    os.path.join(self._tmp_dir, f"docblobs-{i:02d}.bin"),
+                    blob_rows_per_frame(col.nbytes
+                                        / max(store_tbl.num_rows, 1)), vt)
+        for name, bw in self._blob_writers.items():
+            if name in store_tbl.column_names:
+                bw.add(store_tbl[name])
+            else:  # column absent this batch (lenient/dynamic): nulls
+                bw.add(pa.nulls(store_tbl.num_rows, pa.binary()))
+        rest_tbl = store_tbl.drop_columns(
+            [c for c in self._blob_writers if c in store_tbl.column_names])
+        if rest_tbl.num_columns:
+            if self._docstore_writer is None:
+                self._docstore_writer = pq.ParquetWriter(
+                    os.path.join(self._tmp_dir, DOCSTORE_FILE),
+                    rest_tbl.schema, compression="zstd",
+                    compression_level=1)
+                self._docstore_schema = rest_tbl.schema
+            # byte-sized row groups: point fetch decompresses a few MB max
+            self._docstore_writer.write_table(
+                rest_tbl.cast(self._docstore_schema),
+                row_group_size=docstore_row_group_size(rest_tbl))
         self.est_bytes += store_tbl.nbytes
         self.num_docs += n
 
@@ -658,10 +689,21 @@ class SplitBuilder:
         if self.num_docs == 0:
             if self._docstore_writer is not None:
                 self._docstore_writer.close()
+            for bw in (self._blob_writers or {}).values():
+                bw.close()
+            if self._docstore_writer is not None or self._blob_writers:
                 shutil.rmtree(self._tmp_dir, ignore_errors=True)
             return None
-        assert self._docstore_writer is not None
-        self._docstore_writer.close()
+        if self._docstore_writer is not None:
+            self._docstore_writer.close()
+        blob_specs = []
+        for name, bw in (self._blob_writers or {}).items():
+            bw.close()
+            blob_specs.append({
+                "column": name, "file": os.path.basename(bw.path),
+                "type": bw.value_type,
+                "rows_per_frame": bw.rows_per_frame,
+                "num_rows": bw.num_rows})
 
         field_order = sorted(self._accs)  # postings sorted by (field, term)
         rows = {k: [] for k in ("field", "term", "df", "max_tf", "doc_ids", "tfs",
@@ -811,7 +853,7 @@ class SplitBuilder:
                 fast if self._fast_chunks else None)
         except Exception:  # field-caps metadata must never fail a build
             fields_meta = []
-        write_footer(self._tmp_dir, {
+        footer = {
             "split_id": self.split_id,
             "index_id": self.config.index_id,
             "num_docs": int(self.num_docs),
@@ -819,7 +861,10 @@ class SplitBuilder:
             "time_range": [self._ts_min, self._ts_max],
             "tags": tags,
             "fields": fields_meta,
-        })
+        }
+        if blob_specs:
+            footer["docstore_blobs"] = blob_specs
+        write_footer(self._tmp_dir, footer)
         # atomic publish of the artifact dir
         if os.path.exists(self.split_dir):
             shutil.rmtree(self.split_dir)

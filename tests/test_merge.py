@@ -426,5 +426,92 @@ def test_docstore_stacking(tmp_path):
     assert "docstore.parquet" in os.listdir(sd2)
     r3 = SplitReader(sd2)
     assert len(r3.docstore_files()) == 1
-    assert r3.fetch_docs(np.array([0, sm2.num_docs - 1]),
-                         columns=["doc_id"]).num_rows == 2
+    # the consolidating rewrite must read the SEGMENTED source through
+    # its segment list — values survive, no silent null placeholders
+    # (regression: the fallback once looked for docstore.parquet only)
+    got3 = r3.fetch_docs(np.arange(sm2.num_docs), columns=["doc_id"])
+    assert got3["doc_id"].null_count == 0
+    assert got3["doc_id"].to_pylist()[:sm.num_docs] == \
+        want_tbl["doc_id"].to_pylist()
+
+
+def test_docstore_blob_columns(tmp_path):
+    """Fat stored text moves to framed blob files (tantivy ~64KB-block
+    doc-store analog): direct builds carry docstore_blobs, hits render
+    byte-identical values, merges stack blob files per segment, and the
+    consolidating rewrite re-emits blobs — across null/empty rows."""
+    import os
+
+    from quickwit_ray.index.format import SplitReader
+    from quickwit_ray.index import merge as merge_mod
+    from quickwit_ray.index.merge import execute_merge
+    from quickwit_ray.state.manifest import Manifest
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma"]
+
+    def fat_row(i):
+        if i % 37 == 0:
+            return None
+        if i % 29 == 0:
+            return ""
+        return " ".join(rng.choice(words, 150)) + f" row{i}"
+
+    docs_dir = tmp_path / "src"
+    docs_dir.mkdir()
+    n = 600
+    rows = [fat_row(i) for i in range(n)]
+    tbl = pa.table({
+        "doc_id": [f"d{i}" for i in range(n)], "text": rows,
+        "lang": ["en"] * n, "source": ["syn"] * n,
+        "n_chars": [len(r or "") for r in rows]})
+    pq.write_table(tbl, str(docs_dir / "part.parquet"))
+
+    config = IndexConfig(
+        index_id="documents", doc_mapping=documents_doc_mapping(),
+        settings=IndexSettings(split_num_docs_target=10_000,
+                               commit_docs_threshold=200))
+    index_dir = str(tmp_path / "idx")
+    build_index([str(docs_dir / "part.parquet")], index_dir, config,
+                execution="local", read_batch_size=97)
+    man = Manifest(index_dir)
+    splits = man.list_splits()
+    assert len(splits) == 3
+    sd0 = os.path.join(index_dir, "splits", splits[0].split_id)
+    r0 = SplitReader(sd0)
+    unit = r0.docstore_units()[0]
+    assert unit["blobs"] and unit["blobs"][0]["column"] == "text"
+    assert "text" not in pq.read_schema(unit["parquet"]).names
+    # point fetch returns exact values incl. null/empty rows
+    got = r0.fetch_docs(np.arange(splits[0].num_docs),
+                        columns=["doc_id", "text"])
+    assert got["text"].to_pylist() == rows[:splits[0].num_docs]
+    # search-level render: byte-identical text
+    s = IndexSearcher(index_dir)
+    hit = s.search("text:row5 AND text:alpha", max_hits=1).hits
+    if len(hit):
+        assert hit.iloc[0]["text"] == rows[5]
+    # merge stacks blob files as segments
+    sm = execute_merge(index_dir, [sp.split_id for sp in splits],
+                       "documents", 1)
+    sd = os.path.join(index_dir, "splits", sm.split_id)
+    rm = SplitReader(sd)
+    units = rm.docstore_units()
+    assert len(units) == 3 and all(u["blobs"] for u in units)
+    got = rm.fetch_docs(np.arange(n), columns=["text"])
+    assert got["text"].to_pylist() == rows
+    # consolidating rewrite (fan-in over cap) re-emits blobs
+    old = merge_mod.MAX_DOCSTORE_SEGMENTS
+    merge_mod.MAX_DOCSTORE_SEGMENTS = 1
+    try:
+        sm2 = execute_merge(index_dir, [sm.split_id], "documents", 2)
+    finally:
+        merge_mod.MAX_DOCSTORE_SEGMENTS = old
+    r2 = SplitReader(os.path.join(index_dir, "splits", sm2.split_id))
+    u2 = r2.docstore_units()
+    assert len(u2) == 1 and u2[0]["blobs"]
+    assert r2.read_docstore_table(columns=["text"])["text"].to_pylist() \
+        == rows
+    scrambled = np.array([599, 0, 37, 29, 205, 401])
+    assert r2.fetch_docs(scrambled, columns=["text"])["text"].to_pylist() \
+        == [rows[i] for i in scrambled]
