@@ -26,8 +26,8 @@ _SCRATCH = "/tmp/quickwit_ray_entry"
 
 
 def _index_dir_for(sf_dir: str, table: str) -> str:
-    # v9: footer field-caps metadata + dynamic list fast columns
-    h = hashlib.sha1(f"{sf_dir}:{table}:v9".encode()).hexdigest()[:10]
+    # v10: framed blob doc-store + byte-sized docstore row groups
+    h = hashlib.sha1(f"{sf_dir}:{table}:v10".encode()).hexdigest()[:10]
     return os.path.join(_SCRATCH, f"{table}-{h}")
 
 

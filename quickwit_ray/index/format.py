@@ -188,8 +188,15 @@ class BlobColumnWriter:
         self.num_rows = 0
 
     def add(self, col) -> None:
-        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-               else col)
+        if isinstance(col, pa.ChunkedArray):
+            if col.nbytes > (1 << 30):
+                # giant batch (multi-MB payload rows): feed chunk-wise so
+                # the int32-offset binary cast below never overflows
+                for ch in col.chunks:
+                    self.add(ch)
+                return
+            col = col.combine_chunks()
+        arr = col
         if arr.type != pa.binary():
             arr = arr.cast(pa.string()).cast(pa.binary())
         self._pend.append(arr)
