@@ -188,40 +188,72 @@ class BlobColumnWriter:
         self.num_rows = 0
 
     def add(self, col) -> None:
-        if isinstance(col, pa.ChunkedArray):
-            if col.nbytes > (1 << 30):
-                # giant batch (multi-MB payload rows): feed chunk-wise so
-                # the int32-offset binary cast below never overflows
-                for ch in col.chunks:
-                    self.add(ch)
-                return
-            col = col.combine_chunks()
-        arr = col
-        if arr.type != pa.binary():
-            arr = arr.cast(pa.string()).cast(pa.binary())
-        self._pend.append(arr)
-        self._pend_rows += len(arr)
-        self.num_rows += len(arr)
-        if self._pend_rows >= self.rows_per_frame:
-            buf = (pa.concat_arrays(self._pend) if len(self._pend) > 1
-                   else self._pend[0])
-            n = len(buf)
-            full = (n // self.rows_per_frame) * self.rows_per_frame
-            for s in range(0, full, self.rows_per_frame):
-                self._emit(buf.slice(s, self.rows_per_frame))
-            rest = buf.slice(full)
-            self._pend = [rest] if len(rest) else []
-            self._pend_rows = len(rest)
+        # frames are emitted as SLICES of the incoming chunks (never a
+        # whole-batch concat), so arbitrarily large inputs — multi-GB
+        # large_binary chunks included — stay within per-frame memory;
+        # only the <rows_per_frame carry between chunks is ever
+        # concatenated (both sides tiny)
+        R = self.rows_per_frame
+        for ch in (col.chunks if isinstance(col, pa.ChunkedArray)
+                   else [col]):
+            self.num_rows += len(ch)
+            if self._pend_rows:
+                take = min(R - self._pend_rows, len(ch))
+                self._pend.append(ch.slice(0, take))
+                self._pend_rows += take
+                ch = ch.slice(take)
+                if self._pend_rows == R:
+                    self._emit(pa.concat_arrays(
+                        [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                         else a for a in self._pend]))
+                    self._pend, self._pend_rows = [], 0
+            full = (len(ch) // R) * R
+            for s in range(0, full, R):
+                self._emit(ch.slice(s, R))
+            rest = ch.slice(full)
+            if len(rest):
+                self._pend.append(rest)
+                self._pend_rows += len(rest)
 
     def _emit(self, fr: pa.Array) -> None:
-        # vectorized payload build: parquet-style offsets buffer slicing
+        # vectorized payload build: offsets-buffer slicing; handles both
+        # 32-bit (string/binary) and 64-bit (large_*) offset widths
+        # without casting (a cast would UTF-8-validate binary payloads
+        # and overflow on >2GB chunks)
+        t = fr.type
+        if not _blob_eligible(t):
+            fr = fr.cast(pa.string())
+            t = fr.type
+        wide = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
         bufs = fr.buffers()
-        off = np.frombuffer(bufs[1], np.int32, count=len(fr) + 1,
-                            offset=fr.offset * 4).astype(np.int64)
-        data = np.frombuffer(bufs[2], np.uint8)[off[0]:off[-1]] \
-            if bufs[2] is not None else np.empty(0, np.uint8)
-        lens = np.diff(off).astype(np.uint32)
+        if bufs[1] is None:  # all-null array (e.g. pa.nulls): no offsets
+            off = np.zeros(len(fr) + 1, np.int64)
+        elif wide:
+            off = np.frombuffer(bufs[1], np.int64, count=len(fr) + 1,
+                                offset=fr.offset * 8)
+        else:
+            off = np.frombuffer(bufs[1], np.int32, count=len(fr) + 1,
+                                offset=fr.offset * 4).astype(np.int64)
+        data_full = (np.frombuffer(bufs[2], np.uint8)
+                     if bufs[2] is not None else np.empty(0, np.uint8))
+        rowlens = np.diff(off)
         valid = np.asarray(fr.is_valid())
+        if valid.all() or not rowlens[~valid].any():
+            # fast path: null slots occupy no extent -> payload is the
+            # contiguous value range
+            data = data_full[off[0]:off[-1]]
+        else:
+            # null slots with NONZERO extents (pc.if_else/coalesce keep
+            # the underlying bytes): gather only the valid extents, or
+            # every row after the null would misalign against the
+            # sentinel length the reader decodes as 0
+            eff = np.where(valid, rowlens, 0).astype(np.int64)
+            total = int(eff.sum())
+            seg_off = np.concatenate([[0], np.cumsum(eff)[:-1]])
+            big_idx = np.repeat(off[:-1] - seg_off, eff) \
+                + np.arange(total)
+            data = data_full[big_idx]
+        lens = rowlens.astype(np.uint32)
         lens[~valid] = DOCBLOB_NULL  # nulls contribute 0 payload bytes
         payload = lens.tobytes() + data.tobytes()
         fz = self._codec.compress(payload, asbytes=True)
@@ -231,9 +263,9 @@ class BlobColumnWriter:
 
     def close(self) -> None:
         if self._pend_rows:
-            buf = (pa.concat_arrays(self._pend) if len(self._pend) > 1
-                   else self._pend[0])
-            self._emit(buf)
+            self._emit(pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in self._pend]))
             self._pend, self._pend_rows = [], 0
         idx_off = self._offs[-1]
         self._f.write(np.asarray(self._offs, np.int64).tobytes())
@@ -279,6 +311,22 @@ class BlobColumnReader:
         starts = 4 * nrows + np.concatenate([[0], np.cumsum(eff)])
         return lens, payload, starts
 
+    def _frame_array(self, fi: int) -> pa.Array:
+        """One frame -> pa.binary() array, zero-copy from the payload."""
+        lens, payload, starts = self._frame(fi)
+        nrows = len(lens)
+        valid = lens != DOCBLOB_NULL
+        off32 = (starts - starts[0]).astype(np.int32)
+        data = np.frombuffer(payload, np.uint8)[starts[0]:starts[-1]]
+        vbuf = None
+        nulls = int((~valid).sum())
+        if nulls:
+            vbuf = pa.py_buffer(np.packbits(valid, bitorder="little"))
+        return pa.Array.from_buffers(
+            pa.binary(), nrows,
+            [vbuf, pa.py_buffer(off32), pa.py_buffer(data)],
+            null_count=nulls)
+
     def take(self, rows: np.ndarray) -> pa.Array:
         """Rows (local ordinals) -> pa array in request order."""
         rows = np.asarray(rows, np.int64)
@@ -296,14 +344,10 @@ class BlobColumnReader:
         return arr.cast(pa.string()) if self.value_type == "string" else arr
 
     def scan(self) -> pa.Array:
-        """Full sequential read -> one pa array (merge rewrites, deletes)."""
-        chunks = []
-        for fi in range(self.nframes):
-            lens, payload, starts = self._frame(fi)
-            chunks.append(pa.array(
-                [None if lens[i] == DOCBLOB_NULL
-                 else payload[starts[i]:starts[i + 1]]
-                 for i in range(len(lens))], pa.binary()))
+        """Full sequential read -> one pa array (merge rewrites, deletes).
+        Rows stay zero-copy views of the frame payloads — a 10M-doc scan
+        never materializes per-row Python bytes."""
+        chunks = [self._frame_array(fi) for fi in range(self.nframes)]
         arr = (pa.concat_arrays(chunks) if chunks
                else pa.array([], pa.binary()))
         return arr.cast(pa.string()) if self.value_type == "string" else arr
@@ -326,6 +370,32 @@ def split_blob_columns(tbl: pa.Table) -> list[str]:
                 and col.nbytes / tbl.num_rows >= DOCBLOB_COL_THRESHOLD:
             out.append(name)
     return out
+
+
+def resolve_docstore_units(split_dir: str, footer: dict,
+                           num_docs: int) -> list[dict]:
+    """The ONE place the footer's doc-store layout resolves to units
+    (absolute paths): used by SplitReader.docstore_units and the merge
+    stacking/rewrite paths — keep them in lockstep."""
+
+    def _abs(specs):
+        return [dict(b, file=os.path.join(split_dir, b["file"]))
+                for b in (specs or ())]
+
+    segs = footer.get("docstore_segments")
+    if segs:
+        return [{
+            "parquet": (os.path.join(split_dir, s["file"])
+                        if s.get("file") else None),
+            "num_docs": int(s["num_docs"]),
+            "blobs": _abs(s.get("blobs")),
+        } for s in segs]
+    p = os.path.join(split_dir, DOCSTORE_FILE)
+    blobs = _abs(footer.get("docstore_blobs"))
+    if not os.path.exists(p) and not blobs:
+        return []
+    return [{"parquet": p if os.path.exists(p) else None,
+             "num_docs": num_docs, "blobs": blobs}]
 
 
 def write_docstore(dir_: str, tbl: pa.Table) -> list[dict]:
@@ -689,6 +759,9 @@ class SplitReader:
         self._hot_index: Optional[dict[int, int]] = None
         self._hot_pf: Optional[pq.ParquetFile] = None
         self._hot_cache: dict[int, dict] = {}
+        import threading
+
+        self._docstore_lock = threading.Lock()
 
     # -- term dictionary (lazy per-row-group segments) -----------------------
 
@@ -1106,25 +1179,8 @@ class SplitReader:
         *stacking* analog: merge never decompresses stored fields);
         direct builds are one unit. Fat columns live in framed blob
         files (footer ``docstore_blobs`` / per-segment ``blobs``)."""
-
-        def _abs(specs):
-            return [dict(b, file=os.path.join(self.split_dir, b["file"]))
-                    for b in (specs or ())]
-
-        segs = self.footer.get("docstore_segments")
-        if segs:
-            return [{
-                "parquet": (os.path.join(self.split_dir, s["file"])
-                            if s.get("file") else None),
-                "num_docs": int(s["num_docs"]),
-                "blobs": _abs(s.get("blobs")),
-            } for s in segs]
-        p = os.path.join(self.split_dir, DOCSTORE_FILE)
-        blobs = _abs(self.footer.get("docstore_blobs"))
-        if not os.path.exists(p) and not blobs:
-            return []
-        return [{"parquet": p if os.path.exists(p) else None,
-                 "num_docs": self.num_docs, "blobs": blobs}]
+        return resolve_docstore_units(self.split_dir, self.footer,
+                                      self.num_docs)
 
     def docstore_files(self) -> list[tuple[str, int]]:
         """Ordered ``(parquet path, num_docs)`` of units that have a
@@ -1186,13 +1242,9 @@ class SplitReader:
         ids = np.asarray(doc_ids, np.int64)
         # the cached grid shares ParquetFile + blob file handles; seeks
         # and reads on them are NOT thread-safe — serialize per reader
-        # (concurrent requests still parallelize across splits)
-        import threading
-
-        lock = getattr(self, "_docstore_lock", None)
-        if lock is None:
-            lock = self._docstore_lock = threading.Lock()
-        with lock:
+        # (concurrent requests still parallelize across splits). The
+        # lock is created in __init__: lazy creation would race.
+        with self._docstore_lock:
             return self._fetch_docs_locked(ids, columns)
 
     def _fetch_docs_locked(self, ids: np.ndarray,

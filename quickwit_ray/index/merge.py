@@ -364,10 +364,20 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
 
     q: "_queue.Queue" = _queue.Queue(maxsize=2)
     perr: list[BaseException] = []
+    stop = threading.Event()  # consumer failed: producer must not block
+
+    def _qput(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def _produce() -> None:
         try:
-            while True:
+            while not stop.is_set():
                 for s in streams:
                     s.ensure_loaded()
                 keys = [s.buffer_last_key() for s in streams
@@ -380,24 +390,36 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
                 if not chunks:
                     continue
                 window = pa.concat_tables(chunks).combine_chunks()
-                q.put(_merge_window(window))
+                if not _qput(_merge_window(window)):
+                    return
         except BaseException as e:  # surfaced on the consumer side
             perr.append(e)
         finally:
-            q.put(None)
+            _qput(None)
 
     producer = threading.Thread(target=_produce, daemon=True)
     producer.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        tbl, ptbl, has_pos = item
-        out.write(tbl)
-        if pos_out is not None:
-            pos_out.write(ptbl)
-            wrote_any_pos = wrote_any_pos or has_pos
-    producer.join()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            tbl, ptbl, has_pos = item
+            out.write(tbl)
+            if pos_out is not None:
+                pos_out.write(ptbl)
+                wrote_any_pos = wrote_any_pos or has_pos
+    finally:
+        # on a consumer failure (e.g. ENOSPC) unblock + reap the
+        # producer before propagating, so no thread / window tables /
+        # input handles leak in a long-lived worker
+        stop.set()
+        try:
+            while q.get_nowait() is not None:
+                pass
+        except _queue.Empty:
+            pass
+        producer.join()
     if perr:
         raise perr[0]
     if out.total_rows == 0:
@@ -533,26 +555,11 @@ MAX_DOCSTORE_SEGMENTS = 32
 
 def _split_docstore_units(split_dir: str, footer: dict,
                           num_docs: int) -> list[dict]:
-    """Ordered doc-store units of one source split (absolute paths):
-    ``{parquet: path|None, num_docs, blobs: [spec]}``. Merged splits
-    expose their stacked segments; direct builds are one unit."""
+    """Ordered doc-store units of one source split — shared resolution
+    with SplitReader.docstore_units (format.resolve_docstore_units)."""
+    from quickwit_ray.index.format import resolve_docstore_units
 
-    def _abs(specs):
-        return [dict(b, file=os.path.join(split_dir, b["file"]))
-                for b in (specs or ())]
-
-    segs = footer.get("docstore_segments")
-    if segs:
-        return [{"parquet": (os.path.join(split_dir, s["file"])
-                             if s.get("file") else None),
-                 "num_docs": int(s["num_docs"]),
-                 "blobs": _abs(s.get("blobs"))} for s in segs]
-    p = os.path.join(split_dir, DOCSTORE_FILE)
-    blobs = _abs(footer.get("docstore_blobs"))
-    if not os.path.exists(p) and not blobs:
-        return []
-    return [{"parquet": p if os.path.exists(p) else None,
-             "num_docs": num_docs, "blobs": blobs}]
+    return resolve_docstore_units(split_dir, footer, num_docs)
 
 
 def _link_or_copy(src: str, dst: str) -> None:

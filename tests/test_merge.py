@@ -515,3 +515,46 @@ def test_docstore_blob_columns(tmp_path):
     scrambled = np.array([599, 0, 37, 29, 205, 401])
     assert r2.fetch_docs(scrambled, columns=["text"])["text"].to_pylist() \
         == [rows[i] for i in scrambled]
+
+
+def test_blob_writer_null_extents_and_binary_payloads(tmp_path):
+    """Review regressions: (1) null slots whose Arrow offsets keep a
+    nonzero extent (pc.if_else / concat of slices) must not shift later
+    rows' bytes; (2) non-UTF-8 large_binary payloads are blob-eligible
+    and must round-trip without a string cast; (3) frames slice chunks
+    directly (carry-only concat), so chunked adds of any size work."""
+    import pyarrow.compute as pc
+
+    from quickwit_ray.index.format import BlobColumnReader, BlobColumnWriter
+
+    # (1) nulls with nonzero extents
+    base = pa.array(["abc", "NULLBYTES", "xy", "tail"])
+    arr = pc.if_else(pa.array([True, False, True, True]), base, None)
+    assert arr.is_valid().to_pylist() == [True, False, True, True]
+    w = BlobColumnWriter(str(tmp_path / "b1.bin"), 3, "string")
+    w.add(arr)
+    w.close()
+    r = BlobColumnReader(str(tmp_path / "b1.bin"), "string")
+    assert r.scan().to_pylist() == ["abc", None, "xy", "tail"]
+    assert r.take(np.array([2, 3, 1])).to_pylist() == ["xy", "tail", None]
+
+    # (2) large_binary, non-UTF-8
+    import os as _os
+
+    payloads = [_os.urandom(300), None, b"\xff\xfe" * 200, b""]
+    lb = pa.array(payloads, pa.large_binary())
+    w2 = BlobColumnWriter(str(tmp_path / "b2.bin"), 2, "binary")
+    w2.add(lb)
+    w2.close()
+    r2 = BlobColumnReader(str(tmp_path / "b2.bin"), "binary")
+    assert r2.scan().to_pylist() == payloads
+
+    # (3) many chunks straddling frames (carry logic)
+    vals = [f"v{i}" * 50 for i in range(40)]
+    w3 = BlobColumnWriter(str(tmp_path / "b3.bin"), 7, "string")
+    for i in range(0, 40, 3):
+        w3.add(pa.chunked_array([pa.array(vals[i:i + 2], pa.string()),
+                                 pa.array(vals[i + 2:i + 3], pa.string())]))
+    w3.close()
+    r3 = BlobColumnReader(str(tmp_path / "b3.bin"), "string")
+    assert r3.scan().to_pylist() == vals
