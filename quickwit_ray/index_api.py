@@ -92,7 +92,7 @@ class IndexApiService:
     def handles(self, endpoint: str) -> bool:
         parts = endpoint.strip("/").split("/")
         return (parts[0] in ("indexes", "otlp", "version", "cluster",
-                             "health", "metrics")
+                             "health", "metrics", "developer")
                 or (len(parts) >= 2 and parts[1] in ("search", "search-plan",
                                                      "otlp", "jaeger",
                                                      "delete-tasks")))
@@ -135,6 +135,8 @@ class IndexApiService:
             return True  # the reference returns a bare JSON boolean
         if parts[0] == "metrics":
             return self._metrics()
+        if parts[0] == "developer":
+            return self._developer(parts[1:], params)
         if parts[0] == "otlp" and len(parts) == 3 and parts[1] == "v1":
             return self._otlp(None, parts[2], body, params)
         if len(parts) == 4 and parts[1] == "otlp" and parts[2] == "v1":
@@ -346,6 +348,50 @@ class IndexApiService:
             opstamp = idx.create_delete_task(q)
             return {"opstamp": opstamp, "query": q}
         raise EsApiError(400, "unsupported delete-tasks method")
+
+    def _developer(self, parts: list[str], params: dict) -> Any:
+        """Developer API (quickwit-serve/src/developer_api): `/debug`
+        dumps the node's internal state; `/log-level?level=` retunes the
+        process logger (single-node analog of the env-filter reload)."""
+        import fnmatch
+        import logging
+
+        if parts and parts[0] == "debug":
+            pat = (params.get("node_ids") or "*").split(",")
+            if not any(fnmatch.fnmatchcase("node-1", p.strip().lower())
+                       for p in pat):
+                return {}
+            from quickwit_ray.search.permits import get_permit_provider
+
+            out: dict = {"node_id": "node-1", "indexes": {}}
+            from quickwit_ray.state.manifest import Manifest
+
+            for name, idx in sorted(self.indexes.items()):
+                try:
+                    m = Manifest(idx.index_dir)
+                    splits = m.published_splits()
+                    out["indexes"][name] = {
+                        "num_splits": len(splits),
+                        "num_docs": int(sum(s.num_docs for s in splits)),
+                        "num_delete_tasks": len(m.delete_tasks),
+                    }
+                except Exception as e:  # noqa: BLE001 — debug must not 500
+                    out["indexes"][name] = {"error": str(e)}
+            p = get_permit_provider()
+            out["search_permits"] = {
+                "memory_budget": p.memory_budget,
+                "peak_allocated": p.peak_allocated,
+                "peak_in_flight": p.peak_in_flight}
+            return out
+        if parts and parts[0] == "log-level":
+            level = str(params.get("level", "")).upper()
+            if level not in ("DEBUG", "INFO", "WARNING", "WARN", "ERROR"):
+                raise ValueError(f"unsupported log level {level!r}")
+            logging.getLogger("quickwit_ray").setLevel(
+                "WARNING" if level == "WARN" else level)
+            return RawResponse(f"set log level to {level}\n".encode(),
+                               "text/plain")
+        raise KeyError(f"unsupported developer endpoint {'/'.join(parts)!r}")
 
     def _metrics(self) -> RawResponse:
         """Prometheus text exposition of per-index state (a pragmatic

@@ -66,6 +66,10 @@ class QwRestService:
         if "?" in endpoint:
             endpoint, qs = endpoint.split("?", 1)
             params.update(dict(parse_qsl(qs)))
+        if endpoint.startswith("api/developer/"):
+            # the reference mounts the developer API at /api/developer,
+            # OUTSIDE the /api/v1 prefix (developer_api/mod.rs)
+            endpoint = endpoint[len("api/"):]
         parts = endpoint.split("/")
         if (endpoint == "" or parts[0].startswith("_")
                 or (len(parts) >= 2 and parts[1].startswith("_"))

@@ -547,3 +547,45 @@ def test_otlp_protobuf_over_http(tmp_path):
             out = json.loads(r.read())
     assert out["num_docs_for_processing"] == 1
     assert logs_idx.search("body:disk", max_hits=5).num_hits == 1
+
+
+def test_developer_api(tmp_path):
+    """Developer API (developer_api/): /api/developer/debug dumps node
+    state (node_ids glob filter honored), /api/developer/log-level
+    retunes the process logger; both reachable through the HTTP front
+    outside the /api/v1 prefix."""
+    import logging
+
+    from quickwit_ray.search.qw_rest import QwRestService
+
+    svc = QwRestService(str(tmp_path / "root"))
+    svc.request("POST", "indexes", body={
+        "version": "0.8", "index_id": "dbg",
+        "doc_mapping": {"field_mappings": [
+            {"name": "msg", "type": "text"}], "mode": "dynamic"}})
+    svc.indexes["dbg"].ingest_docs([{"msg": "hello"}], commit_id="a")
+    st, out = svc.request("GET", "api/developer/debug")
+    assert st == 200 and out["node_id"] == "node-1"
+    assert out["indexes"]["dbg"]["num_docs"] == 1
+    assert out["indexes"]["dbg"]["num_splits"] == 1
+    assert "memory_budget" in out["search_permits"]
+    # node_ids glob filter: no match -> empty
+    st, out2 = svc.request("GET", "api/developer/debug",
+                           params={"node_ids": "other-*"})
+    assert st == 200 and out2 == {}
+    # log-level
+    st, _ = svc.request("GET", "api/developer/log-level",
+                        params={"level": "debug"})
+    assert st == 200
+    assert logging.getLogger("quickwit_ray").level == logging.DEBUG
+    st, _ = svc.request("GET", "api/developer/log-level",
+                        params={"level": "warning"})
+    assert logging.getLogger("quickwit_ray").level == logging.WARNING
+    st, err = svc.request("GET", "api/developer/log-level",
+                          params={"level": "nope"})
+    assert st == 400
+    # over HTTP, outside /api/v1
+    with SearchServer({}, index_root_dir=str(tmp_path / "root2")) as srv:
+        st, out = _http("GET",
+                        f"http://127.0.0.1:{srv.port}/api/developer/debug")
+        assert st == 200 and out["node_id"] == "node-1"
