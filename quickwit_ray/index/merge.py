@@ -274,9 +274,16 @@ class _SplitPostingsStream:
         t = t.append_column("_off", pa.array(np.full(n, self.off, np.int32)))
         t = t.append_column("_ord", pa.array(np.full(n, self.ord_, np.int32)))
         self._buf = t.combine_chunks()
-        # sorted key list for O(log n) window-boundary bisection
-        self._keys = list(zip(self._buf["field"].to_pylist(),
-                              self._buf["term"].to_pylist()))
+        # keys bisect lazily against the arrow columns (O(log n) scalar
+        # reads per window) — materializing a Python tuple per dictionary
+        # row here dominated refill time on multi-million-term merges
+        self._buf_field = self._buf["field"].chunk(0) \
+            if self._buf["field"].num_chunks else self._buf["field"]
+        self._buf_term = self._buf["term"].chunk(0) \
+            if self._buf["term"].num_chunks else self._buf["term"]
+        n_last = self._buf.num_rows - 1
+        self._last_key = (self._buf_field[n_last].as_py(),
+                          self._buf_term[n_last].as_py())
         self._consumed = 0
         self._next_rg = take[-1] + 1
 
@@ -294,7 +301,7 @@ class _SplitPostingsStream:
         sorted within a split's dictionary)."""
         if self._buf is None:
             return None
-        return self._keys[-1]
+        return self._last_key
 
     def has_more_rowgroups(self) -> bool:
         return self._next_rg < self._n_rg
@@ -303,9 +310,15 @@ class _SplitPostingsStream:
         """Consume and return the buffered rows with (field, term) <= key."""
         if self._buf is None:
             return None
-        import bisect
-
-        hi = bisect.bisect_right(self._keys, key, lo=self._consumed)
+        lo, hi = self._consumed, self._buf.num_rows
+        while lo < hi:  # bisect_right over the arrow key columns
+            mid = (lo + hi) // 2
+            k = (self._buf_field[mid].as_py(), self._buf_term[mid].as_py())
+            if k <= key:
+                lo = mid + 1
+            else:
+                hi = mid
+        hi = lo
         if hi == self._consumed:
             return None
         out = self._buf.slice(self._consumed, hi - self._consumed)
@@ -375,11 +388,22 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
                 continue
         return False
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    refill_pool = (ThreadPoolExecutor(max_workers=min(8, len(streams)))
+                   if len(streams) > 1 else None)
+
     def _produce() -> None:
         try:
             while not stop.is_set():
-                for s in streams:
-                    s.ensure_loaded()
+                if refill_pool is not None:
+                    # each stream refills from its own file: parallel
+                    # reads (pyarrow releases the GIL)
+                    list(refill_pool.map(lambda s: s.ensure_loaded(),
+                                         streams))
+                else:
+                    for s in streams:
+                        s.ensure_loaded()
                 keys = [s.buffer_last_key() for s in streams
                         if s.buffer_last_key() is not None]
                 if not keys:
@@ -397,22 +421,57 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
         finally:
             _qput(None)
 
+    # third stage: the positions sidecar encodes on its own thread (its
+    # file is independent of the postings file)
+    posq: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+    def _pos_writer() -> None:
+        try:
+            while True:
+                item = posq.get()
+                if item is None or stop.is_set():
+                    return
+                pos_out.write(item)
+        except BaseException as e:
+            perr.append(e)
+            stop.set()
+
     producer = threading.Thread(target=_produce, daemon=True)
     producer.start()
+    pos_thread = None
+    if pos_out is not None:
+        pos_thread = threading.Thread(target=_pos_writer, daemon=True)
+        pos_thread.start()
     try:
         while True:
-            item = q.get()
+            try:
+                item = q.get(timeout=0.2)
+            except _queue.Empty:
+                if stop.is_set():  # a writer thread failed: bail out
+                    break
+                continue
             if item is None:
                 break
             tbl, ptbl, has_pos = item
-            out.write(tbl)
-            if pos_out is not None:
-                pos_out.write(ptbl)
+            if pos_thread is not None:
+                while not stop.is_set():
+                    try:
+                        posq.put(ptbl, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
                 wrote_any_pos = wrote_any_pos or has_pos
+            out.write(tbl)
     finally:
         # on a consumer failure (e.g. ENOSPC) unblock + reap the
         # producer before propagating, so no thread / window tables /
         # input handles leak in a long-lived worker
+        if pos_thread is not None:
+            try:
+                posq.put_nowait(None)
+            except _queue.Full:
+                stop.set()
+            pos_thread.join()
         stop.set()
         try:
             while q.get_nowait() is not None:
@@ -420,6 +479,8 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
         except _queue.Empty:
             pass
         producer.join()
+        if refill_pool is not None:
+            refill_pool.shutdown(wait=False)
     if perr:
         raise perr[0]
     if out.total_rows == 0:
