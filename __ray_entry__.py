@@ -401,12 +401,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def token_count_by_lang(sf):
         import pyarrow as pa
 
-        from quickwit_ray.functions.tokenizers import tokenize_batch
+        from quickwit_ray.functions.tokenizers import tokenize_batch_encoded
 
         ds = _docs_ds(sf, "documents", ["lang", "text"])
 
         def partial(batch: pa.Table) -> pa.Table:
-            doc_idx, toks, _ = tokenize_batch(batch["text"].to_pylist(), "default")
+            # Arrow-kernel tokenization; only doc ordinals are needed
+            # (exact tokenize_batch parity, see tokenizers.py)
+            doc_idx, _, _, _ = tokenize_batch_encoded(batch["text"],
+                                                      "default")
             counts = np.bincount(doc_idx, minlength=batch.num_rows)
             df = pd.DataFrame({"lang": batch["lang"].to_pylist(),
                                "n": counts.astype(np.int64)})

@@ -178,7 +178,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # ---- timed: documents pipelines ------------------------------------
     import ray.data
 
-    from quickwit_ray.functions.tokenizers import tokenize_batch
+    from quickwit_ray.functions.tokenizers import tokenize_batch_encoded
     from quickwit_ray.pipelines.dedup import exact_dedup
 
     t0 = time.time()
@@ -189,7 +189,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import pyarrow as pa
 
     def tok_partial(batch: pa.Table) -> pa.Table:
-        doc_idx, toks, _ = tokenize_batch(batch["text"].to_pylist(), "default")
+        # Arrow-kernel tokenization; only doc ordinals are needed here
+        doc_idx, _, _, _ = tokenize_batch_encoded(batch["text"], "default")
         counts = np.bincount(doc_idx, minlength=batch.num_rows)
         g = (pd.DataFrame({"lang": batch["lang"].to_pylist(),
                            "n": counts.astype(np.int64)})
