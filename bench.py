@@ -250,11 +250,22 @@ def run_scaling(sf_dir: str) -> dict:
     single-host memory-bandwidth saturation that a real 4N-node cluster
     does not have)."""
     out = {}
+    # best-of-N per leg (default 2): the shared sandbox host carries
+    # ±40% co-tenant noise and the short 4-cpu leg is hit hardest; the
+    # max over fresh-process repeats estimates uncontended throughput
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     for ncpu in (4, 16):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
-        res = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True)
-        out[ncpu] = json.loads(res.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(max(reps, 1)):
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True)
+            r = json.loads(res.stdout.strip().splitlines()[-1])
+            if (best is None or r["queries"]["build_docs_per_sec"]
+                    > best["queries"]["build_docs_per_sec"]):
+                best = r
+        out[ncpu] = best
     lo, hi = 4, 16
     tp_lo = out[lo]["queries"]["build_docs_per_sec"]
     tp_hi = out[hi]["queries"]["build_docs_per_sec"]
