@@ -492,6 +492,27 @@ def _leaf_search_impl(split_dir: str, mapping: DocMapping,
     return out
 
 
+def _warm_arrow() -> None:
+    """One tiny in-memory zstd parquet round-trip. A fresh worker process
+    pays ~270 ms of one-time Arrow/zstd/thread-pool initialization on its
+    FIRST parquet read (measured: first split open 270-410 ms vs 35-60 ms
+    for every later one, independent of the split). Calling this in actor
+    __init__ moves that cost to pool construction — concurrent across
+    actors, before any query — instead of query 1's critical path."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    try:
+        buf = io.BytesIO()
+        pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}), buf,
+                       compression="zstd")
+        buf.seek(0)
+        pq.read_table(buf)
+    except Exception:  # noqa: BLE001 — warmup is best-effort
+        pass
+
+
 class SearchSplitStage:
     """Ray Data actor-pool stage: one call = leaf searches for a batch of
     split work items. Holds the split reader LRU across batches. Used for
@@ -504,6 +525,7 @@ class SearchSplitStage:
             {"index_id": "x", "doc_mapping": mapping_json}).doc_mapping
         self.request = request
         self.cache = _ReaderCache(cache_size)
+        _warm_arrow()
 
     def __call__(self, batch: dict[str, np.ndarray]) -> dict[str, list]:
         import pickle
@@ -533,6 +555,7 @@ class _SearchActorPool:
                 self.mapping = _IC.from_json(
                     {"index_id": "x", "doc_mapping": mapping_json}).doc_mapping
                 self.cache = _ReaderCache(64)
+                _warm_arrow()  # pay one-time Arrow init here, not on query 1
 
             def leaf(self, split_dir: str, request_blob: bytes,
                      theta0: Optional[float] = None) -> bytes:
