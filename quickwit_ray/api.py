@@ -101,10 +101,11 @@ class Index:
     _scroll_mgr = None
 
     def _scroll_manager(self):
+        from quickwit_ray.search.engine import get_searcher
         from quickwit_ray.search.scroll import ScrollManager
 
         if self._scroll_mgr is None:
-            self._scroll_mgr = ScrollManager(IndexSearcher(self.index_dir))
+            self._scroll_mgr = ScrollManager(get_searcher(self.index_dir))
         return self._scroll_mgr
 
     def scroll_search(self, query: Any = None, *, scroll: str = "1m", **kw):

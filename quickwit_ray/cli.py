@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -110,6 +111,11 @@ def main(argv=None) -> int:
     sv.add_argument("--index-root-dir", default=None,
                     help="enable POST /api/v1/indexes creation under "
                          "this directory")
+    sv.add_argument("--search-execution", default="local",
+                    choices=["local", "ray", "ray-data"],
+                    help="'ray' fans every search out to a persistent "
+                         "split-affine leaf actor pool (root/leaf serving "
+                         "model); 'local' searches on in-process threads")
 
     up = sub.add_parser("update", help="update the index config "
                         "(quickwit index update; validated against the "
@@ -289,12 +295,15 @@ def main(argv=None) -> int:
     elif args.cmd == "serve":
         from quickwit_ray.server import SearchServer
 
+        if args.search_execution != "local":
+            _ray_up(getattr(args, "num_cpus", 0) or (os.cpu_count() or 8))
         indexes = {}
         for d in args.index_dirs:
             idx = Index.open(d)
             indexes[idx.config.index_id] = idx
         srv = SearchServer(indexes, args.host, args.port,
-                           index_root_dir=args.index_root_dir).start()
+                           index_root_dir=args.index_root_dir,
+                           search_execution=args.search_execution).start()
         print(f"serving {sorted(indexes)} on "
               f"http://{args.host}:{srv.port}/api/v1/_elastic/ "
               "(ctrl-c to stop)")

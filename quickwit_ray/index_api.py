@@ -126,9 +126,20 @@ class IndexApiService:
             return {"build": {"version": "0.8.0-quickwit-ray",
                               "commit_date": "", "commit_hash": ""}}
         if parts[0] == "cluster":
-            # single-node snapshot (cluster_api/mod.rs shape subset)
+            # cluster snapshot (cluster_api/mod.rs shape subset): this
+            # process is the root node; under execution="ray" the shared
+            # leaf actor pool members are the live LEAF searcher nodes
+            # (membership = Ray actor liveness, the chitchat analog)
+            import quickwit_ray.search.engine as _eng
+
+            leaf_nodes = []
+            if _eng._SHARED_ACTOR_POOL is not None:
+                leaf_nodes = [f"leaf-{i}" for i in
+                              range(len(_eng._SHARED_ACTOR_POOL.actors))]
+            nodes = ["node-1"] + leaf_nodes
             return {"cluster_id": "quickwit-ray", "self_node_id": "node-1",
-                    "live_nodes": ["node-1"], "ready_nodes": ["node-1"],
+                    "live_nodes": nodes, "ready_nodes": nodes,
+                    "search_execution": _eng._DEFAULT_EXECUTION,
                     "num_indexes": len(self.indexes)}
         if parts[0] == "health" and len(parts) == 2 \
                 and parts[1] in ("livez", "readyz"):
@@ -295,11 +306,11 @@ class IndexApiService:
             extract_tags,
             extract_timestamp_bounds,
         )
-        from quickwit_ray.search.engine import IndexSearcher
+        from quickwit_ray.search.engine import get_searcher
 
         idx = self._idx(name)
         p = {**body, **params}
-        s = IndexSearcher(idx.index_dir)
+        s = get_searcher(idx.index_dir)
         node = s._resolve_query(p.get("query", "*"))
         lo = int(p["start_timestamp"]) if p.get("start_timestamp") is not None else None
         hi = int(p["end_timestamp"]) if p.get("end_timestamp") is not None else None
@@ -478,13 +489,13 @@ class IndexApiService:
             search_stream_index,
         )
         from quickwit_ray.search.ast import BoolQuery, RangeQuery
-        from quickwit_ray.search.engine import IndexSearcher
+        from quickwit_ray.search.engine import get_searcher
 
         idx = self._idx(name)
         fast_field = params.get("fast_field")
         if not fast_field:
             raise EsApiError(400, "`fast_field` is required")
-        searcher = IndexSearcher(idx.index_dir)
+        searcher = get_searcher(idx.index_dir)
         node = searcher._resolve_query(params.get("query", "*"))
         lo = params.get("start_timestamp")
         hi = params.get("end_timestamp")

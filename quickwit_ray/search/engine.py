@@ -291,29 +291,53 @@ _SEARCHER_CACHE: OrderedDict = OrderedDict()
 _SEARCHER_CACHE_LOCK = _threading.Lock()
 _SEARCHER_CACHE_CAP = 64
 
+# process-wide default execution for get_searcher(execution=None). The
+# HTTP serving tier sets this to "ray" (`SearchServer(search_execution=
+# "ray")` / `serve --search-execution ray`): the server process becomes
+# the reference's ROOT searcher node and leaf searches fan out to the
+# persistent rendezvous-routed actor pool — long-lived LEAF searcher
+# processes with split-affine caches (cluster_client.rs root/leaf model,
+# Ray actors instead of gRPC peers).
+_DEFAULT_EXECUTION = "local"
 
-def get_searcher(index_dir: str, execution: str = "local") -> "IndexSearcher":
+
+def set_default_search_execution(mode: str) -> None:
+    if mode not in ("local", "ray", "ray-data"):
+        raise ValueError(f"unknown search execution {mode!r}")
+    global _DEFAULT_EXECUTION
+    _DEFAULT_EXECUTION = mode
+
+
+def get_searcher(index_dir: str, execution: Optional[str] = None) -> "IndexSearcher":
     """Process-wide LRU of searchers with manifest-freshness validation:
     a fresh ``IndexSearcher`` re-reads the whole manifest (O(state) at
     10^5+ splits), which is wasteful once per HTTP request. The stamp
     preserves read-your-writes: any file-backend manifest mutation
     touches a stamped file and rebuilds the searcher. SQL-backed indexes
-    and non-local executions construct fresh (no reliable stamp; an
-    evicted ray-execution searcher would leak its actor pool)."""
-    if execution != "local":
-        return IndexSearcher(index_dir, execution=execution)
+    and "ray-data" executions construct fresh (no reliable stamp / batch
+    one-shot semantics); "ray" searchers ARE cached, and the leaf actor
+    pool is process-global + mapping-agnostic, so leaf actors (and their
+    split-affine reader caches) survive split publishes and searcher
+    rebuilds by construction."""
+    if execution is None:
+        execution = _DEFAULT_EXECUTION
     stamp = _manifest_stamp(index_dir)
-    if stamp is None:
-        return IndexSearcher(index_dir)
+    if execution == "ray-data" or stamp is None:
+        return IndexSearcher(index_dir, execution=execution)
+    key = (index_dir, execution)
     with _SEARCHER_CACHE_LOCK:
-        ent = _SEARCHER_CACHE.get(index_dir)
+        ent = _SEARCHER_CACHE.get(key)
         if ent is not None and ent[0] == stamp:
-            _SEARCHER_CACHE.move_to_end(index_dir)
+            _SEARCHER_CACHE.move_to_end(key)
             return ent[1]
-    s = IndexSearcher(index_dir)
+    s = IndexSearcher(index_dir, execution=execution)
     with _SEARCHER_CACHE_LOCK:
-        _SEARCHER_CACHE[index_dir] = (stamp, s)
-        _SEARCHER_CACHE.move_to_end(index_dir)
+        ent = _SEARCHER_CACHE.get(key)
+        if ent is not None and ent[0] == stamp:  # lost the build race
+            _SEARCHER_CACHE.move_to_end(key)
+            return ent[1]
+        _SEARCHER_CACHE[key] = (stamp, s)
+        _SEARCHER_CACHE.move_to_end(key)
         while len(_SEARCHER_CACHE) > _SEARCHER_CACHE_CAP:
             _SEARCHER_CACHE.popitem(last=False)
     return s
@@ -538,37 +562,53 @@ class SearchSplitStage:
 
 
 class _SearchActorPool:
-    """Persistent leaf-search actor pool — the reference's long-lived
-    searcher processes with split-affinity routing (rendezvous hashing of
-    split -> searcher so each split's footer/posting caches live on one
-    actor, search_job_placer.rs semantics). Queries reuse the pool; only
-    the first search pays actor spin-up."""
+    """Persistent MAPPING-AGNOSTIC leaf-search actor pool — the
+    reference's long-lived searcher processes with split-affinity routing
+    (rendezvous hashing of split -> searcher so each split's
+    footer/posting caches live on one actor, search_job_placer.rs
+    semantics). As in the reference, leaf requests CARRY the doc mapping
+    (LeafSearchRequest ships the serialized doc mapper), so one pool
+    serves every index; actors cache parsed mappings by key, and callers
+    broadcast the mapping JSON once via ``ray.put`` instead of pickling
+    it per leaf call. Actors reserve FRACTIONAL CPUs (0.25): leaf servers
+    sit idle between queries, and a full-CPU logical reservation starves
+    concurrent Ray Data build jobs (observed scheduling deadlock on small
+    clusters — N cached pools x num_cpus=1 pins every logical CPU)."""
 
-    def __init__(self, mapping_json: dict, size: int):
+    ACTOR_NUM_CPUS = 0.25
+
+    def __init__(self, size: int):
         import ray
 
-        @ray.remote(num_cpus=1)
+        @ray.remote(num_cpus=self.ACTOR_NUM_CPUS)
         class _SearchActor:
-            def __init__(self, mapping_json: dict):
-                from quickwit_ray.config import IndexConfig as _IC
-
-                self.mapping = _IC.from_json(
-                    {"index_id": "x", "doc_mapping": mapping_json}).doc_mapping
+            def __init__(self):
+                self._mappings: dict = {}  # mapping_key -> DocMapping
                 self.cache = _ReaderCache(64)
                 _warm_arrow()  # pay one-time Arrow init here, not on query 1
 
-            def leaf(self, split_dir: str, request_blob: bytes,
+            def _mapping(self, key: str, mapping_json: dict):
+                m = self._mappings.get(key)
+                if m is None:
+                    from quickwit_ray.config import IndexConfig as _IC
+
+                    m = _IC.from_json({"index_id": "x",
+                                       "doc_mapping": mapping_json}).doc_mapping
+                    self._mappings[key] = m
+                return m
+
+            def leaf(self, split_dir: str, mapping_key: str,
+                     mapping_json: dict, request_blob: bytes,
                      theta0: Optional[float] = None) -> bytes:
                 import pickle
 
                 request = pickle.loads(request_blob)
-                return pickle.dumps(leaf_search_one(split_dir, self.mapping,
-                                                    request, self.cache,
-                                                    theta0=theta0))
+                return pickle.dumps(leaf_search_one(
+                    split_dir, self._mapping(mapping_key, mapping_json),
+                    request, self.cache, theta0=theta0))
 
         self._factory = _SearchActor
-        self._mapping_json = mapping_json
-        self.actors = [_SearchActor.remote(mapping_json) for _ in range(size)]
+        self.actors = [_SearchActor.remote() for _ in range(size)]
         self.retries = 0  # observability: leaf retries after actor failure
 
     def _route(self, split_dir: str) -> int:
@@ -577,14 +617,17 @@ class _SearchActorPool:
         h = int(hashlib.md5(os.path.basename(split_dir).encode()).hexdigest()[:8], 16)
         return h % len(self.actors)
 
-    def submit(self, split_dir: str, request_blob: bytes,
-               theta0: Optional[float] = None):
-        """One leaf search future, affinity-routed."""
+    def submit(self, split_dir: str, mapping_key: str, mapping_ref,
+               request_blob: bytes, theta0: Optional[float] = None):
+        """One leaf search future, affinity-routed. ``mapping_ref`` is the
+        ``ray.put`` ObjectRef of the doc-mapping JSON (auto-dereferenced
+        actor-side from the local object store)."""
         return self.actors[self._route(split_dir)].leaf.remote(
-            split_dir, request_blob, theta0)
+            split_dir, mapping_key, mapping_ref, request_blob, theta0)
 
-    def retry_leaf(self, split_dir: str, request_blob: bytes,
-                   theta0: Optional[float], error: Exception) -> dict:
+    def retry_leaf(self, split_dir: str, mapping_key: str, mapping_ref,
+                   request_blob: bytes, theta0: Optional[float],
+                   error: Exception) -> dict:
         """One retry on a DIFFERENT actor after a leaf failure (the
         reference retries a failed leaf on another searcher node,
         cluster_client.rs / retry/*). A dead primary is replaced in its
@@ -599,33 +642,35 @@ class _SearchActorPool:
         try:
             # probe-free revival: dead actors raise RayActorError on use
             if isinstance(error, ray.exceptions.RayActorError):
-                self.actors[i] = self._factory.remote(self._mapping_json)
+                self.actors[i] = self._factory.remote()
         except Exception:  # noqa: BLE001 — revival is best-effort
             pass
         alt = self.actors[(i + 1) % len(self.actors)] \
             if len(self.actors) > 1 else self.actors[i]
         try:
-            return pickle.loads(ray.get(
-                alt.leaf.remote(split_dir, request_blob, theta0)))
+            return pickle.loads(ray.get(alt.leaf.remote(
+                split_dir, mapping_key, mapping_ref, request_blob, theta0)))
         except Exception as exc:  # noqa: BLE001 — one retry, then report
             return {"failed": os.path.basename(split_dir),
                     "error": f"{error}; retry: {exc}"}
 
-    def search(self, split_dirs: list[str], request: SearchRequest,
+    def search(self, split_dirs: list[str], mapping_key: str, mapping_ref,
+               request: SearchRequest,
                theta0: Optional[float] = None) -> list[dict]:
         import pickle
 
         import ray
 
         blob = pickle.dumps(request)
-        futs = [(d, self.actors[self._route(d)].leaf.remote(d, blob, theta0))
+        futs = [(d, self.submit(d, mapping_key, mapping_ref, blob, theta0))
                 for d in split_dirs]
         out = []
         for d, f in futs:
             try:
                 out.append(pickle.loads(ray.get(f)))
             except Exception as exc:  # noqa: BLE001
-                out.append(self.retry_leaf(d, blob, theta0, exc))
+                out.append(self.retry_leaf(d, mapping_key, mapping_ref,
+                                           blob, theta0, exc))
         return out
 
     def shutdown(self) -> None:
@@ -634,6 +679,35 @@ class _SearchActorPool:
         for a in self.actors:
             ray.kill(a, no_restart=True)
         self.actors = []
+
+
+_SHARED_ACTOR_POOL: Optional[_SearchActorPool] = None
+_SHARED_ACTOR_POOL_LOCK = _threading.Lock()
+
+
+def _shared_actor_pool() -> _SearchActorPool:
+    """The process-global leaf tier: every ``execution="ray"`` searcher
+    without an explicit ``concurrency`` shares ONE pool (the reference's
+    cluster-wide set of searcher nodes — leaf processes are shared by all
+    indexes, not per-index). Sized to the cluster CPUs once, at first use."""
+    global _SHARED_ACTOR_POOL
+    if _SHARED_ACTOR_POOL is None or not _SHARED_ACTOR_POOL.actors:
+        with _SHARED_ACTOR_POOL_LOCK:
+            if _SHARED_ACTOR_POOL is None or not _SHARED_ACTOR_POOL.actors:
+                import ray
+
+                size = max(2, min(64, int(
+                    ray.cluster_resources().get("CPU", 8))))
+                _SHARED_ACTOR_POOL = _SearchActorPool(size)
+    return _SHARED_ACTOR_POOL
+
+
+def shutdown_shared_actor_pool() -> None:
+    global _SHARED_ACTOR_POOL
+    with _SHARED_ACTOR_POOL_LOCK:
+        if _SHARED_ACTOR_POOL is not None:
+            _SHARED_ACTOR_POOL.shutdown()
+            _SHARED_ACTOR_POOL = None
 
 
 def _score_theta_mode(request: SearchRequest) -> bool:
@@ -693,6 +767,8 @@ class IndexSearcher:
         self.execution = execution
         self.concurrency = concurrency
         self._actor_pool: Optional[_SearchActorPool] = None
+        self._mapping_key: Optional[str] = None  # sha1 of canonical mapping
+        self._mapping_ref = None  # ray.put broadcast of the mapping JSON
 
     # ------------------------------------------------------------------
 
@@ -937,15 +1013,27 @@ class IndexSearcher:
                      ts_sort_dir: Optional[str] = None) -> tuple[list[dict], int]:
         import ray
 
-        if self._actor_pool is None:
-            conc = self.concurrency or max(
-                1, min(len(split_dirs),
-                       int(ray.cluster_resources().get("CPU", 8))))
-            self._actor_pool = _SearchActorPool(
-                self.config.to_json()["doc_mapping"], conc)
+        if self.concurrency:
+            # explicit concurrency -> PRIVATE pool (isolation for tests /
+            # embedders); the default path shares the process-global tier
+            if self._actor_pool is None or not self._actor_pool.actors:
+                self._actor_pool = _SearchActorPool(self.concurrency)
+            pool = self._actor_pool
+        else:
+            pool = _shared_actor_pool()
+            self._actor_pool = pool  # observability (cluster endpoint, tests)
+        if self._mapping_ref is None:
+            import hashlib
+            import json as _json
+
+            mj = self.config.to_json()["doc_mapping"]
+            self._mapping_key = hashlib.sha1(
+                _json.dumps(mj, sort_keys=True).encode()).hexdigest()
+            self._mapping_ref = ray.put(mj)  # broadcast once, not per leaf
+        mkey, mref = self._mapping_key, self._mapping_ref
         score_mode = _score_theta_mode(request)
         if bounds is None and not score_mode:
-            return self._actor_pool.search(split_dirs, request), 0
+            return pool.search(split_dirs, mkey, mref, request), 0
         # SLIDING-WINDOW dispatch (no wave barrier): keep up to 2x pool
         # width in flight; as each leaf completes, refresh the running kth
         # threshold — a split-skip bound for time-sorted queries, a scoring
@@ -958,7 +1046,7 @@ class IndexSearcher:
 
         k = request.start_offset + request.max_hits
         desc = ts_sort_dir == "desc"
-        window = 2 * max(len(self._actor_pool.actors), 1)
+        window = 2 * max(len(pool.actors), 1)
         blob = pickle.dumps(request)
         out: list[dict] = []
         skipped = 0
@@ -974,7 +1062,7 @@ class IndexSearcher:
                         break
                 theta0 = (self._kth_threshold(out, k, True)
                           if score_mode else None)
-                fut = self._actor_pool.submit(split_dirs[i], blob, theta0)
+                fut = pool.submit(split_dirs[i], mkey, mref, blob, theta0)
                 pending[fut] = split_dirs[i]
                 i += 1
             if not pending:
@@ -987,8 +1075,8 @@ class IndexSearcher:
                 except Exception as exc:  # noqa: BLE001
                     # retry once on a different actor (theta0=None: a
                     # full evaluation is exact under any competition)
-                    out.append(self._actor_pool.retry_leaf(d, blob, None,
-                                                           exc))
+                    out.append(pool.retry_leaf(d, mkey, mref, blob, None,
+                                               exc))
         return out, skipped
 
     # ------------------------------------------------------------------

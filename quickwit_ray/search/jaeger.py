@@ -38,10 +38,10 @@ class JaegerService:
     """Jaeger HTTP API over one traces index (lazy searcher reuse)."""
 
     def __init__(self, index, max_fetch_spans: int = 10_000):
-        from quickwit_ray.search.engine import IndexSearcher
+        from quickwit_ray.search.engine import get_searcher
 
         self.index = index
-        self.searcher = IndexSearcher(index.index_dir)
+        self.searcher = get_searcher(index.index_dir)
         # JaegerConfig.max_fetch_spans (node_config/mod.rs:449, 10k):
         # hard cap on spans materialized per fetch
         self.max_fetch_spans = int(max_fetch_spans)

@@ -18,10 +18,10 @@ from typing import Any, Optional
 import pandas as pd
 
 from quickwit_ray.search.engine import (
-    IndexSearcher,
     SearchResponse,
     _empty_hits,
     _normalize_sort,
+    get_searcher,
 )
 
 
@@ -33,7 +33,7 @@ def search_indexes(index_dirs: list[str], query: Any = None, *,
     """Search several indexes with one request and merge the results."""
     if not index_dirs:
         return SearchResponse(num_hits=0, hits=_empty_hits())
-    searchers = [IndexSearcher(d) for d in index_dirs]
+    searchers = [get_searcher(d) for d in index_dirs]
     # every index contributes its full top offset+k; the offset is applied
     # once, AFTER the cross-index merge (root.rs applies offset at root)
     k = start_offset + max_hits

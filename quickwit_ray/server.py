@@ -133,8 +133,21 @@ class SearchServer:
     """
 
     def __init__(self, indexes: dict, host: str = "127.0.0.1",
-                 port: int = 0, index_root_dir: Optional[str] = None):
+                 port: int = 0, index_root_dir: Optional[str] = None,
+                 search_execution: Optional[str] = None):
         from quickwit_ray.search.qw_rest import QwRestService
+
+        if search_execution is not None:
+            # "ray": this server process is the reference's ROOT searcher
+            # and every search request fans leaves out to the persistent
+            # split-affine actor pool (LEAF searcher processes) — the
+            # root/leaf serving model of cluster_client.rs with Ray actors
+            # in place of gRPC peers. Requires a live Ray session (the CLI
+            # inits one; embedders own theirs).
+            from quickwit_ray.search.engine import set_default_search_execution
+
+            set_default_search_execution(search_execution)
+        self.search_execution = search_execution or "local"
 
         # ONE front (the reference's single server mounting /api/v1 and
         # /api/v1/_elastic): QwRestService owns the live registry, embeds
