@@ -1211,6 +1211,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pdf.astype({"user_id": "int64", "total": "float64"})
     q["top_users_by_value"] = top_users_by_value
 
+    def distributed_search(sf):
+        """search_and answered through the DISTRIBUTED serving path: the
+        shared mapping-agnostic leaf actor pool (execution="ray",
+        cluster_client.rs root/leaf model) instead of in-process threads.
+        Oracle-identical to search_and by design — the entry exists so the
+        actor-pool path is hash-gated, not just pytest-gated."""
+        from quickwit_ray.search.engine import IndexSearcher
+
+        s = IndexSearcher(_documents_index(sf), execution="ray")
+        resp = s.search("+text:scan +text:merge", max_hits=1_000_000,
+                        fetch_fields=["doc_id"])
+        col = resp.hits["doc_id"] if len(resp.hits) else []
+        return pd.DataFrame({"doc_id": pd.Series(
+            sorted(int(x) for x in col), dtype="int64")})
+    q["distributed_search"] = distributed_search
+
     # Driver-cap ordering: the round-2 driver recorded exactly the FIRST 50
     # queries() entries (CORRECTNESS_r02 = 50 of 57, insertion order), so
     # the 50 distinct-semantics oracle-hash-checked entries come first and
@@ -1233,6 +1249,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # duplicates bulk_ingest_search's; the workbench commit-trigger
         # behavior is separately pytest-gated) to make head room for
         # vrl_transform_search, a NEW transform class.
+        # distributed_search shares search_and's oracle (same query, the
+        # actor-pool execution path instead of local threads) — tail by
+        # the same redundant-oracle rule, gated in check_contract.py.
+        "distributed_search",
         "bulk_workbench_search",
         "wal_ingest_search", "audio_decode_meta", "agg_filtered_terms",
         "shuffle_build_search", "scroll_export", "lang_detect",
@@ -1330,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         "queue_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "mq_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "scroll_export": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
+        "distributed_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} AND {has_token('merge')} ORDER BY doc_id",
         "search_ngram_substring": "SELECT doc_id FROM documents WHERE contains(lower(source), 'rc1') ORDER BY doc_id",
         "bulk_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('scan')} ORDER BY doc_id",
         "wal_ingest_search": f"SELECT doc_id FROM documents WHERE {has_token('merge')} ORDER BY doc_id",
