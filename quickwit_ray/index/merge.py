@@ -910,7 +910,12 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
     """Driver merge loop (MergePlanner analog): compute ops from the
     policy over published splits, execute them (smallest-first, bounded
     concurrency — merge_scheduler_service.rs:81-113), publish replacements,
-    repeat until stable. Returns number of merges executed."""
+    repeat until stable. Under ``execution="ray"`` the scheduler is EAGER
+    (the reference's planner is incremental — it re-plans on every split
+    publish, merge_planner.rs): a sliding in-flight set via ``ray.wait``,
+    each result published on completion, and a re-plan after every publish
+    so a level-N+1 merge starts the moment its inputs exist instead of
+    waiting for the whole level-N wave. Returns number of merges."""
     manifest = Manifest(index_dir)
     config = IndexConfig.from_json(manifest.index_config_json)
     policy = make_policy(config.settings.merge_policy,
@@ -918,67 +923,100 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
     if policy is None:
         return 0
     total = 0
-    for _ in range(max_rounds):
-        splits = manifest.published_splits()
+
+    def _plan(claimed: set) -> tuple[list, int]:
+        """One planner pass over published splits not claimed by queued or
+        in-flight ops. Delete-at-merge ops (inputs lagging the delete
+        opstamp fold pending delete queries into the compaction rewrite —
+        one write) run inline, counted in the returned int."""
+        nonlocal_total = 0
+        splits = [s for s in manifest.published_splits()
+                  if s.split_id not in claimed]
         ops = policy.operations(splits)
-        if not ops:
-            break
         ops.sort(key=lambda op: op.num_docs)  # smallest-merge-first
-        # delete-at-merge: ops whose inputs lag the delete opstamp fold the
-        # pending delete queries into the compaction rewrite (one write)
         last_del = manifest.last_delete_opstamp
-        del_tasks = manifest.delete_tasks if last_del else []
-        del_ops = []
         if last_del:
+            del_tasks = manifest.delete_tasks
             plain = []
             for op in ops:
-                if any(s.delete_opstamp < last_del for s in op.splits):
-                    del_ops.append(op)
-                else:
+                if not any(s.delete_opstamp < last_del for s in op.splits):
                     plain.append(op)
+                    continue
+                n_ops = max(s.num_merge_ops for s in op.splits) + 1
+                new_sm = execute_delete_merge(index_dir, list(op.splits),
+                                              config.index_id, n_ops,
+                                              del_tasks, last_del, config)
+                ids = [s.split_id for s in op.splits]
+                if new_sm is None:
+                    manifest.mark_for_deletion(ids)
+                else:
+                    manifest.publish([new_sm], replaced_split_ids=ids)
+                nonlocal_total += 1
             ops = plain
-        for op in del_ops:
-            n_ops = max(s.num_merge_ops for s in op.splits) + 1
-            new_sm = execute_delete_merge(index_dir, list(op.splits),
-                                          config.index_id, n_ops,
-                                          del_tasks, last_del, config)
-            ids = [s.split_id for s in op.splits]
-            if new_sm is None:
-                manifest.mark_for_deletion(ids)
-            else:
-                manifest.publish([new_sm], replaced_split_ids=ids)
-            total += 1
-        if not ops:
-            continue
-        if execution == "ray" and len(ops) > 1:
-            import ray
+        for op in ops:
+            claimed.update(s.split_id for s in op.splits)
+        return ops, nonlocal_total
 
-            @ray.remote(num_cpus=1)
-            def _do(ids, n_ops):
-                return execute_merge(index_dir, ids, config.index_id, n_ops)
+    def _publish(op, new_sm) -> None:
+        # a plain merge preserves the inputs' delete progress: the output
+        # is only as deleted-up-to as its least-advanced input
+        new_sm.delete_opstamp = min(s.delete_opstamp for s in op.splits)
+        manifest.publish([new_sm],
+                         replaced_split_ids=[s.split_id for s in op.splits])
 
-            # bounded merge concurrency (merge_scheduler_service.rs default
-            # num_cpus * 2/3): submit in windows so merges never starve the
-            # rest of the node
-            limit = max_concurrency or max(
-                1, int(ray.cluster_resources().get("CPU", 3) * 2 // 3))
-            results = []
-            for i in range(0, len(ops), limit):
-                window = ops[i: i + limit]
-                futs = [_do.remote([s.split_id for s in op.splits],
+    if execution == "ray":
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def _do(ids, n_ops):
+            return execute_merge(index_dir, ids, config.index_id, n_ops)
+
+        # bounded merge concurrency (merge_scheduler_service.rs default
+        # num_cpus * 2/3) so merges never starve the rest of the node
+        limit = max_concurrency or max(
+            1, int(ray.cluster_resources().get("CPU", 3) * 2 // 3))
+        pending: dict = {}   # future -> op
+        claimed: set = set()  # input split ids of queued/in-flight ops
+        queue: list = []
+        replans_from_idle = 0  # planner passes with nothing in flight
+        while True:
+            while queue and len(pending) < limit:
+                op = queue.pop(0)
+                fut = _do.remote([s.split_id for s in op.splits],
+                                 max(s.num_merge_ops for s in op.splits) + 1)
+                pending[fut] = op
+            if not pending:
+                if replans_from_idle >= max_rounds:
+                    break
+                replans_from_idle += 1
+                ops, n_del = _plan(claimed)
+                total += n_del
+                if not ops and not n_del:
+                    break  # stable
+                queue.extend(ops)
+                continue
+            done, _ = ray.wait(list(pending), num_returns=1)
+            for f in done:
+                op = pending.pop(f)
+                _publish(op, ray.get(f))
+                claimed.difference_update(s.split_id for s in op.splits)
+                total += 1
+            # eager re-plan: the publish may have completed a higher
+            # level's input set (claims only fresh splits, so sound)
+            ops, n_del = _plan(claimed)
+            total += n_del
+            queue.extend(ops)
+        return total
+
+    for _ in range(max_rounds):
+        ops, n_del = _plan(set())
+        total += n_del
+        if not ops and not n_del:
+            break
+        for op in ops:
+            new_sm = execute_merge(index_dir, [s.split_id for s in op.splits],
+                                   config.index_id,
                                    max(s.num_merge_ops for s in op.splits) + 1)
-                        for op in window]
-                results.extend(ray.get(futs))
-        else:
-            results = [execute_merge(index_dir, [s.split_id for s in op.splits],
-                                     config.index_id,
-                                     max(s.num_merge_ops for s in op.splits) + 1)
-                       for op in ops]
-        for op, new_sm in zip(ops, results):
-            # a plain merge preserves the inputs' delete progress: the
-            # output is only as deleted-up-to as its least-advanced input
-            new_sm.delete_opstamp = min(s.delete_opstamp for s in op.splits)
-            manifest.publish([new_sm],
-                             replaced_split_ids=[s.split_id for s in op.splits])
+            _publish(op, new_sm)
         total += len(ops)
     return total

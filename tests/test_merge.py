@@ -558,3 +558,58 @@ def test_blob_writer_null_extents_and_binary_payloads(tmp_path):
     w3.close()
     r3 = BlobColumnReader(str(tmp_path / "b3.bin"), "string")
     assert r3.scan().to_pylist() == vals
+
+
+def test_ray_eager_merge_pipeline_matches_local(tmp_path, ray_session):
+    """The eager ray scheduler (sliding in-flight set, publish-on-complete,
+    re-plan per publish) must converge to the same final state as the local
+    round-based loop: same merge count, same split count, same results —
+    including a delete task folded in at merge time."""
+    from quickwit_ray.config import DocMapping, FieldMapping
+
+    n = 1800
+    langs = np.where(np.arange(n) % 3 == 0, "de", "en")
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": [f"doc number {i} scan" for i in range(n)],
+                    "lang": langs.tolist()})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="text", type="text", record="freq",
+                         fieldnorms=True, stored=True),
+            FieldMapping(name="lang", type="text", tokenizer="raw",
+                         stored=True, fast=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("text",))
+
+    def _build(name):
+        cfg = IndexConfig("eagermerge", mapping,
+                          IndexSettings(split_num_docs_target=100_000,
+                                        commit_docs_threshold=100,
+                                        merge_policy=MergePolicyConfig(
+                                            merge_factor=3, max_merge_factor=3,
+                                            min_level_num_docs=450)))
+        d = str(tmp_path / name)
+        build_index(inp, d, cfg, execution="local", read_batch_size=100)
+        from quickwit_ray.state.manifest import Manifest
+        Manifest(d).create_delete_task("lang:de")  # folds in at merge
+        return d
+
+    d_local, d_ray = _build("local"), _build("ray")
+    # 18 initial splits + factor 3 -> a multi-level cascade: the eager
+    # path must start level-1 merges while level-0 merges still run
+    n_local = run_merge_pipeline(d_local, execution="local")
+    n_ray = run_merge_pipeline(d_ray, execution="ray", max_concurrency=3)
+    assert n_ray == n_local >= 6
+    sl, sr = IndexSearcher(d_local), IndexSearcher(d_ray)
+    assert (len(sl.manifest.published_splits())
+            == len(sr.manifest.published_splits()))
+    expect = n - int((langs == "de").sum())
+    for s in (sl, sr):
+        assert s.search("text:scan", max_hits=0).num_hits == expect
+        assert s.search("lang:de", max_hits=0).num_hits == 0
+    assert (list(sl.search("text:scan", max_hits=30, sort_by="-doc_id",
+                           fetch_fields=["doc_id"]).hits["doc_id"])
+            == list(sr.search("text:scan", max_hits=30, sort_by="-doc_id",
+                              fetch_fields=["doc_id"]).hits["doc_id"]))
