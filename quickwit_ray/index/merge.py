@@ -429,7 +429,9 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
         try:
             while True:
                 item = posq.get()
-                if item is None or stop.is_set():
+                if item is None:
+                    return
+                if stop.is_set():  # error path: drop pending, bail
                     return
                 pos_out.write(item)
         except BaseException as e:
@@ -467,10 +469,24 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
         # producer before propagating, so no thread / window tables /
         # input handles leak in a long-lived worker
         if pos_thread is not None:
-            try:
-                posq.put_nowait(None)
-            except _queue.Full:
-                stop.set()
+            # graceful completion MUST block-put the sentinel: posq may
+            # still hold queued windows and FIFO drain writes them all.
+            # A put_nowait->stop.set() here silently dropped the tail
+            # windows whenever the positions encoder lagged at EOF
+            # (positions sidecar ended up rows short of the postings
+            # file -> corrupt published split). Non-blocking escape is
+            # for the error path only (writer dead, queue maybe full).
+            while not stop.is_set():
+                try:
+                    posq.put(None, timeout=0.2)
+                    break
+                except _queue.Full:
+                    continue
+            if stop.is_set():
+                try:
+                    posq.put_nowait(None)
+                except _queue.Full:
+                    pass
             pos_thread.join()
         stop.set()
         try:
@@ -490,6 +506,14 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
         out.close()
     if pos_out is not None:
         pos_out.close()
+        # invariant: sidecar row i <-> dictionary row i. A short sidecar
+        # means dropped windows (the bug class fixed above) and corrupts
+        # every downstream reader — fail the merge, never publish.
+        if pos_out.total_rows != out.total_rows:
+            raise RuntimeError(
+                f"positions sidecar rows ({pos_out.total_rows}) != "
+                f"postings rows ({out.total_rows}) — merge window(s) "
+                "dropped; refusing to produce a corrupt split")
         pp = os.path.join(tmp_dir, POSITIONS_FILE)
         if not wrote_any_pos and os.path.exists(pp):
             # no input term actually had positions: drop the empty sidecar

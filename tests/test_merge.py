@@ -613,3 +613,82 @@ def test_ray_eager_merge_pipeline_matches_local(tmp_path, ray_session):
                            fetch_fields=["doc_id"]).hits["doc_id"])
             == list(sr.search("text:scan", max_hits=30, sort_by="-doc_id",
                               fetch_fields=["doc_id"]).hits["doc_id"]))
+
+
+def test_streaming_merge_slow_positions_encoder_drains_fully(tmp_path):
+    """Regression: the positions sidecar encodes on its own thread behind
+    a 2-slot queue. When that encoder lags at EOF the queue is still full
+    when the postings consumer finishes; the shutdown path used to drop
+    the queued windows (posq.put_nowait(None) -> Full -> stop.set() ->
+    writer bails), publishing a split whose positions file was rows SHORT
+    of its postings file — corrupting every later merge/phrase query.
+    Slow the encoder deterministically and assert full drain."""
+    import quickwit_ray.index.merge as merge_mod
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.index.format import POSITIONS_FILE, POSTINGS_FILE
+    from quickwit_ray.index.merge import execute_merge
+
+    rng = np.random.default_rng(11)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    n_files, docs_per = 3, 400
+    vocab = [f"w{i:05d}" for i in range(20000)]
+    for fi in range(n_files):
+        texts = []
+        for _ in range(docs_per):
+            words = rng.choice(vocab, size=12, replace=False).tolist()
+            words.append("anchor common")
+            texts.append(" ".join(words))
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(fi * docs_per, (fi + 1) * docs_per),
+                               pa.int64()),
+            "body": texts,
+        }), str(indir / f"f{fi}.parquet"))
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", record="position",
+                         fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    d = str(tmp_path / "idx")
+    build_index(str(indir), d, IndexConfig("slowpos", mapping),
+                execution="local")
+    s = IndexSearcher(d)
+    sids = [sp.split_id for sp in s.manifest.published_splits()]
+    assert len(sids) == n_files
+    phrase_before = s.search('body:"anchor common"', max_hits=0).num_hits
+    assert phrase_before == n_files * docs_per
+
+    real_writer = merge_mod.ExactRowGroupWriter
+
+    class _SlowPosWriter(real_writer):
+        def write(self, tbl):
+            if self.path.endswith(POSITIONS_FILE):
+                time.sleep(0.25)  # outlive the whole postings drain
+            super().write(tbl)
+
+    class _TinyRefillStream(merge_mod._SplitPostingsStream):
+        def __init__(self, split_dir, ord_, off, rgs_per_refill=8):
+            # one row group per refill -> one merge window per row group
+            super().__init__(split_dir, ord_, off, rgs_per_refill=1)
+
+    old_thresh = merge_mod.SMALL_MERGE_DICT_ROWS
+    merge_mod.SMALL_MERGE_DICT_ROWS = 0
+    merge_mod.ExactRowGroupWriter = _SlowPosWriter
+    merge_mod._SplitPostingsStream = _TinyRefillStream
+    try:
+        sm = execute_merge(d, sids, "slowpos", 1)
+    finally:
+        merge_mod.SMALL_MERGE_DICT_ROWS = old_thresh
+        merge_mod.ExactRowGroupWriter = real_writer
+        merge_mod._SplitPostingsStream = _TinyRefillStream.__bases__[0]
+    s.manifest.publish([sm], replaced_split_ids=sids)
+    import os
+
+    sd = os.path.join(d, "splits", sm.split_id)
+    n_post = pq.ParquetFile(os.path.join(sd, POSTINGS_FILE)).metadata.num_rows
+    n_pos = pq.ParquetFile(os.path.join(sd, POSITIONS_FILE)).metadata.num_rows
+    assert n_pos == n_post
+    s2 = IndexSearcher(d)
+    assert s2.search('body:"anchor common"', max_hits=0).num_hits == \
+        phrase_before
