@@ -165,6 +165,12 @@ DOCBLOB_FRAME_RAW_TARGET = 64 << 10   # raw bytes per frame
 DOCBLOB_COL_THRESHOLD = 256           # avg raw bytes/row to blob a column
 DOCBLOB_NULL = 0xFFFFFFFF
 _DOCBLOB_MAGIC = b"QWRBLOB1"
+# v2 trailer adds an explicit per-frame row-count array after rawlens, so
+# frames need not sit on a uniform row grid — the merge consolidation path
+# byte-copies frames from sources whose grids don't align (and whose tail
+# frames are short). Writers keep emitting v1 (their grids ARE uniform);
+# readers accept both.
+_DOCBLOB_MAGIC2 = b"QWRBLOB2"
 
 
 def _blob_eligible(typ: pa.DataType) -> bool:
@@ -287,14 +293,32 @@ class BlobColumnReader:
         self._f = open(path, "rb")
         self._f.seek(-40, 2)  # 4 x i64 + magic
         tr = self._f.read(40)
-        if tr[-8:] != _DOCBLOB_MAGIC:
+        magic = tr[-8:]
+        if magic not in (_DOCBLOB_MAGIC, _DOCBLOB_MAGIC2):
             raise ValueError(f"not a blob column file: {path}")
         (self.rows_per_frame, self.nframes, self.num_rows,
          idx_off) = (int(x) for x in np.frombuffer(tr[:32], np.int64))
         self._f.seek(idx_off)
-        raw = self._f.read((self.nframes + 1) * 8 + self.nframes * 8)
-        self.offs = np.frombuffer(raw[:(self.nframes + 1) * 8], np.int64)
-        self.rawlens = np.frombuffer(raw[(self.nframes + 1) * 8:], np.int64)
+        n = self.nframes
+        if magic == _DOCBLOB_MAGIC:
+            raw = self._f.read((n + 1) * 8 + n * 8)
+            self.offs = np.frombuffer(raw[:(n + 1) * 8], np.int64)
+            self.rawlens = np.frombuffer(raw[(n + 1) * 8:], np.int64)
+            # uniform grid: full frames + short tail
+            self.frame_rows = np.full(n, self.rows_per_frame, np.int64)
+            if n:
+                self.frame_rows[-1] = (self.num_rows
+                                       - (n - 1) * self.rows_per_frame)
+        else:
+            raw = self._f.read((n + 1) * 8 + 2 * n * 8)
+            self.offs = np.frombuffer(raw[:(n + 1) * 8], np.int64)
+            self.rawlens = np.frombuffer(
+                raw[(n + 1) * 8:(2 * n + 1) * 8], np.int64)
+            self.frame_rows = np.frombuffer(
+                raw[(2 * n + 1) * 8:], np.int64)
+        # frame fi covers rows [row_starts[fi], row_starts[fi+1])
+        self.row_starts = np.concatenate(
+            [[0], np.cumsum(self.frame_rows)]).astype(np.int64)
         self.bytes_read = 0
 
     def _frame(self, fi: int) -> tuple[np.ndarray, bytes, np.ndarray]:
@@ -304,8 +328,7 @@ class BlobColumnReader:
         payload = self._codec.decompress(buf, int(self.rawlens[fi]),
                                          asbytes=True)
         self.bytes_read += int(self.rawlens[fi])
-        nrows = (self.rows_per_frame if fi < self.nframes - 1
-                 else self.num_rows - fi * self.rows_per_frame)
+        nrows = int(self.frame_rows[fi])
         lens = np.frombuffer(payload, np.uint32, count=nrows)
         eff = np.where(lens == DOCBLOB_NULL, 0, lens).astype(np.int64)
         starts = 4 * nrows + np.concatenate([[0], np.cumsum(eff)])
@@ -331,11 +354,12 @@ class BlobColumnReader:
         """Rows (local ordinals) -> pa array in request order."""
         rows = np.asarray(rows, np.int64)
         vals: dict[int, Optional[bytes]] = {}
-        for fi in np.unique(rows // self.rows_per_frame):
+        frame_of = np.searchsorted(self.row_starts, rows, side="right") - 1
+        for fi in np.unique(frame_of):
             lens, payload, starts = self._frame(int(fi))
-            base = int(fi) * self.rows_per_frame
+            base = int(self.row_starts[fi])
             for r in rows[(rows >= base)
-                          & (rows < base + self.rows_per_frame)]:
+                          & (rows < self.row_starts[fi + 1])]:
                 li = int(r - base)
                 vals[int(r)] = (None if lens[li] == DOCBLOB_NULL else
                                 payload[starts[li]:starts[li + 1]])
@@ -422,6 +446,68 @@ def write_docstore(dir_: str, tbl: pa.Table) -> list[dict]:
                        compression="zstd", compression_level=1,
                        row_group_size=docstore_row_group_size(rest))
     return specs
+
+
+def concat_blob_files(sources: list[tuple[Optional[str], int]],
+                      out_path: str) -> int:
+    """Consolidate blob column files WITHOUT re-encoding: byte-copy every
+    source's zstd frames and write one QWRBLOB2 trailer whose per-frame
+    row counts are the concatenation of the sources' grids (tails stay
+    short mid-file — v2 readers address by the explicit grid). A ``None``
+    source contributes ``num_rows`` synthetic all-null rows (placeholder
+    for a merged-in split that had no stored value), encoded as tiny
+    sentinel-only frames. Returns total rows. Raises ValueError when a
+    real source's row count disagrees with the expected count (caller
+    falls back to the re-encoding rewrite)."""
+    codec = pa.Codec("zstd", 1)
+    offs: list[int] = [0]
+    rawlens: list[int] = []
+    frows: list[int] = []
+    total = 0
+    with open(out_path, "wb") as out:
+        for path, nrows in sources:
+            nrows = int(nrows)
+            if path is None:
+                total += nrows
+                step = 1 << 16
+                for s in range(0, nrows, step):
+                    n = min(step, nrows - s)
+                    payload = np.full(n, DOCBLOB_NULL, np.uint32).tobytes()
+                    fz = codec.compress(payload, asbytes=True)
+                    out.write(fz)
+                    offs.append(offs[-1] + len(fz))
+                    rawlens.append(len(payload))
+                    frows.append(n)
+                continue
+            src = BlobColumnReader(path)
+            try:
+                if src.num_rows != nrows:
+                    raise ValueError(
+                        f"blob file {path} has {src.num_rows} rows, "
+                        f"unit expects {nrows}")
+                base = offs[-1]
+                src._f.seek(0)
+                left = int(src.offs[-1])  # frames region = [0, idx_off)
+                while left:
+                    chunk = src._f.read(min(left, 4 << 20))
+                    if not chunk:
+                        raise ValueError(f"truncated blob file: {path}")
+                    out.write(chunk)
+                    left -= len(chunk)
+                offs.extend(int(o) + base for o in src.offs[1:])
+                rawlens.extend(int(x) for x in src.rawlens)
+                frows.extend(int(x) for x in src.frame_rows)
+                total += src.num_rows
+            finally:
+                src._f.close()
+        idx_off = offs[-1]
+        out.write(np.asarray(offs, np.int64).tobytes())
+        out.write(np.asarray(rawlens, np.int64).tobytes())
+        out.write(np.asarray(frows, np.int64).tobytes())
+        out.write(np.asarray([0, len(frows), total, idx_off],
+                             np.int64).tobytes())
+        out.write(_DOCBLOB_MAGIC2)
+    return total
 
 
 def _as_column(v):

@@ -238,6 +238,27 @@ class _SplitPostingsStream:
         self._rows_per_rg = TERMS_PER_ROW_GROUP
         self._buf: Optional[pa.Table] = None
         self._consumed = 0
+        # async double-buffer: when a reader pool is attached, the NEXT
+        # refill's row groups decode on the pool while the current buffer
+        # is being merged/encoded (profiled: parquet decode was the
+        # producer's critical path — consumers starved ~3 s per 8-way
+        # 90k-doc merge). Output bytes are untouched: prefetch only moves
+        # WHEN reads happen, never what a window contains.
+        self._pool = None
+        self._pending = None  # in-flight Future[Optional[pa.Table]]
+
+    def attach_reader_pool(self, pool) -> None:
+        """Enable prefetch through ``pool`` and schedule the first read."""
+        self._pool = pool
+        self._schedule_prefetch()
+
+    def _schedule_prefetch(self) -> None:
+        if (self._pool is None or self._pending is not None
+                or self._next_rg >= self._n_rg):
+            return
+        start = self._next_rg
+        self._next_rg = min(start + self.rgs_per_refill, self._n_rg)
+        self._pending = self._pool.submit(self._read_rgs, start)
 
     def _positions_slice(self, row_start: int, n: int) -> pa.Table:
         """Sidecar rows [row_start, row_start+n) (sidecar row == dict row)."""
@@ -250,13 +271,13 @@ class _SplitPostingsStream:
         lo = row_start - rg0 * self._pos_rows_per_rg
         return t.slice(lo, n)
 
-    def _refill(self) -> None:
-        if self._next_rg >= self._n_rg:
-            self._buf, self._consumed = None, 0
-            return
-        take = list(range(self._next_rg,
-                          min(self._next_rg + self.rgs_per_refill, self._n_rg)))
-        row_start = self._next_rg * self._rows_per_rg
+    def _read_rgs(self, start_rg: int) -> pa.Table:
+        """Read + assemble row groups [start_rg, start_rg+refill) into a
+        merge buffer (pure read — no stream state mutated; safe to run on
+        a prefetch thread)."""
+        take = list(range(start_rg,
+                          min(start_rg + self.rgs_per_refill, self._n_rg)))
+        row_start = start_rg * self._rows_per_rg
         t = self._pf.read_row_groups(take)
         if self._legacy_pos:
             pt = t.select(["positions", "pos_lens"])
@@ -273,7 +294,20 @@ class _SplitPostingsStream:
         t = t.append_column("pos_lens", pt["pos_lens"])
         t = t.append_column("_off", pa.array(np.full(n, self.off, np.int32)))
         t = t.append_column("_ord", pa.array(np.full(n, self.ord_, np.int32)))
-        self._buf = t.combine_chunks()
+        return t.combine_chunks()
+
+    def _refill(self) -> None:
+        fut, self._pending = self._pending, None
+        if fut is not None:
+            buf = fut.result()
+        elif self._next_rg < self._n_rg:
+            start = self._next_rg
+            self._next_rg = min(start + self.rgs_per_refill, self._n_rg)
+            buf = self._read_rgs(start)
+        else:
+            self._buf, self._consumed = None, 0
+            return
+        self._buf = buf
         # keys bisect lazily against the arrow columns (O(log n) scalar
         # reads per window) — materializing a Python tuple per dictionary
         # row here dominated refill time on multi-million-term merges
@@ -285,7 +319,7 @@ class _SplitPostingsStream:
         self._last_key = (self._buf_field[n_last].as_py(),
                           self._buf_term[n_last].as_py())
         self._consumed = 0
-        self._next_rg = take[-1] + 1
+        self._schedule_prefetch()
 
     def ensure_loaded(self) -> None:
         if self._buf is None or self._consumed >= self._buf.num_rows:
@@ -293,7 +327,8 @@ class _SplitPostingsStream:
 
     @property
     def exhausted(self) -> bool:
-        return self._buf is None and self._next_rg >= self._n_rg
+        return (self._buf is None and self._pending is None
+                and self._next_rg >= self._n_rg)
 
     def buffer_last_key(self) -> Optional[tuple[str, str]]:
         """Last (field, term) of the loaded buffer; None when exhausted.
@@ -304,7 +339,7 @@ class _SplitPostingsStream:
         return self._last_key
 
     def has_more_rowgroups(self) -> bool:
-        return self._next_rg < self._n_rg
+        return self._pending is not None or self._next_rg < self._n_rg
 
     def take_upto(self, key: tuple[str, str]) -> Optional[pa.Table]:
         """Consume and return the buffered rows with (field, term) <= key."""
@@ -390,20 +425,21 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
 
     from concurrent.futures import ThreadPoolExecutor
 
-    refill_pool = (ThreadPoolExecutor(max_workers=min(8, len(streams)))
-                   if len(streams) > 1 else None)
+    # prefetch pool: each stream double-buffers its next row groups here
+    # (parquet decode releases the GIL), so ensure_loaded below is mostly
+    # a completed-future swap and the producer's wall is the window merge,
+    # not the read. The old design refilled synchronously between windows
+    # (a pool.map barrier) — profiled at ~3 s of consumer starvation per
+    # 8-way 90k-doc merge.
+    refill_pool = ThreadPoolExecutor(max_workers=min(8, len(streams) + 1))
+    for s in streams:
+        s.attach_reader_pool(refill_pool)
 
     def _produce() -> None:
         try:
             while not stop.is_set():
-                if refill_pool is not None:
-                    # each stream refills from its own file: parallel
-                    # reads (pyarrow releases the GIL)
-                    list(refill_pool.map(lambda s: s.ensure_loaded(),
-                                         streams))
-                else:
-                    for s in streams:
-                        s.ensure_loaded()
+                for s in streams:
+                    s.ensure_loaded()
                 keys = [s.buffer_last_key() for s in streams
                         if s.buffer_last_key() is not None]
                 if not keys:
@@ -495,8 +531,8 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
         except _queue.Empty:
             pass
         producer.join()
-        if refill_pool is not None:
-            refill_pool.shutdown(wait=False)
+        # cancel queued prefetches (in-flight reads finish and are dropped)
+        refill_pool.shutdown(wait=False, cancel_futures=True)
     if perr:
         raise perr[0]
     if out.total_rows == 0:
@@ -706,6 +742,92 @@ def _stack_docstores(split_dirs: list[str], footers: list[dict],
     return entries
 
 
+def _consolidate_docstores_framecopy(
+        split_dirs: list[str], footers: list[dict], counts: list[int],
+        tmp_dir: str) -> Optional[list[dict]]:
+    """Unit-count-overflow consolidation WITHOUT re-encoding the blob
+    payloads (the fat half of a web-page doc store): every source unit's
+    framed blob file byte-copies into one output at the zstd-frame level
+    (format.concat_blob_files, QWRBLOB2 per-frame row grid); only the
+    thin parquet part re-encodes. Store-less sources contribute all-null
+    placeholder rows. Returns footer ``docstore_blobs`` specs, or None
+    when the sources disagree on which columns are blobbed (mixed
+    inline/blob layouts) — the caller then runs the full re-encoding
+    rewrite."""
+    from quickwit_ray.index.format import (
+        DOCSTORE_FILE,
+        concat_blob_files,
+        docstore_row_group_size,
+    )
+
+    flat: list[dict] = []
+    for d, f, nd in zip(split_dirs, footers, counts):
+        sub = _split_docstore_units(d, f, nd)
+        if not sub:
+            flat.append({"parquet": None, "num_docs": nd, "blobs": ()})
+            continue
+        if (sum(u["num_docs"] for u in sub) != nd
+                or not all(os.path.exists(u["parquet"])
+                           for u in sub if u["parquet"])
+                or not all(os.path.exists(b["file"])
+                           for u in sub for b in u["blobs"])):
+            return None
+        flat.extend(sub)
+    real = [u for u in flat if u["parquet"] or u["blobs"]]
+    if not real:
+        return None  # no doc store anywhere: nothing to consolidate
+    blob_sets = {tuple(sorted((b["column"], b.get("type", "string"))
+                              for b in u["blobs"])) for u in real}
+    if len(blob_sets) != 1:
+        return None  # a column is inline in one unit, blobbed in another
+
+    written: list[str] = []
+    try:
+        specs: list[dict] = []
+        for i, b0 in enumerate(real[0]["blobs"]):
+            col = b0["column"]
+            vt = b0.get("type", "string")
+            srcs: list[tuple[Optional[str], int]] = []
+            for u in flat:
+                if u["blobs"]:
+                    bf = next(bb for bb in u["blobs"]
+                              if bb["column"] == col)
+                    srcs.append((bf["file"], u["num_docs"]))
+                else:
+                    srcs.append((None, u["num_docs"]))
+            fn = f"docblobs-{i:02d}.bin"
+            out_path = os.path.join(tmp_dir, fn)
+            written.append(out_path)
+            nrows = concat_blob_files(srcs, out_path)
+            specs.append({"column": col, "file": fn, "type": vt,
+                          "rows_per_frame": 0, "num_rows": nrows})
+        schemas = [pq.read_schema(u["parquet"]) for u in flat
+                   if u["parquet"]]
+        if schemas:
+            unified = pa.unify_schemas(schemas, promote_options="default")
+            parts = []
+            for u in flat:
+                if u["parquet"]:
+                    parts.append(pq.read_table(u["parquet"]))
+                else:
+                    parts.append(pa.table(
+                        {f.name: pa.nulls(u["num_docs"], f.type)
+                         for f in unified}, schema=unified))
+            big = pa.concat_tables(parts, promote_options="default")
+            pq.write_table(big, os.path.join(tmp_dir, DOCSTORE_FILE),
+                           compression="zstd", compression_level=1,
+                           row_group_size=docstore_row_group_size(big))
+        return specs
+    except (ValueError, OSError):
+        # structural mismatch (row-count drift, torn file): remove the
+        # partial outputs — tmp_dir becomes the published split dir, so
+        # leftovers must not leak — and fall back to the full rewrite
+        for p in written:
+            if os.path.exists(p):
+                os.remove(p)
+        return None
+
+
 def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
                   num_merge_ops: int) -> SplitMetadata:
     """Merge N split artifact dirs into one new split dir (stateless; safe
@@ -752,6 +874,13 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
         if fname == DOCSTORE_FILE and docstore_segments is not None:
             continue  # stacked without re-encoding (segment hardlinks)
         if fname == DOCSTORE_FILE:
+            # frame-copy fast path first: consolidates to one unit without
+            # decompressing/re-encoding the blob payloads
+            fast = _consolidate_docstores_framecopy(
+                split_dirs, footers, counts, tmp_dir)
+            if fast is not None:
+                rewrite_blob_specs = fast
+                continue
             # consolidating rewrite: read each source's FULL stored table
             # (parquet part + scanned blob columns), concat with null
             # placeholders for store-less sources, re-emit as one unit

@@ -692,3 +692,172 @@ def test_streaming_merge_slow_positions_encoder_drains_fully(tmp_path):
     s2 = IndexSearcher(d)
     assert s2.search('body:"anchor common"', max_hits=0).num_hits == \
         phrase_before
+
+
+def test_concat_blob_files_framecopy(tmp_path):
+    """Frame-level blob consolidation (QWRBLOB2): sources with different
+    frame grids, short tail frames mid-file, nulls, and an all-null
+    placeholder range concatenate by BYTE COPY — the output's frame
+    region is exactly the sources' frame regions, no re-encode — and the
+    v2 reader scans/takes correctly across every boundary."""
+    import os
+
+    from quickwit_ray.index.format import (
+        BlobColumnReader,
+        BlobColumnWriter,
+        concat_blob_files,
+    )
+
+    def mk(path, values, rows_per_frame):
+        w = BlobColumnWriter(str(path), rows_per_frame, "string")
+        w.add(pa.array(values, pa.string()))
+        w.close()
+        return str(path)
+
+    a_vals = [f"alpha-{i}" * 3 if i % 5 else None for i in range(23)]
+    b_vals = [f"b{i}" for i in range(8)]
+    c_vals = [f"charlie-{i}" * 10 for i in range(50)]
+    pa_file = mk(tmp_path / "a.bin", a_vals, 4)   # tail frame of 3
+    pb_file = mk(tmp_path / "b.bin", b_vals, 16)  # single short frame
+    pc_file = mk(tmp_path / "c.bin", c_vals, 7)   # tail frame of 1
+    out = str(tmp_path / "out.bin")
+    total = concat_blob_files(
+        [(pa_file, 23), (None, 11), (pb_file, 8), (pc_file, 50)], out)
+    want = a_vals + [None] * 11 + b_vals + c_vals
+    assert total == len(want)
+
+    r = BlobColumnReader(out, "string")
+    assert r.num_rows == len(want)
+    assert r.scan().to_pylist() == want
+    # scattered point reads across every source boundary
+    pick = np.array([0, 22, 23, 33, 34, 41, 42, 91, 5, 60])
+    assert r.take(pick).to_pylist() == [want[i] for i in pick]
+    # byte-copy proof: output frame region == concatenation of source
+    # frame regions plus the placeholder's sentinel frames
+    src_bytes = 0
+    for p in (pa_file, pb_file, pc_file):
+        src = BlobColumnReader(p, "string")
+        src_bytes += int(src.offs[-1])
+        src._f.close()
+    placeholder = int(r.offs[-1]) - src_bytes
+    assert placeholder > 0  # the 11-row null frame
+    with open(out, "rb") as f:
+        got_region = f.read(int(r.offs[-1]))
+    regions = b""
+    consumed = 0
+    for p, nrows in [(pa_file, 23), (None, 11), (pb_file, 8),
+                     (pc_file, 50)]:
+        if p is None:
+            # skip the synthesized frame bytes in the output
+            fi = np.searchsorted(r.row_starts, consumed, side="right") - 1
+            consumed += nrows
+            continue
+        consumed += nrows
+        with open(p, "rb") as f:
+            src = BlobColumnReader(p, "string")
+            regions += f.read(int(src.offs[-1]))
+            src._f.close()
+    # every source frame's bytes appear verbatim in the output
+    for p in (pa_file, pb_file, pc_file):
+        src = BlobColumnReader(p, "string")
+        with open(p, "rb") as f:
+            frames = f.read(int(src.offs[-1]))
+        src._f.close()
+        assert frames in got_region
+
+
+def test_consolidation_framecopy_no_reencode(tmp_path):
+    """The >MAX_DOCSTORE_SEGMENTS consolidation goes through the
+    frame-copy path when every unit agrees on the blob layout: the
+    merged split's blob file contains each source's frame bytes
+    VERBATIM (no zstd round-trip) and point/scan reads stay exact. A
+    mixed inline/blob layout falls back to the re-encoding rewrite and
+    stays correct."""
+    import os
+
+    from quickwit_ray.index import merge as merge_mod
+    from quickwit_ray.index.format import BlobColumnReader, SplitReader
+    from quickwit_ray.index.merge import execute_merge
+    from quickwit_ray.state.manifest import Manifest
+
+    rng = np.random.default_rng(3)
+    words = ["kappa", "lambda", "mu", "nu", "xi"]
+    docs_dir = tmp_path / "src"
+    docs_dir.mkdir()
+    n = 400
+    rows = [" ".join(rng.choice(words, 200)) + f" row{i}" for i in range(n)]
+    tbl = pa.table({
+        "doc_id": [f"d{i}" for i in range(n)], "text": rows,
+        "lang": ["en"] * n, "source": ["syn"] * n,
+        "n_chars": [len(r) for r in rows]})
+    pq.write_table(tbl, str(docs_dir / "part.parquet"))
+    config = IndexConfig(
+        index_id="documents", doc_mapping=documents_doc_mapping(),
+        settings=IndexSettings(split_num_docs_target=10_000,
+                               commit_docs_threshold=100))
+    index_dir = str(tmp_path / "idx")
+    build_index([str(docs_dir / "part.parquet")], index_dir, config,
+                execution="local", read_batch_size=100)
+    splits = Manifest(index_dir).list_splits()
+    assert len(splits) == 4
+    src_frames = []
+    for sp in splits:
+        u = SplitReader(
+            os.path.join(index_dir, "splits", sp.split_id)).docstore_units()
+        assert len(u) == 1 and u[0]["blobs"]
+        bf = u[0]["blobs"][0]["file"]
+        src = BlobColumnReader(bf, "string")
+        with open(bf, "rb") as f:
+            src_frames.append(f.read(int(src.offs[-1])))
+        src._f.close()
+
+    old = merge_mod.MAX_DOCSTORE_SEGMENTS
+    merge_mod.MAX_DOCSTORE_SEGMENTS = 2
+    try:
+        sm = execute_merge(index_dir,
+                           [sp.split_id for sp in splits], "documents", 1)
+    finally:
+        merge_mod.MAX_DOCSTORE_SEGMENTS = old
+    sd = os.path.join(index_dir, "splits", sm.split_id)
+    r = SplitReader(sd)
+    units = r.docstore_units()
+    assert len(units) == 1 and units[0]["blobs"]
+    out_file = units[0]["blobs"][0]["file"]
+    outr = BlobColumnReader(out_file, "string")
+    with open(out_file, "rb") as f:
+        out_region = f.read(int(outr.offs[-1]))
+    outr._f.close()
+    # verbatim frame bytes from every source == zero re-encode
+    assert out_region == b"".join(src_frames)
+    got = r.fetch_docs(np.arange(n), columns=["text"])
+    assert got["text"].to_pylist() == rows
+    pick = np.array([399, 0, 99, 100, 101, 250])
+    assert r.fetch_docs(pick, columns=["text"])["text"].to_pylist() == \
+        [rows[i] for i in pick]
+
+    # mixed layout: merge the blob-backed split with a thin-text split
+    # (text inline in parquet) -> frame copy refuses, rewrite path runs
+    thin_dir = tmp_path / "thin"
+    thin_dir.mkdir()
+    thin_rows = [f"tiny {i}" for i in range(50)]
+    pq.write_table(pa.table({
+        "doc_id": [f"t{i}" for i in range(50)], "text": thin_rows,
+        "lang": ["en"] * 50, "source": ["syn"] * 50,
+        "n_chars": [len(r) for r in thin_rows]}),
+        str(thin_dir / "part.parquet"))
+    idx2 = str(tmp_path / "idx2")
+    build_index([str(thin_dir / "part.parquet")], idx2, config,
+                execution="local")
+    thin_split = Manifest(idx2).list_splits()[0]
+    import shutil
+    shutil.copytree(os.path.join(idx2, "splits", thin_split.split_id),
+                    os.path.join(index_dir, "splits", thin_split.split_id))
+    merge_mod.MAX_DOCSTORE_SEGMENTS = 1
+    try:
+        sm2 = execute_merge(index_dir, [sm.split_id, thin_split.split_id],
+                            "documents", 2)
+    finally:
+        merge_mod.MAX_DOCSTORE_SEGMENTS = old
+    r2 = SplitReader(os.path.join(index_dir, "splits", sm2.split_id))
+    got2 = r2.fetch_docs(np.arange(n + 50), columns=["text"])
+    assert got2["text"].to_pylist() == rows + thin_rows
