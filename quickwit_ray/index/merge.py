@@ -41,6 +41,12 @@ from quickwit_ray.state.manifest import Manifest, SplitMetadata
 # fast path (everything in RAM, zero extra passes); larger merges stream
 # bounded row-group windows. Patchable in tests.
 SMALL_MERGE_DICT_ROWS = 262_144
+# compressed postings+positions input bytes above which one merge is big
+# enough to parallelize its window merging on a private 2-thread pool.
+# Below it the producer merges windows inline: the merge scheduler packs
+# 20+ concurrent small merges per node, where extra per-merge threads
+# only thrash (A/B'd at fleet concurrency; single big merges gained ~2x)
+WINDOW_POOL_MIN_BYTES = 64 << 20
 
 
 @dataclass
@@ -388,9 +394,14 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
     # windows. 256k dictionary rows across all inputs ~ a few hundred MB of
     # posting buffers, well inside a worker heap.
     total_rows = 0
+    total_bytes = 0
     for d in split_dirs:
         total_rows += pq.ParquetFile(
             os.path.join(d, POSTINGS_FILE)).metadata.num_rows
+        total_bytes += os.path.getsize(os.path.join(d, POSTINGS_FILE))
+        pp = os.path.join(d, POSITIONS_FILE)
+        if os.path.exists(pp):
+            total_bytes += os.path.getsize(pp)
     refill = 1_000_000 if total_rows <= SMALL_MERGE_DICT_ROWS else 8
     streams = [_SplitPostingsStream(d, i, int(off), rgs_per_refill=refill)
                for i, (d, off) in enumerate(zip(split_dirs, offsets))]
@@ -434,6 +445,13 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
     refill_pool = ThreadPoolExecutor(max_workers=min(8, len(streams) + 1))
     for s in streams:
         s.attach_reader_pool(refill_pool)
+    # big merges only: window merging moves to a private pool and the
+    # queue carries FUTURES resolved FIFO by the consumer (byte-identical
+    # order). Small merges keep the window merge inline on the producer —
+    # WINDOW_POOL_MIN_BYTES gates it so fleet-concurrency merges don't
+    # multiply threads.
+    merge_pool = (ThreadPoolExecutor(max_workers=2)
+                  if total_bytes >= WINDOW_POOL_MIN_BYTES else None)
 
     def _produce() -> None:
         try:
@@ -450,7 +468,9 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
                 if not chunks:
                     continue
                 window = pa.concat_tables(chunks).combine_chunks()
-                if not _qput(_merge_window(window)):
+                item = (merge_pool.submit(_merge_window, window)
+                        if merge_pool is not None else _merge_window(window))
+                if not _qput(item):
                     return
         except BaseException as e:  # surfaced on the consumer side
             perr.append(e)
@@ -490,7 +510,10 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
                 continue
             if item is None:
                 break
-            tbl, ptbl, has_pos = item
+            # big-merge path enqueues futures (a merge-pool failure
+            # raises here and the finally below reaps everything)
+            tbl, ptbl, has_pos = (item.result()
+                                  if hasattr(item, "result") else item)
             if pos_thread is not None:
                 while not stop.is_set():
                     try:
@@ -533,6 +556,8 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
         producer.join()
         # cancel queued prefetches (in-flight reads finish and are dropped)
         refill_pool.shutdown(wait=False, cancel_futures=True)
+        if merge_pool is not None:
+            merge_pool.shutdown(wait=False, cancel_futures=True)
     if perr:
         raise perr[0]
     if out.total_rows == 0:

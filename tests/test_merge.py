@@ -861,3 +861,61 @@ def test_consolidation_framecopy_no_reencode(tmp_path):
     r2 = SplitReader(os.path.join(index_dir, "splits", sm2.split_id))
     got2 = r2.fetch_docs(np.arange(n + 50), columns=["text"])
     assert got2["text"].to_pylist() == rows + thin_rows
+
+
+def test_window_pool_merge_bytes_identical_to_inline(tmp_path):
+    """The big-merge window pool (WINDOW_POOL_MIN_BYTES gate) must be a
+    pure scheduling change: forcing the pool ON and OFF over the same
+    inputs produces byte-identical split artifacts."""
+    import hashlib
+    import os
+    import shutil
+
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.index import merge as merge_mod
+    from quickwit_ray.index.merge import execute_merge
+    from quickwit_ray.state.manifest import Manifest
+
+    rng = np.random.default_rng(13)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    vocab = [f"w{i:05d}" for i in range(9000)]
+    for fi in range(3):
+        texts = [" ".join(rng.choice(vocab, size=15, replace=False))
+                 for _ in range(300)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(fi * 300, fi * 300 + 300), pa.int64()),
+            "body": texts}), str(indir / f"f{fi}.parquet"))
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", record="position",
+                         fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    d = str(tmp_path / "idx")
+    build_index(str(indir), d, IndexConfig("wp", mapping), execution="local")
+    sids = [sp.split_id for sp in Manifest(d).published_splits()]
+
+    def merged_digest():
+        sm = execute_merge(d, sids, "wp", 1)
+        sd = os.path.join(d, "splits", sm.split_id)
+        h = hashlib.sha1()
+        for f in sorted(os.listdir(sd)):
+            with open(os.path.join(sd, f), "rb") as fh:
+                h.update(f.encode())
+                h.update(fh.read())
+        shutil.rmtree(sd)
+        return h.hexdigest()
+
+    old_rows = merge_mod.SMALL_MERGE_DICT_ROWS
+    old_gate = merge_mod.WINDOW_POOL_MIN_BYTES
+    merge_mod.SMALL_MERGE_DICT_ROWS = 0  # force the streaming pipeline
+    try:
+        merge_mod.WINDOW_POOL_MIN_BYTES = 0          # pool ON
+        with_pool = merged_digest()
+        merge_mod.WINDOW_POOL_MIN_BYTES = 1 << 60    # pool OFF (inline)
+        inline = merged_digest()
+    finally:
+        merge_mod.SMALL_MERGE_DICT_ROWS = old_rows
+        merge_mod.WINDOW_POOL_MIN_BYTES = old_gate
+    assert with_pool == inline
