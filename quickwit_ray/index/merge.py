@@ -1084,7 +1084,9 @@ def execute_delete_merge(index_dir: str, splits: list[SplitMetadata],
 
 def run_merge_pipeline(index_dir: str, *, execution: str = "local",
                        max_concurrency: Optional[int] = None,
-                       max_rounds: int = 16) -> int:
+                       max_rounds: int = 16,
+                       max_attempts_per_op: int = 2,
+                       task_fn=None) -> int:
     """Driver merge loop (MergePlanner analog): compute ops from the
     policy over published splits, execute them (smallest-first, bounded
     concurrency — merge_scheduler_service.rs:81-113), publish replacements,
@@ -1145,9 +1147,11 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
     if execution == "ray":
         import ray
 
+        runner = task_fn or execute_merge
+
         @ray.remote(num_cpus=1)
         def _do(ids, n_ops):
-            return execute_merge(index_dir, ids, config.index_id, n_ops)
+            return runner(index_dir, ids, config.index_id, n_ops)
 
         # bounded merge concurrency (merge_scheduler_service.rs default
         # num_cpus * 2/3) so merges never starve the rest of the node
@@ -1156,6 +1160,7 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
         pending: dict = {}   # future -> op
         claimed: set = set()  # input split ids of queued/in-flight ops
         queue: list = []
+        attempts: dict = {}  # op input-id tuple -> tries so far
         replans_from_idle = 0  # planner passes with nothing in flight
         while True:
             while queue and len(pending) < limit:
@@ -1176,7 +1181,22 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
             done, _ = ray.wait(list(pending), num_returns=1)
             for f in done:
                 op = pending.pop(f)
-                _publish(op, ray.get(f))
+                try:
+                    new_sm = ray.get(f)
+                except Exception:
+                    # a failed merge (preempted worker, transient I/O)
+                    # must not kill the pipeline: execute_merge is
+                    # retry-safe (staged dir + atomic rename), so requeue
+                    # the op with a bounded attempt budget — the
+                    # reference's planner likewise just sees the inputs
+                    # still unmerged and plans them again
+                    key = tuple(sorted(s.split_id for s in op.splits))
+                    attempts[key] = attempts.get(key, 1) + 1
+                    if attempts[key] > max_attempts_per_op:
+                        raise
+                    queue.append(op)  # inputs stay claimed while queued
+                    continue
+                _publish(op, new_sm)
                 claimed.difference_update(s.split_id for s in op.splits)
                 total += 1
             # eager re-plan: the publish may have completed a higher

@@ -919,3 +919,62 @@ def test_window_pool_merge_bytes_identical_to_inline(tmp_path):
         merge_mod.SMALL_MERGE_DICT_ROWS = old_rows
         merge_mod.WINDOW_POOL_MIN_BYTES = old_gate
     assert with_pool == inline
+
+
+def test_ray_merge_pipeline_retries_failed_task(tmp_path, ray_session):
+    """A merge task that dies (preempted worker, transient I/O) must not
+    kill the pipeline: the op requeues with a bounded attempt budget and
+    the final state matches a clean run. Exhausting the budget raises."""
+    import os
+
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.index.merge import execute_merge, run_merge_pipeline
+    from quickwit_ray.state.manifest import Manifest
+
+    n = 900
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": [f"doc number {i} scan" for i in range(n)]})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="text", type="text", fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("text",))
+    config = IndexConfig(
+        "retrymerge", mapping,
+        settings=IndexSettings(
+            split_num_docs_target=100_000, commit_docs_threshold=100,
+            merge_policy=MergePolicyConfig(merge_factor=3,
+                                           max_merge_factor=3,
+                                           min_level_num_docs=10_000)))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, config, execution="local", read_batch_size=100)
+    assert len(Manifest(d).published_splits()) == 9
+
+    marker = str(tmp_path / "failed_once")
+
+    def fail_first(index_dir, ids, index_id, n_ops):
+        import os as _os
+        if not _os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            raise RuntimeError("injected merge-task failure")
+        return execute_merge(index_dir, ids, index_id, n_ops)
+
+    total = run_merge_pipeline(d, execution="ray", task_fn=fail_first)
+    assert os.path.exists(marker)  # the failure really happened
+    assert total >= 3
+    s = IndexSearcher(d)
+    assert s.search("text:scan", max_hits=0).num_hits == n
+    assert len(s.manifest.published_splits()) < 9
+
+    # budget exhaustion surfaces the failure instead of looping forever
+    d2 = str(tmp_path / "idx2")
+    build_index(inp, d2, config, execution="local", read_batch_size=100)
+
+    def always_fail(index_dir, ids, index_id, n_ops):
+        raise RuntimeError("permanent failure")
+
+    with pytest.raises(Exception):
+        run_merge_pipeline(d2, execution="ray", task_fn=always_fail)
