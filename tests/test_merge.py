@@ -978,3 +978,48 @@ def test_ray_merge_pipeline_retries_failed_task(tmp_path, ray_session):
 
     with pytest.raises(Exception):
         run_merge_pipeline(d2, execution="ray", task_fn=always_fail)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_concat_blob_files_roundtrip_property(tmp_path_factory, data):
+    """Property: for ANY mix of sources (random values incl. nulls and
+    empties, random frame sizes, interleaved all-null placeholder
+    ranges), concat_blob_files round-trips scan() and take() exactly."""
+    import os
+
+    from quickwit_ray.index.format import (
+        BlobColumnReader,
+        BlobColumnWriter,
+        concat_blob_files,
+    )
+
+    tmp = tmp_path_factory.mktemp("blobprop")
+    n_sources = data.draw(st.integers(1, 5))
+    sources = []
+    want: list = []
+    for i in range(n_sources):
+        if data.draw(st.booleans()) and want:  # placeholder range
+            n = data.draw(st.integers(1, 40))
+            sources.append((None, n))
+            want.extend([None] * n)
+            continue
+        vals = data.draw(st.lists(
+            st.one_of(st.none(), st.text(max_size=30)), min_size=1,
+            max_size=60))
+        rpf = data.draw(st.integers(1, 17))
+        p = str(tmp / f"s{i}-{len(want)}.bin")
+        w = BlobColumnWriter(p, rpf, "string")
+        w.add(pa.array(vals, pa.string()))
+        w.close()
+        sources.append((p, len(vals)))
+        want.extend(vals)
+    out = str(tmp / f"out-{os.getpid()}-{len(want)}.bin")
+    total = concat_blob_files(sources, out)
+    assert total == len(want)
+    r = BlobColumnReader(out, "string")
+    assert r.scan().to_pylist() == want
+    idx = data.draw(st.lists(st.integers(0, len(want) - 1), min_size=1,
+                             max_size=20))
+    assert r.take(np.asarray(idx)).to_pylist() == [want[i] for i in idx]
+    r._f.close()
