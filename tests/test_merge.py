@@ -1023,3 +1023,65 @@ def test_concat_blob_files_roundtrip_property(tmp_path_factory, data):
                              max_size=20))
     assert r.take(np.asarray(idx)).to_pylist() == [want[i] for i in idx]
     r._f.close()
+
+
+def test_search_consistency_during_merge_pipeline(tmp_path, ray_session):
+    """Searchers opened at ANY point while the eager merge pipeline is
+    publishing must see exactly the full corpus — publishes are atomic
+    split-set swaps, never a window where a replaced split is gone but
+    its replacement isn't visible. A background thread hammers fresh
+    IndexSearcher opens + count queries during the whole pipeline."""
+    import threading
+
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.index.merge import run_merge_pipeline
+    from quickwit_ray.state.manifest import Manifest
+
+    n = 3000
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "text": [f"probe word{i % 7} tail" for i in range(n)]})
+    inp = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, inp)
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="text", type="text", fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("text",))
+    config = IndexConfig(
+        "livemerge", mapping,
+        settings=IndexSettings(
+            split_num_docs_target=100_000, commit_docs_threshold=150,
+            merge_policy=MergePolicyConfig(merge_factor=3,
+                                           max_merge_factor=4,
+                                           min_level_num_docs=2000)))
+    d = str(tmp_path / "idx")
+    build_index(inp, d, config, execution="local", read_batch_size=150)
+    assert len(Manifest(d).published_splits()) == 20
+
+    errors: list = []
+    observed: list[int] = []
+    stop = threading.Event()
+
+    def hammer():
+        try:
+            while not stop.is_set():
+                s = IndexSearcher(d)  # fresh manifest read every time
+                got = s.search("text:probe", max_hits=0).num_hits
+                observed.append(got)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t = threading.Thread(target=hammer, daemon=True)
+    t.start()
+    try:
+        total = run_merge_pipeline(d, execution="ray")
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors[0]
+    assert total >= 6
+    assert len(observed) > 5
+    # every snapshot — before, during, and after every publish — counts
+    # the whole corpus exactly once
+    assert set(observed) == {n}
+    assert len(Manifest(d).published_splits()) < 20
