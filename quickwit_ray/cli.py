@@ -10,12 +10,26 @@ import os
 import sys
 
 
+def _ray_init_kwargs(address: str, num_cpus: int) -> dict:
+    """Ray session kwargs for the CLI. `RAY_ADDRESS=local` (or unset)
+    starts a private instance sized by --num-cpus; anything else (a
+    `ray job submit` cluster context: "auto", "ray://head:10001") is an
+    ATTACH — num_cpus must not be passed, the cluster owns its sizing."""
+    kw = dict(address=address, include_dashboard=False,
+              ignore_reinit_error=True, logging_level="ERROR")
+    if address == "local":
+        kw["num_cpus"] = num_cpus
+    else:
+        kw.pop("include_dashboard")  # cluster head already decided this
+    return kw
+
+
 def _ray_up(num_cpus: int) -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+        ray.init(**_ray_init_kwargs(os.environ.get("RAY_ADDRESS", "local"),
+                                     num_cpus))
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -557,3 +557,20 @@ def test_strict_rejects_unknown_dotted_fields(tmp_path):
     # dotted path with an unmapped root: rejected
     with pytest.raises(ValueError, match="unknown fields"):
         idx.ingest_docs([{"doc_id": 2, "body": "ok", "junk.field": 2}])
+
+
+def test_cli_ray_init_kwargs_cluster_vs_local():
+    """`ray job submit` contract: RAY_ADDRESS=local (the sandbox default)
+    starts a private instance sized by --num-cpus; any cluster address
+    ("auto", ray://...) ATTACHES — no num_cpus/include_dashboard override
+    (a job that passes num_cpus to an existing cluster raises; one that
+    silently starts a nested local instance would run single-node)."""
+    from quickwit_ray.cli import _ray_init_kwargs
+
+    kw = _ray_init_kwargs("local", 8)
+    assert kw["address"] == "local" and kw["num_cpus"] == 8
+    assert kw["include_dashboard"] is False
+    for addr in ("auto", "ray://head:10001"):
+        kw = _ray_init_kwargs(addr, 8)
+        assert kw["address"] == addr
+        assert "num_cpus" not in kw and "include_dashboard" not in kw
