@@ -92,6 +92,64 @@ _add(6000, "清华大学", "北京大学", "南京大学", "人民共和国",
      "自然语言", "操作系统", "数据库", "搜索引擎", "办公室",
      "差不多", "对不起", "没关系", "不客气", "为什么", "怎么样")
 
+# -- round-4 expansion: ~250 more frequent words (same public
+# common-vocabulary sourcing; frequencies follow the existing buckets).
+# Deliberately excluded: 字元 / 阿爾發 — the reference multilang golden
+# depends on them being OOV (per-char) exactly as they are for lindera.
+_add(20000, "不是", "不能", "不会", "不要", "不同", "不过", "不用",
+     "可能", "可是", "应该", "需要", "必须", "当然", "虽然", "然后",
+     "而且", "或者", "并且", "关于", "对于", "由于", "为了", "通过",
+     "根据", "按照", "其他", "其实", "其中", "这样", "那样", "怎么",
+     "多少", "非常", "特别", "比较", "真的", "一定", "一些", "一样",
+     "一直", "一般", "每个", "每天", "很多", "许多", "所有", "全部")
+_add(12000, "今年", "去年", "明年", "上午", "下午", "晚上", "早上",
+     "中午", "星期", "周末", "小时", "分钟", "分鐘", "秒钟", "现代",
+     "以前", "以后", "以後", "之前", "之后", "之後", "最近", "未来",
+     "未來", "过去", "過去", "开始", "开发", "開發", "结束", "結束",
+     "成为", "成為", "变成", "使用", "利用", "发现", "發現", "发生",
+     "發生", "出现", "出現", "进行", "進行", "继续", "繼續", "完成",
+     "决定", "決定", "选择", "選擇", "准备", "準備", "参加", "參加",
+     "帮助", "幫助", "支持", "反对", "反對", "同意", "理解", "解决",
+     "解決", "处理", "處理", "提供", "提出", "提高", "增加", "减少",
+     "減少", "改变", "改變", "影响", "影響", "控制", "检查", "檢查",
+     "测试", "測試", "运行", "運行", "执行", "執行", "安装", "安裝",
+     "配置", "部署", "升级", "升級", "下载", "下載", "上传", "上傳")
+_add(8000, "方法", "方式", "方面", "方向", "目标", "目標", "目的",
+     "原因", "结果", "結果", "情况", "情況", "条件", "條件", "过程",
+     "過程", "阶段", "階段", "水平", "程度", "速度", "质量", "質量",
+     "数量", "數量", "价格", "價格", "价值", "價值", "成本", "利润",
+     "利潤", "收入", "投资", "投資", "银行", "銀行", "货币", "貨幣",
+     "贸易", "貿易", "工业", "工業", "农业", "農業", "商业", "商業",
+     "企业", "企業", "产品", "產品", "生产", "生產", "消费", "消費",
+     "顾客", "顧客", "客户", "客戶", "用户", "用戶", "员工", "員工",
+     "经理", "經理", "主任", "领导", "領導", "父母", "母亲", "母親",
+     "父亲", "父親", "儿子", "兒子", "女儿", "女兒", "先生", "女士",
+     "小姐", "同学", "同學", "同事", "邻居", "鄰居", "身体", "身體",
+     "健康", "医院", "醫院", "药物", "藥物", "疾病", "治疗", "治療",
+     "感冒", "发烧", "發燒", "休息", "睡觉", "睡覺", "吃饭", "吃飯",
+     "喝水", "跑步", "走路", "游泳", "运动", "運動", "比赛", "比賽",
+     "足球", "篮球", "籃球", "乒乓球", "羽毛球", "体育", "體育",
+     "新闻", "新聞", "报纸", "報紙", "杂志", "雜誌", "节目", "節目",
+     "电视", "電視", "广播", "廣播", "广告", "廣告", "媒体", "媒體")
+_add(6000, "图书", "圖書", "小说", "小說", "故事", "文章", "作者",
+     "读者", "讀者", "写作", "寫作", "阅读", "閱讀", "文字", "词语",
+     "詞語", "句子", "段落", "内容", "內容", "主题", "主題", "意思",
+     "意义", "意義", "思想", "观点", "觀點", "态度", "態度", "感觉",
+     "感覺", "情感", "心情", "记忆", "記憶", "梦想", "夢想", "旅游",
+     "旅遊", "旅行", "风光", "風光", "景色", "公园", "公園", "广场",
+     "廣場", "街道", "道路", "交通", "汽车", "汽車", "火车", "火車",
+     "飞机", "飛機", "轮船", "地铁", "地鐵", "公交", "出租", "骑车",
+     "房子", "房间", "房間", "厨房", "廚房", "卧室", "臥室", "客厅",
+     "客廳", "桌子", "椅子", "窗户", "门口", "門口", "钥匙", "鑰匙")
+_add(6000, "软件", "軟件", "硬件", "硬體", "程序", "代码", "代碼",
+     "函数", "函數", "变量", "變量", "算法", "演算法", "内存", "記憶體",
+     "硬盘", "硬碟", "服务器", "伺服器", "客户端", "客戶端", "浏览器",
+     "瀏覽器", "网站", "網站", "网页", "網頁", "邮件", "郵件", "密码",
+     "密碼", "账号", "帳號", "登录", "登錄", "注册", "註冊", "安全",
+     "加密", "解密", "备份", "備份", "恢复", "恢復", "版本", "更新",
+     "错误", "錯誤", "警告", "日志", "日誌", "调试", "調試", "性能",
+     "优化", "優化", "并发", "並發", "分布式", "分佈式", "集群", "叢集")
+
 _TOTAL = float(sum(_FREQ.values()))
 _LOG_TOTAL = log(_TOTAL)
 # log-prob per word; OOV single characters get frequency 1
