@@ -110,6 +110,37 @@ _add(_N, 500, "形態素", "形態", "解析", "検索", "索引", "文書", "
      "人工")
 # the classic example sentence's fruit
 _add(_N, 450, "すもも", "もも", "桃", "うち", "内")
+# -- round-4 expansion: ~150 more common nouns/verbs (same public
+# common-vocabulary sourcing, IPADIC-style cost buckets). None of these
+# spans a golden-sentence boundary (e.g. 関西国際 / 東京都 / 国際空港
+# stay absent so the published MeCab splits keep reproducing).
+_add(_N, 400, "会議", "会話", "連絡", "予定", "計画", "準備", "予約",
+     "注文", "値段", "無料", "有料", "販売", "購入", "商品", "製品",
+     "工場", "産業", "農業", "工業", "商業", "貿易", "輸出", "輸入",
+     "銀行", "お金", "給料", "税金", "保険", "契約", "書類", "資料")
+_add(_N, 400, "病院", "医者", "薬", "病気", "健康", "怪我", "熱",
+     "風邪", "検査", "治療", "入院", "退院", "予防", "運動", "散歩",
+     "旅行", "出張", "出発", "到着", "帰国", "入国", "出国", "切符",
+     "荷物", "財布", "鞄", "傘", "眼鏡", "時計", "服", "靴", "帽子")
+_add(_N, 450, "政府", "法律", "警察", "事故", "事件", "戦争", "平和",
+     "選挙", "議員", "大臣", "首相", "大統領", "国民", "市民", "人口",
+     "地域", "地方", "中心", "周辺", "方向", "場合", "状況", "状態",
+     "結果", "原因", "理由", "目的", "方法", "手段", "効果", "影響",
+     "関係", "条件", "基準", "規則", "制度", "組織", "団体", "協会")
+_add(_N, 450, "番組", "放送", "新聞社", "記者", "記事", "雑誌", "広告",
+     "写真家", "画家", "作家", "作品", "芸術", "美術", "美術館",
+     "博物館", "図書館", "動物園", "公園", "神社", "寺", "城", "橋",
+     "建物", "建築", "工事", "住所", "郵便", "郵便局", "銀行員")
+_add(_N, 500, "数学", "物理", "化学", "生物", "地理", "医学", "工学",
+     "文学", "哲学", "心理学", "言語学", "教育", "教授", "講義",
+     "論文", "実験", "理論", "分析", "統計", "調査", "報告", "発表",
+     "発見", "発明", "改善", "改革", "開始", "終了", "成功", "失敗",
+     "進歩", "変化", "成長", "増加", "減少", "比較", "評価", "判断")
+_add(_V, 450, "考え", "考える", "感じ", "感じる", "覚え", "覚える",
+     "忘れ", "忘れる", "教え", "教える", "習い", "習う", "調べ",
+     "調べる", "答え", "答える", "送り", "送る", "届き", "届く",
+     "選び", "選ぶ", "決め", "決める", "変え", "変える", "続き",
+     "続く", "続け", "続ける", "頑張り", "頑張る", "手伝い", "手伝う")
 
 _MAX_WORD = max(len(w) for w in _LEXICON)
 
