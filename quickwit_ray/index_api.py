@@ -85,7 +85,10 @@ class IndexApiService:
                                     dict(params or {}), body)
         except EsApiError as e:
             return e.status, e.body()
-        except (ValueError, KeyError, TypeError) as e:
+        except (ValueError, KeyError, TypeError, AttributeError,
+                IndexError) as e:
+            # malformed request shapes (non-dict bodies, lists where
+            # objects are required) are client errors: 400, never 500
             return 400, {"status": 400,
                          "error": {"reason": f"Invalid argument: {e}"}}
 

@@ -85,7 +85,9 @@ class QwRestService:
             # the native REST error body is {"message": ...}
             # (quickwit-serve rest error format)
             return e.status, {"message": e.reason}
-        except (ValueError, KeyError, TypeError) as e:
+        except (ValueError, KeyError, TypeError, AttributeError,
+                IndexError) as e:
+            # malformed request shapes are client errors: 400, never 500
             return 400, {"message": f"Invalid argument: {e}"}
 
     # -- routing --------------------------------------------------------

@@ -66,25 +66,34 @@ def _make_handler(qw):
             ndjson = None
             if raw:
                 last = endpoint.rsplit("/", 1)[-1]
-                if last == "_bulk":
-                    body = raw.decode("utf-8")  # ndjson passes through
-                elif last in ("_msearch", "ingest"):
-                    ndjson = [json.loads(ln)
-                              for ln in raw.decode("utf-8").split("\n")
-                              if ln.strip()]
-                else:
-                    try:
+                # body decode is a parse boundary: invalid UTF-8 or a
+                # malformed ndjson line is a client error (400), never a
+                # handler crash that tears the connection
+                try:
+                    if last == "_bulk":
+                        body = raw.decode("utf-8")  # ndjson passes through
+                    elif last in ("_msearch", "ingest"):
+                        ndjson = [json.loads(ln)
+                                  for ln in raw.decode("utf-8").split("\n")
+                                  if ln.strip()]
+                    else:
                         body = json.loads(raw)
-                    except json.JSONDecodeError:
-                        self._reply(400, {"status": 400, "error": {
-                            "reason": "request body is not valid JSON"}})
-                        return
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    self._reply(400, {"status": 400, "error": {
+                        "reason": "request body is not valid JSON"}})
+                    return
             # one front: ES-prefixed paths hit the embedded ES dispatcher,
             # everything else the native router (which itself falls back
             # to ES for ES-shaped endpoints)
             svc = qw.es if is_es else qw
-            status, payload = svc.request(self.command, endpoint,
-                                          params, body, ndjson)
+            try:
+                status, payload = svc.request(self.command, endpoint,
+                                              params, body, ndjson)
+            except Exception as e:  # noqa: BLE001 — last-resort 500:
+                # anything escaping the services' own error mapping must
+                # still produce an HTTP response, not a torn connection
+                status, payload = 500, {"status": 500, "error": {
+                    "reason": f"internal error: {type(e).__name__}: {e}"}}
             self._reply(status, payload)
 
         def _reply(self, status: int, payload) -> None:

@@ -208,3 +208,43 @@ def test_search_stream_chunked_over_http(tmp_path, ray_session):
             import struct
             vals = resp.read()
             assert sorted(struct.unpack(f"<{len(vals)//8}q", vals)) == got
+
+
+def _req_raw_bytes(srv, method, path, data: bytes,
+                   ctype="application/json"):
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=data, method=method,
+        headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(r) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_malformed_bodies_get_http_error_codes_not_torn_connections(server):
+    """Parse-boundary hardening (fuzz-derived): invalid UTF-8, malformed
+    msearch ndjson lines, non-dict native bodies, and structurally-bad
+    DSL all come back as 4xx JSON over the socket — the handler never
+    crashes (which would tear the connection instead of replying)."""
+    # invalid UTF-8 body
+    st, out = _req_raw_bytes(server, "POST",
+                             "/api/v1/_elastic/docs/_search", b"\xff\xfe{")
+    assert st == 400 and "JSON" in out["error"]["reason"]
+    # malformed msearch ndjson line
+    st, out = _req_raw_bytes(server, "POST", "/api/v1/_elastic/_msearch",
+                             b'{"index": "docs"}\nnot json\n')
+    assert st == 400
+    # structurally-invalid DSL (list where object required)
+    st, out = _req_raw_bytes(server, "POST",
+                             "/api/v1/_elastic/docs/_search",
+                             json.dumps({"query": {"bool": []}}).encode())
+    assert st == 400 and out["status"] == 400
+    # non-dict body on the native index-management API
+    for payload in (b'5', b'"ts"', b'[1, 2]', b'true'):
+        st, out = _req_raw_bytes(server, "POST", "/api/v1/indexes", payload)
+        assert st == 400, (payload, st, out)
+    # the server is still alive and serving afterwards
+    st, out = _req(server, "GET",
+                   "/api/v1/_elastic/docs/_search?q=merges&size=1")
+    assert st == 200 and out["hits"]["total"]["value"] == 20
