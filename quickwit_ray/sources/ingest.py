@@ -420,6 +420,20 @@ def _pb_log_record(buf) -> dict:
 
 
 def parse_otlp_logs_proto(payload: bytes) -> list[dict[str, Any]]:
+    """Parse boundary for untrusted OTLP wire bytes: malformed varints /
+    truncated length-delimited fields / wire-type mismatches raise
+    ValueError (the gRPC/HTTP layer answers 400), never a raw
+    Index/TypeError (fuzz-hardened)."""
+    try:
+        return _parse_otlp_logs_proto(payload)
+    except ValueError:
+        raise
+    except (IndexError, TypeError, OverflowError, MemoryError) as e:
+        raise ValueError(
+            f"malformed OTLP logs protobuf: {type(e).__name__}: {e}") from e
+
+
+def _parse_otlp_logs_proto(payload: bytes) -> list[dict[str, Any]]:
     """ExportLogsServiceRequest protobuf -> same docs as the JSON parser
     (logs.proto: LogsData.resource_logs=1; ResourceLogs.resource=1,
     .scope_logs=2; ScopeLogs.scope=1, .log_records=2)."""
@@ -524,6 +538,20 @@ def _pb_span(buf) -> dict:
 
 
 def parse_otlp_spans_proto(payload: bytes) -> list[dict[str, Any]]:
+    """Parse boundary for untrusted OTLP wire bytes: malformed varints /
+    truncated length-delimited fields / wire-type mismatches raise
+    ValueError (the gRPC/HTTP layer answers 400), never a raw
+    Index/TypeError (fuzz-hardened)."""
+    try:
+        return _parse_otlp_spans_proto(payload)
+    except ValueError:
+        raise
+    except (IndexError, TypeError, OverflowError, MemoryError) as e:
+        raise ValueError(
+            f"malformed OTLP trace protobuf: {type(e).__name__}: {e}") from e
+
+
+def _parse_otlp_spans_proto(payload: bytes) -> list[dict[str, Any]]:
     """ExportTraceServiceRequest protobuf -> same docs as the JSON parser
     (trace.proto: TracesData.resource_spans=1; ResourceSpans.resource=1,
     .scope_spans=2; ScopeSpans.scope=1, .spans=2)."""

@@ -548,3 +548,35 @@ def test_otlp_proto_ingest_end_to_end(tmp_path):
     assert idx.ingest_payload(wire, "otlp_logs_protobuf", commit_id="p1") == 0
     r = idx.search("body:disk", max_hits=5, fetch_fields=["service_name"])
     assert r.num_hits == 1 and r.hits["service_name"].iloc[0] == "store"
+
+
+def test_otlp_proto_decoders_reject_malformed_bytes_with_valueerror():
+    """Fuzz-derived: random wire bytes must raise ValueError (the HTTP
+    layer's 400), never IndexError/TypeError from the varint walker."""
+    import random
+
+    import pytest
+
+    from quickwit_ray.sources.ingest import (
+        parse_otlp_logs_proto,
+        parse_otlp_spans_proto,
+    )
+
+    crashers = [
+        b"\xdf\x8d\x9b\xab\xbd\xd1\xe9\xba\xb4",
+        b"\x08B\xba,zE\xba-\t\xa5\xb4\xb9\x83\xf3\x99'n\xf7\x13\x9fC"
+        b"\x7f\xd5,\x7f\x9f\xdd\xdb\x9d",
+    ]
+    random.seed(123)
+    crashers += [bytes(random.randint(0, 255)
+                       for _ in range(random.randint(1, 60)))
+                 for _ in range(2000)]
+    for data in crashers:
+        for fn in (parse_otlp_logs_proto, parse_otlp_spans_proto):
+            try:
+                fn(data)  # many random payloads ARE valid protobuf
+            except ValueError:
+                pass
+            except Exception as e:  # pragma: no cover
+                pytest.fail(f"{fn.__name__} leaked {type(e).__name__} "
+                            f"on {data[:20]!r}: {e}")
