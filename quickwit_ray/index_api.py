@@ -85,8 +85,12 @@ class IndexApiService:
                                     dict(params or {}), body)
         except EsApiError as e:
             return e.status, e.body()
-        except (ValueError, KeyError, TypeError, AttributeError,
-                IndexError) as e:
+        except (ValueError, KeyError, TypeError) as e:
+            # NOTE: AttributeError/IndexError deliberately NOT caught —
+            # the parse-boundary wrappers (es_dsl, body validation)
+            # already convert parse-shaped failures to ValueError, so
+            # those escaping here are internal bugs that must reach the
+            # server's last-resort 500, not masquerade as client 400s.
             # malformed request shapes (non-dict bodies, lists where
             # objects are required) are client errors: 400, never 500
             return 400, {"status": 400,

@@ -209,10 +209,17 @@ def validate_aggs(aggs: dict, mapping=None) -> None:
     numeric agg kind — or on any agg over a numeric MAPPED field — must be
     float-coercible."""
     for name, spec in aggs.items():
+        if not isinstance(spec, dict):
+            raise ValueError(f"aggregation {name!r} must be an object")
         kind = next((k for k in spec if k != "aggs"), None)
         if kind is None:
             raise ValueError(f"aggregation {name!r} has no agg kind")
         body = spec[kind]
+        if not isinstance(body, dict):
+            # every ES agg kind takes an object body; a scalar here would
+            # otherwise crash deep inside the partial-merge (AttributeError)
+            raise ValueError(
+                f"aggregation {name!r}: {kind!r} body must be an object")
         mv = body.get("missing") if isinstance(body, dict) else None
         if mv is not None and not isinstance(mv, (int, float, bool)):
             numeric = kind in _NUMERIC_AGG_KINDS

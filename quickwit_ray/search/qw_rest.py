@@ -85,8 +85,12 @@ class QwRestService:
             # the native REST error body is {"message": ...}
             # (quickwit-serve rest error format)
             return e.status, {"message": e.reason}
-        except (ValueError, KeyError, TypeError, AttributeError,
-                IndexError) as e:
+        except (ValueError, KeyError, TypeError) as e:
+            # NOTE: AttributeError/IndexError deliberately NOT caught —
+            # the parse-boundary wrappers (es_dsl, body validation)
+            # already convert parse-shaped failures to ValueError, so
+            # those escaping here are internal bugs that must reach the
+            # server's last-resort 500, not masquerade as client 400s.
             # malformed request shapes are client errors: 400, never 500
             return 400, {"message": f"Invalid argument: {e}"}
 

@@ -55,20 +55,29 @@ def _make_handler(qw):
                 path = path[len(NATIVE_PREFIX):]
             endpoint = path.strip("/")
             if not is_es and qw.native.wants_raw_body(endpoint):
-                # OTLP: protobuf/JSON bytes pass through unparsed
+                # OTLP: protobuf/JSON bytes pass through unparsed — same
+                # last-resort 500 wrapper as the normal path (a crafted
+                # payload must never tear the connection)
                 params["_content_type"] = \
                     self.headers.get("Content-Type", "")
-                status, payload = qw.request(self.command, endpoint,
-                                             params, raw)
+                try:
+                    status, payload = qw.request(self.command, endpoint,
+                                                 params, raw)
+                except Exception:  # noqa: BLE001
+                    self._log_internal_error()
+                    status, payload = 500, {"status": 500, "error": {
+                        "reason": "internal server error"}}
                 self._reply(status, payload)
                 return
             body = None
             ndjson = None
             if raw:
                 last = endpoint.rsplit("/", 1)[-1]
-                # body decode is a parse boundary: invalid UTF-8 or a
-                # malformed ndjson line is a client error (400), never a
-                # handler crash that tears the connection
+                # body decode is a parse boundary: invalid UTF-8, a
+                # malformed ndjson line, or a pathologically nested body
+                # (json.loads raises RecursionError on 100k '[') is a
+                # client error (400), never a handler crash that tears
+                # the connection
                 try:
                     if last == "_bulk":
                         body = raw.decode("utf-8")  # ndjson passes through
@@ -78,7 +87,8 @@ def _make_handler(qw):
                                   if ln.strip()]
                     else:
                         body = json.loads(raw)
-                except (json.JSONDecodeError, UnicodeDecodeError):
+                except (json.JSONDecodeError, UnicodeDecodeError,
+                        RecursionError):
                     self._reply(400, {"status": 400, "error": {
                         "reason": "request body is not valid JSON"}})
                     return
@@ -89,12 +99,22 @@ def _make_handler(qw):
             try:
                 status, payload = svc.request(self.command, endpoint,
                                               params, body, ndjson)
-            except Exception as e:  # noqa: BLE001 — last-resort 500:
+            except Exception:  # noqa: BLE001 — last-resort 500:
                 # anything escaping the services' own error mapping must
-                # still produce an HTTP response, not a torn connection
+                # still produce an HTTP response, not a torn connection.
+                # Detail goes to the server log only — exception text can
+                # carry filesystem paths / index layout.
+                self._log_internal_error()
                 status, payload = 500, {"status": 500, "error": {
-                    "reason": f"internal error: {type(e).__name__}: {e}"}}
+                    "reason": "internal server error"}}
             self._reply(status, payload)
+
+        def _log_internal_error(self) -> None:
+            import logging
+            import traceback
+            logging.getLogger("quickwit_ray.server").error(
+                "internal error on %s %s\n%s", self.command, self.path,
+                traceback.format_exc())
 
         def _reply(self, status: int, payload) -> None:
             from quickwit_ray.index_api import RawResponse, StreamingResponse

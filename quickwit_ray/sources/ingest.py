@@ -332,7 +332,17 @@ def _pb_fixed64(v: bytes) -> int:
     return int.from_bytes(v, "little")
 
 
-def _pb_anyvalue(buf) -> dict:
+# AnyValue nests via arrayValue/kvlistValue; a crafted ~34KB payload can
+# nest thousands of levels and blow the Python stack (RecursionError is NOT
+# a parse error the boundary wrappers catch). Cap well above any real OTLP
+# attribute tree but far below the interpreter recursion limit.
+_PB_MAX_NEST = 100
+
+
+def _pb_anyvalue(buf, _depth: int = 0) -> dict:
+    if _depth > _PB_MAX_NEST:
+        raise ValueError(
+            f"OTLP AnyValue nested deeper than {_PB_MAX_NEST} levels")
     out: dict = {}
     for fn, _wt, v in _pb_fields(buf):
         if fn == 1:
@@ -344,23 +354,28 @@ def _pb_anyvalue(buf) -> dict:
         elif fn == 4:
             out = {"doubleValue": _struct.unpack("<d", v)[0]}
         elif fn == 5:
-            vals = [_pb_anyvalue(x) for f2, _w, x in _pb_fields(v) if f2 == 1]
+            vals = [_pb_anyvalue(x, _depth + 1)
+                    for f2, _w, x in _pb_fields(v) if f2 == 1]
             out = {"arrayValue": {"values": vals}}
         elif fn == 6:
-            vals = [_pb_keyvalue(x) for f2, _w, x in _pb_fields(v) if f2 == 1]
+            vals = [_pb_keyvalue(x, _depth + 1)
+                    for f2, _w, x in _pb_fields(v) if f2 == 1]
             out = {"kvlistValue": {"values": vals}}
         elif fn == 7:
             out = {"bytesValue": base64.b64encode(bytes(v)).decode()}
     return out
 
 
-def _pb_keyvalue(buf) -> dict:
+def _pb_keyvalue(buf, _depth: int = 0) -> dict:
+    if _depth > _PB_MAX_NEST:
+        raise ValueError(
+            f"OTLP KeyValue nested deeper than {_PB_MAX_NEST} levels")
     key, val = "", {}
     for fn, _wt, v in _pb_fields(buf):
         if fn == 1:
             key = _pb_str(v)
         elif fn == 2:
-            val = _pb_anyvalue(v)
+            val = _pb_anyvalue(v, _depth + 1)
     return {"key": key, "value": val}
 
 
@@ -428,7 +443,8 @@ def parse_otlp_logs_proto(payload: bytes) -> list[dict[str, Any]]:
         return _parse_otlp_logs_proto(payload)
     except ValueError:
         raise
-    except (IndexError, TypeError, OverflowError, MemoryError) as e:
+    except (IndexError, TypeError, OverflowError, MemoryError,
+            RecursionError) as e:
         raise ValueError(
             f"malformed OTLP logs protobuf: {type(e).__name__}: {e}") from e
 
@@ -546,7 +562,8 @@ def parse_otlp_spans_proto(payload: bytes) -> list[dict[str, Any]]:
         return _parse_otlp_spans_proto(payload)
     except ValueError:
         raise
-    except (IndexError, TypeError, OverflowError, MemoryError) as e:
+    except (IndexError, TypeError, OverflowError, MemoryError,
+            RecursionError) as e:
         raise ValueError(
             f"malformed OTLP trace protobuf: {type(e).__name__}: {e}") from e
 

@@ -248,3 +248,37 @@ def test_malformed_bodies_get_http_error_codes_not_torn_connections(server):
     st, out = _req(server, "GET",
                    "/api/v1/_elastic/docs/_search?q=merges&size=1")
     assert st == 200 and out["hits"]["total"]["value"] == 20
+
+
+def test_nested_json_bomb_and_500_hygiene(server):
+    """Round-4 ADVICE trio: (a) a pathologically nested JSON body
+    (json.loads raises RecursionError on 100k '[') answers 400, not a
+    torn connection; (b) an internal bug escaping the services answers a
+    GENERIC 500 — no exception detail / paths leak to the client; (c) the
+    raw-body (OTLP) dispatch goes through the same last-resort wrapper."""
+    st, out = _req_raw_bytes(server, "POST",
+                             "/api/v1/_elastic/docs/_search", b"[" * 100_000)
+    assert st == 400 and "JSON" in out["error"]["reason"]
+
+    # inject an internal fault: every route raises with a secret in it
+    orig = server.qw.request
+    def boom(*a, **k):
+        raise RuntimeError("secret: /var/lib/index/private-layout")
+    server.qw.request = boom
+    try:
+        st, out = _req_raw_bytes(server, "POST", "/api/v1/indexes", b"{}")
+        assert st == 500
+        assert out["error"]["reason"] == "internal server error"
+        assert "secret" not in json.dumps(out)
+        # raw-body (OTLP) dispatch: same wrapper, same generic body
+        st, out = _req_raw_bytes(
+            server, "POST", "/api/v1/otlp/v1/logs", b"\x0a\x00")
+        assert st == 500
+        assert out["error"]["reason"] == "internal server error"
+        assert "secret" not in json.dumps(out)
+    finally:
+        server.qw.request = orig
+    # server still alive
+    st, out = _req(server, "GET",
+                   "/api/v1/_elastic/docs/_search?q=merges&size=1")
+    assert st == 200 and out["hits"]["total"]["value"] == 20

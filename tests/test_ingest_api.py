@@ -580,3 +580,39 @@ def test_otlp_proto_decoders_reject_malformed_bytes_with_valueerror():
             except Exception as e:  # pragma: no cover
                 pytest.fail(f"{fn.__name__} leaked {type(e).__name__} "
                             f"on {data[:20]!r}: {e}")
+
+
+def test_otlp_proto_nesting_bomb_rejected_with_valueerror():
+    """Round-4 ADVICE: a crafted ExportLogsServiceRequest with deeply
+    nested arrayValue previously escaped the parse boundary as
+    RecursionError, killing the handler thread. The decoder now caps
+    AnyValue nesting (ValueError past ~100 levels)."""
+    import pytest
+
+    from quickwit_ray.sources.ingest import (
+        parse_otlp_logs_proto,
+        parse_otlp_spans_proto,
+    )
+
+    # build the nesting-bomb ITERATIVELY (a recursive encoder would blow
+    # the test's own stack): anyvalue(arrayValue{values:[inner]}) x 500
+    inner = _estr(1, "x")
+    for _ in range(500):
+        inner = _elen(5, _elen(1, inner))
+    rec = _elen(5, inner)                      # LogRecord.body = 5
+    req = _elen(1, _elen(2, _elen(2, rec)))    # rl=1 > sl=2 > records=2
+    assert len(req) < 40_000
+    with pytest.raises(ValueError, match="nested deeper"):
+        parse_otlp_logs_proto(req)
+
+    # same bomb through a span attribute (Span.attributes = 9)
+    span = _estr(1, "deadbeefdeadbeefdeadbeefdeadbeef") and b""
+    span = _elen(9, _estr(1, "k") + _elen(2, inner))
+    sreq = _elen(1, _elen(2, _elen(2, span)))  # rs=1 > ss=2 > spans=2
+    with pytest.raises(ValueError, match="nested deeper"):
+        parse_otlp_spans_proto(sreq)
+
+    # a legal shallow payload still decodes fine after the cap
+    ok = _elen(1, _elen(2, _elen(2, _elen(5, _e_anyvalue(["a", ["b"]])))))
+    docs = parse_otlp_logs_proto(ok)
+    assert docs and docs[0]["body"] == ["a", ["b"]]
