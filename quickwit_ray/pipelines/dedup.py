@@ -56,6 +56,27 @@ SIMHASH_BUCKET_CAP = 64
 EMBED_BUCKET_CAP = 256
 
 
+def _i64(u) -> np.ndarray:
+    """Bit-reinterpret uint64 hash values as int64 for Arrow transport.
+
+    Ray Data's groupby/sort materializes uint64 keys above the int64
+    range as pickled-object blocks (observed live: ``OverflowError:
+    Python int too large to convert to C long; falling back to serialize
+    as pickled python objects``) — which inflates the banded LSH
+    exchange, the widest shuffle in every near-dup pipeline, and kills
+    vectorized grouping. The reinterpretation is a bijection, so bucket
+    membership (and therefore every pinned keep-set) is IDENTICAL; only
+    the wire dtype changes. View back with ``_u64`` where arithmetic
+    needs unsigned semantics."""
+    return np.ascontiguousarray(u, dtype=np.uint64).view(np.int64)
+
+
+def _u64(col) -> np.ndarray:
+    """Inverse of ``_i64`` for a pandas Series / Arrow column / ndarray."""
+    return np.ascontiguousarray(np.asarray(col, dtype=np.int64)).view(
+        np.uint64)
+
+
 def _perm_params(seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.Generator(np.random.PCG64(seed))
     a = rng.integers(1, _MERSENNE, NUM_PERMS, dtype=np.int64).astype(np.uint64)
@@ -193,16 +214,20 @@ def _empty_pairs(dtype) -> pd.DataFrame:
 def _hot_bucket_keys(ds, key_cols: list[str], key_encoder):
     """Dataset of (encoded) bucket keys with >= 2 members.
 
-    pandas blocks, not pyarrow: Ray's groupby stores uint64 keys above the
-    int64 range as pickled-object extension arrays; the pandas block
-    conversion restores the Python ints."""
+    Arrow-native end-to-end: hash key columns travel as int64
+    bit-reinterpretations (see ``_i64``), so the groupby exchange ships
+    native fixed-width blocks, never pickled Python ints."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     counts = ds.groupby(key_cols).count()
 
-    def hot_keys(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[df["count()"] >= 2]
-        return pd.DataFrame({"id": np.asarray(key_encoder(sub), np.uint64)})
+    def hot_keys(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.greater_equal(t["count()"], 2))
+        return pa.table({"id": pa.array(
+            np.asarray(key_encoder(sub), np.int64), pa.int64())})
 
-    return counts.map_batches(hot_keys, batch_format="pandas").materialize()
+    return counts.map_batches(hot_keys, batch_format="pyarrow").materialize()
 
 
 def _filter_multi_member_buckets(ds, key_cols: list[str], key_encoder):
@@ -210,7 +235,7 @@ def _filter_multi_member_buckets(ds, key_cols: list[str], key_encoder):
     map_groups: with good hash keys the vast majority of LSH buckets are
     singletons that can never produce a pair, and per-group Python-call
     overhead dominates the pipeline (measured 800k buckets -> ~2k useful
-    at 50k docs). ``key_encoder(table) -> uint64 array`` folds the bucket
+    at 50k docs). ``key_encoder(table) -> int64 array`` folds the bucket
     key into one value; encoding collisions only ADD rows (the real pair
     grouping still uses the exact key columns), so results are identical.
     """
@@ -221,8 +246,9 @@ def _filter_multi_member_buckets(ds, key_cols: list[str], key_encoder):
     hot = _hot_bucket_keys(ds, key_cols, key_encoder)
 
     def add_enc(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_bk", pa.array(key_encoder(batch),
-                                                   pa.uint64()))
+        return batch.append_column(
+            "_bk", pa.array(np.asarray(key_encoder(batch), np.int64),
+                            pa.int64()))
 
     enc_ds = ds.map_batches(add_enc, batch_format="pyarrow")
     kept = semi_join_ids(enc_ds, hot, "_bk", keep=True,
@@ -288,7 +314,8 @@ def exact_dedup(ds, text_col: str, id_col: str):
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = content_hashes(batch[text_col].to_pylist())
-        return batch.append_column("_h", pa.array(h, pa.uint64()))
+        # int64 bit-view: native groupby keys, identical buckets (_i64)
+        return batch.append_column("_h", pa.array(_i64(h), pa.int64()))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return g.loc[[g[id_col].idxmin()]]
@@ -297,7 +324,7 @@ def exact_dedup(ds, text_col: str, id_col: str):
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
     hot = _hot_bucket_keys(hashed, ["_h"],
-                           lambda t: np.asarray(t["_h"], np.uint64))
+                           lambda t: np.asarray(t["_h"], np.int64))
     n_hot = hot.count()
     if n_hot == 0:
         return hashed.drop_columns(["_h"])
@@ -431,15 +458,15 @@ def minhash_dedup(ds, text_col: str, id_col: str, threshold: float = 0.7,
         return pa.table({
             id_col: pa.array(np.repeat(ids, NUM_BANDS)),
             "band": pa.array(np.tile(np.arange(NUM_BANDS), n), pa.int32()),
-            "bh": pa.array(bh.reshape(-1), pa.uint64()),
+            "bh": pa.array(_i64(bh.reshape(-1)), pa.int64()),
         })
 
     banded = ds.map_batches(sig_bands, batch_format="pyarrow")
 
     def _enc_minhash(t):
-        bh = np.asarray(t["bh"], np.uint64)
+        bh = _u64(t["bh"])
         band = np.asarray(t["band"], np.int64).astype(np.uint64)
-        return bh * np.uint64(NUM_BANDS) + band  # wrapping fold is fine
+        return _i64(bh * np.uint64(NUM_BANDS) + band)  # wrapping fold is fine
 
     banded = _filter_multi_member_buckets(banded, ["band", "bh"], _enc_minhash)
     pairs = (banded.groupby(["band", "bh"])
@@ -466,21 +493,21 @@ def simhash_dedup(ds, text_col: str, id_col: str, max_hamming: int = 3):
             key = (sh >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
             rows_id.extend(ids)
             rows_band.extend([bnd] * len(ids))
-            rows_key.extend(key.tolist())
-            rows_sim.extend(sh.tolist())
+            rows_key.extend(key.astype(np.int64).tolist())
+            rows_sim.extend(_i64(sh).tolist())
         return pa.table({
             id_col: pa.array(rows_id),
             "band": pa.array(rows_band, pa.int32()),
-            "key": pa.array(rows_key, pa.uint64()),
-            "sim": pa.array(rows_sim, pa.uint64()),
+            "key": pa.array(rows_key, pa.int64()),
+            "sim": pa.array(rows_sim, pa.int64()),
         })
 
     banded = ds.map_batches(sim_bands, batch_format="pyarrow")
 
     def _enc_simhash(t):
-        key = np.asarray(t["key"], np.uint64)
+        key = np.asarray(t["key"], np.int64).astype(np.uint64)
         band = np.asarray(t["band"], np.int64).astype(np.uint64)
-        return (key << np.uint64(2)) | band
+        return _i64((key << np.uint64(2)) | band)
 
     banded = _filter_multi_member_buckets(banded, ["band", "key"], _enc_simhash)
 
@@ -492,7 +519,7 @@ def simhash_dedup(ds, text_col: str, id_col: str, max_hamming: int = 3):
                      len(g), SIMHASH_BUCKET_CAP)
         g = g.sort_values(id_col).head(SIMHASH_BUCKET_CAP)
         ids = g[id_col].to_numpy()
-        sims = g["sim"].to_numpy(dtype=np.uint64)
+        sims = _u64(g["sim"].to_numpy(dtype=np.int64))
         out_a, out_b = [], []
         for i in range(len(ids)):
             d = hamming64(sims[i], sims[i + 1:])
@@ -525,13 +552,13 @@ def ngram_jaccard_dedup(ds, text_col: str, id_col: str, threshold: float = 0.8,
             h = word_shingles(text, k)
             sel = h[h % np.uint64(sample_mod) == 0]
             ids_out.extend([rid] * len(sel))
-            sh_out.extend(sel.tolist())
+            sh_out.extend(_i64(sel).tolist())
         return pa.table({id_col: pa.array(ids_out),
-                         "sh": pa.array(sh_out, pa.uint64())})
+                         "sh": pa.array(sh_out, pa.int64())})
 
     exploded = ds.map_batches(sampled_shingles, batch_format="pyarrow")
     exploded = _filter_multi_member_buckets(
-        exploded, ["sh"], lambda t: np.asarray(t["sh"], np.uint64))
+        exploded, ["sh"], lambda t: np.asarray(t["sh"], np.int64))
     pairs = (exploded.groupby("sh")
              .map_groups(_bucket_pairs_fn(id_col), batch_format="pandas"))
     if _pairs_schema_ok(pairs):
@@ -566,13 +593,13 @@ def embedding_dedup(ds, vec_col: str, id_col: str, threshold: float = 0.95,
             key = (key << np.uint64(1)) | bits[:, c].astype(np.uint64)
         return pa.table({
             id_col: pa.array(ids),
-            "key": pa.array(key, pa.uint64()),
+            "key": pa.array(key.astype(np.int64), pa.int64()),
             "vec": batch[vec_col],
         })
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
     bucketed = _filter_multi_member_buckets(
-        bucketed, ["key"], lambda t: np.asarray(t["key"], np.uint64))
+        bucketed, ["key"], lambda t: np.asarray(t["key"], np.int64))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
