@@ -222,17 +222,15 @@ class Index:
 
     def es_stats(self) -> dict:
         """ES `_stats` shape: doc counts + store bytes from the manifest."""
-        import os
+        from quickwit_ray import storage
 
         m = Manifest(self.index_dir)
         splits = m.published_splits()
         n_docs = sum(s.num_docs for s in splits)
         store = 0
         for s in splits:
-            d = os.path.join(self.index_dir, "splits", s.split_id)
-            if os.path.isdir(d):
-                store += sum(os.path.getsize(os.path.join(d, f))
-                             for f in os.listdir(d))
+            d = storage.join(self.index_dir, "splits", s.split_id)
+            store += sum(storage.file_size(f) for f in storage.list_files(d))
         seg = {"count": len(splits)}
         body = {"primaries": {"docs": {"count": n_docs, "deleted": 0},
                               "store": {"size_in_bytes": store},
@@ -335,14 +333,13 @@ class Index:
         clear` / index_api `PUT /indexes/{id}/clear`): drops all splits,
         checkpoints, delete tasks and shards atomically, then removes the
         artifact dirs. Returns the number of splits dropped."""
-        import os
-        import shutil
+        from quickwit_ray import storage
 
         ids = Manifest(self.index_dir).clear()
         for sid in ids:
-            d = os.path.join(self.index_dir, "splits", sid)
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            d = storage.join(self.index_dir, "splits", sid)
+            if storage.isdir(d):
+                storage.rmtree(d)
         return len(ids)
 
     # -- declarative sources (source-config.md; CLI `quickwit source

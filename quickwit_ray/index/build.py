@@ -296,27 +296,31 @@ def garbage_collect(index_dir: str, grace_period_secs: float = 0.0) -> list[str]
     """Remove split dirs not referenced by the manifest as published, plus
     leftover .staged dirs (reference GC semantics,
     `garbage_collection.rs:106-220`)."""
+    from quickwit_ray import storage
+
     manifest = Manifest(index_dir)
     keep = {s.split_id for s in manifest.published_splits()}
     removed = []
-    split_root = os.path.join(index_dir, "splits")
-    if not os.path.isdir(split_root):
+    split_root = storage.join(index_dir, "splits")
+    if not storage.isdir(split_root):
         return removed
     now = time.time()
-    for name in os.listdir(split_root):
-        p = os.path.join(split_root, name)
+    for name in storage.listdir(split_root):
+        p = storage.join(split_root, name)
         sid = name.removesuffix(".staged")
         if sid in keep and not name.endswith(".staged"):
             continue
-        if now - os.path.getmtime(p) >= grace_period_secs:
-            import shutil
-
-            shutil.rmtree(p, ignore_errors=True)
+        try:
+            mt = storage.getmtime(p)
+        except OSError:
+            mt = 0.0
+        if now - mt >= grace_period_secs:
+            storage.rmtree(p, ignore_errors=True)
             removed.append(name)
     # drop marked_for_deletion manifest rows whose files are gone
     dead = [s.split_id for s in manifest.splits.values()
             if s.split_state == "marked_for_deletion"
-            and not os.path.exists(os.path.join(split_root, s.split_id))]
+            and not storage.exists(storage.join(split_root, s.split_id))]
     if dead:
         manifest.delete_splits(dead)
     return removed

@@ -181,8 +181,10 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
     shard = int(g["shard"].iloc[0])
     path = shard_paths[shard]
     split_id = deterministic_split_id(f"{path}#p0", 0)
-    split_dir = os.path.join(index_dir, "splits", split_id)
-    tmp_dir = split_dir + ".staged-shuffle"
+    from quickwit_ray import storage
+
+    split_dir = storage.join(index_dir, "splits", split_id)
+    tmp_dir = storage.staging_dir(split_dir, tag="staged-shuffle")
     os.makedirs(tmp_dir, exist_ok=True)
 
     # merge salted sub-lists, sort terms; STITCH IN WINDOWS: the term table
@@ -335,11 +337,7 @@ def _write_shard_split(g: pd.DataFrame, *, config_json: dict, index_dir: str,
     write_footer(tmp_dir, {
         "split_id": split_id, "index_id": config.index_id, "num_docs": num_docs,
         "field_stats": field_stats, "time_range": [ts_min, ts_max], "tags": tag_out})
-    if os.path.exists(split_dir):
-        import shutil
-
-        shutil.rmtree(split_dir)
-    os.replace(tmp_dir, split_dir)
+    storage.finalize_dir(tmp_dir, split_dir)
     sm = SplitMetadata(
         split_id=split_id, index_id=config.index_id, num_docs=num_docs,
         uncompressed_docs_size_in_bytes=0, source_partition_id=path,

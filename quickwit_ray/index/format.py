@@ -48,6 +48,32 @@ POSITIONS_FILE = "positions.parquet"
 FIELDNORMS_FILE = "fieldnorms.parquet"
 FASTFIELDS_FILE = "fastfields.parquet"
 DOCSTORE_FILE = "docstore.parquet"
+def _open_parquet(path: str) -> "pq.ParquetFile":
+    """ParquetFile over a local path (fast path) or an object-store URI
+    (range reads through pyarrow.fs — only the requested row groups /
+    column chunks leave storage)."""
+    from quickwit_ray import storage
+
+    if storage.is_object_uri(path):
+        return pq.ParquetFile(storage.open_input(path))
+    return pq.ParquetFile(path)
+
+
+def _read_parquet(path: str, **kw) -> pa.Table:
+    from quickwit_ray import storage
+
+    if storage.is_object_uri(path):
+        loc, fs = storage.parquet_location(path)
+        return pq.read_table(loc, filesystem=fs, **kw)
+    return pq.read_table(path, **kw)
+
+
+def _artifact_exists(path: str) -> bool:
+    from quickwit_ray import storage
+
+    return storage.exists(path)
+
+
 FOOTER_FILE = "footer.json"
 # impact-ordered hot-term cache (the reference hotcache analog,
 # quickwit-directories/src/hot_directory.rs): per heavy term, the full
@@ -287,10 +313,13 @@ class BlobColumnReader:
     """Point + scan reads over one blob column file."""
 
     def __init__(self, path: str, value_type: str = "string"):
+        from quickwit_ray import storage
+
         self.path = path
         self.value_type = value_type
         self._codec = pa.Codec("zstd", 1)
-        self._f = open(path, "rb")
+        self._f = (storage.open_input(path)
+                   if storage.is_object_uri(path) else open(path, "rb"))
         self._f.seek(-40, 2)  # 4 x i64 + magic
         tr = self._f.read(40)
         magic = tr[-8:]
@@ -416,9 +445,9 @@ def resolve_docstore_units(split_dir: str, footer: dict,
         } for s in segs]
     p = os.path.join(split_dir, DOCSTORE_FILE)
     blobs = _abs(footer.get("docstore_blobs"))
-    if not os.path.exists(p) and not blobs:
+    if not _artifact_exists(p) and not blobs:
         return []
-    return [{"parquet": p if os.path.exists(p) else None,
+    return [{"parquet": p if _artifact_exists(p) else None,
              "num_docs": num_docs, "blobs": blobs}]
 
 
@@ -779,11 +808,13 @@ class SplitReader:
         # 1 GB fast-field / 500 MB footer cache budgets,
         # node_config/mod.rs:261-266)
         self.retained_bytes: int = 0
-        with open(os.path.join(split_dir, FOOTER_FILE)) as f:
-            self.footer = json.load(f)
+        from quickwit_ray import storage
+
+        self.footer = json.loads(
+            storage.read_bytes(os.path.join(split_dir, FOOTER_FILE)))
         self.num_docs: int = self.footer["num_docs"]
         self.field_stats: dict = self.footer.get("field_stats", {})
-        self._pf = pq.ParquetFile(os.path.join(split_dir, POSTINGS_FILE))
+        self._pf = _open_parquet(os.path.join(split_dir, POSTINGS_FILE))
         # LAZY term dictionary (the FST-block analog): the numeric df /
         # max_tf columns load eagerly (scorers index them by global row),
         # but the field/term STRING columns — the bulk of the dictionary
@@ -1066,9 +1097,9 @@ class SplitReader:
 
         if self._pos_pf is None:
             p = os.path.join(self.split_dir, POSITIONS_FILE)
-            if not os.path.exists(p):
+            if not _artifact_exists(p):
                 return b"", b""
-            self._pos_pf = pq.ParquetFile(p)
+            self._pos_pf = _open_parquet(p)
         prg = row // POS_TERMS_PER_ROW_GROUP
         key = ("pos", prg)
         tbl = self._rg_cache.get(key)
@@ -1132,10 +1163,10 @@ class SplitReader:
         posting row groups."""
         if self._hot_index is None:
             p = os.path.join(self.split_dir, HOTCACHE_FILE)
-            if not os.path.exists(p):
+            if not _artifact_exists(p):
                 self._hot_index = {}
                 return None
-            self._hot_pf = pq.ParquetFile(p)
+            self._hot_pf = _open_parquet(p)
             rows = self._hot_pf.read(columns=["row"])  # tiny int column
             self._hot_index = {int(v): i for i, v
                                in enumerate(rows["row"].to_pylist())}
@@ -1210,7 +1241,8 @@ class SplitReader:
     def _load_fastfields(self) -> pa.Table:
         if self._fastfields is None:
             p = os.path.join(self.split_dir, FASTFIELDS_FILE)
-            self._fastfields = pq.read_table(p) if os.path.exists(p) else pa.table({})
+            self._fastfields = (_read_parquet(p) if _artifact_exists(p)
+                                else pa.table({}))
             self.bytes_read += self._fastfields.nbytes
             self.retained_bytes += self._fastfields.nbytes
         return self._fastfields
@@ -1218,7 +1250,8 @@ class SplitReader:
     def fieldnorm_ids(self, field: str) -> np.ndarray:
         if self._fieldnorms is None:
             p = os.path.join(self.split_dir, FIELDNORMS_FILE)
-            self._fieldnorms = pq.read_table(p) if os.path.exists(p) else pa.table({})
+            self._fieldnorms = (_read_parquet(p) if _artifact_exists(p)
+                                else pa.table({}))
             self.bytes_read += self._fieldnorms.nbytes
             self.retained_bytes += self._fieldnorms.nbytes
         col = f"norm_{field}"
@@ -1305,7 +1338,7 @@ class SplitReader:
                     present = set(pq.read_schema(u["parquet"]).names)
                     cols = [c for c in columns if c in present]
                 if cols is None or cols:  # columns=[] -> 0-row table
-                    t = pq.read_table(u["parquet"], columns=cols)
+                    t = _read_parquet(u["parquet"], columns=cols)
             for b in u["blobs"]:
                 if columns is not None and b["column"] not in columns:
                     continue
@@ -1348,7 +1381,7 @@ class SplitReader:
             blob_readers: list[list[tuple[str, "BlobColumnReader"]]] = []
             for ui, u in enumerate(units):
                 if u["parquet"]:
-                    pf = pq.ParquetFile(u["parquet"])
+                    pf = _open_parquet(u["parquet"])
                     md = pf.metadata
                     acc = 0
                     for i in range(md.num_row_groups):

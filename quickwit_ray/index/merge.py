@@ -234,12 +234,14 @@ class _SplitPostingsStream:
         self.ord_ = ord_
         self.off = off
         self.rgs_per_refill = rgs_per_refill
-        self._pf = pq.ParquetFile(os.path.join(split_dir, POSTINGS_FILE))
+        from quickwit_ray.index.format import _artifact_exists, _open_parquet
+
+        self._pf = _open_parquet(os.path.join(split_dir, POSTINGS_FILE))
         self._n_rg = self._pf.metadata.num_row_groups
         self._next_rg = 0
         self._legacy_pos = "positions" in self._pf.schema_arrow.names
         pp = os.path.join(split_dir, POSITIONS_FILE)
-        self._pos_pf = (pq.ParquetFile(pp) if os.path.exists(pp) else None)
+        self._pos_pf = (_open_parquet(pp) if _artifact_exists(pp) else None)
         self._pos_rows_per_rg = POS_TERMS_PER_ROW_GROUP
         self._rows_per_rg = TERMS_PER_ROW_GROUP
         self._buf: Optional[pa.Table] = None
@@ -395,13 +397,16 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
     # posting buffers, well inside a worker heap.
     total_rows = 0
     total_bytes = 0
+    from quickwit_ray import storage
+    from quickwit_ray.index.format import _open_parquet
+
     for d in split_dirs:
-        total_rows += pq.ParquetFile(
+        total_rows += _open_parquet(
             os.path.join(d, POSTINGS_FILE)).metadata.num_rows
-        total_bytes += os.path.getsize(os.path.join(d, POSTINGS_FILE))
+        total_bytes += storage.file_size(os.path.join(d, POSTINGS_FILE))
         pp = os.path.join(d, POSITIONS_FILE)
-        if os.path.exists(pp):
-            total_bytes += os.path.getsize(pp)
+        if storage.exists(pp):
+            total_bytes += storage.file_size(pp)
     refill = 1_000_000 if total_rows <= SMALL_MERGE_DICT_ROWS else 8
     streams = [_SplitPostingsStream(d, i, int(off), rgs_per_refill=refill)
                for i, (d, off) in enumerate(zip(split_dirs, offsets))]
@@ -709,8 +714,16 @@ def _split_docstore_units(split_dir: str, footer: dict,
 
 
 def _link_or_copy(src: str, dst: str) -> None:
+    from quickwit_ray import storage
+
     if os.path.exists(dst):
         os.remove(dst)  # retried staged merge
+    if storage.is_object_uri(src):
+        # object storage has no hardlinks: stacking degrades to a byte
+        # download (the reference's merge split downloader does the same
+        # GET; the payload is still never re-encoded)
+        storage.download_file(src, dst)
+        return
     try:
         os.link(src, dst)
     except OSError:  # cross-device / fs without hardlinks
@@ -737,13 +750,15 @@ def _stack_docstores(split_dirs: list[str], footers: list[dict],
     MAX_DOCSTORE_SEGMENTS units rewrites instead, consolidating to one
     unit — so alternate merge levels re-encode and point reads never
     walk an unbounded segment list."""
+    from quickwit_ray.index.format import _artifact_exists as _aex
+
     pieces: list[dict] = []
     for d, f, nd in zip(split_dirs, footers, counts):
         sub = _split_docstore_units(d, f, nd)
         if (not sub or sum(u["num_docs"] for u in sub) != nd
-                or not all(os.path.exists(u["parquet"])
+                or not all(_aex(u["parquet"])
                            for u in sub if u["parquet"])
-                or not all(os.path.exists(b["file"])
+                or not all(_aex(b["file"])
                            for u in sub for b in u["blobs"])):
             return None  # placeholder rows needed -> rewrite path
         pieces.extend(sub)
@@ -791,10 +806,12 @@ def _consolidate_docstores_framecopy(
         if not sub:
             flat.append({"parquet": None, "num_docs": nd, "blobs": ()})
             continue
+        from quickwit_ray.index.format import _artifact_exists as _aex
+
         if (sum(u["num_docs"] for u in sub) != nd
-                or not all(os.path.exists(u["parquet"])
+                or not all(_aex(u["parquet"])
                            for u in sub if u["parquet"])
-                or not all(os.path.exists(b["file"])
+                or not all(_aex(b["file"])
                            for u in sub for b in u["blobs"])):
             return None
         flat.extend(sub)
@@ -826,14 +843,19 @@ def _consolidate_docstores_framecopy(
             nrows = concat_blob_files(srcs, out_path)
             specs.append({"column": col, "file": fn, "type": vt,
                           "rows_per_frame": 0, "num_rows": nrows})
-        schemas = [pq.read_schema(u["parquet"]) for u in flat
+        from quickwit_ray.index.format import (
+            _open_parquet as _opq,
+            _read_parquet as _rpq,
+        )
+
+        schemas = [_opq(u["parquet"]).schema_arrow for u in flat
                    if u["parquet"]]
         if schemas:
             unified = pa.unify_schemas(schemas, promote_options="default")
             parts = []
             for u in flat:
                 if u["parquet"]:
-                    parts.append(pq.read_table(u["parquet"]))
+                    parts.append(_rpq(u["parquet"]))
                 else:
                     parts.append(pa.table(
                         {f.name: pa.nulls(u["num_docs"], f.type)
@@ -859,16 +881,18 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
     to retry — output is written staged then atomically renamed)."""
     import json
 
-    split_dirs = [os.path.join(index_dir, "splits", sid) for sid in split_ids]
+    from quickwit_ray import storage
+
+    split_dirs = [storage.join(index_dir, "splits", sid) for sid in split_ids]
     new_id = deterministic_split_id("merge:" + ",".join(split_ids), num_merge_ops)
-    out_dir = os.path.join(index_dir, "splits", new_id)
-    tmp_dir = out_dir + ".staged"
+    out_dir = storage.join(index_dir, "splits", new_id)
+    tmp_dir = storage.staging_dir(out_dir)
     os.makedirs(tmp_dir, exist_ok=True)
 
     footers = []
     for d in split_dirs:
-        with open(os.path.join(d, "footer.json")) as f:
-            footers.append(json.load(f))
+        footers.append(json.loads(
+            storage.read_bytes(os.path.join(d, "footer.json"))))
     counts = [f["num_docs"] for f in footers]
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     total_docs = int(sum(counts))
@@ -932,16 +956,23 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
             big_ds = pa.concat_tables(parts, promote_options="default")
             rewrite_blob_specs = write_docstore(tmp_dir, big_ds)
             continue
+        from quickwit_ray.index.format import (
+            _artifact_exists as _aex,
+            _open_parquet as _opq,
+            _read_parquet as _rpq,
+        )
+
         paths = [os.path.join(d, fname) for d in split_dirs]
-        present = [p for p in paths if os.path.exists(p)]
+        present = [p for p in paths if _aex(p)]
         if not present:
             continue
-        unified = pa.unify_schemas([pq.read_schema(p) for p in present],
-                                   promote_options="default")
+        unified = pa.unify_schemas(
+            [_opq(p).schema_arrow for p in present],
+            promote_options="default")
         parts = []
         for p, nd in zip(paths, counts):
-            if os.path.exists(p):
-                parts.append(pq.read_table(p))
+            if _aex(p):
+                parts.append(_rpq(p))
             elif fname == FIELDNORMS_FILE:
                 parts.append(pa.table(
                     {f.name: pa.array(np.zeros(nd, np.uint8), f.type)
@@ -1011,11 +1042,7 @@ def execute_merge(index_dir: str, split_ids: list[str], index_id: str,
     elif rewrite_blob_specs:
         footer["docstore_blobs"] = rewrite_blob_specs
     write_footer(tmp_dir, footer)
-    if os.path.exists(out_dir):
-        import shutil
-
-        shutil.rmtree(out_dir)
-    os.replace(tmp_dir, out_dir)
+    storage.finalize_dir(tmp_dir, out_dir)
     return SplitMetadata(
         split_id=new_id,
         index_id=index_id,

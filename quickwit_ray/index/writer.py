@@ -317,8 +317,13 @@ class SplitBuilder:
         self.partition_id = partition_id
         self.split_id = deterministic_split_id(
             f"{source_partition_id}#p{partition_id}", seq)
-        self.split_dir = os.path.join(index_dir, "splits", self.split_id)
-        self._tmp_dir = self.split_dir + ".staged"
+        from quickwit_ray import storage
+
+        self.split_dir = storage.join(index_dir, "splits", self.split_id)
+        # splits are BUILT in local scratch space; finalize renames
+        # locally or UPLOADS to object storage (packager->uploader flow,
+        # actors/uploader.rs:465-506)
+        self._tmp_dir = storage.staging_dir(self.split_dir)
         self.num_docs = 0
         self.est_bytes = 0
         self._accs: dict[str, _FieldAcc] = {f.name: _FieldAcc()
@@ -865,10 +870,12 @@ class SplitBuilder:
         if blob_specs:
             footer["docstore_blobs"] = blob_specs
         write_footer(self._tmp_dir, footer)
-        # atomic publish of the artifact dir
-        if os.path.exists(self.split_dir):
-            shutil.rmtree(self.split_dir)
-        os.replace(self._tmp_dir, self.split_dir)
+        # make the artifact dir live: local = atomic rename; object store
+        # = upload (the split only becomes VISIBLE when the manifest
+        # publishes it afterwards, so a torn upload is garbage, not state)
+        from quickwit_ray import storage
+
+        storage.finalize_dir(self._tmp_dir, self.split_dir)
 
         return SplitMetadata(
             split_id=self.split_id,

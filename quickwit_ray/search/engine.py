@@ -250,6 +250,12 @@ def _manifest_stamp(index_dir: str) -> Optional[tuple]:
     size, inode) over both catches all of them. SQL backends return None
     (uncacheable): sqlite's WAL can be overwritten in place at identical
     size within one mtime granule, which would serve stale state forever."""
+    from quickwit_ray import storage
+
+    if storage.is_object_uri(index_dir):
+        # object roots: no inode identity to stamp; re-read the manifest
+        # (one small GET) so read-your-writes holds across processes
+        return None
     if os.path.exists(os.path.join(index_dir, "metastore.db")) \
             or os.path.exists(os.path.join(index_dir, "metastore.json")):
         return None

@@ -70,8 +70,9 @@ def list_field_entries(index_dir: str,
         footer_path = os.path.join(index_dir, "splits", sm.split_id,
                                    "footer.json")
         try:
-            with open(footer_path) as f:
-                flds = json.load(f).get("fields")
+            from quickwit_ray import storage
+
+            flds = json.loads(storage.read_bytes(footer_path)).get("fields")
         except OSError:
             flds = None
         if flds is None:

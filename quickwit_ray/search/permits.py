@@ -85,8 +85,10 @@ def split_allocation_from_footer(split_dir: str,
 def _split_allocation_uncached(split_dir: str,
                                initial_allocation: int) -> int:
     try:
-        with open(os.path.join(split_dir, "footer.json")) as f:
-            footer = json.load(f)
+        from quickwit_ray import storage
+
+        footer = json.loads(
+            storage.read_bytes(os.path.join(split_dir, "footer.json")))
     except OSError:
         return _MINIMUM_ALLOCATION
     size = sum(int(v) for v in (footer.get("files") or {}).values())

@@ -80,12 +80,15 @@ COMPACT_EVERY = 64  # log entries between snapshot compactions
 def _index_uid(index_dir: str) -> str:
     """Deterministic per-index uid scoping rows in a SHARED postgres
     database (the reference's index_uid, postgres/metastore.rs). Derived
-    from the artifact path so every Manifest(index_dir) resolves the same
-    rows without extra coordination."""
+    from the artifact path/URI so every Manifest(index_dir) resolves the
+    same rows without extra coordination."""
     import hashlib
 
-    return hashlib.sha1(
-        os.path.abspath(index_dir).encode()).hexdigest()[:16]
+    from quickwit_ray import storage
+
+    key = index_dir if storage.is_object_uri(index_dir) \
+        else os.path.abspath(index_dir)
+    return hashlib.sha1(key.encode()).hexdigest()[:16]
 
 
 class Manifest:
@@ -103,10 +106,13 @@ class Manifest:
 
     def __init__(self, index_dir: str, backend: Optional[str] = None,
                  dsn: Optional[str] = None, _shared_lock: bool = True):
+        from quickwit_ray import storage
+
         self.index_dir = index_dir
-        self.path = os.path.join(index_dir, "manifest.json")
-        self.log_path = os.path.join(index_dir, "manifest.log")
-        self.db_path = os.path.join(index_dir, "metastore.db")
+        self._is_object = storage.is_object_uri(index_dir)
+        self.path = storage.join(index_dir, "manifest.json")
+        self.log_path = storage.join(index_dir, "manifest.log")
+        self.db_path = storage.join(index_dir, "metastore.db")
         self.index_config_json: Optional[dict[str, Any]] = None
         self.splits: dict[str, SplitMetadata] = {}
         # committed source partitions: partition_id -> {"committed_at": ts}
@@ -137,18 +143,61 @@ class Manifest:
             ptr = read_pointer(index_dir)
             if ptr is not None:
                 backend = ptr.get("backend", "postgres")
+            elif self._is_object:
+                # object root: snapshot-per-op whole-object PUTs — the
+                # reference's FILE metastore on S3 does exactly this
+                # (one put_object of the full index metadata per op)
+                backend = "object"
             elif os.path.exists(self.db_path):
                 backend = "sqlite"
             else:
                 backend = "file"
+        if backend == "file" and self._is_object:
+            backend = "object"
+        if backend in ("sqlite", "object") and \
+                (self._is_object != (backend == "object")):
+            raise ValueError(
+                f"metastore backend {backend!r} does not fit "
+                f"{'object' if self._is_object else 'local'} root "
+                f"{index_dir!r} (sqlite needs a local file; use "
+                f"metastore='postgres' or the object snapshot backend)")
         self._backend = backend
-        if self._backend in ("sqlite", "postgres"):
+        if self._backend == "object":
+            self._load_object()
+        elif self._backend in ("sqlite", "postgres"):
             if self._backend == "postgres" or os.path.exists(self.db_path):
                 self._load_sql()
         elif os.path.exists(self.path) or os.path.exists(self.log_path):
             self._load(shared_lock=_shared_lock)
 
     # -- persistence --------------------------------------------------------
+
+    def _load_object(self) -> None:
+        """Object-store backend: the full state lives in ONE manifest.json
+        object; a whole-object PUT is atomic by the store's contract, so
+        readers see the previous or the next state, never a torn one
+        (quickwit's file-backed metastore on S3 has the same model and the
+        same SINGLE-WRITER-per-index contract; multi-writer deployments
+        use the SQL metastore with artifacts on the object store)."""
+        from quickwit_ray import storage
+
+        if not storage.exists(self.path):
+            return
+        obj = json.loads(storage.read_bytes(self.path))
+        self.index_config_json = obj.get("index_config")
+        self.splits = {s["split_id"]: SplitMetadata.from_json(s)
+                       for s in obj["splits"]}
+        self.checkpoints = obj.get("checkpoints", {})
+        self.delete_tasks = obj.get("delete_tasks", [])
+        self.shards = obj.get("shards", {})
+        self.sources = obj.get("sources", {})
+
+    def _commit_object(self) -> None:
+        from quickwit_ray import storage
+
+        storage.write_bytes(
+            self.path,
+            json.dumps(self._snapshot_obj(), separators=(",", ":")).encode())
 
     def _load(self, shared_lock: bool = True) -> None:
         """Load snapshot + replay log. Readers hold a SHARED flock across
@@ -389,6 +438,10 @@ class Manifest:
         return lock()
 
     def _append(self, op: dict[str, Any]) -> None:
+        if self._backend == "object":
+            # snapshot-per-op: one atomic whole-object PUT (single writer)
+            self._commit_object()
+            return
         if self._backend in ("sqlite", "postgres"):
             self._apply_sql(op)
             return
@@ -439,7 +492,7 @@ class Manifest:
         another writer appended ops after this instance loaded, a
         memory-based snapshot would silently destroy them when the log
         truncates. The re-load also heals this instance's staleness."""
-        if self._backend in ("sqlite", "postgres"):
+        if self._backend in ("sqlite", "postgres", "object"):
             return
         # _shared_lock=False: we HOLD the exclusive writer lock here — a
         # shared re-acquisition on a second fd would self-deadlock
@@ -458,6 +511,9 @@ class Manifest:
 
     def _commit(self) -> None:
         """Full-snapshot commit (kept for the rare whole-state rewrites)."""
+        if self._backend == "object":
+            self._commit_object()
+            return
         if self._backend in ("sqlite", "postgres"):
             st = self._sql()
             with st.tx() as cur:

@@ -217,20 +217,23 @@ class _Tx:
 def write_pointer(index_dir: str, dsn: str,
                   index_uid: Optional[str] = None) -> None:
     """Pin the DSN (and the row-scope uid, so the artifact dir can move
-    or be mounted at another path without orphaning its rows)."""
-    os.makedirs(index_dir, exist_ok=True)
+    or be mounted at another path without orphaning its rows). Storage-
+    aware: the pointer may live on object storage next to the artifacts
+    (the reference's PG-metastore + S3-artifacts layout)."""
+    from quickwit_ray import storage
+
     obj: dict[str, Any] = {"backend": "postgres", "dsn": dsn}
     if index_uid is not None:
         obj["index_uid"] = index_uid
-    tmp = os.path.join(index_dir, ".metastore.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.replace(tmp, os.path.join(index_dir, "metastore.json"))
+    storage.makedirs(index_dir)
+    storage.write_bytes(storage.join(index_dir, "metastore.json"),
+                        json.dumps(obj).encode())
 
 
 def read_pointer(index_dir: str) -> Optional[dict[str, Any]]:
-    p = os.path.join(index_dir, "metastore.json")
-    if not os.path.exists(p):
+    from quickwit_ray import storage
+
+    p = storage.join(index_dir, "metastore.json")
+    if not storage.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(storage.read_bytes(p))
