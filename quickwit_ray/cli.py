@@ -130,6 +130,12 @@ def main(argv=None) -> int:
                     help="'ray' fans every search out to a persistent "
                          "split-affine leaf actor pool (root/leaf serving "
                          "model); 'local' searches on in-process threads")
+    sv.add_argument("--janitor-period-secs", type=float, default=None,
+                    help="run the janitor loop (retention + delete tasks "
+                         "+ GC, quickwit-janitor analog) every N seconds")
+    sv.add_argument("--janitor-grace-secs", type=float, default=None,
+                    help="GC grace period for unreferenced artifacts "
+                         "(default 2h)")
 
     up = sub.add_parser("update", help="update the index config "
                         "(quickwit index update; validated against the "
@@ -317,7 +323,10 @@ def main(argv=None) -> int:
             indexes[idx.config.index_id] = idx
         srv = SearchServer(indexes, args.host, args.port,
                            index_root_dir=args.index_root_dir,
-                           search_execution=args.search_execution).start()
+                           search_execution=args.search_execution,
+                           janitor_period_secs=args.janitor_period_secs,
+                           janitor_grace_secs=args.janitor_grace_secs
+                           ).start()
         print(f"serving {sorted(indexes)} on "
               f"http://{args.host}:{srv.port}/api/v1/_elastic/ "
               "(ctrl-c to stop)")

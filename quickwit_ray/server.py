@@ -163,7 +163,9 @@ class SearchServer:
 
     def __init__(self, indexes: dict, host: str = "127.0.0.1",
                  port: int = 0, index_root_dir: Optional[str] = None,
-                 search_execution: Optional[str] = None):
+                 search_execution: Optional[str] = None,
+                 janitor_period_secs: Optional[float] = None,
+                 janitor_grace_secs: Optional[float] = None):
         from quickwit_ray.search.qw_rest import QwRestService
 
         if search_execution is not None:
@@ -191,15 +193,34 @@ class SearchServer:
         self.host = host
         self.port = self._httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
+        # janitor loop (quickwit-janitor service analog): retention,
+        # delete tasks and GC run periodically over the LIVE registry —
+        # indexes created through the API join the next cycle
+        self.janitor = None
+        if janitor_period_secs is not None:
+            from quickwit_ray.janitor import (DEFAULT_GRACE_PERIOD_SECS,
+                                              Janitor)
+
+            registry = self.index_service.indexes
+            self.janitor = Janitor(
+                lambda: [ix.index_dir for ix in registry.values()],
+                period_secs=janitor_period_secs,
+                grace_period_secs=(DEFAULT_GRACE_PERIOD_SECS
+                                   if janitor_grace_secs is None
+                                   else janitor_grace_secs))
 
     def start(self) -> "SearchServer":
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         name="quickwit-ray-http",
                                         daemon=True)
         self._thread.start()
+        if self.janitor is not None:
+            self.janitor.start()
         return self
 
     def stop(self) -> None:
+        if self.janitor is not None:
+            self.janitor.stop()
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
