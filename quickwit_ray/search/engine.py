@@ -159,18 +159,21 @@ ENABLE_MAXSCORE = True
 
 class _LeafCache:
     """Thread-safe LRU of leaf-search partial results keyed by
-    (split artifacts generation, request, theta0) — leaf_cache.rs
+    (split artifacts generation, request) — leaf_cache.rs
     LeafSearchCache analog.
 
-    theta0 IS part of the key: a theta-pruned partial encodes an
-    assumption about the OTHER splits of that execution (docs below
-    theta were skipped because splits elsewhere already beat them) — if
-    the split set later shrinks (retention, mark-for-deletion), the same
-    request must re-evaluate under its new thetas, not reuse partials
-    pruned against deleted competition. Identical executions over an
-    unchanged split set derive identical thetas, so the repeat-query
-    case still hits. The artifact stamp (_split_stamp) catches split
-    dirs rebuilt in place by clear()+re-ingest."""
+    Entries are ``{"t": theta_pruned_under, "v": partial}`` and serve a
+    lookup only when the REQUESTED theta dominates the stored one
+    (requested >= stored, theta-None = fully exact, serves anything): a
+    theta-pruned partial encodes an assumption about the OTHER splits of
+    that execution (docs below theta were skipped because splits
+    elsewhere already beat them) — if the split set later shrinks
+    (retention, mark-for-deletion), the same request derives SMALLER
+    thetas, fails the dominance test, and re-evaluates instead of
+    reusing partials pruned against deleted competition. One key per
+    (split, request) means timing-wobbly theta values never fragment
+    the repeat-query hit rate. The artifact stamp (_split_stamp)
+    catches split dirs rebuilt in place by clear()+re-ingest."""
 
     def __init__(self, capacity: int = 512,
                  byte_budget: int = 64 * 1024 * 1024):
@@ -361,35 +364,42 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
     CanSplitDoBetter sharing): the pruned scoring paths start from it
     instead of -inf, so later splits skip scoring docs that provably
     cannot enter the global top-k. The match mask (num_hits) stays exact;
-    only sub-threshold scoring work is skipped. theta0 is part of the
-    cache key — a pruned partial is only valid against the competition
-    it was pruned under (see _LeafCache)."""
+    only sub-threshold scoring work is skipped. The cached entry records
+    the theta it was pruned under and serves any request whose theta
+    DOMINATES it (requested >= stored) — a partial pruned at t contains
+    every doc scoring >= t, which is a superset of what any threshold
+    >= t needs (see _LeafCache)."""
     import copy
 
     key = None
     if ENABLE_LEAF_CACHE:
         # ENABLE_MAXSCORE is in the key so the pruned-vs-naive
         # equivalence tests compare real evaluations, not cache hits;
-        # theta0 and the artifact stamp guard the shrunken-split-set and
-        # rebuilt-split-dir staleness cases (see _LeafCache). Callers
-        # iterating many splits pass request_key (repr(request),
-        # str(mapping)) computed ONCE per query instead of per split.
+        # the artifact stamp guards the rebuilt-split-dir staleness
+        # case (see _LeafCache). Callers iterating many splits pass
+        # request_key (repr(request), str(mapping)) computed ONCE per
+        # query instead of per split.
         if request_key is None:
             request_key = (repr(request), str(mapping))
-        base = (split_dir, _split_stamp(split_dir)) + request_key \
+        key = (split_dir, _split_stamp(split_dir)) + request_key \
             + (ENABLE_MAXSCORE,)
-        key = base + (theta0,)
-        hit = _GLOBAL_LEAF_CACHE.get(key)
-        if hit is None and theta0 is not None:
-            # a FULL (theta-None) evaluation is exact under any theta —
-            # thread-timing-dependent thetas would otherwise fragment
-            # the repeat-query hit rate
-            hit = _GLOBAL_LEAF_CACHE.get(base + (None,))
-        if hit is not None:
-            if "agg_partial" in hit:
-                # deep copy: the agg merge folds partial states in place
-                return copy.deepcopy(hit)
-            return dict(hit)  # hit/sort arrays are consumed read-only
+        ent = _GLOBAL_LEAF_CACHE.get(key)
+        if ent is not None:
+            t_stored = ent["t"]
+            # dominance rule: theta-None entries are fully exact; a
+            # pruned entry serves only thresholds >= its own. A shrunken
+            # split set (retention, deletes) derives SMALLER thetas, so
+            # partials pruned against deleted competition fail this test
+            # and re-evaluate — same safety the old theta-in-key
+            # encoding gave, but repeat queries with timing-wobbly
+            # thetas now hit instead of fragmenting the key space.
+            if t_stored is None or (theta0 is not None
+                                    and theta0 >= t_stored):
+                hit = ent["v"]
+                if "agg_partial" in hit:
+                    # deep copy: the agg merge folds partials in place
+                    return copy.deepcopy(hit)
+                return dict(hit)  # hit/sort arrays consumed read-only
     # memory-budgeted admission (search_permit_provider.rs): reserve a
     # pessimistic warmup allocation before touching the split, report the
     # reader's actual materialized bytes after, release on completion.
@@ -407,13 +417,18 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
             # post-warmup correction: hold the MEASURED bytes (cache-warm
             # repeats free their pessimistic reservation immediately)
             permit.set_actual_memory(b1 - b0)
-    # only FULL (theta-None) evaluations are stored: thread-timing-
-    # dependent theta values would insert never-hit-again keys that LRU-
-    # evict the reusable entries (theta-pruned results are still SERVED
-    # from the theta-None fallback above)
-    if key is not None and theta0 is None:
-        _GLOBAL_LEAF_CACHE.put(key, copy.deepcopy(out)
-                               if "agg_partial" in out else dict(out))
+    # store under the single (split, request) key, tagged with the theta
+    # this evaluation was pruned under. A concurrent thread may have just
+    # stored a MORE complete entry (smaller / None theta) — keep it.
+    if key is not None:
+        ent = _GLOBAL_LEAF_CACHE.get(key)
+        dominated = ent is not None and (
+            ent["t"] is None
+            or (theta0 is not None and ent["t"] <= theta0))
+        if not dominated:
+            _GLOBAL_LEAF_CACHE.put(
+                key, {"t": theta0, "v": copy.deepcopy(out)
+                      if "agg_partial" in out else dict(out)})
     return out
 
 

@@ -89,6 +89,29 @@ def test_theta_pruned_partials_not_reused_after_split_removal(tmp_path):
     assert all(s > 0 for s in r_cached.hits["sort_key0"])
 
 
+def test_theta_pruned_repeat_queries_hit(tmp_path):
+    """Round-5: theta-pruned evaluations are STORED (tagged with their
+    theta) and served under the dominance rule — a repeat of the same
+    scored multi-split query must not re-evaluate ANY leaf, pruned or
+    not (the dashboard-repeat p95 case)."""
+    idx = Index.create(str(tmp_path / "i"), "docs", documents_doc_mapping(),
+                       settings=IndexSettings(split_num_docs_target=10_000))
+    rows = pq.read_table(DOCS).to_pylist()
+    idx.ingest_docs(rows[:250], commit_id="a")
+    idx.ingest_docs(rows[250:500], commit_id="b")
+    idx.ingest_docs(rows[500:750], commit_id="c")
+    engine._GLOBAL_LEAF_CACHE.clear()
+    q = "text:scan OR text:data"
+    r1 = idx.search(q, max_hits=5, sort_by="_score",
+                    fetch_fields=["doc_id"])
+    m_after_fill = engine._GLOBAL_LEAF_CACHE.misses
+    r2 = idx.search(q, max_hits=5, sort_by="_score",
+                    fetch_fields=["doc_id"])
+    assert engine._GLOBAL_LEAF_CACHE.misses == m_after_fill
+    assert list(r1.hits["doc_id"]) == list(r2.hits["doc_id"])
+    assert list(r1.hits["sort_key0"]) == list(r2.hits["sort_key0"])
+
+
 def test_rebuilt_split_dir_not_served_stale(tmp_path):
     """Review regression: clear() + re-ingest under the SAME commit id
     recreates the same split_dir with different docs — the artifact
