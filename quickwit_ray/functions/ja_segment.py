@@ -19,7 +19,7 @@ Model, and documented divergences from lindera/MeCab:
   katakana runs become ONE token (so スカイツリー stays whole),
   unknown kanji tries 1..3-char groupings with growing cost, unknown
   hiragana falls back to single chars.
-* The lexicon is ~250 words, not 400k: out-of-vocabulary kanji
+* The lexicon is ~780 words, not 400k: out-of-vocabulary kanji
   compounds split per-char instead of by IPADIC entry. For indexing
   this degrades gracefully (queries tokenize identically).
 * Conjugation is approximated by stem/ending entries (住ん + で + い +
@@ -141,6 +141,39 @@ _add(_V, 450, "考え", "考える", "感じ", "感じる", "覚え", "覚える
      "調べる", "答え", "答える", "送り", "送る", "届き", "届く",
      "選び", "選ぶ", "決め", "決める", "変え", "変える", "続き",
      "続く", "続け", "続ける", "頑張り", "頑張る", "手伝い", "手伝う")
+# -- round-5 expansion: ~160 more words (same public common-vocabulary
+# sourcing, IPADIC-style cost buckets). Exclusion rules (CLAUDE.md):
+# 関西国際 / 東京都 / 国際空港 / 形態素解析 stay absent, and none of
+# these surfaces appears inside a pinned golden sentence.
+_add(_N, 400, "庭", "鶏", "池", "森", "林", "島", "岩", "石", "砂",
+     "窓", "机", "椅子", "壁", "床", "屋根", "星", "雲", "光", "影",
+     "音", "色", "形", "数", "文", "絵", "歌", "夢", "涙", "茶", "酒",
+     "肉", "野菜", "果物", "卵", "米", "塩", "砂糖", "棒", "箱", "紙",
+     "糸", "針", "板", "棚", "皿", "箸", "袋", "瓶", "缶")
+_add(_N, 400, "大人", "老人", "少年", "少女", "夫", "妻", "息子", "娘",
+     "孫", "祖父", "祖母", "両親", "親戚", "客", "店員", "医師",
+     "看護師", "弁護士", "歌手", "選手", "監督", "社長", "部長",
+     "課長", "隣", "仲間", "相手", "敵", "味方")
+_add(_N, 400, "今週", "来週", "先週", "今月", "来月", "先月", "来年",
+     "週末", "平日", "休日", "祝日", "季節", "梅雨", "台風", "地震",
+     "津波", "火事", "晴れ", "曇り", "嵐")
+_add(_N, 450, "愛", "恋", "心配", "安心", "希望", "絶望", "勇気",
+     "努力", "成果", "能力", "才能", "経験", "知識", "印象", "興味",
+     "趣味", "習慣", "伝統", "文明", "宗教", "神", "幸せ", "不幸",
+     "笑顔", "喜び", "怒り", "悲しみ", "楽しみ", "瞬間", "永遠",
+     "世紀", "時代", "現在", "過去", "未来", "激怒", "吾輩")
+_add(_V, 400, "美しい", "優しい", "厳しい", "忙しい", "若い", "重い",
+     "軽い", "広い", "狭い", "深い", "浅い", "明るい", "暗い", "甘い",
+     "辛い", "丸い", "熱い", "冷たい", "速い", "痛い", "眠い", "怖い")
+_add(_V, 450, "進み", "進む", "進ん", "歩く", "歩け", "走る", "泳ぎ",
+     "泳ぐ", "飛び", "飛ぶ", "登り", "登る", "休み", "休む", "立ち",
+     "立つ", "座り", "座る", "死ぬ", "生き", "生きる", "笑い", "笑う",
+     "泣き", "泣く", "歌い", "歌う", "踊り", "踊る", "降り", "降る",
+     "当たり", "当たる", "落ち", "落ちる", "起き", "起きる", "寝る",
+     "払い", "払う", "貸し", "貸す", "借り", "借りる", "返し", "返す",
+     "渡し", "渡す", "受け", "受ける", "開け", "開ける", "閉め",
+     "閉める", "押し", "押す", "引き", "引く", "切り", "切る", "折り",
+     "折る", "並び", "並ぶ", "集め", "集める", "捨て", "捨てる")
 
 _MAX_WORD = max(len(w) for w in _LEXICON)
 

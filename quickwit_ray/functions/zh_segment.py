@@ -17,7 +17,7 @@ more frequent words wins; classic ambiguities resolve the standard way
 
 Documented divergences from lindera/CC-CEDICT:
 
-* The lexicon is a few hundred words, not 120k: out-of-vocabulary runs
+* The lexicon is ~990 words, not 120k: out-of-vocabulary runs
   split PER CHARACTER (lindera's unknown-word behavior for CJK), so the
   reference golden `test_multilanguage_tokenizer_cmn` reproduces exactly
   (19 tokens — 字元/阿爾發 are OOV there too). Indexing degrades
@@ -149,6 +149,45 @@ _add(6000, "软件", "軟件", "硬件", "硬體", "程序", "代码", "代碼",
      "加密", "解密", "备份", "備份", "恢复", "恢復", "版本", "更新",
      "错误", "錯誤", "警告", "日志", "日誌", "调试", "調試", "性能",
      "优化", "優化", "并发", "並發", "分布式", "分佈式", "集群", "叢集")
+
+# -- round-5 expansion: ~230 more frequent words (same public
+# common-vocabulary sourcing; frequencies follow the existing buckets).
+# Exclusion rules (CLAUDE.md): 字元 / 阿爾發 stay OOV for the reference
+# multilang golden, and no new word spans a pinned-golden boundary
+# (南京市|长江大桥, 研究|生命|的|起源, 我|来到|北京|清华大学).
+_add(12000, "人民", "政策", "法律", "法规", "法規", "规定", "規定",
+     "规则", "規則", "体系", "體系", "结构", "結構", "功能", "性质",
+     "性質", "特点", "特點", "特征", "特徵", "属性", "屬性", "类型",
+     "類型", "种类", "種類", "分类", "分類", "范围", "範圍", "领域",
+     "領域", "行业", "行業", "部门", "部門", "机构", "機構", "组织",
+     "組織", "团队", "團隊", "项目", "項目", "任务", "任務", "计划",
+     "計劃", "方案", "策略", "模式", "框架", "平台", "工具", "设备",
+     "設備", "材料", "资源", "資源", "能源", "电力", "電力")
+_add(8000, "宣布", "公布", "发布", "發布", "建立", "设立", "設立",
+     "成立", "创建", "創建", "创造", "創造", "制造", "製造", "制作",
+     "製作", "设计", "設計", "研发", "研發", "分析", "统计", "統計",
+     "调查", "調查", "报告", "報告", "描述", "定义", "定義", "解释",
+     "解釋", "说明", "說明", "证明", "證明", "显示", "顯示", "表示",
+     "表达", "表達", "传播", "傳播", "传递", "傳遞", "发送", "發送",
+     "接收", "接受", "拒绝", "拒絕", "允许", "允許", "禁止", "限制",
+     "要求", "请求", "請求", "申请", "申請", "批准", "访问", "訪問",
+     "查询", "查詢", "查找", "存储", "存儲", "存在", "删除", "刪除",
+     "修改", "编辑", "編輯", "复制", "複製", "粘贴", "移动", "移動",
+     "排序", "过滤", "過濾", "筛选", "篩選", "匹配", "替换", "替換",
+     "插入", "合并", "合併", "拆分", "压缩", "壓縮", "解压", "保护",
+     "保護", "维护", "維護", "保持", "保存", "保证", "保證")
+_add(8000, "重要", "主要", "基本", "基础", "基礎", "根本", "核心",
+     "关键", "關鍵", "直接", "间接", "間接", "明显", "明顯", "显著",
+     "顯著", "突出", "普遍", "普通", "特殊", "复杂", "複雜", "简单",
+     "簡單", "容易", "困难", "困難", "危险", "危險", "稳定", "穩定",
+     "平衡", "公平", "公正", "正确", "正確", "真实", "真實", "积极",
+     "積極", "消极", "消極", "主动", "主動", "被动", "被動", "快速",
+     "迅速", "缓慢", "緩慢", "重要性", "文本")
+_add(8000, "广州", "廣州", "深圳", "天津", "重庆", "重慶", "武汉",
+     "武漢", "成都", "西安", "杭州", "苏州", "蘇州", "香港", "澳门",
+     "澳門", "台湾", "台灣", "德国", "德國", "法国", "法國", "俄罗斯",
+     "俄羅斯", "印度", "韩国", "韓國", "泰国", "泰國", "越南", "欧洲",
+     "歐洲", "亚洲", "亞洲", "非洲", "美洲")
 
 _TOTAL = float(sum(_FREQ.values()))
 _LOG_TOTAL = log(_TOTAL)

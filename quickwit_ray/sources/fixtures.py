@@ -49,9 +49,13 @@ def _base36(i: int) -> str:
 
 
 def generate_pages_file(path: str, start_row: int, num_rows: int, seed: int = 42,
-                        filler_bytes: int = 65_536, filler_every: int = 97) -> None:
+                        filler_bytes: int = 65_536, filler_every: int = 97,
+                        mean_tokens: int = 200) -> None:
     """Generate rows [start_row, start_row+num_rows) of the pages table.
-    Row content depends only on (seed, absolute row index)."""
+    Row content depends only on (seed, absolute row index, mean_tokens).
+    ``mean_tokens`` scales the lognormal doc length (median token count)
+    — the 10M-doc split-target validation uses a doc-size-scaled proxy
+    (short docs, same vocabulary/skew) to hit real 10M-doc splits."""
     rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + start_row))
     vocab = _vocab()
     cdf = _zipf_cdf()
@@ -67,7 +71,7 @@ def generate_pages_file(path: str, start_row: int, num_rows: int, seed: int = 42
     warc_ts = EPOCH_2024_US + idx * 37_000_000  # +37s per row, micros
 
     # text: lognormal token count, median ~200
-    lens = np.maximum(1, rng.lognormal(mean=np.log(200), sigma=0.6,
+    lens = np.maximum(1, rng.lognormal(mean=np.log(mean_tokens), sigma=0.6,
                                        size=num_rows)).astype(np.int64)
     total = int(lens.sum())
     tok_ids = np.searchsorted(cdf, rng.random(total))
@@ -107,13 +111,18 @@ def generate_pages_file(path: str, start_row: int, num_rows: int, seed: int = 42
 
 
 def ensure_pages(out_dir: str, num_docs: int, num_files: int, seed: int = 42,
-                 filler_bytes: int = 65_536) -> list[str]:
+                 filler_bytes: int = 65_536, mean_tokens: int = 200,
+                 parallel: bool = False) -> list[str]:
     """Generate (or reuse) a pages corpus: num_files parquet partitions.
-    A marker file records the parameters; mismatched parameters regenerate."""
+    A marker file records the parameters; mismatched parameters regenerate.
+    ``parallel=True`` fans file generation out over Ray tasks (the 10M-doc
+    proxy corpus is CPU-bound on the per-doc join loop; single-node /tmp
+    here, shared storage on a real cluster)."""
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_PAGES_SPEC.json")
     spec = {"num_docs": num_docs, "num_files": num_files, "seed": seed,
-            "filler_bytes": filler_bytes, "version": 2}
+            "filler_bytes": filler_bytes, "mean_tokens": mean_tokens,
+            "version": 2}
     paths = [os.path.join(out_dir, f"pages-{k:05d}.parquet")
              for k in range(num_files)]
     if os.path.exists(marker):
@@ -121,11 +130,22 @@ def ensure_pages(out_dir: str, num_docs: int, num_files: int, seed: int = 42,
             if json.load(f) == spec and all(os.path.exists(p) for p in paths):
                 return paths
     per = num_docs // num_files
+    jobs = []
     start = 0
     for k, p in enumerate(paths):
         n = per if k < num_files - 1 else num_docs - per * (num_files - 1)
-        generate_pages_file(p, start, n, seed=seed, filler_bytes=filler_bytes)
+        jobs.append((p, start, n))
         start += n
+    if parallel:
+        import ray
+
+        gen = ray.remote(num_cpus=1)(generate_pages_file)
+        ray.get([gen.remote(p, s, n, seed=seed, filler_bytes=filler_bytes,
+                            mean_tokens=mean_tokens) for p, s, n in jobs])
+    else:
+        for p, s, n in jobs:
+            generate_pages_file(p, s, n, seed=seed, filler_bytes=filler_bytes,
+                                mean_tokens=mean_tokens)
     with open(marker, "w") as f:
         json.dump(spec, f)
     return paths

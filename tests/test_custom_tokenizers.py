@@ -102,6 +102,17 @@ def test_multilang_prefixes_and_detection():
     assert tokenize("CMN:南京市长江大桥", "multilang") == \
         ["南京市", "长江大桥"]
     assert tokenize("CMN:中华人民共和国", "multilang") == ["中华人民共和国"]
+    # round-5 expanded-lexicon goldens: max-probability routes over the
+    # new vocabulary resolve the standard way (jieba-style frequency
+    # weighting), including the 并发布 ambiguity (并/发布 beats 并发/布)
+    assert tokenize("CMN:政府发布新的经济政策", "multilang") == \
+        ["政府", "发布", "新", "的", "经济", "政策"]
+    assert tokenize("CMN:人民需要保护自然环境", "multilang") == \
+        ["人民", "需要", "保护", "自然", "环境"]
+    assert tokenize("CMN:我们分析数据并发布报告", "multilang") == \
+        ["我们", "分析", "数据", "并", "发布", "报告"]
+    assert tokenize("CMN:深圳和广州是重要城市", "multilang") == \
+        ["深圳", "和", "广州", "是", "重要", "城市"]
     # detection dispatches latin text to the default shape, lowercased
     assert tokenize("Just English", "multilang") == ["just", "english"]
     assert tokenize("", "multilang") == []
@@ -188,6 +199,22 @@ def test_japanese_viterbi_ipadic_goldens():
         "日本語は難しいです": ["日本語", "は", "難しい", "です"],
     }
     for text, want in goldens.items():
+        assert segment(text) == want, text
+    # round-5 HELD-OUT goldens over the expanded lexicon — each matches
+    # the published MeCab/IPADIC split of a well-known sentence none of
+    # whose content words were in the round-4 lexicon
+    held_out = {
+        # Soseki's famous opening (IPADIC: 吾輩/は/猫/で/ある)
+        "吾輩は猫である": ["吾輩", "は", "猫", "で", "ある"],
+        # proverb: 仮定形 verb + ば particle (犬/も/歩け/ば/棒/に/当たる)
+        "犬も歩けば棒に当たる":
+            ["犬", "も", "歩け", "ば", "棒", "に", "当たる"],
+        "学生が図書館で本を読む":
+            ["学生", "が", "図書館", "で", "本", "を", "読む"],
+        "新しい技術の開発が進む":
+            ["新しい", "技術", "の", "開発", "が", "進む"],
+    }
+    for text, want in held_out.items():
         assert segment(text) == want, text
     # through the multilang tokenizer: same boundaries + lowercase chain
     assert tokenize("JPN:日本語の形態素解析エンジン", "multilang") == \

@@ -1,0 +1,182 @@
+"""10M-doc split-target validation (VERDICT r4 #7).
+
+SURVEY §1.2's ``split_num_docs_target`` default is 10M docs
+(reference index-config `split_num_docs_target`, stable_log_merge_policy
+maturity at `num_docs >= target`). Ordinary bench/smoke runs top out at
+~1.4M docs per index, so the 10M maturity path had never been exercised
+on REAL artifacts. This runner proves, on a doc-size-scaled proxy corpus
+(short docs — same vocabulary, Zipf skew, lang mix and planted phrases
+as the bench corpus; `mean_tokens` shrinks the per-doc byte cost so 10M+
+docs fit a single sandbox node):
+
+  1. the merge ladder compacts hundreds of build splits into a REAL
+     >= 10M-doc split (the candidate whose doc sum crosses the target is
+     emitted, reference stable_log_merge_policy.rs:284-289 semantics),
+  2. never-merge-at-maturity: a fresh planner pass over the final
+     manifest emits NO op touching the mature split,
+  3. the windowed merge stays memory-bounded while rewriting 10M docs
+     (peak RSS reported),
+  4. warm query latency on the mature split (p50/p95 over the bench
+     query set).
+
+Run:  RAY_GRAFT_CPUS=32 python tools/scale10m.py
+      (~6-10 min; scratch under /tmp/quickwit_ray_scale10m, ~7 GB)
+Prints ONE JSON line; paste the numbers into BASELINE.md §10M-doc
+split-target validation."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCRATCH = "/tmp/quickwit_ray_scale10m"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=10_500_000,
+                    help="total docs (> target so a >=10M split emerges "
+                         "with a young remainder)")
+    ap.add_argument("--files", type=int, default=256)
+    ap.add_argument("--mean-tokens", type=int, default=25,
+                    help="median tokens/doc of the proxy corpus")
+    ap.add_argument("--target", type=int, default=10_000_000,
+                    help="split_num_docs_target (lower it only for "
+                         "smoke-testing this script)")
+    ap.add_argument("--merge-local", action="store_true",
+                    help="run merges in-process (peak-RSS measurement "
+                         "of the windowed rewrite)")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the built index for inspection")
+    args = ap.parse_args()
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+
+    from quickwit_ray.config import (
+        IndexConfig,
+        IndexSettings,
+        MergePolicyConfig,
+        pages_doc_mapping,
+    )
+    from quickwit_ray.index.build import build_index
+    from quickwit_ray.index.merge import make_policy, run_merge_pipeline
+    from quickwit_ray.search import engine as _engine
+    from quickwit_ray.search.engine import IndexSearcher
+    from quickwit_ray.sources.fixtures import ensure_pages
+    from quickwit_ray.state.manifest import Manifest
+
+    out: dict = {"docs": args.docs, "num_cpus": num_cpus,
+                 "mean_tokens": args.mean_tokens}
+
+    # ---- proxy corpus (parallel generation, cached by spec marker) ----
+    t0 = time.time()
+    corpus_dir = os.path.join(SCRATCH, "pages")
+    paths = ensure_pages(corpus_dir, args.docs, args.files,
+                         filler_bytes=0, mean_tokens=args.mean_tokens,
+                         parallel=True)
+    out["corpus_gen_sec"] = round(time.time() - t0, 1)
+    out["corpus_bytes"] = sum(os.path.getsize(p) for p in paths)
+
+    # ---- build: ~41k-doc splits x 256 (one per input partition) -------
+    index_dir = os.path.join(SCRATCH, "index")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    config = IndexConfig(
+        index_id="pages10m", doc_mapping=pages_doc_mapping(),
+        settings=IndexSettings(
+            split_num_docs_target=args.target,
+            commit_docs_threshold=args.docs // args.files + 1,
+            store_binary_columns=False,
+            merge_policy=MergePolicyConfig(merge_factor=8,
+                                           max_merge_factor=10,
+                                           min_level_num_docs=100_000)))
+    t0 = time.time()
+    stats = build_index(paths, index_dir, config, execution="ray",
+                        read_batch_size=8192)
+    out["build_sec"] = round(time.time() - t0, 1)
+    out["build_docs_per_sec"] = round(stats.num_docs / (time.time() - t0))
+    out["build_num_splits"] = len(Manifest(index_dir).published_splits())
+
+    # ---- merge ladder to maturity -------------------------------------
+    # --merge-local runs every merge IN-PROCESS so ru_maxrss measures the
+    # true peak of the windowed 10M-doc rewrite (under execution="ray"
+    # the merges run in Ray workers and driver RSS proves nothing)
+    t0 = time.time()
+    n_merges = run_merge_pipeline(
+        index_dir, execution="local" if args.merge_local else "ray",
+        max_rounds=32)
+    out["merge_sec"] = round(time.time() - t0, 1)
+    out["n_merges"] = n_merges
+    out["merge_execution"] = "local" if args.merge_local else "ray"
+    out["peak_rss_mb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024)
+
+    # ---- assertions: one REAL >=10M-doc split, planner leaves it alone
+    m = Manifest(index_dir)
+    splits = m.published_splits()
+    sizes = sorted((s.num_docs for s in splits), reverse=True)
+    out["final_split_docs"] = sizes
+    mature = [s for s in splits if s.num_docs >= args.target]
+    assert len(mature) == 1, f"expected exactly one mature split: {sizes}"
+    policy = make_policy(config.settings.merge_policy, args.target)
+    ops = policy.operations(splits)
+    touched = {s.split_id for op in ops for s in op.splits}
+    assert mature[0].split_id not in touched, \
+        "planner proposed merging a mature (>=10M-doc) split"
+    out["mature_split_docs"] = mature[0].num_docs
+    out["maturity_never_merge"] = True
+
+    # ---- warm query latency on the mature split -----------------------
+    _engine.ENABLE_LEAF_CACHE = False
+    s = IndexSearcher(index_dir)
+    qset = (
+        [f"text:{chr(97 + k)}aterm{k}" for k in range(0, 10)]
+        + [f"text:rareterm{k * 1000 + 10}" for k in range(5)]
+        + ["text:aaterm0 OR text:abterm40", "+text:aaterm0 +text:abterm30",
+           "+text:aaterm0 +text:rareterm1010", "+text:aaterm0 +text:baterm1",
+           "text:aaterm0 -text:abterm30",
+           'text:"intial commit"', 'text:"white sandy beach"',
+           "lang: IN [de fr]", "text:ab*",
+           "+text:caterm2 +warc_ts:[2024-01-10T00:00:00Z TO "
+           "2024-02-01T00:00:00Z}"])
+    s.search("text:aaterm0", max_hits=1, sort_by="_score")  # open readers
+    # pass 1 = cold (first-touch posting row-group reads), pass 2 = warm
+    # (row groups decoded; leaf cache still off — real evaluation)
+    for label in ("cold", "warm"):
+        lat = []
+        for q in qset:
+            t0 = time.time()
+            r = s.search(q, max_hits=10, sort_by="_score", fetch_fields=[])
+            lat.append(time.time() - t0)
+            assert r.num_hits >= 0
+        lat_ms = np.asarray(lat) * 1000
+        out[f"query_p50_ms_{label}"] = round(float(np.percentile(lat_ms, 50)), 2)
+        out[f"query_p95_ms_{label}"] = round(float(np.percentile(lat_ms, 95)), 2)
+    out["num_hits_aaterm0"] = int(
+        s.search("text:aaterm0", max_hits=0).num_hits)
+
+    if not args.keep:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
