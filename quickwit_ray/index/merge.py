@@ -47,6 +47,11 @@ SMALL_MERGE_DICT_ROWS = 262_144
 # 20+ concurrent small merges per node, where extra per-merge threads
 # only thrash (A/B'd at fleet concurrency; single big merges gained ~2x)
 WINDOW_POOL_MIN_BYTES = 64 << 20
+#: per-refill decoded-byte target for the streaming posting merge; the
+#: one-window fast path additionally requires the whole merge to decode
+#: under ONE_WINDOW_MAX_RAW_BYTES (uncompressed parquet metadata bytes)
+REFILL_TARGET_RAW_BYTES = 48 << 20
+ONE_WINDOW_MAX_RAW_BYTES = 512 << 20
 
 
 @dataclass
@@ -222,7 +227,8 @@ class _SplitPostingsStream:
     loaded row groups, never the whole file."""
 
     def __init__(self, split_dir: str, ord_: int, off: int,
-                 rgs_per_refill: int = 8):
+                 rgs_per_refill: int = 8,
+                 refill_bytes: Optional[int] = None):
         from quickwit_ray.index.format import (
             POS_TERMS_PER_ROW_GROUP,
             POSITIONS_FILE,
@@ -234,6 +240,7 @@ class _SplitPostingsStream:
         self.ord_ = ord_
         self.off = off
         self.rgs_per_refill = rgs_per_refill
+        self.refill_bytes = refill_bytes
         from quickwit_ray.index.format import _artifact_exists, _open_parquet
 
         self._pf = _open_parquet(os.path.join(split_dir, POSTINGS_FILE))
@@ -246,6 +253,33 @@ class _SplitPostingsStream:
         self._rows_per_rg = TERMS_PER_ROW_GROUP
         self._buf: Optional[pa.Table] = None
         self._consumed = 0
+        if refill_bytes is not None:
+            # per-rg decoded-byte weights (round-5 memory fix): posting
+            # blobs are Zipf-skewed ACROSS row groups — the lexicographic
+            # head groups carry the fattest terms, so a fixed rgs-per-
+            # refill decodes O(split_size) bytes on the first windows.
+            # Weight = the rg's own uncompressed bytes + a row-
+            # proportional share of the positions sidecar.
+            md = self._pf.metadata
+            w = np.array([md.row_group(i).total_byte_size
+                          for i in range(self._n_rg)], np.float64)
+            if self._pos_pf is not None:
+                pmd = self._pos_pf.metadata
+                rows = np.array([pmd.row_group(i).num_rows
+                                 for i in range(pmd.num_row_groups)])
+                bts = np.array([pmd.row_group(i).total_byte_size
+                                for i in range(pmd.num_row_groups)],
+                               np.float64)
+                row_bounds = np.concatenate([[0], np.cumsum(rows)])
+                byte_prefix = np.concatenate([[0.0], np.cumsum(bts)])
+                # piecewise-linear prefix bytes(row); posting rg i covers
+                # rows [i*rows_per_rg, ...)
+                post_bounds = np.minimum(
+                    np.arange(self._n_rg + 1) * self._rows_per_rg,
+                    md.num_rows)
+                p = np.interp(post_bounds, row_bounds, byte_prefix)
+                w += np.diff(p)
+            self._rg_weights = w
         # async double-buffer: when a reader pool is attached, the NEXT
         # refill's row groups decode on the pool while the current buffer
         # is being merged/encoded (profiled: parquet decode was the
@@ -260,13 +294,28 @@ class _SplitPostingsStream:
         self._pool = pool
         self._schedule_prefetch()
 
+    def _next_range(self) -> tuple[int, int]:
+        """The next refill's [start, end) row groups: a fixed count, or —
+        with a byte budget — as many groups as fit it (min 1, so peak is
+        O(max single-rg bytes) regardless of split size)."""
+        start = self._next_rg
+        if self.refill_bytes is None:
+            return start, min(start + self.rgs_per_refill, self._n_rg)
+        end = start + 1
+        tot = self._rg_weights[start]
+        while end < self._n_rg \
+                and tot + self._rg_weights[end] <= self.refill_bytes:
+            tot += self._rg_weights[end]
+            end += 1
+        return start, end
+
     def _schedule_prefetch(self) -> None:
         if (self._pool is None or self._pending is not None
                 or self._next_rg >= self._n_rg):
             return
-        start = self._next_rg
-        self._next_rg = min(start + self.rgs_per_refill, self._n_rg)
-        self._pending = self._pool.submit(self._read_rgs, start)
+        start, end = self._next_range()
+        self._next_rg = end
+        self._pending = self._pool.submit(self._read_rgs, start, end)
 
     def _positions_slice(self, row_start: int, n: int) -> pa.Table:
         """Sidecar rows [row_start, row_start+n) (sidecar row == dict row)."""
@@ -279,12 +328,13 @@ class _SplitPostingsStream:
         lo = row_start - rg0 * self._pos_rows_per_rg
         return t.slice(lo, n)
 
-    def _read_rgs(self, start_rg: int) -> pa.Table:
-        """Read + assemble row groups [start_rg, start_rg+refill) into a
-        merge buffer (pure read — no stream state mutated; safe to run on
-        a prefetch thread)."""
-        take = list(range(start_rg,
-                          min(start_rg + self.rgs_per_refill, self._n_rg)))
+    def _read_rgs(self, start_rg: int, end_rg: Optional[int] = None) -> pa.Table:
+        """Read + assemble row groups [start_rg, end_rg) into a merge
+        buffer (pure read — no stream state mutated; safe to run on a
+        prefetch thread)."""
+        if end_rg is None:
+            end_rg = min(start_rg + self.rgs_per_refill, self._n_rg)
+        take = list(range(start_rg, end_rg))
         row_start = start_rg * self._rows_per_rg
         t = self._pf.read_row_groups(take)
         if self._legacy_pos:
@@ -309,9 +359,9 @@ class _SplitPostingsStream:
         if fut is not None:
             buf = fut.result()
         elif self._next_rg < self._n_rg:
-            start = self._next_rg
-            self._next_rg = min(start + self.rgs_per_refill, self._n_rg)
-            buf = self._read_rgs(start)
+            start, end = self._next_range()
+            self._next_rg = end
+            buf = self._read_rgs(start, end)
         else:
             self._buf, self._consumed = None, 0
             return
@@ -397,19 +447,48 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
     # posting buffers, well inside a worker heap.
     total_rows = 0
     total_bytes = 0
+    total_raw = 0  # uncompressed (≈ decoded arrow) bytes, from metadata
     from quickwit_ray import storage
     from quickwit_ray.index.format import _open_parquet
 
+    metas = []
     for d in split_dirs:
-        total_rows += _open_parquet(
-            os.path.join(d, POSTINGS_FILE)).metadata.num_rows
+        md = _open_parquet(os.path.join(d, POSTINGS_FILE)).metadata
+        metas.append(md)
+        total_rows += md.num_rows
+        total_raw += sum(md.row_group(i).total_byte_size
+                         for i in range(md.num_row_groups))
         total_bytes += storage.file_size(os.path.join(d, POSTINGS_FILE))
         pp = os.path.join(d, POSITIONS_FILE)
         if storage.exists(pp):
+            pmd = _open_parquet(pp).metadata
+            total_raw += sum(pmd.row_group(i).total_byte_size
+                             for i in range(pmd.num_row_groups))
             total_bytes += storage.file_size(pp)
-    refill = 1_000_000 if total_rows <= SMALL_MERGE_DICT_ROWS else 8
-    streams = [_SplitPostingsStream(d, i, int(off), rgs_per_refill=refill)
-               for i, (d, off) in enumerate(zip(split_dirs, offsets))]
+    if total_rows <= SMALL_MERGE_DICT_ROWS \
+            and total_raw <= ONE_WINDOW_MAX_RAW_BYTES:
+        # small merge: everything in one refill == plain vectorized merge
+        streams = [_SplitPostingsStream(d, i, int(off),
+                                        rgs_per_refill=1_000_000)
+                   for i, (d, off) in enumerate(zip(split_dirs, offsets))]
+    else:
+        # BYTE-budgeted refill (round-5 fix): posting blobs are Zipf-
+        # skewed across lexicographic row groups AND grow linearly with
+        # split size (a 2048-term head group of a 3.3M-doc split decodes
+        # to ~80 MB), so the old fixed 8-rgs-per-refill made the 10M-doc
+        # rewrite peak at ~11 GB (profiled: fat windows x double-buffer
+        # x 2-window queue). REFILL_TARGET_RAW_BYTES budgets the WHOLE
+        # window: each stream packs row groups into its 1/n share
+        # (positions sidecar bytes included), so in-flight memory —
+        # ~3 windows + their merged outputs + double-buffered refills —
+        # stays O(budget), independent of split size AND fan-in; floor
+        # 1 rg per refill (peak then O(max single-rg bytes), the floor
+        # tantivy pays for one serialized block).
+        per_stream = max(4 << 20,
+                         REFILL_TARGET_RAW_BYTES // len(split_dirs))
+        streams = [_SplitPostingsStream(d, i, int(off),
+                                        refill_bytes=per_stream)
+                   for i, (d, off) in enumerate(zip(split_dirs, offsets))]
     # write the positions sidecar iff any input carries positions
     any_positions = any(s._pos_pf is not None or s._legacy_pos
                        for s in streams)

@@ -668,7 +668,8 @@ def test_streaming_merge_slow_positions_encoder_drains_fully(tmp_path):
             super().write(tbl)
 
     class _TinyRefillStream(merge_mod._SplitPostingsStream):
-        def __init__(self, split_dir, ord_, off, rgs_per_refill=8):
+        def __init__(self, split_dir, ord_, off, rgs_per_refill=8,
+                     refill_bytes=None):
             # one row group per refill -> one merge window per row group
             super().__init__(split_dir, ord_, off, rgs_per_refill=1)
 
@@ -1085,3 +1086,80 @@ def test_search_consistency_during_merge_pipeline(tmp_path, ray_session):
     # the whole corpus exactly once
     assert set(observed) == {n}
     assert len(Manifest(d).published_splits()) < 20
+
+
+def test_byte_budgeted_refill_identical_and_bounded(tmp_path):
+    """Round-5 merge-memory fix: the per-window byte budget
+    (REFILL_TARGET_RAW_BYTES) is a pure scheduling change — a tiny
+    budget (many windows, 1-rg refills) produces byte-identical
+    artifacts to the one-window merge — and every refill decodes at
+    most max(budget, one row group)."""
+    import hashlib
+    import os
+    import shutil
+
+    from quickwit_ray.config import DocMapping, FieldMapping
+    from quickwit_ray.index import merge as merge_mod
+    from quickwit_ray.index.merge import _SplitPostingsStream, execute_merge
+    from quickwit_ray.state.manifest import Manifest
+
+    rng = np.random.default_rng(7)
+    indir = tmp_path / "in"
+    indir.mkdir()
+    vocab = [f"w{i:05d}" for i in range(6000)]
+    for fi in range(3):
+        texts = [" ".join(rng.choice(vocab, size=12, replace=False))
+                 for _ in range(250)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(fi * 250, fi * 250 + 250), pa.int64()),
+            "body": texts}), str(indir / f"f{fi}.parquet"))
+    mapping = DocMapping(
+        field_mappings=(
+            FieldMapping(name="body", type="text", record="position",
+                         fieldnorms=True),
+            FieldMapping(name="doc_id", type="i64", stored=True, fast=True)),
+        doc_id_field="doc_id", default_search_fields=("body",))
+    d = str(tmp_path / "idx")
+    build_index(str(indir), d, IndexConfig("bb", mapping), execution="local")
+    sids = [sp.split_id for sp in Manifest(d).published_splits()]
+
+    def merged_digest():
+        sm = execute_merge(d, sids, "bb", 1)
+        sd = os.path.join(d, "splits", sm.split_id)
+        h = hashlib.sha1()
+        for f in sorted(os.listdir(sd)):
+            with open(os.path.join(sd, f), "rb") as fh:
+                h.update(f.encode())
+                h.update(fh.read())
+        shutil.rmtree(sd)
+        return h.hexdigest()
+
+    one_window = merged_digest()  # small-merge fast path
+    old_rows = merge_mod.SMALL_MERGE_DICT_ROWS
+    old_budget = merge_mod.REFILL_TARGET_RAW_BYTES
+    merge_mod.SMALL_MERGE_DICT_ROWS = 0      # force the streaming path
+    merge_mod.REFILL_TARGET_RAW_BYTES = 48 << 10  # tiny: 1-rg refills
+    try:
+        budgeted = merged_digest()
+    finally:
+        merge_mod.SMALL_MERGE_DICT_ROWS = old_rows
+        merge_mod.REFILL_TARGET_RAW_BYTES = old_budget
+    assert budgeted == one_window
+
+    # stream-level bound: every refill's decoded buffer fits the budget
+    # or is exactly one row group (the floor)
+    split_dir = os.path.join(d, "splits", sids[0])
+    budget = 32 << 10
+    s = _SplitPostingsStream(split_dir, 0, 0, refill_bytes=budget)
+    n_refills = 0
+    while True:
+        s.ensure_loaded()
+        if s._buf is None:
+            break
+        n_refills += 1
+        rows = s._buf.num_rows
+        assert s._buf.nbytes <= 4 * budget or rows <= 2048, \
+            (s._buf.nbytes, rows)
+        s._consumed = rows
+        s._buf = None
+    assert n_refills >= 2  # the budget actually split the file

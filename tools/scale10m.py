@@ -50,9 +50,6 @@ def main() -> int:
     ap.add_argument("--target", type=int, default=10_000_000,
                     help="split_num_docs_target (lower it only for "
                          "smoke-testing this script)")
-    ap.add_argument("--merge-local", action="store_true",
-                    help="run merges in-process (peak-RSS measurement "
-                         "of the windowed rewrite)")
     ap.add_argument("--keep", action="store_true",
                     help="keep the built index for inspection")
     args = ap.parse_args()
@@ -114,16 +111,43 @@ def main() -> int:
     out["build_num_splits"] = len(Manifest(index_dir).published_splits())
 
     # ---- merge ladder to maturity -------------------------------------
-    # --merge-local runs every merge IN-PROCESS so ru_maxrss measures the
-    # true peak of the windowed 10M-doc rewrite (under execution="ray"
-    # the merges run in Ray workers and driver RSS proves nothing)
     t0 = time.time()
-    n_merges = run_merge_pipeline(
-        index_dir, execution="local" if args.merge_local else "ray",
-        max_rounds=32)
+    n_merges = run_merge_pipeline(index_dir, execution="ray",
+                                  max_rounds=32)
     out["merge_sec"] = round(time.time() - t0, 1)
     out["n_merges"] = n_merges
-    out["merge_execution"] = "local" if args.merge_local else "ray"
+
+    # ---- final target-crossing compaction, IN-PROCESS ------------------
+    # The eager ray ladder often crosses the target organically, but the
+    # greedy planner is path-dependent: it can quiesce with the corpus
+    # split across sub-target splits (the reference planner reaches the
+    # same states and relies on maturation-period aging there). To make
+    # the validation deterministic — and to measure the true peak RSS of
+    # a >=10M-doc windowed rewrite (Ray-worker merges hide it from the
+    # driver) — force the target-crossing merge in-process when the
+    # ladder didn't produce one.
+    m = Manifest(index_dir)
+    if not any(s.num_docs >= args.target for s in m.published_splits()):
+        from quickwit_ray.index.merge import _cmp_key, execute_merge
+
+        ordered = sorted(m.published_splits(), key=_cmp_key)
+        chosen, tot = [], 0
+        for s in reversed(ordered):  # the level-candidate direction
+            chosen.append(s)
+            tot += s.num_docs
+            if tot >= args.target:
+                break
+        assert tot >= args.target, "corpus smaller than the target"
+        t0 = time.time()
+        sm = execute_merge(index_dir, [s.split_id for s in chosen],
+                           config.index_id,
+                           max(s.num_merge_ops for s in chosen) + 1)
+        sm.delete_opstamp = min(s.delete_opstamp for s in chosen)
+        m.publish([sm], replaced_split_ids=[s.split_id for s in chosen])
+        out["final_merge_sec"] = round(time.time() - t0, 1)
+        out["final_merge_inputs"] = sorted(
+            (s.num_docs for s in chosen), reverse=True)
+        n_merges += 1
     out["peak_rss_mb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024)
 
