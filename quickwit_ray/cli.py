@@ -315,6 +315,10 @@ def main(argv=None) -> int:
     elif args.cmd == "serve":
         from quickwit_ray.server import SearchServer
 
+        if args.janitor_grace_secs is not None \
+                and args.janitor_period_secs is None:
+            p.error("--janitor-grace-secs requires --janitor-period-secs "
+                    "(no janitor runs without a period)")
         if args.search_execution != "local":
             _ray_up(getattr(args, "num_cpus", 0) or (os.cpu_count() or 8))
         indexes = {}

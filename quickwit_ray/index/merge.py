@@ -51,6 +51,7 @@ WINDOW_POOL_MIN_BYTES = 64 << 20
 #: one-window fast path additionally requires the whole merge to decode
 #: under ONE_WINDOW_MAX_RAW_BYTES (uncompressed parquet metadata bytes)
 REFILL_TARGET_RAW_BYTES = 48 << 20
+REFILL_MIN_STREAM_BYTES = 4 << 20
 ONE_WINDOW_MAX_RAW_BYTES = 512 << 20
 
 
@@ -451,10 +452,8 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
     from quickwit_ray import storage
     from quickwit_ray.index.format import _open_parquet
 
-    metas = []
     for d in split_dirs:
         md = _open_parquet(os.path.join(d, POSTINGS_FILE)).metadata
-        metas.append(md)
         total_rows += md.num_rows
         total_raw += sum(md.row_group(i).total_byte_size
                          for i in range(md.num_row_groups))
@@ -484,7 +483,7 @@ def _merge_postings_vectorized(split_dirs: list[str], offsets: np.ndarray,
         # stays O(budget), independent of split size AND fan-in; floor
         # 1 rg per refill (peak then O(max single-rg bytes), the floor
         # tantivy pays for one serialized block).
-        per_stream = max(4 << 20,
+        per_stream = max(REFILL_MIN_STREAM_BYTES,
                          REFILL_TARGET_RAW_BYTES // len(split_dirs))
         streams = [_SplitPostingsStream(d, i, int(off),
                                         refill_bytes=per_stream)

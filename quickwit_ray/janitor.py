@@ -42,6 +42,7 @@ def run_janitor_cycle(index_dirs: Iterable[str], *,
     {"retention_marked": [...], "deletes_applied": n, "gc_removed": [...]}
     (an erroring index reports {"error": ...} and the pass continues)."""
     from quickwit_ray.api import Index
+    from quickwit_ray.state.manifest import Manifest
 
     report: dict[str, dict] = {}
     for d in index_dirs:
@@ -49,7 +50,7 @@ def run_janitor_cycle(index_dirs: Iterable[str], *,
             idx = Index.open(d)
             marked = idx.apply_retention(now=now) or []
             applied = idx.apply_deletes() if \
-                idx.describe()["num_delete_tasks"] else 0
+                Manifest(d).delete_tasks else 0
             removed = idx.gc(grace_period_secs=grace_period_secs)
             report[d] = {"retention_marked": marked,
                          "deletes_applied": applied,
@@ -75,6 +76,10 @@ class Janitor:
     def __init__(self, index_dirs: Callable[[], Iterable[str]],
                  period_secs: float,
                  grace_period_secs: float = DEFAULT_GRACE_PERIOD_SECS):
+        if not period_secs or period_secs <= 0:
+            raise ValueError(
+                f"janitor period must be > 0 seconds, got {period_secs!r} "
+                "(Event.wait(0) would busy-spin cycles back-to-back)")
         self._index_dirs = index_dirs
         self.period_secs = float(period_secs)
         self.grace_period_secs = float(grace_period_secs)

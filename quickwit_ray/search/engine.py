@@ -204,11 +204,19 @@ class _LeafCache:
             self.hits += 1
             return ent[0]
 
-    def put(self, key: tuple, val: dict) -> None:
+    def put(self, key: tuple, val: dict, keep_old_if=None) -> None:
+        """Insert/replace. ``keep_old_if(old_val)`` — checked UNDER the
+        lock — skips the write when the existing entry should win (the
+        dominance store uses it so a theta-pruned entry can never clobber
+        a concurrently stored exact one)."""
         size = _approx_nbytes(val)
         if size > self.byte_budget:
             return  # larger than the whole cache: never stored
         with self._lock:
+            if keep_old_if is not None:
+                ent = self._cache.get(key)
+                if ent is not None and keep_old_if(ent[0]):
+                    return
             old = self._cache.pop(key, None)
             if old is not None:
                 self._bytes -= old[1]
@@ -418,17 +426,15 @@ def leaf_search_one(split_dir: str, mapping: DocMapping, request: SearchRequest,
             # repeats free their pessimistic reservation immediately)
             permit.set_actual_memory(b1 - b0)
     # store under the single (split, request) key, tagged with the theta
-    # this evaluation was pruned under. A concurrent thread may have just
-    # stored a MORE complete entry (smaller / None theta) — keep it.
+    # this evaluation was pruned under. keep_old_if runs UNDER the cache
+    # lock: a concurrent thread's MORE complete entry (smaller / None
+    # theta) always survives — a pruned result can never clobber it.
     if key is not None:
-        ent = _GLOBAL_LEAF_CACHE.get(key)
-        dominated = ent is not None and (
-            ent["t"] is None
-            or (theta0 is not None and ent["t"] <= theta0))
-        if not dominated:
-            _GLOBAL_LEAF_CACHE.put(
-                key, {"t": theta0, "v": copy.deepcopy(out)
-                      if "agg_partial" in out else dict(out)})
+        _GLOBAL_LEAF_CACHE.put(
+            key, {"t": theta0, "v": copy.deepcopy(out)
+                  if "agg_partial" in out else dict(out)},
+            keep_old_if=lambda old: old["t"] is None or (
+                theta0 is not None and old["t"] <= theta0))
     return out
 
 

@@ -202,8 +202,11 @@ class SearchServer:
                                               Janitor)
 
             registry = self.index_service.indexes
+            # list() snapshots the dict at C speed (atomic under the
+            # GIL) — iterating .values() directly would raise if an API
+            # index create/delete lands mid-cycle
             self.janitor = Janitor(
-                lambda: [ix.index_dir for ix in registry.values()],
+                lambda: [ix.index_dir for ix in list(registry.values())],
                 period_secs=janitor_period_secs,
                 grace_period_secs=(DEFAULT_GRACE_PERIOD_SECS
                                    if janitor_grace_secs is None

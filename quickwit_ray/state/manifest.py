@@ -76,6 +76,24 @@ def _atomic_write_json(path: str, obj: Any) -> None:
 
 COMPACT_EVERY = 64  # log entries between snapshot compactions
 
+# per-index-root write locks for the OBJECT manifest backend: whole-object
+# PUTs are atomic but a read-modify-write is not — same-process writer
+# threads (serve: ingest handlers + the janitor loop) must serialize.
+# Keyed by index root; process-wide (the cross-process contract on object
+# roots remains single-writer, documented in _load_object).
+import threading as _threading
+
+_OBJECT_ROOT_LOCKS: dict[str, _threading.RLock] = {}
+_OBJECT_ROOT_LOCKS_GUARD = _threading.Lock()
+
+
+def _object_root_write_lock(index_dir: str) -> _threading.RLock:
+    with _OBJECT_ROOT_LOCKS_GUARD:
+        lock = _OBJECT_ROOT_LOCKS.get(index_dir)
+        if lock is None:
+            lock = _OBJECT_ROOT_LOCKS[index_dir] = _threading.RLock()
+        return lock
+
 
 def _index_uid(index_dir: str) -> str:
     """Deterministic per-index uid scoping rows in a SHARED postgres
@@ -198,6 +216,12 @@ class Manifest:
         storage.write_bytes(
             self.path,
             json.dumps(self._snapshot_obj(), separators=(",", ":")).encode())
+
+    def _commit_object_locked(self) -> None:
+        """Whole-state object rewrite (clear / create) under the same
+        per-root lock as `_append`'s read-modify-write."""
+        with _object_root_write_lock(self.index_dir):
+            self._commit_object()
 
     def _load(self, shared_lock: bool = True) -> None:
         """Load snapshot + replay log. Readers hold a SHARED flock across
@@ -439,8 +463,19 @@ class Manifest:
 
     def _append(self, op: dict[str, Any]) -> None:
         if self._backend == "object":
-            # snapshot-per-op: one atomic whole-object PUT (single writer)
-            self._commit_object()
+            # snapshot-per-op: read-modify-write under a process-wide
+            # per-root lock. Reload the CURRENT object, fold this op into
+            # the fresh state (ops are replay-complete — the file
+            # backend's log replay depends on that), then one atomic
+            # whole-object PUT. Same-process concurrent writers (serve:
+            # HTTP ingest threads + the janitor) serialize here and never
+            # lose each other's updates; the cross-PROCESS contract stays
+            # SINGLE WRITER per index root (use the SQL metastore for
+            # multi-writer).
+            with _object_root_write_lock(self.index_dir):
+                self._load_object()
+                self._apply(op)
+                self._commit_object()
             return
         if self._backend in ("sqlite", "postgres"):
             self._apply_sql(op)
@@ -512,7 +547,7 @@ class Manifest:
     def _commit(self) -> None:
         """Full-snapshot commit (kept for the rare whole-state rewrites)."""
         if self._backend == "object":
-            self._commit_object()
+            self._commit_object_locked()
             return
         if self._backend in ("sqlite", "postgres"):
             st = self._sql()

@@ -38,11 +38,14 @@ def serve_proc(tmp_path):
                        settings=IndexSettings(split_num_docs_target=10_000))
     idx.ingest_docs(DOCS_ROWS[:25], commit_id="c1")
 
-    env = dict(os.environ, PYTHONPATH="/root/repo")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = repo_root + (os.pathsep + os.environ["PYTHONPATH"]
+                          if os.environ.get("PYTHONPATH") else "")
+    env = dict(os.environ, PYTHONPATH=pypath)
     proc = subprocess.Popen(
         [sys.executable, "-u", "-m", "quickwit_ray.cli", "serve",
          idx.index_dir, "--port", "0", "--search-execution", "local"],
-        cwd="/root/repo", env=env, stdout=subprocess.PIPE,
+        cwd=repo_root, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True)
     port = None
     deadline = time.time() + 30

@@ -1137,13 +1137,16 @@ def test_byte_budgeted_refill_identical_and_bounded(tmp_path):
     one_window = merged_digest()  # small-merge fast path
     old_rows = merge_mod.SMALL_MERGE_DICT_ROWS
     old_budget = merge_mod.REFILL_TARGET_RAW_BYTES
+    old_floor = merge_mod.REFILL_MIN_STREAM_BYTES
     merge_mod.SMALL_MERGE_DICT_ROWS = 0      # force the streaming path
     merge_mod.REFILL_TARGET_RAW_BYTES = 48 << 10  # tiny: 1-rg refills
+    merge_mod.REFILL_MIN_STREAM_BYTES = 1 << 10   # floor must not undo it
     try:
         budgeted = merged_digest()
     finally:
         merge_mod.SMALL_MERGE_DICT_ROWS = old_rows
         merge_mod.REFILL_TARGET_RAW_BYTES = old_budget
+        merge_mod.REFILL_MIN_STREAM_BYTES = old_floor
     assert budgeted == one_window
 
     # stream-level bound: every refill's decoded buffer fits the budget

@@ -215,3 +215,46 @@ def test_read_amplification_per_query(obj_root):
     searcher.search('body:"the"', max_hits=10)
     warm = h.get_count - g1
     assert warm <= max(4, cold // 4), (cold, warm)
+
+
+def test_object_manifest_concurrent_writer_threads_lose_nothing():
+    """Round-5 review fix: the object backend's snapshot-per-op PUT is a
+    read-modify-write — two same-process writer threads (serve: ingest
+    handlers + the janitor) interleaving load->PUT used to lose updates.
+    `_append` now reloads + folds the op under a per-root lock: every op
+    from both threads must survive."""
+    import threading
+
+    root = _bucket("concurrent")
+    m0 = Manifest(root)
+    m0.create(json.dumps({"index_id": "docs", "version": "0.8"}))
+
+    N = 25
+    errs: list = []
+
+    def publisher():
+        try:
+            for i in range(N):
+                Manifest(root).publish(
+                    [SplitMetadata(f"pub-{i}", "docs", 1, 10)],
+                    checkpoint_partition=f"p{i}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def deleter():
+        try:
+            for i in range(N):
+                Manifest(root).create_delete_task(f"body:junk{i}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=publisher), threading.Thread(target=deleter)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs[0]
+    final = Manifest(root)
+    assert len(final.published_splits()) == N
+    assert len(final.delete_tasks) == N
+    assert len(final.checkpoints) == N
