@@ -22,7 +22,8 @@ from quickwit_ray.index.format import DOCSTORE_FILE, SplitReader
 from quickwit_ray.index.writer import SplitBuilder
 from quickwit_ray.search.parser import parse_query
 from quickwit_ray.search.split_search import SplitSearcher
-from quickwit_ray.state.manifest import Manifest, SplitMetadata
+from quickwit_ray.state.manifest import (Manifest, SplitMetadata,
+                                          StaleReplaceError)
 
 
 def _rewrite_split_without(index_dir: str, config: IndexConfig,
@@ -70,13 +71,28 @@ def apply_delete_tasks(index_dir: str) -> int:
             delete_mask |= m
         if not delete_mask.any():
             split.delete_opstamp = last
-            manifest.publish([split])  # metadata-only update
+            try:
+                # metadata-only opstamp bump — CAS-guarded: republishing
+                # a split a concurrent merge already replaced would
+                # RESURRECT its docs next to the merged copy's
+                manifest.publish([split],
+                                 require_published=[split.split_id])
+            except StaleReplaceError:
+                pass  # merged away; the replacement lags and re-checks
             continue
         new_sm = _rewrite_split_without(index_dir, config, split,
                                         ~delete_mask, last)
         if new_sm is None:
             manifest.mark_for_deletion([split.split_id])
+            changed += 1
         else:
-            manifest.publish([new_sm], replaced_split_ids=[split.split_id])
-        changed += 1
+            try:
+                manifest.publish([new_sm],
+                                 replaced_split_ids=[split.split_id])
+                changed += 1
+            except StaleReplaceError:
+                # a concurrent merge replaced this split: its docs live
+                # in the merged output, whose delete_opstamp lags — the
+                # next apply pass (or delete-at-merge) rewrites THAT
+                pass
     return changed

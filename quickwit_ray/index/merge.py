@@ -34,7 +34,8 @@ from quickwit_ray.index.format import (
     write_postings_file,
 )
 from quickwit_ray.index.writer import MAX_VALUES_PER_TAG_FIELD, deterministic_split_id
-from quickwit_ray.state.manifest import Manifest, SplitMetadata
+from quickwit_ray.state.manifest import (Manifest, SplitMetadata,
+                                          StaleReplaceError)
 
 
 # merges whose total dictionary rows fit under this take the one-window
@@ -1234,20 +1235,34 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
                 ids = [s.split_id for s in op.splits]
                 if new_sm is None:
                     manifest.mark_for_deletion(ids)
+                    nonlocal_total += 1
                 else:
-                    manifest.publish([new_sm], replaced_split_ids=ids)
-                nonlocal_total += 1
+                    try:
+                        manifest.publish([new_sm], replaced_split_ids=ids)
+                        nonlocal_total += 1
+                    except StaleReplaceError:
+                        pass  # inputs rewritten concurrently; re-planned
             ops = plain
         for op in ops:
             claimed.update(s.split_id for s in op.splits)
         return ops, nonlocal_total
 
-    def _publish(op, new_sm) -> None:
+    def _publish(op, new_sm) -> bool:
         # a plain merge preserves the inputs' delete progress: the output
         # is only as deleted-up-to as its least-advanced input
         new_sm.delete_opstamp = min(s.delete_opstamp for s in op.splits)
-        manifest.publish([new_sm],
-                         replaced_split_ids=[s.split_id for s in op.splits])
+        try:
+            manifest.publish([new_sm],
+                             replaced_split_ids=[s.split_id
+                                                 for s in op.splits])
+        except StaleReplaceError:
+            # another writer (standalone delete-task rewrite, retention)
+            # replaced one of our inputs mid-merge: landing this output
+            # would double-count the input's docs. Discard it — the
+            # output dir is unpublished and GC sweeps it; the next
+            # planner pass sees the current state and re-plans.
+            return False
+        return True
 
     if execution == "ray":
         import ray
@@ -1301,9 +1316,10 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
                         raise
                     queue.append(op)  # inputs stay claimed while queued
                     continue
-                _publish(op, new_sm)
+                landed = _publish(op, new_sm)
                 claimed.difference_update(s.split_id for s in op.splits)
-                total += 1
+                if landed:
+                    total += 1
             # eager re-plan: the publish may have completed a higher
             # level's input set (claims only fresh splits, so sound)
             ops, n_del = _plan(claimed)
@@ -1320,6 +1336,6 @@ def run_merge_pipeline(index_dir: str, *, execution: str = "local",
             new_sm = execute_merge(index_dir, [s.split_id for s in op.splits],
                                    config.index_id,
                                    max(s.num_merge_ops for s in op.splits) + 1)
-            _publish(op, new_sm)
-        total += len(ops)
+            if _publish(op, new_sm):
+                total += 1
     return total

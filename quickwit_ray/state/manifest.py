@@ -76,6 +76,17 @@ def _atomic_write_json(path: str, obj: Any) -> None:
 
 COMPACT_EVERY = 64  # log entries between snapshot compactions
 
+
+class StaleReplaceError(ValueError):
+    """A publish's replaced splits are no longer published — another
+    writer (a concurrent merge, a delete-task rewrite, retention)
+    replaced or dropped them first. The quickwit metastore's
+    publish_splits split-state check analog: without it, two concurrent
+    rewriters of the same split would BOTH land and the split's docs
+    would be double-counted (caught live by tests/test_soak.py). The
+    caller must discard its output split and re-plan."""
+
+
 # per-index-root write locks for the OBJECT manifest backend: whole-object
 # PUTs are atomic but a read-modify-write is not — same-process writer
 # threads (serve: ingest handlers + the janitor loop) must serialize.
@@ -710,11 +721,20 @@ class Manifest:
 
     def publish(self, new_splits: Iterable[SplitMetadata],
                 replaced_split_ids: Iterable[str] = (),
-                checkpoint_partition: Optional[str] = None) -> None:
+                checkpoint_partition: Optional[str] = None,
+                require_published: Iterable[str] = ()) -> None:
         """Atomic publish: add new splits, mark replaced ones for deletion,
         record the source-partition checkpoint. A re-publish of an
         already-committed partition is a no-op (exactly-once semantics).
-        One append-log line = one transaction (publisher.rs:137-160)."""
+        One append-log line = one transaction (publisher.rs:137-160).
+
+        Replacement publishes run under a split-state CAS (raise
+        :class:`StaleReplaceError` when a replaced split already left the
+        published state). ``require_published`` adds the same CAS to a
+        metadata-only republish (delete-opstamp bump) WITHOUT marking the
+        ids for deletion — re-publishing a split another writer merged
+        away would otherwise resurrect its docs next to the merged
+        copy's."""
         if checkpoint_partition is not None and checkpoint_partition in self.checkpoints:
             return  # duplicate commit = no-op (checkpoint.rs contiguity analog)
         op: dict[str, Any] = {
@@ -724,8 +744,70 @@ class Manifest:
         }
         if checkpoint_partition is not None:
             op["checkpoints"] = {checkpoint_partition: {"committed_at": time.time()}}
+        check_ids = op["replaced"] + [s for s in require_published
+                                      if s not in op["replaced"]]
+        if check_ids:
+            self._append_replace_cas(op, check_ids)
+            return
         self._apply(op)
         self._append(op)
+
+    def _append_replace_cas(self, op: dict[str, Any],
+                            check_ids: list[str]) -> None:
+        """Publish-with-replacement under a split-state CAS: every
+        replaced id must still be PUBLISHED in the FRESHEST manifest
+        state, checked and committed atomically (quickwit metastore
+        publish_splits refuses when a source split left the Published
+        state). Same-process writers serialize on the per-root lock for
+        every backend; the file backend additionally holds its
+        cross-process flock across check + append."""
+
+        def check(splits: dict) -> None:
+            for sid in check_ids:
+                sm = splits.get(sid)
+                if sm is None or sm.split_state != "published":
+                    raise StaleReplaceError(
+                        f"replaced split {sid!r} is no longer published "
+                        "(concurrent merge/delete/retention won the race)"
+                        " — discard the output and re-plan")
+
+        with _object_root_write_lock(self.index_dir):
+            if self._backend == "object":
+                self._load_object()
+                check(self.splits)
+                self._apply(op)
+                self._commit_object()
+                return
+            if self._backend in ("sqlite", "postgres"):
+                # the reload + tx run back-to-back under the per-root
+                # process lock; cross-process SQL writers additionally
+                # serialize per-op on the store's own transaction (the
+                # shared-DB deployment keeps the single-rewriter-per-
+                # index contract for merges, as the reference does via
+                # its merge planner ownership)
+                self._load_sql()
+                check(self.splits)
+                self._apply(op)
+                self._apply_sql(op)
+                return
+            with self._writer_lock():
+                fresh = Manifest(self.index_dir, backend="file",
+                                 _shared_lock=False)
+                check(fresh.splits)
+                # adopt the freshest state (includes concurrent writers'
+                # appends), then fold this op on top
+                self.index_config_json = fresh.index_config_json
+                self.splits = fresh.splits
+                self.checkpoints = fresh.checkpoints
+                self.delete_tasks = fresh.delete_tasks
+                self.shards = fresh.shards
+                self.sources = fresh.sources
+                self._log_entries = fresh._log_entries
+                cps = op.get("checkpoints")
+                if cps and any(p in self.checkpoints for p in cps):
+                    return  # duplicate commit raced in: no-op
+                self._apply(op)
+                self._append_locked(op)
 
     def publish_many(self, by_partition: dict[str, list[SplitMetadata]]) -> None:
         """Publish several completed source partitions in ONE atomic manifest
