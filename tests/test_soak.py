@@ -40,12 +40,20 @@ def _mapping() -> DocMapping:
         default_search_fields=("msg",))
 
 
-def test_soak_ingest_merge_janitor_search(tmp_path, ray_session):
+@pytest.mark.parametrize("backend", ["file", "sqlite", "object"])
+def test_soak_ingest_merge_janitor_search(tmp_path, ray_session, backend):
+    import uuid
+
     from quickwit_ray.janitor import Janitor
 
     now = time.time()
+    if backend == "object":
+        root = f"mock-s3://soak-{uuid.uuid4().hex[:10]}/indexes/soak"
+    else:
+        root = str(tmp_path / "soak")
     idx = Index.create(
-        str(tmp_path / "soak"), "soak", _mapping(),
+        root, "soak", _mapping(),
+        metastore="sqlite" if backend == "sqlite" else "file",
         settings=IndexSettings(
             split_num_docs_target=100_000,
             retention_secs=30 * 24 * 3600,  # far future: nothing expires
