@@ -136,6 +136,10 @@ def main(argv=None) -> int:
     sv.add_argument("--janitor-grace-secs", type=float, default=None,
                     help="GC grace period for unreferenced artifacts "
                          "(default 2h)")
+    sv.add_argument("--merge-period-secs", type=float, default=None,
+                    help="run the merge pipeline over every served index "
+                         "every N seconds (continuous compaction, "
+                         "merge_planner.rs analog)")
 
     up = sub.add_parser("update", help="update the index config "
                         "(quickwit index update; validated against the "
@@ -329,7 +333,8 @@ def main(argv=None) -> int:
                            index_root_dir=args.index_root_dir,
                            search_execution=args.search_execution,
                            janitor_period_secs=args.janitor_period_secs,
-                           janitor_grace_secs=args.janitor_grace_secs
+                           janitor_grace_secs=args.janitor_grace_secs,
+                           merge_period_secs=args.merge_period_secs
                            ).start()
         print(f"serving {sorted(indexes)} on "
               f"http://{args.host}:{srv.port}/api/v1/_elastic/ "

@@ -314,6 +314,13 @@ def garbage_collect(index_dir: str, grace_period_secs: float = 0.0) -> list[str]
             mt = storage.getmtime(p)
         except OSError:
             mt = 0.0
+        # the grace period protects IN-FLIGHT readers, so it runs from
+        # the split's state transition (manifest update_timestamp — an
+        # old split replaced a second ago gets its full grace), not just
+        # the dir's creation mtime; legacy rows (ts 0.0) keep the mtime
+        sm = manifest.splits.get(sid)
+        if sm is not None:
+            mt = max(mt, sm.update_timestamp)
         if now - mt >= grace_period_secs:
             storage.rmtree(p, ignore_errors=True)
             removed.append(name)

@@ -113,3 +113,56 @@ class Janitor:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
+
+
+class MergeLoop:
+    """Background merge thread over the same live registry shape (the
+    reference runs merges continuously inside its indexing pipelines —
+    merge_planner.rs wakes on every publish; a period approximates that
+    for the serve tier). Replacement publishes are split-state-CAS'd, so
+    this loop coexists with delete tasks, retention and the janitor."""
+
+    def __init__(self, index_dirs: Callable[[], Iterable[str]],
+                 period_secs: float, execution: str = "local"):
+        if not period_secs or period_secs <= 0:
+            raise ValueError(
+                f"merge period must be > 0 seconds, got {period_secs!r}")
+        self._index_dirs = index_dirs
+        self.period_secs = float(period_secs)
+        self.execution = execution
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.cycles = 0
+        self.total_merges = 0
+
+    def run_cycle(self) -> int:
+        from quickwit_ray.index.merge import run_merge_pipeline
+
+        n = 0
+        for d in list(self._index_dirs()):
+            try:
+                n += run_merge_pipeline(d, execution=self.execution)
+            except Exception as e:  # noqa: BLE001 — per-index isolation
+                log.warning("merge cycle failed for %s: %s", d, e)
+        self.cycles += 1
+        self.total_merges += n
+        return n
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.period_secs):
+            try:
+                self.run_cycle()
+            except Exception as e:  # noqa: BLE001 — loop must survive
+                log.warning("merge cycle crashed: %s", e)
+
+    def start(self) -> "MergeLoop":
+        self._thread = threading.Thread(target=self._loop,
+                                        name="quickwit-ray-merge-loop",
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)

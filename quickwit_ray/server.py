@@ -165,7 +165,8 @@ class SearchServer:
                  port: int = 0, index_root_dir: Optional[str] = None,
                  search_execution: Optional[str] = None,
                  janitor_period_secs: Optional[float] = None,
-                 janitor_grace_secs: Optional[float] = None):
+                 janitor_grace_secs: Optional[float] = None,
+                 merge_period_secs: Optional[float] = None):
         from quickwit_ray.search.qw_rest import QwRestService
 
         if search_execution is not None:
@@ -197,6 +198,14 @@ class SearchServer:
         # delete tasks and GC run periodically over the LIVE registry —
         # indexes created through the API join the next cycle
         self.janitor = None
+        self.merge_loop = None
+        if merge_period_secs is not None:
+            from quickwit_ray.janitor import MergeLoop
+
+            reg = self.index_service.indexes
+            self.merge_loop = MergeLoop(
+                lambda: [ix.index_dir for ix in list(reg.values())],
+                period_secs=merge_period_secs)
         if janitor_period_secs is not None:
             from quickwit_ray.janitor import (DEFAULT_GRACE_PERIOD_SECS,
                                               Janitor)
@@ -219,9 +228,13 @@ class SearchServer:
         self._thread.start()
         if self.janitor is not None:
             self.janitor.start()
+        if self.merge_loop is not None:
+            self.merge_loop.start()
         return self
 
     def stop(self) -> None:
+        if self.merge_loop is not None:
+            self.merge_loop.stop()
         if self.janitor is not None:
             self.janitor.stop()
         self._httpd.shutdown()

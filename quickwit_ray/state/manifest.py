@@ -42,6 +42,12 @@ class SplitMetadata:
     num_merge_ops: int = 0
     delete_opstamp: int = 0
     split_state: str = "published"  # staged | published | marked_for_deletion
+    # last state-transition time (quickwit's update_timestamp): set when
+    # the split is marked for deletion, so the GC grace period runs from
+    # the MARK, not the dir's creation mtime — an old split replaced a
+    # second ago must still get its full in-flight-reader grace. 0.0 on
+    # legacy rows (GC falls back to dir mtime).
+    update_timestamp: float = 0.0
     # per-text-field stats needed for BM25 (per-split statistics!)
     field_stats: dict[str, dict[str, float]] = field(default_factory=dict)
 
@@ -298,12 +304,16 @@ class Manifest:
             for sid in op.get("replaced", ()):
                 if sid in self.splits:
                     self.splits[sid].split_state = "marked_for_deletion"
+                    # ts from the OP (write time), not replay time — a
+                    # log replay must reconstruct identical state
+                    self.splits[sid].update_timestamp = op.get("ts", 0.0)
             for pid, cp in op.get("checkpoints", {}).items():
                 self.checkpoints[pid] = cp
         elif kind == "mark_for_deletion":
             for sid in op["split_ids"]:
                 if sid in self.splits:
                     self.splits[sid].split_state = "marked_for_deletion"
+                    self.splits[sid].update_timestamp = op.get("ts", 0.0)
         elif kind == "delete_splits":
             for sid in op["split_ids"]:
                 self.splits.pop(sid, None)
@@ -742,6 +752,8 @@ class Manifest:
             "splits": [sm.to_json() for sm in new_splits],
             "replaced": list(replaced_split_ids),
         }
+        if op["replaced"]:
+            op["ts"] = time.time()  # mark time for the GC grace period
         if checkpoint_partition is not None:
             op["checkpoints"] = {checkpoint_partition: {"committed_at": time.time()}}
         check_ids = op["replaced"] + [s for s in require_published
@@ -889,7 +901,8 @@ class Manifest:
         return ids
 
     def mark_for_deletion(self, split_ids: Iterable[str]) -> None:
-        op = {"op": "mark_for_deletion", "split_ids": list(split_ids)}
+        op = {"op": "mark_for_deletion", "split_ids": list(split_ids),
+              "ts": time.time()}
         self._apply(op)
         self._append(op)
 

@@ -191,3 +191,87 @@ def test_server_janitor_wiring(tmp_path, ray_session):
         srv.stop()
     # stop() joins the janitor thread
     assert not srv.janitor._thread.is_alive()
+
+
+def test_server_merge_loop_compacts_while_serving(tmp_path, ray_session):
+    """serve --merge-period-secs: continuous compaction over the live
+    registry, concurrent with the janitor and HTTP search — split count
+    drops while every response stays whole-wave consistent."""
+    import json
+    import urllib.request
+
+    from quickwit_ray.config import MergePolicyConfig
+    from quickwit_ray.server import SearchServer
+    from quickwit_ray.state.manifest import Manifest
+
+    now = time.time()
+    idx = Index.create(
+        str(tmp_path / "compact"), "compact", _mapping(),
+        settings=IndexSettings(
+            split_num_docs_target=100_000,
+            merge_policy=MergePolicyConfig(merge_factor=3,
+                                           max_merge_factor=4,
+                                           min_level_num_docs=10_000)))
+    for w in range(9):
+        idx.ingest_docs([{"msg": f"compact probe {i}", "ts": now}
+                         for i in range(40)], commit_id=f"w{w}")
+    assert len(Manifest(idx.index_dir).published_splits()) == 9
+
+    # grace 1s (not 0): GC must never reap a replaced split dir a
+    # still-running merge round is reading — the grace period IS the
+    # in-flight-reader protection (quickwit deletion_grace_period)
+    srv = SearchServer({"compact": idx},
+                       janitor_period_secs=0.05, janitor_grace_secs=1.0,
+                       merge_period_secs=0.05).start()
+    try:
+        url = (f"http://127.0.0.1:{srv.port}/api/v1/compact/search"
+               "?query=probe&max_hits=0")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            with urllib.request.urlopen(url) as resp:
+                assert json.loads(resp.read())["num_hits"] == 9 * 40
+            n_splits = len(Manifest(idx.index_dir).published_splits())
+            if n_splits <= 3 and srv.merge_loop.cycles >= 1:
+                break
+            time.sleep(0.05)
+        assert len(Manifest(idx.index_dir).published_splits()) <= 3
+        assert srv.merge_loop.total_merges >= 2
+        # janitor GC'd the replaced split dirs (grace 0)
+        deadline = time.time() + 15
+        import os
+        while time.time() < deadline:
+            n_dirs = len(os.listdir(
+                os.path.join(idx.index_dir, "splits")))
+            if n_dirs <= 3:
+                break
+            time.sleep(0.05)
+        assert n_dirs <= 3
+    finally:
+        srv.stop()
+    assert not srv.merge_loop._thread.is_alive()
+
+
+def test_gc_grace_runs_from_mark_time_not_dir_mtime(tmp_path, ray_session):
+    """An OLD split replaced/marked a second ago must get its FULL grace
+    (in-flight readers may hold it) — before the round-5 fix the grace
+    ran from dir mtime, so aged dirs were reaped instantly on mark."""
+    import os
+
+    from quickwit_ray.index.build import garbage_collect
+    from quickwit_ray.state.manifest import Manifest
+
+    idx = _mk(tmp_path, "grace", retention_secs=None)
+    idx.ingest_docs([{"msg": "aged doc", "ts": time.time()}], commit_id="a")
+    m = Manifest(idx.index_dir)
+    sid = m.published_splits()[0].split_id
+    d = storage.join(idx.index_dir, "splits", sid)
+    # age the artifacts: dir mtime 2 days in the past
+    old = time.time() - 2 * 86400
+    os.utime(d, (old, old))
+    m.mark_for_deletion([sid])
+    # marked JUST NOW -> a 1h grace must keep it on disk
+    assert garbage_collect(idx.index_dir, grace_period_secs=3600) == []
+    assert storage.isdir(d)
+    # grace elapsed (0) -> reaped
+    assert sid in garbage_collect(idx.index_dir, grace_period_secs=0.0)
+    assert not storage.isdir(d)
