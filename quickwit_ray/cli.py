@@ -114,6 +114,16 @@ def main(argv=None) -> int:
     se.add_argument("index_dir")
     se.add_argument("split_id")
     se.add_argument("out_dir")
+    sm_ = spsub.add_parser("mark-for-deletion",
+                           help="mark splits for deletion (`quickwit "
+                                "split mark-for-deletion`); GC reaps "
+                                "them after the grace period")
+    sm_.add_argument("index_dir")
+    sm_.add_argument("split_ids", nargs="+")
+
+    ls_ = sub.add_parser("list", help="list the indexes under a root dir "
+                         "(`quickwit index list`)")
+    ls_.add_argument("root_dir")
 
     sv = sub.add_parser("serve", help="HTTP REST tier (ES-compatible API "
                         "under /api/v1/_elastic + native index API under "
@@ -255,6 +265,18 @@ def main(argv=None) -> int:
         idx = Index.open(args.index_dir)
         if args.split_cmd == "list":
             print(json.dumps(idx.describe()["splits"], indent=2))
+        elif args.split_cmd == "mark-for-deletion":
+            from quickwit_ray.state.manifest import Manifest
+
+            m = Manifest(args.index_dir)
+            known = set(m.splits)
+            missing = [s for s in args.split_ids if s not in known]
+            if missing:
+                print(f"no such split(s): {', '.join(missing)}",
+                      file=sys.stderr)
+                return 1
+            m.mark_for_deletion(args.split_ids)
+            print(f"marked {len(args.split_ids)} split(s) for deletion")
         else:
             d = os.path.join(args.index_dir, "splits", args.split_id)
             if not os.path.isdir(d):
@@ -275,6 +297,27 @@ def main(argv=None) -> int:
                                  os.path.join(args.out_dir, fn))
                 print(f"extracted {len(os.listdir(d))} files to "
                       f"{args.out_dir}")
+    elif args.cmd == "list":
+        from quickwit_ray import storage
+        from quickwit_ray.state.manifest import Manifest
+
+        rows = []
+        for name in sorted(storage.listdir(args.root_dir)):
+            d = storage.join(args.root_dir, name)
+            if not storage.isdir(d):
+                continue
+            try:
+                m = Manifest(d)
+            except Exception:
+                continue  # not an index dir
+            if m.index_config_json is None:
+                continue
+            splits = m.published_splits()
+            rows.append({"index_id": m.index_config_json["index_id"],
+                         "index_dir": d,
+                         "num_published_splits": len(splits),
+                         "num_docs": sum(s.num_docs for s in splits)})
+        print(json.dumps(rows, indent=2))
     elif args.cmd == "update":
         raw = args.config
         if raw.startswith("@"):

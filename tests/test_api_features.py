@@ -1,6 +1,8 @@
 """ES DSL adapter, list_terms/list_fields, delete tasks, transform hook,
 Index API + CLI."""
 
+import json
+
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
@@ -157,6 +159,19 @@ def test_cli_smoke(tmp_path, capsys):
     assert main(["list-terms", index_dir, "--field", "lang"]) == 0
     out = capsys.readouterr().out
     assert '"num_hits"' in out and "created index docs" in out
+    # round-5: `list` over the parent dir + `split mark-for-deletion`
+    assert main(["list", str(tmp_path)]) == 0
+    listed = json.loads(capsys.readouterr().out)
+    assert [r["index_id"] for r in listed] == ["docs"]
+    assert listed[0]["num_docs"] == 500
+    sid = listed and __import__("quickwit_ray.state.manifest",
+                                fromlist=["Manifest"]) \
+        .Manifest(index_dir).published_splits()[0].split_id
+    assert main(["split", "mark-for-deletion", index_dir, sid]) == 0
+    assert "marked 1" in capsys.readouterr().out
+    assert main(["split", "mark-for-deletion", index_dir, "nope"]) == 1
+    assert main(["list", str(tmp_path)]) == 0
+    assert json.loads(capsys.readouterr().out)[0]["num_docs"] < 500
 
 
 def test_concatenate_field(tmp_path):
