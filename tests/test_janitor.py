@@ -275,3 +275,38 @@ def test_gc_grace_runs_from_mark_time_not_dir_mtime(tmp_path, ray_session):
     # grace elapsed (0) -> reaped
     assert sid in garbage_collect(idx.index_dir, grace_period_secs=0.0)
     assert not storage.isdir(d)
+
+
+def test_retention_mark_mid_merge_discards_merge_output(tmp_path,
+                                                        ray_session):
+    """Retention marks a split while a merge that includes it is in
+    flight: the merge's publish must fail the split-state CAS and its
+    output must be discarded — landing it would RESURRECT the expired
+    docs inside the merged split."""
+    from quickwit_ray.index.merge import execute_merge
+    from quickwit_ray.state.manifest import Manifest, StaleReplaceError
+
+    now = time.time()
+    idx = _mk(tmp_path, "race")  # retention 3600s
+    idx.ingest_docs([{"msg": "expired doc", "ts": now - 7200}],
+                    commit_id="old")
+    idx.ingest_docs([{"msg": "fresh one", "ts": now}], commit_id="f1")
+    idx.ingest_docs([{"msg": "fresh two", "ts": now}], commit_id="f2")
+    m = Manifest(idx.index_dir)
+    sids = [s.split_id for s in m.published_splits()]
+    assert len(sids) == 3
+
+    # the merge executor finishes its artifact FIRST...
+    new_sm = execute_merge(idx.index_dir, sids, idx.config.index_id, 1)
+    # ...then retention lands before the merge can publish
+    assert len(idx.apply_retention(now=now)) == 1
+    with pytest.raises(StaleReplaceError):
+        m.publish([new_sm], replaced_split_ids=sids)
+    # expired doc stays gone; fresh docs stay exactly once
+    s = IndexSearcher(idx.index_dir)
+    assert s.search("msg:expired", max_hits=0).num_hits == 0
+    assert s.search("msg:fresh", max_hits=0).num_hits == 2
+    # the orphaned merge artifact is unpublished -> GC reaps it
+    from quickwit_ray.index.build import garbage_collect
+    assert new_sm.split_id in garbage_collect(idx.index_dir,
+                                              grace_period_secs=0.0)
