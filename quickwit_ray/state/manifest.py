@@ -149,6 +149,10 @@ class Manifest:
         self.log_path = storage.join(index_dir, "manifest.log")
         self.db_path = storage.join(index_dir, "metastore.db")
         self.index_config_json: Optional[dict[str, Any]] = None
+        # incremental-refresh bookkeeping (file backend): snapshot
+        # identity + consumed log bytes, see _refresh_file_locked
+        self._snap_sig = None
+        self._log_offset = 0
         self.splits: dict[str, SplitMetadata] = {}
         # committed source partitions: partition_id -> {"committed_at": ts}
         self.checkpoints: dict[str, dict[str, Any]] = {}
@@ -259,6 +263,7 @@ class Manifest:
                 fcntl.flock(fd, fcntl.LOCK_UN)
                 os.close(fd)
             return
+        self._snap_sig = self._stat_sig(self.path)
         if os.path.exists(self.path):
             with open(self.path) as f:
                 obj = json.load(f)
@@ -269,25 +274,71 @@ class Manifest:
             self.delete_tasks = obj.get("delete_tasks", [])
             self.shards = obj.get("shards", {})
             self.sources = obj.get("sources", {})
+        self._log_offset = 0
         if os.path.exists(self.log_path):
             with open(self.log_path, "rb") as f:
                 raw = f.read()
-            for chunk in raw.split(b"\n"):
-                if not chunk.strip():
-                    continue
-                try:
-                    op = json.loads(chunk)
-                except json.JSONDecodeError:
-                    # torn fragment from a writer that died mid-append (its
-                    # op was never acknowledged) — or a writer's append IN
-                    # FLIGHT while we read. NEVER truncate here: a reader
-                    # racing the single writer must not destroy the line the
-                    # writer is about to complete. The writer path starts
-                    # every append on a fresh line (see _append), so a
-                    # skipped fragment stays isolated and unacknowledged.
-                    continue
-                self._apply(op)
-                self._log_entries += 1
+            self._replay_log_bytes(raw, base_offset=0)
+
+    @staticmethod
+    def _stat_sig(path: str):
+        """Identity signature of the snapshot file (compaction replaces
+        it via atomic rename, so (ino, mtime_ns, size) changes)."""
+        try:
+            st = os.stat(path)
+            return (st.st_ino, st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+
+    def _replay_log_bytes(self, raw: bytes, base_offset: int) -> None:
+        """Fold raw log bytes starting at ``base_offset`` into the state;
+        advances ``_log_offset`` past the last COMPLETE line (a torn tail
+        is re-read on the next refresh, once the writer finishes it)."""
+        consumed = raw.rfind(b"\n") + 1  # 0 when no complete line yet
+        for chunk in raw[:consumed].split(b"\n"):
+            if not chunk.strip():
+                continue
+            try:
+                op = json.loads(chunk)
+            except json.JSONDecodeError:
+                # torn fragment from a writer that died mid-append (its
+                # op was never acknowledged) — or a writer's append IN
+                # FLIGHT while we read. NEVER truncate here: a reader
+                # racing the single writer must not destroy the line the
+                # writer is about to complete. The writer path starts
+                # every append on a fresh line (see _append), so a
+                # skipped fragment stays isolated and unacknowledged.
+                continue
+            self._apply(op)
+            self._log_entries += 1
+        self._log_offset = base_offset + consumed
+
+    def _refresh_file_locked(self) -> None:
+        """Incremental freshness for the FILE backend (caller holds the
+        manifest flock, shared or exclusive): if the snapshot was
+        replaced (a compaction), reload everything; otherwise fold only
+        the log bytes appended since our last read. Keeps the
+        replacement-publish CAS O(delta), not O(total splits) — at 10^6
+        splits a full reload per merge publish would parse ~100 MB of
+        JSON per compaction step."""
+        sig = self._stat_sig(self.path)
+        if sig != self._snap_sig:
+            # compaction (or first snapshot) happened: full reload
+            self.splits = {}
+            self.checkpoints = {}
+            self.delete_tasks = []
+            self.shards = {}
+            self.sources = {}
+            self._log_entries = 0
+            self._load(shared_lock=False)
+            return
+        if not os.path.exists(self.log_path):
+            return
+        with open(self.log_path, "rb") as f:
+            f.seek(self._log_offset)
+            raw = f.read()
+        if raw:
+            self._replay_log_bytes(raw, base_offset=self._log_offset)
 
     def _apply(self, op: dict[str, Any]) -> None:
         """Fold one log entry into the in-memory state (replay-idempotent)."""
@@ -507,9 +558,10 @@ class Manifest:
     def _append_locked(self, op: dict[str, Any]) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
         with open(self.log_path, "ab") as f:
+            pre = f.tell()
             # start on a fresh line even after a predecessor's torn tail
             # (writer-side repair; readers never mutate the log)
-            if f.tell() > 0:
+            if pre > 0:
                 with open(self.log_path, "rb") as rf:
                     rf.seek(-1, os.SEEK_END)
                     last = rf.read(1)
@@ -518,6 +570,14 @@ class Manifest:
             f.write(json.dumps(op, separators=(",", ":")).encode() + b"\n")
             f.flush()
             os.fsync(f.fileno())
+            # advance the refresh cursor past our own append — but ONLY
+            # if we were current up to the pre-write end of the log. If
+            # another writer appended bytes we haven't folded (or a torn
+            # tail sits between), skipping ahead would hide those lines
+            # from the next _refresh_file_locked; leaving the cursor put
+            # just re-replays idempotent ops instead.
+            if self._log_offset == pre:
+                self._log_offset = f.tell()
         self._log_entries += 1
         # LSM-style amortization: a snapshot costs O(total state), so the
         # trigger scales with state size — at 10^6 splits a fixed
@@ -564,6 +624,10 @@ class Manifest:
         os.close(fd)
         os.replace(tmp, self.log_path)
         self._log_entries = 0
+        # we ARE the post-compaction state: refresh bookkeeping restarts
+        # at the new snapshot + empty log
+        self._snap_sig = self._stat_sig(self.path)
+        self._log_offset = 0
 
     def _commit(self) -> None:
         """Full-snapshot commit (kept for the rare whole-state rewrites)."""
@@ -803,18 +867,11 @@ class Manifest:
                 self._apply_sql(op)
                 return
             with self._writer_lock():
-                fresh = Manifest(self.index_dir, backend="file",
-                                 _shared_lock=False)
-                check(fresh.splits)
-                # adopt the freshest state (includes concurrent writers'
-                # appends), then fold this op on top
-                self.index_config_json = fresh.index_config_json
-                self.splits = fresh.splits
-                self.checkpoints = fresh.checkpoints
-                self.delete_tasks = fresh.delete_tasks
-                self.shards = fresh.shards
-                self.sources = fresh.sources
-                self._log_entries = fresh._log_entries
+                # O(delta) freshness: fold only the log bytes appended
+                # since our last read (full reload only after a
+                # compaction replaced the snapshot)
+                self._refresh_file_locked()
+                check(self.splits)
                 cps = op.get("checkpoints")
                 if cps and any(p in self.checkpoints for p in cps):
                     return  # duplicate commit raced in: no-op

@@ -275,3 +275,55 @@ def test_manifest_backends_equivalent(tmp_path_factory, ops):
                 m.index_config_json)
 
     assert state(dirs[0]) == state(dirs[1])
+
+
+def test_manifest_incremental_refresh(tmp_path):
+    """Round-5: the replacement-publish CAS folds only the log TAIL
+    appended since the instance's last read (O(delta), not O(splits));
+    a compaction (snapshot replace + truncate) forces a full reload."""
+    from quickwit_ray.state import manifest as man_mod
+    from quickwit_ray.state.manifest import Manifest, SplitMetadata
+
+    d = str(tmp_path / "m")
+    a = Manifest(d)
+    a.create({"index_id": "x", "version": "0.8"})
+    a.publish([SplitMetadata("s0", "x", 5, 50)], checkpoint_partition="p0")
+
+    b = Manifest(d)  # fresh reader: current as of s0
+    off0 = b._log_offset
+    # writer A appends two more ops behind B's back
+    a.publish([SplitMetadata("s1", "x", 5, 50)], checkpoint_partition="p1")
+    a.publish([SplitMetadata("s2", "x", 5, 50)], checkpoint_partition="p2")
+    with b._writer_lock():
+        b._refresh_file_locked()
+    assert b._log_offset > off0
+    assert {s.split_id for s in b.published_splits()} == {"s0", "s1", "s2"}
+    # the refreshed instance can now CAS-replace a split A published
+    b.publish([SplitMetadata("m0", "x", 10, 100)],
+              replaced_split_ids=["s1", "s2"])
+    assert {s.split_id for s in Manifest(d).published_splits()} \
+        == {"s0", "m0"}
+
+    # stale-cursor safety: B appends while UNAWARE of A's newest op —
+    # the cursor must NOT skip A's bytes
+    a2 = Manifest(d)
+    b2 = Manifest(d)
+    a2.publish([SplitMetadata("s3", "x", 1, 10)], checkpoint_partition="p3")
+    b2.publish([SplitMetadata("s4", "x", 1, 10)], checkpoint_partition="p4")
+    with b2._writer_lock():
+        b2._refresh_file_locked()
+    assert "s3" in {s.split_id for s in b2.published_splits()}
+
+    # compaction invalidates the snapshot signature -> full reload path
+    old = man_mod.COMPACT_EVERY
+    man_mod.COMPACT_EVERY = 1
+    try:
+        a3 = Manifest(d)
+        a3.publish([SplitMetadata("s5", "x", 1, 10)],
+                   checkpoint_partition="p5")  # triggers compaction
+    finally:
+        man_mod.COMPACT_EVERY = old
+    with b2._writer_lock():
+        b2._refresh_file_locked()
+    assert "s5" in {s.split_id for s in b2.published_splits()}
+    assert b2.index_config_json["index_id"] == "x"
