@@ -61,31 +61,69 @@ def run_janitor_cycle(index_dirs: Iterable[str], *,
     return report
 
 
-class Janitor:
-    """Background maintenance thread over a LIVE index registry.
+class _PeriodicLoop:
+    """Shared scaffolding for background maintenance threads over a LIVE
+    index registry: period validation, a stop event, a crash-surviving
+    loop, start/stop. Subclasses implement ``run_cycle``.
 
     ``index_dirs`` is a zero-arg callable returning the current index
-    roots (the serving tier's registry — indexes created after the
-    janitor started are picked up on the next cycle).
+    roots (the serving tier's registry — indexes created after the loop
+    started are picked up on the next cycle)."""
+
+    _thread_name = "quickwit-ray-loop"
+    _join_timeout = 30.0
+
+    def __init__(self, index_dirs: Callable[[], Iterable[str]],
+                 period_secs: float):
+        if not period_secs or period_secs <= 0:
+            raise ValueError(
+                f"{type(self).__name__} period must be > 0 seconds, got "
+                f"{period_secs!r} (Event.wait(0) would busy-spin cycles "
+                "back-to-back)")
+        self._index_dirs = index_dirs
+        self.period_secs = float(period_secs)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.cycles = 0
+
+    def run_cycle(self):  # pragma: no cover — abstract
+        raise NotImplementedError
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.period_secs):
+            try:
+                self.run_cycle()
+            except Exception as e:  # noqa: BLE001 — loop must survive
+                log.warning("%s cycle crashed: %s", type(self).__name__, e)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop,
+                                        name=self._thread_name,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=self._join_timeout)
+
+
+class Janitor(_PeriodicLoop):
+    """Background retention + delete-task + GC thread.
 
     >>> j = Janitor(lambda: [idx.index_dir], period_secs=3600).start()
     ...
     >>> j.stop()
     """
 
+    _thread_name = "quickwit-ray-janitor"
+
     def __init__(self, index_dirs: Callable[[], Iterable[str]],
                  period_secs: float,
                  grace_period_secs: float = DEFAULT_GRACE_PERIOD_SECS):
-        if not period_secs or period_secs <= 0:
-            raise ValueError(
-                f"janitor period must be > 0 seconds, got {period_secs!r} "
-                "(Event.wait(0) would busy-spin cycles back-to-back)")
-        self._index_dirs = index_dirs
-        self.period_secs = float(period_secs)
+        super().__init__(index_dirs, period_secs)
         self.grace_period_secs = float(grace_period_secs)
-        self._stop = threading.Event()
-        self._thread: Optional[threading.Thread] = None
-        self.cycles = 0
         self.last_report: dict[str, dict] = {}
 
     def run_cycle(self) -> dict[str, dict]:
@@ -95,44 +133,20 @@ class Janitor:
         self.cycles += 1
         return self.last_report
 
-    def _loop(self) -> None:
-        while not self._stop.wait(self.period_secs):
-            try:
-                self.run_cycle()
-            except Exception as e:  # noqa: BLE001 — loop must survive
-                log.warning("janitor cycle crashed: %s", e)
 
-    def start(self) -> "Janitor":
-        self._thread = threading.Thread(target=self._loop,
-                                        name="quickwit-ray-janitor",
-                                        daemon=True)
-        self._thread.start()
-        return self
+class MergeLoop(_PeriodicLoop):
+    """Background merge thread (the reference runs merges continuously
+    inside its indexing pipelines — merge_planner.rs wakes on every
+    publish; a period approximates that for the serve tier).
+    Replacement publishes are split-state-CAS'd, so this loop coexists
+    with delete tasks, retention and the janitor."""
 
-    def stop(self) -> None:
-        self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=5)
-
-
-class MergeLoop:
-    """Background merge thread over the same live registry shape (the
-    reference runs merges continuously inside its indexing pipelines —
-    merge_planner.rs wakes on every publish; a period approximates that
-    for the serve tier). Replacement publishes are split-state-CAS'd, so
-    this loop coexists with delete tasks, retention and the janitor."""
+    _thread_name = "quickwit-ray-merge-loop"
 
     def __init__(self, index_dirs: Callable[[], Iterable[str]],
                  period_secs: float, execution: str = "local"):
-        if not period_secs or period_secs <= 0:
-            raise ValueError(
-                f"merge period must be > 0 seconds, got {period_secs!r}")
-        self._index_dirs = index_dirs
-        self.period_secs = float(period_secs)
+        super().__init__(index_dirs, period_secs)
         self.execution = execution
-        self._stop = threading.Event()
-        self._thread: Optional[threading.Thread] = None
-        self.cycles = 0
         self.total_merges = 0
 
     def run_cycle(self) -> int:
@@ -147,22 +161,3 @@ class MergeLoop:
         self.cycles += 1
         self.total_merges += n
         return n
-
-    def _loop(self) -> None:
-        while not self._stop.wait(self.period_secs):
-            try:
-                self.run_cycle()
-            except Exception as e:  # noqa: BLE001 — loop must survive
-                log.warning("merge cycle crashed: %s", e)
-
-    def start(self) -> "MergeLoop":
-        self._thread = threading.Thread(target=self._loop,
-                                        name="quickwit-ray-merge-loop",
-                                        daemon=True)
-        self._thread.start()
-        return self
-
-    def stop(self) -> None:
-        self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=30)

@@ -202,10 +202,15 @@ class SearchServer:
         if merge_period_secs is not None:
             from quickwit_ray.janitor import MergeLoop
 
+            # compaction runs distributed when the serving tier already
+            # holds a Ray session (search_execution='ray'), else inline
+            # on the loop thread
+            merge_exec = ("ray" if search_execution in ("ray", "ray-data")
+                          else "local")
             reg = self.index_service.indexes
             self.merge_loop = MergeLoop(
                 lambda: [ix.index_dir for ix in list(reg.values())],
-                period_secs=merge_period_secs)
+                period_secs=merge_period_secs, execution=merge_exec)
         if janitor_period_secs is not None:
             from quickwit_ray.janitor import (DEFAULT_GRACE_PERIOD_SECS,
                                               Janitor)

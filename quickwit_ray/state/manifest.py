@@ -324,12 +324,7 @@ class Manifest:
         sig = self._stat_sig(self.path)
         if sig != self._snap_sig:
             # compaction (or first snapshot) happened: full reload
-            self.splits = {}
-            self.checkpoints = {}
-            self.delete_tasks = []
-            self.shards = {}
-            self.sources = {}
-            self._log_entries = 0
+            self._reset_state()
             self._load(shared_lock=False)
             return
         if not os.path.exists(self.log_path):
@@ -431,7 +426,20 @@ class Manifest:
             self._store.create_tables()
         return self._store
 
+    def _reset_state(self) -> None:
+        self.index_config_json = None
+        self.splits = {}
+        self.checkpoints = {}
+        self.delete_tasks = []
+        self.shards = {}
+        self.sources = {}
+        self._log_entries = 0
+
     def _load_sql(self) -> None:
+        # full overwrite, never a merge: the CAS paths re-load a WARM
+        # instance, where merging would keep DB-deleted splits alive as
+        # stale 'published' rows and re-append every delete task
+        self._reset_state()
         st = self._sql()
         for k, v in st.select_all("meta"):
             if k == "index_config":
@@ -664,15 +672,21 @@ class Manifest:
     def open_shard(self, shard_id: str, token: str) -> str:
         """First-caller-wins ownership claim (OpenShards analog): records
         (shard_id -> token) if unclaimed and returns the OWNING token —
-        the caller proceeds only when it equals its own."""
+        the caller proceeds only when it equals its own. The claim check
+        runs under the write lock on fresh state, so a losing concurrent
+        claimant gets the WINNER's token back, never its own."""
         cur = self.shards.get(shard_id)
         if cur is not None:
             return cur["token"]
-        op = {"op": "shard_open", "id": shard_id, "token": token,
-              "ts": time.time()}
-        self._apply(op)
-        self._append(op)
-        return token
+
+        def build() -> Optional[dict[str, Any]]:
+            if shard_id in self.shards:
+                return None  # lost the claim race: keep the winner
+            return {"op": "shard_open", "id": shard_id, "token": token,
+                    "ts": time.time()}
+
+        self._append_rmw(build)
+        return self.shards[shard_id]["token"]
 
     def acquire_shard(self, shard_id: str, token: str) -> None:
         """Steal a stale shard (AcquireShards analog). Subject to the same
@@ -757,12 +771,21 @@ class Manifest:
         return len(keys)
 
     def create_delete_task(self, query: str) -> int:
-        """Record a stored delete query; returns its opstamp."""
-        opstamp = (max((t["opstamp"] for t in self.delete_tasks), default=0) + 1)
-        op = {"op": "delete_task", "opstamp": opstamp, "query": query}
-        self._apply(op)
-        self._append(op)
-        return opstamp
+        """Record a stored delete query; returns its opstamp. The
+        opstamp is allocated UNDER the write lock from fresh state —
+        derived pre-lock, two concurrent creators would pick the same
+        value and replay's opstamp-dedup would silently drop one query."""
+        out: dict[str, int] = {}
+
+        def build() -> dict[str, Any]:
+            opstamp = max((t["opstamp"] for t in self.delete_tasks),
+                          default=0) + 1
+            out["opstamp"] = opstamp
+            return {"op": "delete_task", "opstamp": opstamp,
+                    "query": query}
+
+        self._append_rmw(build)
+        return out["opstamp"]
 
     @property
     def last_delete_opstamp(self) -> int:
@@ -828,55 +851,71 @@ class Manifest:
         self._apply(op)
         self._append(op)
 
-    def _append_replace_cas(self, op: dict[str, Any],
-                            check_ids: list[str]) -> None:
-        """Publish-with-replacement under a split-state CAS: every
-        replaced id must still be PUBLISHED in the FRESHEST manifest
-        state, checked and committed atomically (quickwit metastore
-        publish_splits refuses when a source split left the Published
-        state). Same-process writers serialize on the per-root lock for
-        every backend; the file backend additionally holds its
-        cross-process flock across check + append."""
-
-        def check(splits: dict) -> None:
-            for sid in check_ids:
-                sm = splits.get(sid)
-                if sm is None or sm.split_state != "published":
-                    raise StaleReplaceError(
-                        f"replaced split {sid!r} is no longer published "
-                        "(concurrent merge/delete/retention won the race)"
-                        " — discard the output and re-plan")
-
+    def _append_rmw(self, build_op) -> None:
+        """Read-modify-write append: refresh to the FRESHEST committed
+        state under the per-root write lock, let ``build_op()`` derive
+        the op from that state (return None to no-op, raise to abort),
+        then apply + commit atomically. Required whenever the op's
+        VALUE depends on current state (opstamp allocation, shard
+        first-claim, split-state CAS) — an op derived from a pre-lock
+        snapshot can collide with a concurrent writer's and be silently
+        dropped by idempotent replay. Same-process writers serialize on
+        the per-root lock for every backend; the file backend
+        additionally holds its cross-process flock across refresh +
+        append (O(delta) via the incremental log-tail refresh)."""
         with _object_root_write_lock(self.index_dir):
             if self._backend == "object":
                 self._load_object()
-                check(self.splits)
+                op = build_op()
+                if op is None:
+                    return
                 self._apply(op)
                 self._commit_object()
                 return
             if self._backend in ("sqlite", "postgres"):
-                # the reload + tx run back-to-back under the per-root
+                # reload + tx run back-to-back under the per-root
                 # process lock; cross-process SQL writers additionally
                 # serialize per-op on the store's own transaction (the
                 # shared-DB deployment keeps the single-rewriter-per-
                 # index contract for merges, as the reference does via
                 # its merge planner ownership)
                 self._load_sql()
-                check(self.splits)
+                op = build_op()
+                if op is None:
+                    return
                 self._apply(op)
                 self._apply_sql(op)
                 return
             with self._writer_lock():
-                # O(delta) freshness: fold only the log bytes appended
-                # since our last read (full reload only after a
-                # compaction replaced the snapshot)
                 self._refresh_file_locked()
-                check(self.splits)
-                cps = op.get("checkpoints")
-                if cps and any(p in self.checkpoints for p in cps):
-                    return  # duplicate commit raced in: no-op
+                op = build_op()
+                if op is None:
+                    return
                 self._apply(op)
                 self._append_locked(op)
+
+    def _append_replace_cas(self, op: dict[str, Any],
+                            check_ids: list[str]) -> None:
+        """Publish-with-replacement under a split-state CAS: every
+        replaced id must still be PUBLISHED in the freshest manifest
+        state, checked and committed atomically (quickwit metastore
+        publish_splits refuses when a source split left the Published
+        state)."""
+
+        def build() -> Optional[dict[str, Any]]:
+            for sid in check_ids:
+                sm = self.splits.get(sid)
+                if sm is None or sm.split_state != "published":
+                    raise StaleReplaceError(
+                        f"replaced split {sid!r} is no longer published "
+                        "(concurrent merge/delete/retention won the race)"
+                        " — discard the output and re-plan")
+            cps = op.get("checkpoints")
+            if cps and any(p in self.checkpoints for p in cps):
+                return None  # duplicate commit raced in: no-op
+            return op
+
+        self._append_rmw(build)
 
     def publish_many(self, by_partition: dict[str, list[SplitMetadata]]) -> None:
         """Publish several completed source partitions in ONE atomic manifest

@@ -258,3 +258,55 @@ def test_object_manifest_concurrent_writer_threads_lose_nothing():
     assert len(final.published_splits()) == N
     assert len(final.delete_tasks) == N
     assert len(final.checkpoints) == N
+
+
+def test_object_manifest_concurrent_value_derivation_races():
+    """Round-5 review fixes: state-DERIVED op values must be computed
+    under the write lock — two concurrent delete-task creators must get
+    DISTINCT opstamps (both queries stored), and two concurrent shard
+    claimants must agree on ONE owner (the loser gets the winner's
+    token back, not its own)."""
+    import threading
+
+    root = _bucket("rmw")
+    Manifest(root).create({"index_id": "docs", "version": "0.8"})
+
+    N = 12
+    stamps: list[int] = []
+    owners: dict[str, str] = {}
+    errs: list = []
+
+    def deleter(tag: str):
+        try:
+            for i in range(N):
+                stamps.append(
+                    Manifest(root).create_delete_task(f"body:{tag}{i}"))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def claimant(tok: str):
+        try:
+            for i in range(N):
+                owners[f"{tok}-{i}"] = \
+                    Manifest(root).open_shard(f"shard-{i}", tok)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=deleter, args=("a",)),
+          threading.Thread(target=deleter, args=("b",)),
+          threading.Thread(target=claimant, args=("tokA",)),
+          threading.Thread(target=claimant, args=("tokB",))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs[0]
+    # every creator got a unique opstamp and every query survived
+    assert len(set(stamps)) == 2 * N
+    final = Manifest(root)
+    assert len(final.delete_tasks) == 2 * N
+    # both claimants of shard-i returned the SAME owning token, and it
+    # matches the committed owner
+    for i in range(N):
+        a, b = owners[f"tokA-{i}"], owners[f"tokB-{i}"]
+        assert a == b == final.shards[f"shard-{i}"]["token"]
