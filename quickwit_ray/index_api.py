@@ -555,7 +555,8 @@ class IndexApiService:
             kw["snippet_fields"] = tuple(str(p["snippet_fields"]).split(","))
         resp = idx.search(p.get("query", "*"), **kw)
         mapping = idx.config.doc_mapping
-        hits = [_hit_source(row, mapping) for _, row in resp.hits.iterrows()]
+        hits = [_hit_source(row, mapping)
+                for row in resp.hits.to_dict("records")]
         out = {
             "num_hits": int(resp.num_hits),
             "hits": hits,

@@ -110,18 +110,19 @@ def _clean_scalar(v):
     return v
 
 
-def _hit_source(row: pd.Series, mapping) -> dict:
-    """_source for one hit: the verbatim stored `_source` column when the
-    mapping has one (the reference's store_source), else the stored fields
-    re-assembled (json columns parsed back to objects, nulls dropped)."""
-    if "_source" in row.index and isinstance(row["_source"], str):
+def _hit_source(row: dict, mapping) -> dict:
+    """_source for one hit (row = one hits-DataFrame record as a dict —
+    renderers iterate `to_dict("records")`, never pandas iterrows): the
+    verbatim stored `_source` column when the mapping has one (the
+    reference's store_source), else the stored fields re-assembled (json
+    columns parsed back to objects, nulls dropped)."""
+    if isinstance(row.get("_source"), str):
         return json.loads(row["_source"])
     src: dict[str, Any] = {}
     json_fields = {f.name for f in mapping.field_mappings if f.type == "json"}
-    for col in row.index:
+    for col, v in row.items():
         if col.startswith("_") or col in ("sort_key0", "sort_key1"):
             continue
-        v = row[col]
         if v is None or (isinstance(v, float) and np.isnan(v)):
             continue
         if col in json_fields and isinstance(v, str):
@@ -166,7 +167,7 @@ def _nest_dotted(src: dict) -> dict:
     return out
 
 
-def _sort_values(row: pd.Series, sort_fields, mapping,
+def _sort_values(row: dict, sort_fields, mapping,
                  sort_formats: Optional[dict] = None) -> list:
     out = []
     for i, sf in enumerate(sort_fields[:2]):
@@ -253,7 +254,7 @@ def render_search_response(resp: SearchResponse, index_id: str, mapping,
                            index_prefix_map: Optional[dict] = None,
                            mapping_by_index: Optional[dict] = None) -> dict:
     hits = []
-    for _, row in resp.hits.iterrows():
+    for row in resp.hits.to_dict("records"):
         iname, m = index_id, mapping
         if index_prefix_map:
             # federated search: attribute each hit to ITS index by split
@@ -270,7 +271,7 @@ def render_search_response(resp: SearchResponse, index_id: str, mapping,
         doc_id_field = m.doc_id_field
         if doc_id_field in src:
             h["_id"] = str(src[doc_id_field])
-        if "_score" in row.index and row.get("_score") is not None:
+        if row.get("_score") is not None:
             s = row["_score"]
             h["_score"] = None if (isinstance(s, float) and np.isnan(s)) else (
                 _clean_scalar(np.float64(s)) if s is not None else None)

@@ -127,7 +127,7 @@ class JaegerService:
             TermSetQuery("trace_id", tuple(trace_ids)),
             max_hits=self.max_fetch_spans, fetch_fields=self._FETCH)
         by_trace: dict[str, list[dict]] = {}
-        for _, row in resp.hits.iterrows():
+        for row in resp.hits.to_dict("records"):
             span = _to_jaeger_span(row)
             by_trace.setdefault(span["traceID"], []).append(span)
         out = []

@@ -312,7 +312,7 @@ class QwRestService:
                              if p.strip()]
         resp = idx.search(q, **kw)
         hits = []
-        for _, row in resp.hits.iterrows():
+        for row in resp.hits.to_dict("records"):
             src = _hit_source(row, idx.config.doc_mapping)
             hits.append({k: _clean_scalar(v) for k, v in src.items()})
         return {
