@@ -308,10 +308,14 @@ def main(argv=None) -> int:
                 continue
             try:
                 m = Manifest(d)
-            except Exception:
-                continue  # not an index dir
-            if m.index_config_json is None:
+            except Exception as e:  # noqa: BLE001 — a REAL index whose
+                # metastore errors (unreachable postgres DSN, corrupt
+                # sqlite) must not silently vanish from the listing
+                print(f"warning: {d}: metastore failed to load: {e}",
+                      file=sys.stderr)
                 continue
+            if m.index_config_json is None:
+                continue  # not an index dir
             splits = m.published_splits()
             rows.append({"index_id": m.index_config_json["index_id"],
                          "index_dir": d,

@@ -314,6 +314,17 @@ def garbage_collect(index_dir: str, grace_period_secs: float = 0.0) -> list[str]
             mt = storage.getmtime(p)
         except OSError:
             mt = 0.0
+        if not mt:
+            # object stores carry no mtime on directory PREFIXES —
+            # without this, a freshly uploaded-but-not-yet-published
+            # split dir would look infinitely old and be reaped before
+            # its publish lands. Age = newest contained object (upload
+            # completion time).
+            try:
+                mt = max((storage.getmtime(storage.join(p, f))
+                          for f in storage.listdir(p)), default=0.0)
+            except OSError:
+                mt = 0.0
         # the grace period protects IN-FLIGHT readers, so it runs from
         # the split's state transition (manifest update_timestamp — an
         # old split replaced a second ago gets its full grace), not just

@@ -199,6 +199,14 @@ class SearchServer:
         # indexes created through the API join the next cycle
         self.janitor = None
         self.merge_loop = None
+        registry = self.index_service.indexes
+
+        def _live_index_dirs() -> list:
+            # list() snapshots the dict at C speed (atomic under the
+            # GIL) — iterating .values() directly would raise if an API
+            # index create/delete lands mid-cycle
+            return [ix.index_dir for ix in list(registry.values())]
+
         if merge_period_secs is not None:
             from quickwit_ray.janitor import MergeLoop
 
@@ -207,20 +215,15 @@ class SearchServer:
             # on the loop thread
             merge_exec = ("ray" if search_execution in ("ray", "ray-data")
                           else "local")
-            reg = self.index_service.indexes
             self.merge_loop = MergeLoop(
-                lambda: [ix.index_dir for ix in list(reg.values())],
-                period_secs=merge_period_secs, execution=merge_exec)
+                _live_index_dirs, period_secs=merge_period_secs,
+                execution=merge_exec)
         if janitor_period_secs is not None:
             from quickwit_ray.janitor import (DEFAULT_GRACE_PERIOD_SECS,
                                               Janitor)
 
-            registry = self.index_service.indexes
-            # list() snapshots the dict at C speed (atomic under the
-            # GIL) — iterating .values() directly would raise if an API
-            # index create/delete lands mid-cycle
             self.janitor = Janitor(
-                lambda: [ix.index_dir for ix in list(registry.values())],
+                _live_index_dirs,
                 period_secs=janitor_period_secs,
                 grace_period_secs=(DEFAULT_GRACE_PERIOD_SECS
                                    if janitor_grace_secs is None

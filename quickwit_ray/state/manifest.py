@@ -312,6 +312,21 @@ class Manifest:
             self._apply(op)
             self._log_entries += 1
         self._log_offset = base_offset + consumed
+        # a newline-less tail that parses as a COMPLETE op (a crashed
+        # writer persisted everything but the terminator) must be VISIBLE
+        # now: the next writer's fresh-line repair will terminate it and
+        # every later replay applies it BEFORE subsequent ops, so a CAS
+        # that didn't see it could approve a conflicting replacement
+        # (double-count). Fold it in WITHOUT advancing the cursor — it is
+        # re-read (idempotently) once terminated. A strict prefix of a
+        # JSON object can never parse as complete, so a half-written line
+        # stays invisible as before.
+        tail = raw[consumed:].strip()
+        if tail:
+            try:
+                self._apply(json.loads(tail))
+            except json.JSONDecodeError:
+                pass
 
     def _refresh_file_locked(self) -> None:
         """Incremental freshness for the FILE backend (caller holds the
@@ -774,18 +789,28 @@ class Manifest:
         """Record a stored delete query; returns its opstamp. The
         opstamp is allocated UNDER the write lock from fresh state —
         derived pre-lock, two concurrent creators would pick the same
-        value and replay's opstamp-dedup would silently drop one query."""
-        out: dict[str, int] = {}
+        value and replay's opstamp-dedup would silently drop one query.
+        On the SQL backends another PROCESS can still win the same
+        opstamp between our reload and tx (insert_ignore drops ours), so
+        verify our row survived in the post-commit reload and retry."""
+        for _ in range(16):
+            out: dict[str, int] = {}
 
-        def build() -> dict[str, Any]:
-            opstamp = max((t["opstamp"] for t in self.delete_tasks),
-                          default=0) + 1
-            out["opstamp"] = opstamp
-            return {"op": "delete_task", "opstamp": opstamp,
-                    "query": query}
+            def build() -> dict[str, Any]:
+                opstamp = max((t["opstamp"] for t in self.delete_tasks),
+                              default=0) + 1
+                out["opstamp"] = opstamp
+                return {"op": "delete_task", "opstamp": opstamp,
+                        "query": query}
 
-        self._append_rmw(build)
-        return out["opstamp"]
+            self._append_rmw(build)
+            stamp = out["opstamp"]
+            if any(t["opstamp"] == stamp and t["query"] == query
+                   for t in self.delete_tasks):
+                return stamp
+        raise RuntimeError(
+            "could not allocate a delete-task opstamp after 16 tries "
+            "(pathological cross-process contention)")
 
     @property
     def last_delete_opstamp(self) -> int:
@@ -874,17 +899,21 @@ class Manifest:
                 return
             if self._backend in ("sqlite", "postgres"):
                 # reload + tx run back-to-back under the per-root
-                # process lock; cross-process SQL writers additionally
-                # serialize per-op on the store's own transaction (the
-                # shared-DB deployment keeps the single-rewriter-per-
-                # index contract for merges, as the reference does via
-                # its merge planner ownership)
+                # process lock. The lock only covers THIS process: a
+                # writer in ANOTHER process can commit between our
+                # reload and our tx, and insert_ignore silently drops
+                # the colliding row — so re-load the DB truth after the
+                # commit. Callers whose op VALUE must win (opstamp
+                # allocation) verify against the reloaded state and
+                # retry; first-claim callers (open_shard) read the
+                # committed winner from it.
                 self._load_sql()
                 op = build_op()
                 if op is None:
                     return
                 self._apply(op)
                 self._apply_sql(op)
+                self._load_sql()
                 return
             with self._writer_lock():
                 self._refresh_file_locked()

@@ -327,3 +327,49 @@ def test_manifest_incremental_refresh(tmp_path):
         b2._refresh_file_locked()
     assert "s5" in {s.split_id for s in b2.published_splits()}
     assert b2.index_config_json["index_id"] == "x"
+
+
+def test_torn_but_complete_tail_op_visible_to_cas(tmp_path):
+    """Round-5 review fix: a crashed writer can persist a complete op
+    line minus the trailing newline. The next writer's fresh-line repair
+    will terminate it, making it replay BEFORE later ops — so it must be
+    VISIBLE to loads and to the replacement-publish CAS immediately, or
+    a conflicting replacement gets approved and the split's docs double-
+    count. A half-written (unparseable) tail stays invisible."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from quickwit_ray.state.manifest import (Manifest, SplitMetadata,
+                                             StaleReplaceError)
+
+    d = str(tmp_path / "m")
+    m = Manifest(d)
+    m.create({"index_id": "x", "version": "0.8"})
+    m.publish([SplitMetadata("s1", "x", 5, 50)], checkpoint_partition="p1")
+    m.publish([SplitMetadata("s2", "x", 5, 50)], checkpoint_partition="p2")
+
+    # crashed writer: full publish-replacing-s1 op, NO trailing newline
+    torn = {"op": "publish",
+            "splits": [SplitMetadata("m_a", "x", 5, 50).to_json()],
+            "replaced": ["s1"], "ts": 1.0}
+    with open(os.path.join(d, "manifest.log"), "ab") as f:
+        f.write(_json.dumps(torn, separators=(",", ":")).encode())
+
+    fresh = Manifest(d)
+    ids = {s.split_id for s in fresh.published_splits()}
+    assert ids == {"m_a", "s2"}  # torn-but-complete op IS visible
+    with _pytest.raises(StaleReplaceError):
+        fresh.publish([SplitMetadata("m_b", "x", 5, 50)],
+                      replaced_split_ids=["s1"])
+    # a later clean append terminates the torn line; state stays stable
+    fresh.publish([SplitMetadata("s3", "x", 1, 10)],
+                  checkpoint_partition="p3")
+    final = {s.split_id for s in Manifest(d).published_splits()}
+    assert final == {"m_a", "s2", "s3"}
+
+    # a HALF-written tail (invalid JSON) stays invisible as before
+    with open(os.path.join(d, "manifest.log"), "ab") as f:
+        f.write(b'{"op":"publish","splits":[{"split_id":"zz"')
+    assert {s.split_id for s in Manifest(d).published_splits()} == final
