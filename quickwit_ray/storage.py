@@ -439,9 +439,10 @@ class MockS3Handler(pafs.FileSystemHandler):
             return pafs.FileInfo(path.strip("/"), pafs.FileType.File,
                                  size=st.st_size, mtime_ns=st.st_mtime_ns)
         if os.path.isdir(lp):
-            st = os.stat(lp)
-            return pafs.FileInfo(path.strip("/"), pafs.FileType.Directory,
-                                 mtime_ns=st.st_mtime_ns)
+            # NO mtime, like real S3: a "directory" is only a key prefix
+            # there — code that ages artifacts must use the contained
+            # objects' mtimes (caught the GC grace hole in round 5)
+            return pafs.FileInfo(path.strip("/"), pafs.FileType.Directory)
         return pafs.FileInfo(path.strip("/"), pafs.FileType.NotFound)
 
     # -- info ---------------------------------------------------------------

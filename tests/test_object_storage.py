@@ -310,3 +310,32 @@ def test_object_manifest_concurrent_value_derivation_races():
     for i in range(N):
         a, b = owners[f"tokA-{i}"], owners[f"tokB-{i}"]
         assert a == b == final.shards[f"shard-{i}"]["token"]
+
+
+def test_object_gc_grace_protects_unpublished_upload():
+    """Round-5 review fix: S3 directory prefixes carry no mtime (the
+    mock now mirrors that), so GC must age an uploaded-but-not-yet-
+    published split dir by its newest contained OBJECT — before the fix
+    it looked infinitely old and was reaped in the upload->publish
+    window."""
+    from quickwit_ray.index.build import garbage_collect
+
+    root = _bucket("gcage")
+    idx = Index.create(root, "docs", _mapping(),
+                       settings=IndexSettings(split_num_docs_target=10_000))
+    idx.ingest_docs(_docs(0, 30), commit_id="a")
+    # simulate the upload->publish window: copy a published split's
+    # artifacts under an unpublished id (finalize_dir output, no
+    # manifest row yet)
+    sid = Manifest(root).published_splits()[0].split_id
+    src = storage.join(root, "splits", sid)
+    dst = storage.join(root, "splits", "in-flight-upload")
+    for f in storage.listdir(src):
+        storage.write_bytes(storage.join(dst, f),
+                            storage.read_bytes(storage.join(src, f)))
+    # graced GC must NOT reap the fresh in-flight dir
+    assert garbage_collect(root, grace_period_secs=3600) == []
+    assert storage.isdir(dst)
+    # grace 0: reaped (it is genuinely unreferenced)
+    assert "in-flight-upload" in garbage_collect(root,
+                                                 grace_period_secs=0.0)
